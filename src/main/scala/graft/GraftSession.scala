@@ -31,6 +31,7 @@ object GraftSession {
   def local(appName: String = "graft"): SparkSession = {
     val s = builder(appName).master(s"local[$cpus]").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * 100 TB design notes:
+  *  - Exact dedup is one hash-shuffle on the content key.
+  *  - MinHash signatures are computed in a single expression projection
+  *    (no UDF, no explode of shingles): O(numHashes × shingles) work per
+  *    row, zero shuffle. Only small (id, bandKey) rows shuffle for the
+  *    LSH self-join — O(docs × bands), not O(docs × shingles).
+  *  - Pathological LSH buckets (a giant cluster of identical docs) would
+  *    go quadratic in the self-join, so buckets are capped (`maxBucket`);
+  *    such clusters are exact dups that [[exact]] already removes.
+  *  - Candidate pairs are verified with exact Jaccard before reporting:
+  *    precision 1.0, recall governed by (bands, rowsPerBand) — at the
+  *    default 32×4, P(missing a j≥0.8 pair) ≈ (1-0.8⁴)³² ≈ 5e-8.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical content value. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Sorted distinct 64-bit hash set of a document's shingles — the
+    * shared per-doc representation for MinHash, banding, and exact
+    * Jaccard verification. Native expression over the token array
+    * ([[graft.functions.NgramHashes]]): shingle strings are never
+    * materialized, one tight loop per row.
+    */
+  def shingleHashSet(text: Column, shingleSize: Int): Column =
+    GraftFunctions.ngramHashes(TextAnalysis.tokens(text), shingleSize)
+
+  /** MinHash signature over the hashed shingle set — a native Catalyst
+    * expression ([[graft.functions.MinHashSig]]): one eval per row, a
+    * primitive numHashes × |set| loop. The interpreted HOF formulation
+    * (transform × array_min × transform) was ~50× slower at sf0.1.
+    */
+  def minHashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
+    GraftFunctions.minhashSig(hashes, numHashes)
+
+  def minHashSignature(text: Column, numHashes: Int = 128, shingleSize: Int = 3): Column =
+    minHashSignatureFromHashes(shingleHashSet(text, shingleSize), numHashes)
+
+  /** LSH band keys: hash each rowsPerBand-slice of the signature. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** Near-duplicate pairs by MinHash-LSH, verified with exact Jaccard
+    * over the same shingle sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    */
+  def minHashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val numHashes = bands * rowsPerBand
+    val docs = df
+      .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
+      .where(size(col("h")) > 0)
+
+    val banded = docs
+      .withColumn("sig", minHashSignatureFromHashes(col("h"), numHashes))
+      .select(col("id"),
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+
+    val capped = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
+    val candidates = capped.as("x")
+      .join(capped.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(candidates, docs, threshold)
+  }
+
+  /** Exact Jaccard verification of candidate (id_a, id_b) pairs against
+    * per-doc sorted hash sets, via one native merge pass per pair
+    * ([[graft.functions.JaccardSorted]] — the interpreted
+    * array_intersect/array_union pair allocated a hash set per pair).
+    * Set sizes are integers → the jaccard double is bit-deterministic.
+    */
+  private[ops] def verifyJaccard(
+      pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val a = docs.select(col("id").as("id_a"), col("h").as("h_a"))
+    val b = docs.select(col("id").as("id_b"), col("h").as("h_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", GraftFunctions.jaccardSorted(col("h_a"), col("h_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of a document's token stream: bit b is set when more
+    * than half the token hashes have bit b set. One string-hash per
+    * token, then a native per-row bit-count loop
+    * ([[graft.functions.SimHash64]]).
+    */
+  def simHash(text: Column): Column =
+    GraftFunctions.simhash64(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit chunks of the
+    * fingerprint (a pair within Hamming distance 3 must agree on at
+    * least one chunk — pigeonhole), then verify exact Hamming distance.
+    */
+  def simHashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val hashed = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val blocked = hashed.select(col("id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        j => call_function("shiftright", col("sim"), j * lit(16)).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("block_idx", "block_val")))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("block_idx", "block_val")))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
+    blocked.as("x")
+      .join(blocked.as("y"),
+        col("x.block_idx") === col("y.block_idx") &&
+          col("x.block_val") === col("y.block_val") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity join within a blocking key — the
+    * quadratic-but-partitioned baseline (use LSH when no natural block
+    * exists). Returns pairs with jaccard >= threshold.
+    */
+  def ngramJaccardBlocked(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val docs = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      shingleHashSet(col(textCol), n).as("h"))
+      .where(size(col("h")) > 0)
+    val pairs = docs.as("x").join(docs.as("y"),
+      col("x.block") === col("y.block") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    verifyJaccard(pairs, docs.select(col("id"), col("h")), threshold)
+  }
+}

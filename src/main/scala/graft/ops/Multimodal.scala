@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct alongside.
+  *
+  * The Spark-side plumbing is real and tested — schema, partition-wise
+  * batch processing via `mapPartitions` over a typed Dataset, stable
+  * output schema for downstream relational ops. The actual media
+  * decoding is STUBBED (this container ships no image/audio codecs):
+  * [[MediaCodec.decodeStub]] derives deterministic fake metadata from
+  * the bytes, and is the single seam to swap for a real decoder
+  * (javacv / a JNI codec) in production.
+  *
+  * 100 TB notes: decode work is per-partition with no shuffle; binary
+  * payloads never pass through a wide transformation, and the metadata
+  * struct is columnar so later filters (`meta.width > 512`) prune
+  * without touching bytes.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      format: String, width: Int, height: Int, nFrames: Int, durationMs: Long)
+
+  final case class MediaRecord(id: Long, media: Array[Byte])
+  final case class DecodedRecord(
+      id: Long, nBytes: Long, contentHash: Long, meta: MediaMeta)
+
+  /** STUB decoder — deterministic fake metadata derived from the
+    * payload bytes. Replace with a real codec in production; the
+    * signature (bytes in, typed meta out, no Spark types) is the
+    * production seam.
+    */
+  object MediaCodec {
+    private val formats = Array("png", "jpeg", "wav", "mp4")
+
+    def decodeStub(bytes: Array[Byte]): MediaMeta = {
+      val h = java.util.Arrays.hashCode(bytes)
+      val pos = (h & Int.MaxValue)
+      MediaMeta(
+        format = formats(pos % formats.length),
+        width = 16 + pos % 4096,
+        height = 16 + (pos / 7) % 4096,
+        nFrames = 1 + (pos / 11) % 300,
+        durationMs = (pos / 13) % 600000L)
+    }
+
+    /** STUB frame sampler: byte-range slices standing in for decoded
+      * frames — real implementation would seek key-frames.
+      */
+    def sampleFramesStub(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val clamped = math.max(1, math.min(n, bytes.length))
+      (0 until clamped).map { i =>
+        val start = i * bytes.length / clamped
+        val end = (i + 1) * bytes.length / clamped
+        java.util.Arrays.copyOfRange(bytes, start, end)
+      }
+    }
+  }
+
+  /** Decode a binary media column partition-wise: typed Dataset in,
+    * typed Dataset out, one pass, no shuffle. The per-partition iterator
+    * is where a real codec would amortize native init per task.
+    */
+  def decode(spark: SparkSession, df: DataFrame, idCol: String, mediaCol: String): Dataset[DecodedRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // real codec: init native decoder once per partition here
+        it.map { r =>
+          DecodedRecord(
+            id = r.id,
+            nBytes = r.media.length.toLong,
+            contentHash = java.util.Arrays.hashCode(r.media).toLong,
+            meta = MediaCodec.decodeStub(r.media))
+        }
+      }
+  }
+
+  /** Frame sampling as a generator: one output row per sampled frame,
+    * schema (id, frame_idx, frame bytes).
+    */
+  def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String, framesPerDoc: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        MediaCodec.sampleFramesStub(r.media, framesPerDoc)
+          .zipWithIndex.map { case (f, i) => (r.id, i, f) }
+      }
+      .toDF("id", "frame_idx", "frame")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` expressions — no
+  * UDFs — so the whole module fuses into the scan stage and scales as a
+  * single pass over the corpus.
+  */
+object TextAnalysis {
+
+  /** Word tokens: lowercased alphanumeric runs. The same regex is used
+    * by the DuckDB oracles (RE2/Java-regex-portable subset).
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and individual
+    * punctuation marks each count as one token (a cheap stand-in for a
+    * trained tokenizer's segmentation).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def nTokens(text: Column): Column = size(tokens(text))
+  def nDistinctTokens(text: Column): Column = size(array_distinct(tokens(text)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+
+  def digitCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  /** Heuristic quality score in [0,1] from length / punctuation /
+    * stopword / repetition signals — the standard pre-training filters
+    * (C4/Gopher-style), all as exact integer ratios so the score is
+    * bit-deterministic and oracle-checkable.
+    */
+  def qualityScore(text: Column): Column = {
+    val n  = nTokens(text).cast("double")
+    val nd = nDistinctTokens(text).cast("double")
+    val lenOk    = when(n >= 10 && n <= 1000, 1.0).otherwise(0.0)
+    val diversity = when(n > 0, nd / n).otherwise(0.0)
+    val stopRatio = when(n > 0, stopwordCount(text).cast("double") / n).otherwise(0.0)
+    val punctOk  = when(length(text) > 0,
+      lit(1.0) - least(punctCount(text).cast("double") / length(text) * 5.0, lit(1.0)))
+      .otherwise(0.0)
+    (lenOk * 0.25) + (diversity * 0.25) + (least(stopRatio * 5.0, lit(1.0)) * 0.25) +
+      (punctOk * 0.25)
+  }
+
+  /** Tiny per-language function-word profiles for the n-gram/stopword
+    * language-ID heuristic. Real pipelines would ship larger profiles;
+    * the mechanism (token-overlap argmax, one projection, no shuffle)
+    * is what matters at 100 TB.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "que"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "zai", "you", "he", "bu"))
+
+  /** Predicted language: argmax over profile-overlap scores; "und"
+    * (undetermined) when nothing matches. Ties break by profile order.
+    */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, size(array_intersect(toks, typedLit(words))))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldLeft(when(best <= 0, "und")) { case (acc, (lang, score)) =>
+      acc.when(score === best, lang)
+    }.otherwise("und")
+  }
+
+  /** Canonical-form fingerprint: md5 of (lowercased, whitespace-collapsed,
+    * trimmed) text — exact-dup detection robust to formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Rolling-hash content fingerprint: the k smallest 64-bit hashes of
+    * the document's word 3-gram shingles (a winnowing-style sketch).
+    * Locality-sensitive for containment: shared shingles → shared mins.
+    */
+  def minKShingleSketch(text: Column, k: Int = 8): Column =
+    slice(array_sort(transform(Shingles(text, 3), s => xxhash64(s))), 1, k)
+}
+
+/** Word n-gram shingles, shared by fingerprinting and MinHash dedup. */
+object Shingles {
+  def apply(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    // positions 0 .. size-n; empty array when the doc is shorter than n
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+}

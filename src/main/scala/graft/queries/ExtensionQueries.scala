@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** [EXTENSION] operators (SURVEY §2.2): dedup, similarity search,
+  * text analysis, multimodal columns — the LLM-training-data surface.
+  *
+  * Where the algorithm is portable (same tokenization/arithmetic
+  * expressible in DuckDB SQL) the query carries a full oracle — including
+  * MinHash-LSH, whose verified output provably equals the exact pairwise
+  * join above the threshold (candidate recall ≈ 1-5e-8). Approximate ops
+  * whose internals hinge on xxhash64 (SimHash, LSH buckets) are
+  * rows-only here and accuracy-tested in ScalaTest instead.
+  */
+object ExtensionQueries {
+
+  /** DuckDB-side 3-gram shingle CTE, kept in lockstep with
+    * [[graft.ops.Shingles]] (same regex, same n, same distinct).
+    */
+  private val shingleCte =
+    """WITH toks AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(
+           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s
+         FROM toks),
+       nz AS (SELECT * FROM sh WHERE len(s) > 0)"""
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- exact dedup: one shuffle on the content key.
+    GraftQuery(
+      "x01_dedup_exact",
+      (s, dir) => Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text""")),
+
+    // ---- canonical-form fingerprint dedup (formatting-robust exact).
+    GraftQuery(
+      "x02_dedup_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .withColumn("fp", TextAnalysis.fingerprint($"text"))
+          .groupBy($"fp")
+          .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      },
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""")),
+
+    // ---- MinHash-LSH near-dup, exact-Jaccard-verified. The oracle is
+    // the exact O(n²) pairwise join — equality holds because LSH recall
+    // above τ=0.8 is 1-(1-0.8⁴)³² ≈ 1-5e-8.
+    GraftQuery(
+      "x03_dedup_minhash_lsh",
+      (s, dir) => Dedup.minHashLsh(
+        Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.8),
+      Some(s"""$shingleCte
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""")),
+
+    // ---- exact n-gram Jaccard join within a blocking key (lang).
+    GraftQuery(
+      "x04_dedup_ngram_blocked",
+      (s, dir) => Dedup.ngramJaccardBlocked(
+        Tables(s, dir, "documents"), "doc_id", "text", "lang", n = 3, threshold = 0.5),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang, list_distinct(
+            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s
+          FROM toks),
+        nz AS (SELECT * FROM sh WHERE len(s) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""")),
+
+    // ---- SimHash near-dup: xxhash64-based, not oracle-expressible;
+    // accuracy covered by DedupSpec (known near-identical docs).
+    GraftQuery(
+      "x05_dedup_simhash",
+      (s, dir) => Dedup.simHashNearDup(
+        Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 6),
+      None,
+      notes = "rows-only: SimHash uses xxhash64 (no DuckDB equivalent)"),
+
+    // ---- per-document text statistics (token counting incl. BPE-ish).
+    GraftQuery(
+      "x06_text_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents").select(
+          $"doc_id",
+          length($"text").as("n_chars"),
+          TextAnalysis.nTokens($"text").as("n_tokens"),
+          TextAnalysis.nDistinctTokens($"text").as("n_distinct"),
+          TextAnalysis.bpeishTokenCount($"text").as("n_bpeish"),
+          TextAnalysis.punctCount($"text").as("n_punct"),
+          TextAnalysis.digitCount($"text").as("n_digits"))
+      },
+      Some("""SELECT doc_id, length(text) AS n_chars,
+        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tokens,
+        CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS INT) AS n_distinct,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish,
+        CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct,
+        CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits
+        FROM documents""")),
+
+    // ---- heuristic quality score (C4/Gopher-style filters).
+    GraftQuery(
+      "x07_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", TextAnalysis.qualityScore($"text").as("quality"))
+      },
+      Some("""WITH q AS (SELECT doc_id, text,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n,
+          CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) AS nd,
+          CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+            x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                       'for','on','with','as','at','by','from','that','this'))) AS DOUBLE) AS stop,
+          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+          CAST(length(text) AS DOUBLE) AS chars
+        FROM documents)
+        SELECT doc_id,
+          (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+          + (CASE WHEN n > 0 THEN nd / n ELSE 0.0 END) * 0.25
+          + least(CASE WHEN n > 0 THEN stop / n ELSE 0.0 END * 5.0, 1.0) * 0.25
+          + (CASE WHEN chars > 0 THEN 1.0 - least(punct / chars * 5.0, 1.0) ELSE 0.0 END) * 0.25
+          AS quality
+        FROM q""")),
+
+    // ---- language-ID heuristic vs the labeled lang column (confusion
+    // counts). The oracle replicates the profile-overlap argmax.
+    GraftQuery(
+      "x08_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"lang", TextAnalysis.langId($"text").as("lang_pred"))
+          .groupBy($"lang", $"lang_pred")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH sc AS (SELECT lang,
+          list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          FROM documents),
+        scores AS (SELECT lang,
+          len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS s_de,
+          len(list_intersect(t, ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+          len(list_intersect(t, ['el','la','los','y','es','un','una','en','por','que'])) AS s_es,
+          len(list_intersect(t, ['le','la','les','et','est','un','une','dans','pour','que'])) AS s_fr,
+          len(list_intersect(t, ['de','shi','le','wo','ni','ta','zai','you','he','bu'])) AS s_zh
+          FROM sc)
+        SELECT lang,
+          CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) <= 0 THEN 'und'
+               WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+               WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+               WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+               WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+               ELSE 'zh' END AS lang_pred,
+          count(*) AS n
+        FROM scores GROUP BY 1, 2""")),
+
+    // ---- token histogram: explode + count + total-order top-50.
+    GraftQuery(
+      "x09_token_histogram",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(50)
+      },
+      Some("""SELECT token, count(*) AS n FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+          FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+
+    // ---- brute-force cosine top-k against the vec_id=0 query vector.
+    GraftQuery(
+      "x10_sim_bruteforce_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          e, e.filter($"vec_id" === 0L), "vec_id", "embedding", k = 50)
+      },
+      Some("""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos_sim
+        FROM e, q ORDER BY cos_sim DESC, vec_id LIMIT 50""")),
+
+    // ---- embedding-cosine near-dup pairs within a label block.
+    GraftQuery(
+      "x11_sim_pairs_blocked",
+      (s, dir) => Similarity.cosinePairsBlocked(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3),
+      Some("""WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.3""")),
+
+    // ---- LSH-bucketed approximate top-k (the 100 TB path; recall
+    // measured against brute force in SimilaritySpec).
+    GraftQuery(
+      "x12_sim_lsh_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        Similarity.lshTopK(
+          e, e.filter($"vec_id" === 0L), "vec_id", "embedding", k = 50)
+      },
+      None,
+      notes = "rows-only: approximate candidates; recall tested in SimilaritySpec"),
+
+    // ---- multimodal: binary payload + portable metadata extraction.
+    GraftQuery(
+      "x13_media_metadata",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("media"))
+          .select($"doc_id",
+            length($"media").as("n_bytes"),
+            sha2($"media", 256).as("content_sha"))
+      },
+      Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        sha256(text) AS content_sha FROM documents""")),
+
+    // ---- multimodal decode plumbing (stubbed codec, real partition-wise
+    // Dataset pipeline).
+    GraftQuery(
+      "x14_media_decode",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.decode(s,
+          Tables(s, dir, "documents").select($"doc_id", $"text".cast("binary").as("media")),
+          "doc_id", "media").toDF()
+      },
+      None,
+      notes = "rows-only: decoder is a deterministic stub (no codecs in env)")
+  )
+}

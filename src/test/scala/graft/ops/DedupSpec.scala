@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep green forest where tall trees grow near the cold river"
+
+  private lazy val corpus = Seq(
+    (0L, base),
+    (1L, base),                                   // exact dup of 0
+    (2L, base.replace("quick", "fast")),          // near dup of 0
+    (3L, base.replace("dog and runs", "cat and walks")), // near dup of 0
+    (4L, "completely different text about spark catalyst optimizer rules " +
+         "and tungsten code generation for vectorized columnar execution engines"),
+    (5L, "yet another unrelated document discussing minhash signatures bands " +
+         "and locality sensitive hashing for large scale deduplication work")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 5) // 6 docs, one exact dup
+    val dupRow = out.find(_.getLong(1) == 0L).get
+    assert(dupRow.getLong(2) == 2) // ids 0 and 1 share text
+  }
+
+  test("minhash LSH finds planted near-dups and nothing else") {
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // near-dup cluster {0,1,2,3}; 4 and 5 unrelated
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.forall { case (a, b) => a < b && Set(0L, 1L, 2L, 3L)(a) && Set(0L, 1L, 2L, 3L)(b) })
+  }
+
+  test("minhash exact-dup pair has jaccard 1.0") {
+    val j = Dedup.minHashLsh(corpus, "doc_id", "text", threshold = 0.5)
+      .filter($"id_a" === 0L && $"id_b" === 1L)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("minhash signature is deterministic across runs and partitionings") {
+    val sig1 = corpus.repartition(4).select($"doc_id", Dedup.minHashSignature($"text").as("s"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    val sig2 = corpus.repartition(2).select($"doc_id", Dedup.minHashSignature($"text").as("s"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(sig1 == sig2)
+    assert(sig1.head._2.size == 128)
+  }
+
+  test("simhash: identical docs distance 0, near dups close, unrelated far") {
+    val sims = corpus.select($"doc_id", Dedup.simHash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(0L), sims(1L)) == 0)
+    assert(hamming(sims(0L), sims(2L)) <= 8)
+    assert(hamming(sims(0L), sims(4L)) > 10)
+  }
+
+  test("simhash near-dup pairs respect the hamming bound") {
+    val out = Dedup.simHashNearDup(corpus, "doc_id", "text", maxHamming = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(out.forall(_._3 <= 8))
+    assert(out.map(p => (p._1, p._2)).contains((0L, 1L)))
+  }
+
+  test("ngram jaccard blocked join is exact within blocks") {
+    val blocked = corpus.withColumn("block", lit("all"))
+    val pairs = Dedup.ngramJaccardBlocked(blocked, "doc_id", "text", "block",
+      n = 3, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // only the exact dup survives 0.99
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("tokenization and counts") {
+    val df = one("Hello, World! 42 foo-bar")
+    val row = df.select(
+      TextAnalysis.nTokens($"text"),
+      TextAnalysis.bpeishTokenCount($"text"),
+      TextAnalysis.punctCount($"text"),
+      TextAnalysis.digitCount($"text")).head()
+    assert(row.getInt(0) == 5)       // hello world 42 foo bar
+    assert(row.getInt(1) == 8)       // Hello , World ! 42 foo - bar
+    assert(row.getInt(2) == 2)       // , !
+    assert(row.getInt(3) == 2)       // 4 2
+  }
+
+  test("language id picks the profile with most overlap") {
+    val cases = Seq(
+      "the cat sat of the mat and it is that for with" -> "en",
+      "der hund ist nicht mit der katze und das haus von zu" -> "de",
+      "le chat est dans la maison pour les amis et une chose que" -> "fr",
+      "el perro es un animal y los gatos en una casa por que" -> "es",
+      "xyzzy qwerty plugh" -> "und")
+    cases.foreach { case (text, expected) =>
+      val got = one(text).select(TextAnalysis.langId($"text")).as[String].head()
+      assert(got == expected, s"for '$text'")
+    }
+  }
+
+  test("quality score is in [0,1] and penalizes junk") {
+    val good = "the quick brown fox jumps over the lazy dog and it is a fine day " +
+      "for running in the green field with many other happy animals around"
+    val junk = "!!! ??? ... ,,, ;;; ::: !!!"
+    val scores = Seq(good, junk).toDF("text")
+      .select(TextAnalysis.qualityScore($"text").as("q")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1) + 0.3)
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val fps = Seq("Hello   World", "hello world", "  HELLO WORLD ", "hello there")
+      .toDF("text").select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1) && fps(1) == fps(2))
+    assert(fps(3) != fps(0))
+  }
+
+  test("min-k shingle sketch overlaps for near-dup docs") {
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val b = a.replace("seven", "zeven")
+    val c = "totally different words appear here in this other document text body"
+    val sk = Seq(a, b, c).toDF("text")
+      .select(TextAnalysis.minKShingleSketch($"text", 8).as("s"))
+      .as[Seq[Long]].collect()
+    def overlap(x: Seq[Long], y: Seq[Long]) = (x.toSet intersect y.toSet).size
+    assert(overlap(sk(0), sk(1)) >= 4)
+    assert(overlap(sk(0), sk(2)) == 0)
+  }
+
+  test("shingles: fewer tokens than n yields empty array") {
+    val out = Seq("one two", "").toDF("text")
+      .select(Shingles($"text", 3).as("s")).as[Seq[String]].collect()
+    assert(out.forall(_.isEmpty))
+  }
+}
