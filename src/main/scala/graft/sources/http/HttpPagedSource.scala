@@ -1,0 +1,204 @@
+package graft.sources.http
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 implementation of the reference's Extract stage
+  * (README.md:12-13, :22): authenticated, paginated, rate-limited HTTP
+  * collection of JSON pages.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.http.HttpPagedSource")
+  *   .option("url", "https://api.example.com/items")
+  *   .option("totalRecords", "1000")      // offset pagination extent
+  *   .option("pageSize", "100")
+  *   .option("authEnv", "API_TOKEN")      // env var, injected as Bearer
+  *   .option("ratePerSec", "50")          // per-reader token bucket
+  *   .load()                              // => (page INT, body STRING)
+  * }}}
+  *
+  * Design decisions:
+  *  - The source yields RAW PAGES (`page`, `body`), not parsed records:
+  *    JSON decoding belongs to Catalyst (`from_json` + explode are
+  *    codegen'd and schema-checked), keeping the reader trivial and the
+  *    parse plan-visible. Predicate pushdown into API query params can
+  *    then be layered as options.
+  *  - Offset pagination parallelizes: one `InputPartition` per page
+  *    range, sized so every task respects the provider quota.
+  *  - Auth (README.md:16-18): token resolved from the environment inside
+  *    the reader — never in plan, options dump, or logs.
+  *  - Rate limiting + retry (README.md:13, :33): a token bucket per
+  *    reader (quota/parallelism each on a cluster) and exponential
+  *    backoff on 429/5xx/transport errors.
+  *  - Cursor-style pagination is inherently sequential → planned as a
+  *    single partition (`pagination=cursor`), still rate-limited.
+  */
+class HttpPagedSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpPagedSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new HttpPagedTable(new CaseInsensitiveStringMap(properties))
+}
+
+object HttpPagedSource {
+  val schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("body", StringType, nullable = false)))
+}
+
+final class HttpPagedTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"http_paged(${options.get("url")})"
+  override def schema(): StructType = HttpPagedSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new HttpPagedScan(HttpConf(opts))
+}
+
+/** Immutable, serializable reader configuration. Secrets stay OUT of
+  * this class — only the env var NAME ships to executors.
+  */
+final case class HttpConf(
+    url: String,
+    pageSize: Int,
+    totalRecords: Long,
+    authEnv: Option[String],
+    ratePerSec: Double,
+    maxRetries: Int,
+    pagesPerPartition: Int,
+    cursor: Boolean,
+    transportClass: String,
+    extraParams: String)
+
+object HttpConf {
+  def apply(o: CaseInsensitiveStringMap): HttpConf = HttpConf(
+    url = Option(o.get("url")).getOrElse(
+      throw new IllegalArgumentException("http-paged source requires 'url'")),
+    pageSize = o.getInt("pageSize", 100),
+    totalRecords = o.getLong("totalRecords", 1000L),
+    authEnv = Option(o.get("authEnv")),
+    ratePerSec = Option(o.get("ratePerSec")).map(_.toDouble).getOrElse(100.0),
+    maxRetries = o.getInt("maxRetries", 4),
+    pagesPerPartition = o.getInt("pagesPerPartition", 8),
+    cursor = o.getBoolean("pagination.cursor", false),
+    transportClass = Option(o.get("transport"))
+      .getOrElse(classOf[JdkHttpTransport].getName),
+    extraParams = Option(o.get("extraParams")).getOrElse(""))
+}
+
+final class HttpPagedScan(conf: HttpConf) extends Scan with Batch {
+  override def readSchema(): StructType = HttpPagedSource.schema
+  override def description(): String = s"HttpPagedScan(${conf.url})"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val nPages = math.max(1L,
+      (conf.totalRecords + conf.pageSize - 1) / conf.pageSize).toInt
+    if (conf.cursor) {
+      // sequential cursor walk: one partition owns all pages
+      Array(HttpPartition(0, nPages))
+    } else {
+      (0 until nPages by conf.pagesPerPartition).map { start =>
+        HttpPartition(start, math.min(start + conf.pagesPerPartition, nPages))
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    HttpReaderFactory(conf)
+}
+
+/** Explicit factory class (not a SAM lambda) — must serialize to executors. */
+final case class HttpReaderFactory(conf: HttpConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new HttpPartitionReader(conf, partition.asInstanceOf[HttpPartition])
+}
+
+final case class HttpPartition(startPage: Int, endPage: Int) extends InputPartition
+
+/** Fetches [startPage, endPage) with auth, a token bucket, and
+  * exponential backoff. One transport per reader.
+  */
+final class HttpPartitionReader(conf: HttpConf, part: HttpPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val transport = Class.forName(conf.transportClass)
+    .getDeclaredConstructor().newInstance().asInstanceOf[PageTransport]
+  // README.md:16-18: the secret is resolved here, on the executor, from
+  // the env — the plan and options only carry the variable's name.
+  private val headers: Map[String, String] =
+    conf.authEnv.flatMap(v => sys.env.get(v))
+      .map(tok => Map("Authorization" -> s"Bearer $tok"))
+      .getOrElse(Map.empty) + ("Accept" -> "application/json")
+
+  private val bucket = new TokenBucket(conf.ratePerSec, burst = math.max(1.0, conf.ratePerSec))
+  private var page = part.startPage
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (page >= part.endPage) return false
+    val offset = page.toLong * conf.pageSize
+    val sep = if (conf.url.contains("?")) "&" else "?"
+    val extra = if (conf.extraParams.nonEmpty) "&" + conf.extraParams else ""
+    val url = s"${conf.url}${sep}offset=$offset&limit=${conf.pageSize}$extra"
+    val body = fetchWithRetry(url)
+    current = InternalRow(page, UTF8String.fromString(body))
+    page += 1
+    true
+  }
+
+  private def fetchWithRetry(url: String): String = {
+    var attempt = 0
+    while (true) {
+      bucket.acquire()
+      val resp =
+        try transport.fetch(url, headers)
+        catch { case e: java.io.IOException => PageResponse(-1, e.getMessage) }
+      resp.status match {
+        case 200 => return resp.body
+        case s if (s == 429 || s >= 500 || s < 0) && attempt < conf.maxRetries =>
+          // exponential backoff with jitterless doubling (deterministic)
+          Thread.sleep(math.min(100L << attempt, 5000L))
+          attempt += 1
+        case s =>
+          throw new java.io.IOException(
+            s"http-paged: giving up on $url after $attempt retries (status $s)")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Minimal token bucket: `ratePerSec` sustained, `burst` capacity.
+  * Per-reader — on a cluster, set ratePerSec = provider quota /
+  * expected parallel readers (quota coordination across executors
+  * would need an external limiter service).
+  */
+final class TokenBucket(ratePerSec: Double, burst: Double) {
+  private var tokens = burst
+  private var last = System.nanoTime()
+
+  def acquire(): Unit = synchronized {
+    while (true) {
+      val now = System.nanoTime()
+      tokens = math.min(burst, tokens + (now - last) / 1e9 * ratePerSec)
+      last = now
+      if (tokens >= 1.0) { tokens -= 1.0; return }
+      val waitMs = ((1.0 - tokens) / ratePerSec * 1000).toLong + 1
+      Thread.sleep(waitMs)
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.load.GraftSink
+
+/** Structured Streaming surface: the reference's rate-limited polling
+  * loop (README.md:13) is micro-batch-shaped, so every batch transform
+  * in `graft.etl` applies unchanged to a streaming DataFrame — these
+  * helpers add the stream-only pieces: watermarks, event-time windows,
+  * stateful processing, and sink wiring.
+  *
+  * Scale notes: watermark + windowed aggregation keeps state bounded by
+  * (watermark horizon × key cardinality); dropDuplicates carries its
+  * own watermark-scoped state; `flatMapGroupsWithState` state is
+  * per-key and explicitly timed out.
+  */
+object Streams {
+
+  /** Tumbling event-time counts with late-data handling. Works on both
+    * batch and streaming inputs (same plan, different incrementalization).
+    */
+  def tumblingStats(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows (gap-based) per user. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup by key, state bounded by the watermark. */
+  def dedupeStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** Custom keyed state: running per-user totals emitted on every
+    * update — the `flatMapGroupsWithState` pattern for logic windows
+    * can't express. Pass `idleTimeout = Some("1 hour")` in production to
+    * evict idle keys (processing-time timeouts make micro-batches fire
+    * continuously, so tests run with no timeout).
+    */
+  def runningUserTotals(spark: SparkSession, events: Dataset[EventRow],
+      idleTimeout: Option[String] = None): Dataset[UserRunning] = {
+    import spark.implicits._
+    val conf = idleTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](OutputMode.Append, conf) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(last)
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+            val batch = rows.toSeq
+            val next = UserRunning(userId,
+              prev.nEvents + batch.size,
+              prev.totalValue + batch.map(_.value).sum)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
+      }
+  }
+
+  /** L1 streaming load: route every micro-batch through a batch
+    * [[GraftSink]] — upsert semantics and consistency checks carry over
+    * unchanged (exactly-once per sink idempotence).
+    */
+  def sinkStream(df: DataFrame, sink: GraftSink, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.write(batch): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
+
+/** Typed view of the events stream (see FIXTURES.md §B). */
+final case class EventRow(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)

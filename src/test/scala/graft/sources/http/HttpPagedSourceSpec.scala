@@ -1,0 +1,103 @@
+package graft.sources.http
+
+import graft.SparkSpec
+import graft.etl.{Sanitize, Transforms}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class HttpPagedSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def read(url: String, extra: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format(classOf[HttpPagedSource].getName)
+      .option("url", url)
+      .option("pageSize", "25")
+      .option("totalRecords", "250")
+      .option("transport", classOf[MockTransport].getName)
+      .option("ratePerSec", "10000")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  private val recordSchema = StructType(Seq(
+    StructField("data", ArrayType(StructType(Seq(
+      StructField("id", LongType),
+      StructField("user.name", StringType),
+      StructField("$meta", StructType(Seq(StructField("k", LongType)))),
+      StructField("value", LongType))))),
+    StructField("next_offset", LongType)))
+
+  test("E1/E3: paginated scan yields every page exactly once, in parallel") {
+    MockTransport.reset()
+    val pages = read("http://mock.local/api?mock_total=250")
+    assert(pages.rdd.getNumPartitions > 1, "offset pagination must parallelize")
+    val collected = pages.select("page").as[Int].collect().sorted
+    assert(collected.toSeq == (0 until 10))
+  }
+
+  test("T1+T4+T5: pages parse, explode, and sanitize into BSON-legal records") {
+    val records = Sanitize(
+      read("http://mock.local/api?mock_total=250")
+        .withColumn("parsed", from_json($"body", recordSchema))
+        .select(explode($"parsed.data").as("rec"))
+        .select($"rec.*"))
+    assert(records.columns.toSeq == Seq("id", "user_name", "_meta", "value"))
+    assert(records.count() == 250)
+    assert(records.agg(countDistinct($"id")).as[Long].head() == 250)
+    val r7 = records.filter($"id" === 7L).head()
+    assert(r7.getString(1) == "user_7")
+    assert(r7.getStruct(2).getLong(0) == 0L) // 7 % 7
+  }
+
+  test("E4: transient 429s are retried and the read still completes") {
+    MockTransport.reset()
+    val n = read("http://mock.local/api?mock_total=250&mock_fail_every=3").count()
+    assert(n == 10)
+    // at least one retried URL: more requests than pages
+    assert(MockTransport.requests.size > 10)
+  }
+
+  test("E2: auth token resolves from env into a Bearer header, never options") {
+    MockTransport.reset()
+    val (envKey, envVal) = sys.env.head
+    read("http://mock.local/api?mock_total=250", Map("authEnv" -> envKey)).count()
+    val auths = MockTransport.requests.map(_._2.get("Authorization")).distinct
+    assert(auths == List(Some(s"Bearer $envVal")))
+  }
+
+  test("cursor pagination plans a single sequential partition") {
+    MockTransport.reset()
+    val pages = read("http://mock.local/api?mock_total=250", Map("pagination.cursor" -> "true"))
+    assert(pages.rdd.getNumPartitions == 1)
+    assert(pages.count() == 10)
+  }
+
+  test("rate limiter paces requests") {
+    MockTransport.reset()
+    val t0 = System.nanoTime()
+    // 10 pages, 1 partition, 20 rps, burst 20 → no wait; at 5 rps burst 5
+    // the last 5 pages must wait ~1s total
+    read("http://mock.local/api?mock_total=250",
+      Map("pagination.cursor" -> "true", "ratePerSec" -> "5")).count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed >= 0.8, s"expected pacing, took ${elapsed}s")
+  }
+
+  test("full connector: extract → transform → load → consistency (E2E)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-e2e").toString + "/coll"
+    val pipeline = Transforms.pipeline(
+      Transforms.validate($"value" >= 0),
+      Transforms.addIngestionTimestamp())
+    val records = Sanitize(
+      read("http://mock.local/api?mock_total=250")
+        .withColumn("parsed", from_json($"body", recordSchema))
+        .select(explode($"parsed.data").as("rec"))
+        .select($"rec.*"))
+    val out = pipeline(records)
+    val sink = graft.load.ParquetSink(dir, org.apache.spark.sql.SaveMode.Overwrite)
+    assert(sink.write(out) == 250)
+    val back = spark.read.parquet(dir)
+    assert(graft.load.Consistency.verify(
+      out.drop("ingested_at"), back.drop("ingested_at")))
+  }
+}

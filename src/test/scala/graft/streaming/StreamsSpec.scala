@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("tumbling windows aggregate event time; watermark drops late data") {
+    val input = MemoryStream[EventRow](spark)
+    val agg = Streams.tumblingStats(input.toDF(), windowLen = "10 minutes",
+      watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventRow(1, ts(1), 1, "click", 1.0),
+        EventRow(2, ts(4), 1, "click", 2.0),
+        EventRow(3, ts(12), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far beyond the first window, then emit a late
+      // event for it — must be dropped
+      input.addData(EventRow(4, ts(40), 1, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(EventRow(5, ts(2), 1, "click", 100.0)) // late!
+      q.processAllAvailable()
+      input.addData(EventRow(6, ts(59), 1, "click", 0.5)) // close last window
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("tumbling")
+      .select($"window_start", $"event_type", $"n", $"total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // first 10:00 window: the two on-time clicks only (late 100.0 dropped)
+    assert(out.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0)))
+    assert(out.contains((Timestamp.valueOf("2024-01-01 10:10:00"), "view", 1L, 3.0)))
+  }
+
+  test("session windows split on the gap") {
+    val input = MemoryStream[EventRow](spark)
+    input.addData(
+      EventRow(1, ts(0), 7, "click", 1.0),
+      EventRow(2, ts(5), 7, "click", 1.0),   // same session (gap 10m)
+      EventRow(3, ts(30), 7, "click", 1.0),  // new session
+      EventRow(4, ts(59), 7, "click", 1.0))  // push watermark forward
+    val q = Streams.sessionStats(input.toDF(), gap = "10 minutes",
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("sessions")
+      .select($"session_start", $"n_events").as[(Timestamp, Long)].collect().toMap
+    assert(out(Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
+    assert(out(Timestamp.valueOf("2024-01-01 10:30:00")) == 1L)
+  }
+
+  test("streaming dedupe by key within watermark") {
+    val input = MemoryStream[EventRow](spark)
+    input.addData(
+      EventRow(1, ts(1), 1, "click", 1.0),
+      EventRow(1, ts(2), 1, "click", 1.0), // dup id
+      EventRow(2, ts(3), 1, "view", 2.0))
+    runToMemory(Streams.dedupeStream(input.toDF(), "10 minutes"), "deduped")
+    assert(spark.table("deduped").select("event_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    val input = MemoryStream[EventRow](spark)
+    val out = Streams.runningUserTotals(spark, input.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode("append").start()
+    try {
+      input.addData(EventRow(1, ts(1), 1, "click", 10.0),
+        EventRow(2, ts(2), 1, "click", 5.0))
+      q.processAllAvailable()
+      input.addData(EventRow(3, ts(3), 1, "view", 1.0),
+        EventRow(4, ts(3), 2, "view", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("running")
+      .as[Streams.UserRunning].collect()
+    assert(rows.filter(_.userId == 1).map(_.nEvents).max == 3)
+    assert(rows.filter(_.userId == 1).map(_.totalValue).max == 16.0)
+    assert(rows.filter(_.userId == 2).map(_.totalValue).max == 7.0)
+  }
+
+  test("foreachBatch streaming load into an upsert sink is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val sink = graft.load.UpsertParquetSink(dir.toString + "/coll", Seq("event_id"))
+    val input = MemoryStream[EventRow](spark)
+    input.addData(
+      EventRow(1, ts(1), 1, "click", 1.0),
+      EventRow(2, ts(2), 1, "view", 2.0))
+    val q = Streams.sinkStream(input.toDF(), sink, dir.toString + "/ckpt")
+    q.awaitTermination()
+    // re-deliver the same records in a new query run (same checkpoint dir
+    // would skip them; a new one simulates at-least-once redelivery)
+    val input2 = MemoryStream[EventRow](spark)
+    input2.addData(EventRow(2, ts(2), 1, "view", 2.0),
+      EventRow(3, ts(3), 2, "click", 3.0))
+    val q2 = Streams.sinkStream(input2.toDF(), sink, dir.toString + "/ckpt2")
+    q2.awaitTermination()
+    val back = spark.read.parquet(dir.toString + "/coll")
+    assert(back.count() == 3)
+    assert(back.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+}
