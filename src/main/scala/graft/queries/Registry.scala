@@ -6,7 +6,8 @@ package graft.queries
   */
 object Registry {
   def all: Seq[GraftQuery] =
-    RelationalQueries.all ++ EtlQueries.all ++ ExtensionQueries.all
+    RelationalQueries.all ++ TemporalQueries.all ++ EtlQueries.all ++
+      ExtensionQueries.all
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }
