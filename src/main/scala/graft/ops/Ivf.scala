@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the
+  * corpus into k Voronoi cells with KMeans, search only the `nprobe`
+  * cells nearest the query.
+  *
+  * 100 TB shape: the index is (cluster → rows) — at scale the assigned
+  * corpus would be written bucketed/partitioned by `cluster` so a probe
+  * reads only nprobe/k of the data (partition pruning on the scan).
+  * Centroids are tiny (k × dim) and live on the driver/broadcast.
+  */
+object Ivf {
+
+  final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Fit centroids and assign every row to its cell. */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, seed: Long = 42L): Index = {
+    val feats = df.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("__features"))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("cluster")
+      .fit(feats)
+    val assigned = model.transform(feats).drop("__features")
+    Index(model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** Approximate top-k for one query vector (1-row DataFrame): rank the
+    * nprobe nearest cells by centroid distance (driver-side, k values),
+    * then exact cosine re-rank within them.
+    */
+  def topK(index: Index, query: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val spark = query.sparkSession
+    GraftFunctions.register(spark)
+    val qVec = query.select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toArray
+    def cos(c: Array[Double]): Double = {
+      var dp = 0.0; var nc = 0.0; var nq = 0.0
+      var i = 0
+      while (i < c.length) { dp += c(i) * qVec(i); nc += c(i) * c(i); nq += qVec(i) * qVec(i); i += 1 }
+      dp / math.sqrt(nc * nq)
+    }
+    val probes = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c) }.take(nprobe).map(_._2)
+    val q = broadcast(query.select(col(vecCol).as("query_vec")))
+    index.assigned
+      .where(col("cluster").isInCollection(probes.toSeq))
+      .crossJoin(q)
+      .select(col(idCol),
+        round(Similarity.cosine(col(vecCol), col("query_vec")), roundTo).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.Ivf
+import graft.sources.Tables
+
+/** Reshaping + vector-analytics queries: pivot/unpivot, per-label
+  * embedding centroids, IVF approximate search.
+  */
+object AnalyticsQueries {
+
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---- pivot: event counts per user as columns. Explicit value list
+    // keeps the schema static (a values-scan at 100 TB would need a
+    // full pass first).
+    GraftQuery(
+      "a01_pivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", eventTypes)
+          .agg(count(lit(1)))
+          .na.fill(0, eventTypes)
+      },
+      Some(s"""SELECT user_id,
+        ${eventTypes.map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t")
+          .mkString(", ")}
+        FROM events GROUP BY user_id""")),
+
+    // ---- unpivot (melt): wide customer metrics to long form.
+    GraftQuery(
+      "a02_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer")
+          .select($"c_custkey", $"c_acctbal",
+            $"c_nationkey".cast("double").as("c_nation_d"))
+          .unpivot(Array($"c_custkey"), Array($"c_acctbal", $"c_nation_d"),
+            "metric", "value")
+      },
+      Some("""SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+        UNION ALL
+        SELECT c_custkey, 'c_nation_d' AS metric, CAST(c_nationkey AS DOUBLE) FROM customer""")),
+
+    // ---- per-label embedding centroids via posexplode + exact decimal
+    // mean per dimension (the relational formulation; VectorAggSpec
+    // proves the typed Aggregator computes the same centroids).
+    GraftQuery(
+      "a03_label_centroids",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "embeddings")
+          .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+          .groupBy($"label", $"dim")
+          .agg((sum($"x".cast(DecimalType(18, 8))).cast("double") / count(lit(1)))
+            .as("centroid"))
+      },
+      // NB: the oracle widens FLOAT→DOUBLE before the decimal cast;
+      // DuckDB's direct FLOAT→DECIMAL scales in float precision and
+      // loses the 8th decimal, while Spark casts via double.
+      Some("""SELECT label, CAST(pos - 1 AS INT) AS dim,
+          CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS centroid
+        FROM (SELECT label, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        GROUP BY label, dim""")),
+
+    // ---- IVF approximate top-k (KMeans cells + nprobe search).
+    GraftQuery(
+      "a04_sim_ivf_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val index = Ivf.build(e, "vec_id", "embedding", k = 16)
+        Ivf.topK(index, e.filter($"vec_id" === 0L), "vec_id", "embedding", k = 50)
+      },
+      None,
+      notes = "rows-only: approximate (KMeans cells); recall tested in IvfSpec")
+  )
+}
