@@ -407,6 +407,39 @@ object RelationalQueries {
       },
       Some(s"""SELECT o_custkey, ${sqlDsum("o_totalprice")} AS spend,
         count(*) AS n_orders FROM orders GROUP BY o_custkey
-        ORDER BY spend DESC, o_custkey LIMIT 25"""))
+        ORDER BY spend DESC, o_custkey LIMIT 25""")),
+
+    // ---- q21: correlated scalar subquery (Catalyst decorrelates it
+    // into an aggregate + join). Decimal-exact inner avg keeps the
+    // comparison boundary identical across engines.
+    GraftQuery(
+      "q21_correlated_subquery",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+          WHERE o_totalprice > 2 * (
+            SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""")),
+
+    // ---- q22: salted two-stage aggregation over a 3-value (maximally
+    // skewed) key — result provably equals the plain groupBy (the
+    // oracle), reducer load bounded by rows/nSalts.
+    GraftQuery(
+      "q22_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Skew.saltedSumCount(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity",
+          saltSource = $"l_orderkey", nSalts = 32)
+      },
+      Some(s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_l_quantity,
+        count(*) AS n FROM lineitem GROUP BY l_returnflag"""))
   )
 }
