@@ -25,9 +25,12 @@ object ConnectorMain {
     StructField("next_offset", LongType)))
 
   def main(args: Array[String]): Unit = {
-    val url = args.lift(0).getOrElse("http://mock.local/api?mock_total=500")
-    val outDir = args.lift(1).getOrElse(
+    val streaming = args.contains("--stream")
+    val rest = args.filterNot(_ == "--stream")
+    val url = rest.lift(0).getOrElse("http://mock.local/api?mock_total=500")
+    val outDir = rest.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-connector").toString)
+    if (streaming) { runStreaming(url, outDir); return }
     val transport =
       if (url.startsWith("http://mock.local")) classOf[MockTransport].getName
       else classOf[graft.sources.http.JdkHttpTransport].getName
@@ -59,6 +62,38 @@ object ConnectorMain {
     val check = Consistency.of(back.drop("ingested_at"))
     println(s"""{"connector":"${result.name}","rows":${result.rowsWritten},""" +
       s""""checksum":${check.checksum},"sink":"$outDir/demo_connector_raw"}""")
+    spark.stop()
+  }
+
+  /** Streaming mode: micro-batch extraction (admission-controlled page
+    * offsets) → per-batch transform → idempotent upsert sink — the
+    * reference's polling loop as a Structured Streaming query.
+    */
+  private def runStreaming(url: String, outDir: String): Unit = {
+    val spark = GraftSession.local("graft-connector-stream")
+    import spark.implicits._
+    val sink = graft.load.UpsertParquetSink(s"$outDir/demo_stream_raw", Seq("id"))
+    val stream = spark.readStream.format(classOf[HttpPagedSource].getName)
+      .option("url", url)
+      .option("pageSize", "50")
+      .option("totalRecords", "500")
+      .option("transport", classOf[MockTransport].getName)
+      .option("ratePerSec", "200")
+      .option("maxPagesPerTrigger", "3")
+      .load()
+      .withColumn("parsed", from_json($"body", pageSchema))
+      .select(explode($"parsed.data").as("rec"))
+      .select($"rec.*")
+    val sanitized = Sanitize(stream)
+      .filter($"value" >= 0)
+      .withColumn("ingested_at", current_timestamp())
+    val q = graft.streaming.Streams.sinkStream(
+      sanitized, sink, s"$outDir/ckpt")
+    q.awaitTermination()
+    val back = spark.read.parquet(s"$outDir/demo_stream_raw")
+    val check = Consistency.of(back.drop("ingested_at"))
+    println(s"""{"connector":"demo_stream","rows":${back.count()},""" +
+      s""""checksum":${check.checksum},"sink":"$outDir/demo_stream_raw"}""")
     spark.stop()
   }
 }

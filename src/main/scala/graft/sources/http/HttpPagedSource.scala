@@ -4,6 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,7 +61,7 @@ final class HttpPagedTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"http_paged(${options.get("url")})"
   override def schema(): StructType = HttpPagedSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new HttpPagedScan(HttpConf(opts))
 }
@@ -78,7 +79,8 @@ final case class HttpConf(
     pagesPerPartition: Int,
     cursor: Boolean,
     transportClass: String,
-    extraParams: String)
+    extraParams: String,
+    maxPagesPerTrigger: Int)
 
 object HttpConf {
   def apply(o: CaseInsensitiveStringMap): HttpConf = HttpConf(
@@ -93,7 +95,8 @@ object HttpConf {
     cursor = o.getBoolean("pagination.cursor", false),
     transportClass = Option(o.get("transport"))
       .getOrElse(classOf[JdkHttpTransport].getName),
-    extraParams = Option(o.get("extraParams")).getOrElse(""))
+    extraParams = Option(o.get("extraParams")).getOrElse(""),
+    maxPagesPerTrigger = o.getInt("maxPagesPerTrigger", 4))
 }
 
 final class HttpPagedScan(conf: HttpConf) extends Scan with Batch {
@@ -101,21 +104,76 @@ final class HttpPagedScan(conf: HttpConf) extends Scan with Batch {
   override def description(): String = s"HttpPagedScan(${conf.url})"
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val nPages = math.max(1L,
-      (conf.totalRecords + conf.pageSize - 1) / conf.pageSize).toInt
+  private[http] def nPages: Int = math.max(1L,
+    (conf.totalRecords + conf.pageSize - 1) / conf.pageSize).toInt
+
+  private[http] def partitionRange(start: Int, end: Int): Array[InputPartition] =
     if (conf.cursor) {
       // sequential cursor walk: one partition owns all pages
-      Array(HttpPartition(0, nPages))
+      Array(HttpPartition(start, end))
     } else {
-      (0 until nPages by conf.pagesPerPartition).map { start =>
-        HttpPartition(start, math.min(start + conf.pagesPerPartition, nPages))
+      (start until end by conf.pagesPerPartition).map { s =>
+        HttpPartition(s, math.min(s + conf.pagesPerPartition, end))
       }.toArray
     }
-  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitionRange(0, nPages)
 
   override def createReaderFactory(): PartitionReaderFactory =
     HttpReaderFactory(conf)
+
+  /** Streaming view of the same pagination: offsets are page numbers —
+    * the reference's rate-limited polling loop (README.md:13) as a
+    * MicroBatchStream. Each trigger advances by at most
+    * `maxPagesPerTrigger`; a growing remote collection surfaces as a
+    * growing page count (the mock keeps it static).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new HttpMicroBatchStream(conf, nPages)
+}
+
+final case class HttpOffset(page: Int) extends Offset {
+  override def json(): String = page.toString
+}
+
+final class HttpMicroBatchStream(conf: HttpConf, totalPages: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = HttpOffset(0)
+
+  // Trigger.AvailableNow: snapshot the page count; the wrapper then
+  // loops admission-limited batches until the snapshot is reached.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  /** Admission-controlled advancement: each trigger takes at most
+    * maxPagesPerTrigger pages past the batch's start offset. (The
+    * plain latestOffset() would have to report everything available.)
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    HttpOffset(math.min(totalPages,
+      start.asInstanceOf[HttpOffset].page + conf.maxPagesPerTrigger))
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(conf.maxPagesPerTrigger.toLong)
+
+  override def reportLatestOffset(): Offset = HttpOffset(totalPages)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[HttpOffset].page
+    val e = end.asInstanceOf[HttpOffset].page
+    new HttpPagedScan(conf).partitionRange(s, e)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory(conf)
+  override def deserializeOffset(json: String): Offset = HttpOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Explicit factory class (not a SAM lambda) — must serialize to executors. */

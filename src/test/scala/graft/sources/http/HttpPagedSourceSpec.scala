@@ -100,4 +100,24 @@ class HttpPagedSourceSpec extends SparkSpec {
     assert(graft.load.Consistency.verify(
       out.drop("ingested_at"), back.drop("ingested_at")))
   }
+
+  test("streaming: micro-batches advance page offsets under maxPagesPerTrigger") {
+    MockTransport.reset()
+    val stream = spark.readStream.format(classOf[HttpPagedSource].getName)
+      .option("url", "http://mock.local/api?mock_total=250")
+      .option("pageSize", "25")
+      .option("totalRecords", "250")
+      .option("transport", classOf[MockTransport].getName)
+      .option("ratePerSec", "10000")
+      .option("maxPagesPerTrigger", "3")
+      .load()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-http-stream").toString
+    val q = stream.writeStream.format("memory").queryName("http_pages")
+      .option("checkpointLocation", ckpt + "/ckpt").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val pages = spark.table("http_pages").select("page").as[Int].collect().sorted
+    assert(pages.toSeq == (0 until 10), s"got ${pages.toSeq}")
+    // 10 pages / 3-per-trigger => at least 4 micro-batches committed
+    assert(spark.table("http_pages").count() == 10)
+  }
 }
