@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the scale properties claimed in the
+  * README must be visible in the physical plans, not just true once.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = Registry.byName(name).run(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), "filters must push down")
+    assert(p.contains("GreaterThan(l_discount,0.05)"), "comparison filters push down")
+    // pruned read schema: only the 6 needed columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_returnflag") && readSchema.contains("l_orderkey"))
+  }
+
+  test("q04: small dimension join broadcasts") {
+    assert(plan("q04_brand_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("q03: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q03_top_unshipped_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q09: per-group top-k uses WindowGroupLimit pushdown") {
+    assert(plan("q09_topk_per_customer").contains("WindowGroupLimit"))
+  }
+
+  test("t03: as-of join is union + one window, never a join node") {
+    val p = plan("t03_asof_join")
+    assert(p.contains("Union") && p.contains("Window"))
+    assert(!p.contains("Join"), "as-of must not plan a join")
+  }
+
+  test("no query plans a cartesian or nested-loop join") {
+    Registry.all.filterNot(_.name == "a04_sim_ivf_topk") // KMeans is slow; skip
+      .foreach { q =>
+        val p = plan(q.name)
+        assert(!p.contains("CartesianProduct"),
+          s"${q.name} plans a cartesian product")
+        // BroadcastNestedLoopJoin is only acceptable for deliberate
+        // 1-row broadcast cross joins (query vectors, scalar aggregates)
+        val nlOk = Set("x10_sim_bruteforce_topk", "x12_sim_lsh_topk",
+          "q15_above_avg_balance")
+        if (!nlOk(q.name))
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"${q.name} plans a nested-loop join")
+      }
+  }
+
+  test("aggregations keep map-side partial aggregation") {
+    val p = plan("q01_pricing_summary")
+    // two HashAggregate nodes (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+}
