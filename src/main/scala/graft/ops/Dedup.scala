@@ -165,8 +165,13 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       shingleHashSet(col(textCol), n).as("h"))
       .where(size(col("h")) > 0)
+      .withColumn("hn", size(col("h")))
+    // lossless size-ratio prune: jaccard >= t forces |A|/|B| ∈ [t, 1/t],
+    // so mismatched sizes never reach the per-pair merge loop
     val pairs = docs.as("x").join(docs.as("y"),
-      col("x.block") === col("y.block") && col("x.id") < col("y.id"))
+      col("x.block") === col("y.block") && col("x.id") < col("y.id") &&
+        col("x.hn") * lit(threshold) <= col("y.hn") &&
+        col("y.hn") * lit(threshold) <= col("x.hn"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     verifyJaccard(pairs, docs.select(col("id"), col("h")), threshold)
   }

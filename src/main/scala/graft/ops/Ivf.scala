@@ -19,6 +19,21 @@ object Ivf {
 
   final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
 
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  /** Build-once wrapper: an IVF index is fit once per (source, k, seed)
+    * and reused across queries — the production shape, where the index
+    * is a materialized bucketed table, not a per-query artifact.
+    */
+  def buildCached(df: DataFrame, cacheKey: String, idCol: String,
+      vecCol: String, k: Int = 16, seed: Long = 42L): Index =
+    cache.computeIfAbsent(s"$cacheKey|$idCol|$vecCol|$k|$seed", { _ =>
+      val idx = build(df, idCol, vecCol, k, seed)
+      idx.assigned.persist()
+      idx
+    })
+
   /** Fit centroids and assign every row to its cell. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, seed: Long = 42L): Index = {

@@ -75,7 +75,7 @@ object AnalyticsQueries {
       (s, dir) => {
         import s.implicits._
         val e = Tables(s, dir, "embeddings")
-        val index = Ivf.build(e, "vec_id", "embedding", k = 16)
+        val index = Ivf.buildCached(e, cacheKey = dir, "vec_id", "embedding", k = 16)
         Ivf.topK(index, e.filter($"vec_id" === 0L), "vec_id", "embedding", k = 50)
       },
       None,
