@@ -62,6 +62,7 @@ object Similarity {
     // norms computed once per row, not once per pair
     val v = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+      .where(col("nrm") > 0) // zero vectors: cosine undefined (NaN)
     v.as("x").join(v.as("y"),
       col("x.block") === col("y.block") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -69,6 +70,22 @@ object Similarity {
           .as("cos_sim"))
       .where(col("cos_sim") > threshold)
   }
+
+  /** A row's probe keys: its own bucket plus the nBits Hamming-1
+    * neighbor buckets. Symmetric: two buckets within Hamming distance 1
+    * always share at least one (probe, home) match in either direction.
+    */
+  private def hamming1Probes(bucket: Column, nBits: Int): Column =
+    concat(array(bucket),
+      transform(sequence(lit(0), lit(nBits - 1)),
+        b => bucket.bitwiseXOR(call_function("shiftleft", lit(1L), b))))
+
+  /** Resolve the embedding dimension: explicit when >0, else read from
+    * the first row (one tiny action at build time).
+    */
+  private def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim > 0) dim
+    else df.select(size(col(vecCol))).head().getInt(0)
 
   /** Deterministic random hyperplanes: nBits × dim doubles from a seeded
     * generator, shipped as one literal (broadcast with the plan).
@@ -88,6 +105,55 @@ object Similarity {
         acc.bitwiseOR(call_function("shiftleft", lit(1L), i)))
         .otherwise(acc))
 
+  /** Approximate near-duplicate pairs across the WHOLE corpus (no
+    * blocking key needed): sign-LSH bucket join with Hamming-1
+    * multi-probe, then exact cosine verification. Shuffle volume is
+    * O(corpus × (nBits+1)) bucket keys — the corpus never crosses
+    * itself. Precision 1.0 (exact verify); recall grows with probes
+    * and shrinks with nBits.
+    */
+  def lshNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 12,
+      dim: Int = -1, // <=0: read from the first row
+      seed: Long = 42L,
+      maxBucket: Int = 10000,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val planes = hyperplanes(nBits, resolveDim(df, vecCol, dim), seed)
+    // zero vectors have no cosine (0/0 = NaN, and Spark orders NaN above
+    // every number, so it would pass the threshold) — exclude them
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+      .where(col("nrm") > 0)
+    // hot-HOME-bucket cap via a tiny aggregated count (<= 2^nBits rows,
+    // map-side partial agg + broadcast back) — NOT a window over the
+    // exploded corpus, which would funnel each hot bucket through one
+    // task. Rows of a hot bucket are excluded from both roles; such
+    // buckets are degenerate regions the signature can't discriminate.
+    val hot = base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).select(col("bucket"))
+    val kept = base.join(broadcast(hot), Seq("bucket"), "left_anti")
+    // multi-probe: each row also probes its nBits Hamming-1 buckets;
+    // symmetry guarantees each qualifying pair matches in exactly one
+    // (probe-side, anchor-side) orientation after the id ordering, so
+    // no distinct is needed
+    val probed = kept.select(col("id"), col("v"), col("nrm"),
+      explode(hamming1Probes(col("bucket"), nBits)).as("probe"))
+    val anchors = kept.select(col("bucket").as("probe"),
+      col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    probed.join(anchors, Seq("probe"))
+      .where(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        round(dot(col("v"), col("v_b")) / (col("nrm") * col("nrm_b")), roundTo)
+          .as("cos_sim"))
+      .where(col("cos_sim") > threshold)
+  }
+
   /** Approximate top-k: LSH-bucket the corpus, probe the query's bucket
     * plus all Hamming-1 neighbor buckets (multi-probe), exact re-rank
     * inside the candidate set. Recall/cost tradeoff via nBits.
@@ -99,21 +165,18 @@ object Similarity {
       vecCol: String,
       k: Int,
       nBits: Int = 8,
-      dim: Int = 64,
+      dim: Int = -1, // <=0: read from the first row
       seed: Long = 42L,
       roundTo: Int = 6): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val planes = hyperplanes(nBits, dim, seed)
+    val planes = hyperplanes(nBits, resolveDim(corpus, vecCol, dim), seed)
     val bucketed = corpus.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), planes).as("bucket"))
     // query bucket + its nBits hamming-1 neighbors
     val probes = query
       .select(col(vecCol).as("query_vec"), lshBucket(col(vecCol), planes).as("qb"))
       .select(col("query_vec"),
-        explode(concat(array(col("qb")),
-          transform(sequence(lit(0), lit(nBits - 1)),
-            b => col("qb").bitwiseXOR(call_function("shiftleft", lit(1L), b)))))
-          .as("bucket"))
+        explode(hamming1Probes(col("qb"), nBits)).as("bucket"))
     bucketed.join(broadcast(probes), "bucket")
       .select(col(idCol),
         round(cosine(col(vecCol), col("query_vec")), roundTo).as("cos_sim"))

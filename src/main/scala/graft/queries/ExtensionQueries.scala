@@ -233,6 +233,17 @@ object ExtensionQueries {
       None,
       notes = "rows-only: approximate candidates; recall tested in SimilaritySpec"),
 
+    // ---- unblocked embedding near-dup via sign-LSH bucket join +
+    // Hamming-1 multi-probe + exact cosine verify — the 100 TB path
+    // when no natural blocking key exists. Recall measured in
+    // SimilaritySpec; precision 1.0 by construction.
+    GraftQuery(
+      "x15_sim_lsh_neardup",
+      (s, dir) => Similarity.lshNearDupPairs(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.3),
+      None,
+      notes = "rows-only: approximate candidates (exact-verified cosine)"),
+
     // ---- multimodal: binary payload + portable metadata extraction.
     GraftQuery(
       "x13_media_metadata",

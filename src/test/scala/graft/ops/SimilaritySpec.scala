@@ -60,4 +60,20 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.sorted.toSeq == b2.sorted.toSeq)
     assert(b1.forall(b => b >= 0 && b < 256))
   }
+
+  test("LSH near-dup pairs: precision 1.0, recall vs blocked-exact") {
+    // ground truth: all pairs above 0.3 (exact O(n^2) on the small fixture)
+    val exact = Similarity.cosinePairsBlocked(
+      emb.withColumn("all", org.apache.spark.sql.functions.lit(1)),
+      "vec_id", "embedding", "all", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.3, nBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), "every reported pair must be a true pair")
+    if (exact.nonEmpty) {
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      assert(recall >= 0.1, s"recall $recall: multi-probe must find some pairs")
+    }
+  }
 }
