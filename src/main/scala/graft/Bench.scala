@@ -10,9 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up JVM/session so init cost isn't billed to the first query
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm up JVM/session so init cost isn't billed to the first query;
+    // best-effort — a warm-up failure must not kill the whole bench
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
     // steady-state timing: best of 2 runs per query, so one-off codegen
     // compilation / page-cache effects aren't billed to the operator
     val results = SparkEntry.queries.map { case (name, fn) =>

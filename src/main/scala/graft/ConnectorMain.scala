@@ -61,7 +61,7 @@ object ConnectorMain {
     val back = spark.read.parquet(s"$outDir/demo_connector_raw")
     val check = Consistency.of(back.drop("ingested_at"))
     println(s"""{"connector":"${result.name}","rows":${result.rowsWritten},""" +
-      s""""checksum":${check.checksum},"sink":"$outDir/demo_connector_raw"}""")
+      s""""checksum":${check.xor},"sink":"$outDir/demo_connector_raw"}""")
     spark.stop()
   }
 
@@ -93,7 +93,7 @@ object ConnectorMain {
     val back = spark.read.parquet(s"$outDir/demo_stream_raw")
     val check = Consistency.of(back.drop("ingested_at"))
     println(s"""{"connector":"demo_stream","rows":${back.count()},""" +
-      s""""checksum":${check.checksum},"sink":"$outDir/demo_stream_raw"}""")
+      s""""checksum":${check.xor},"sink":"$outDir/demo_stream_raw"}""")
     spark.stop()
   }
 }

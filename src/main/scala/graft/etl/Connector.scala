@@ -30,14 +30,19 @@ object ConnectorRunner {
     val missing = cfg.requiredEnv.filterNot(sys.env.contains)
     require(missing.isEmpty, s"connector ${cfg.name}: missing env ${missing.mkString(",")}")
     val raw = cfg.source(spark)
-    val transformed = Transforms.pipeline(cfg.stages: _*)(raw)
-    // Empty-payload short-circuit (README.md:33): nothing to load is a
-    // valid outcome, not an error.
-    if (transformed.isEmpty) Result(cfg.name, 0L, consistent = true)
-    else {
-      val n = cfg.sink.write(transformed)
-      Result(cfg.name, n, consistent = n >= 0)
-    }
+    // persist: isEmpty + the sink's count + write would otherwise each
+    // re-execute the source — for an HTTP source that re-fetches every
+    // page against a rate-limited API
+    val transformed = Transforms.pipeline(cfg.stages: _*)(raw).persist()
+    try {
+      // Empty-payload short-circuit (README.md:33): nothing to load is a
+      // valid outcome, not an error.
+      if (transformed.isEmpty) Result(cfg.name, 0L, consistent = true)
+      else {
+        val n = cfg.sink.write(transformed)
+        Result(cfg.name, n, consistent = n >= 0)
+      }
+    } finally transformed.unpersist()
   }
 
   /** Full consistency verification against sink contents (V2). */

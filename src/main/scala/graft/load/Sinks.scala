@@ -61,21 +61,24 @@ final case class UpsertParquetSink(path: String, keys: Seq[String])
   }
 }
 
-/** V2 — insertion-consistency check (README.md:34): count + an
-  * order-independent content checksum (XOR of per-row xxhash64 across all
-  * columns), comparable between the source DataFrame and what the sink
-  * reads back.
+/** V2 — insertion-consistency check (README.md:34): count + two
+  * order-independent content checksums over per-row xxhash64 — XOR and
+  * exact decimal SUM. XOR alone is blind to even-multiplicity changes
+  * ({A,A} vs {B,B} both xor to 0); the sum breaks that symmetry, so the
+  * triple detects any multiset difference short of an engineered hash
+  * collision.
   */
 object Consistency {
-  final case class Check(rows: Long, checksum: Long)
+  final case class Check(rows: Long, xor: Long, sum: BigDecimal)
 
   def of(df: DataFrame): Check = {
     val hashed = df.select(xxhash64(df.columns.map(df.col): _*).as("h"))
     val row = hashed.agg(count(lit(1)).as("n"),
-      coalesce(sum(lit(0L)), lit(0L)).as("zero"),
-      // bit_xor is order- and partitioning-independent
-      coalesce(expr("bit_xor(h)"), lit(0L)).as("x")).head()
-    Check(row.getLong(0), row.getLong(2))
+      // bit_xor and decimal sum are order- and partitioning-independent
+      coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+      coalesce(sum(col("h").cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+        .as("s")).head()
+    Check(row.getLong(0), row.getLong(1), BigDecimal(row.getDecimal(2)))
   }
 
   /** True iff the sink contains exactly the rows of `source`. */

@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   * 100 TB (a pairwise time-condition join degenerates to
   * broadcast-nested-loop).
   *
-  * Tie rule: a right row at exactly leftTime matches (right sorts before
-  * left at equal timestamps); ties among right rows break by the last
-  * payload column's order position.
+  * Semantics:
+  *  - the payload is carried as ONE struct, so the attached values always
+  *    come from a single right row (per-column `last` would stitch
+  *    together a row that never existed whenever a payload field is null);
+  *  - a right row at exactly leftTime matches (right sorts before left at
+  *    equal timestamps);
+  *  - ties among right rows at the same (keys, time) break
+  *    deterministically by the packed payload struct's ordering (max
+  *    wins).
   */
 object AsOfJoin {
 
@@ -29,32 +35,33 @@ object AsOfJoin {
     */
   def apply(left: DataFrame, right: DataFrame, timeCol: String,
       keys: Seq[String], payload: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    // union-compatible shape: left carries null payload, right carries
-    // null left-extras
-    val leftExtras = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+    val leftExtras = left.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == timeCol)
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
+
     val taggedLeft = left
       .withColumn("__side", lit(1))
       .select((keys ++ Seq(timeCol, "__side")).map(col) ++
-        leftExtras.map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+        leftExtras.map(col) :+
+        lit(null).cast(payloadStructType).as("__p"): _*)
     val taggedRight = right
       .withColumn("__side", lit(0))
       .select((keys ++ Seq(timeCol, "__side")).map(col) ++
-        leftExtras.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(c => col(c).as(s"__p_$c")): _*)
+        leftExtras.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
 
+    // __p in the sort order makes right-row ties deterministic (max
+    // payload struct wins); left rows (__p null) sort before right rows
+    // with equal (time, side) never happen since sides differ.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__side").asc)
+      .orderBy(col(timeCol).asc, col("__side").asc, col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val joined = taggedLeft.unionByName(taggedRight)
-      .select(Seq(col("*")) ++
-        payload.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w)
-          .as(s"asof_$c")): _*)
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop("__side")
-      .drop(payload.map(c => s"__p_$c"): _*)
-    joined
+      .select((keys ++ Seq(timeCol)).map(col) ++ leftExtras.map(col) ++
+        payload.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -77,11 +77,7 @@ object Dedup {
       .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
 
-    val capped = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val capped = dropHotBuckets(banded, Seq("band_idx", "band_key"), maxBucket)
 
     val candidates = capped.as("x")
       .join(capped.as("y"),
@@ -92,6 +88,20 @@ object Dedup {
       .distinct()
 
     verifyJaccard(candidates, docs, threshold)
+  }
+
+  /** Drop rows of buckets larger than `maxBucket`: count per bucket via
+    * an aggregation (map-side partials, tiny result — only hot buckets
+    * survive the filter) broadcast back as an anti-join. A count Window
+    * over the exploded rows would funnel each hot bucket through one
+    * task — the exact straggler the cap exists to prevent.
+    */
+  private def dropHotBuckets(df: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val keys = bucketCols.map(col)
+    val hot = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).select(keys: _*)
+    df.join(broadcast(hot), bucketCols, "left_anti")
   }
 
   /** Exact Jaccard verification of candidate (id_a, id_b) pairs against
@@ -118,9 +128,12 @@ object Dedup {
   def simHash(text: Column): Column =
     GraftFunctions.simhash64(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
-  /** SimHash near-dup pairs: block on the 4 16-bit chunks of the
-    * fingerprint (a pair within Hamming distance 3 must agree on at
-    * least one chunk — pigeonhole), then verify exact Hamming distance.
+  /** SimHash near-dup pairs: split the 64-bit fingerprint into
+    * maxHamming+1 blocks — by pigeonhole, a pair within the Hamming
+    * bound must agree on at least one whole block — equi-join on
+    * (block index, block value), then verify exact Hamming distance.
+    * (A fixed 4-block split would silently lose recall for
+    * maxHamming > 3.)
     */
   def simHashNearDup(
       df: DataFrame,
@@ -129,15 +142,15 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    val nBlocks = maxHamming + 1
+    val width = (64 + nBlocks - 1) / nBlocks
+    val mask = if (width >= 64) -1L else (1L << width) - 1L
     val hashed = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
-    val blocked = hashed.select(col("id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        j => call_function("shiftright", col("sim"), j * lit(16)).bitwiseAND(lit(0xFFFFL))))
+    val exploded = hashed.select(col("id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
+        j => call_function("shiftright", col("sim"), j * lit(width)).bitwiseAND(lit(mask))))
         .as(Seq("block_idx", "block_val")))
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("block_idx", "block_val")))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val blocked = dropHotBuckets(exploded, Seq("block_idx", "block_val"), maxBucket)
 
     blocked.as("x")
       .join(blocked.as("y"),

@@ -22,17 +22,24 @@ object Ivf {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
-  /** Build-once wrapper: an IVF index is fit once per (source, k, seed)
-    * and reused across queries — the production shape, where the index
-    * is a materialized bucketed table, not a per-query artifact.
+  /** Build-once wrapper: an IVF index is fit once per (session, source,
+    * k, seed) and reused across queries — the production shape, where
+    * the index is a materialized bucketed table, not a per-query
+    * artifact. Keyed by session identity so an index never outlives the
+    * SparkSession whose plans back it; entries for dead sessions are
+    * pruned opportunistically.
     */
   def buildCached(df: DataFrame, cacheKey: String, idCol: String,
-      vecCol: String, k: Int = 16, seed: Long = 42L): Index =
-    cache.computeIfAbsent(s"$cacheKey|$idCol|$vecCol|$k|$seed", { _ =>
+      vecCol: String, k: Int = 16, seed: Long = 42L): Index = {
+    val sessionTag = System.identityHashCode(df.sparkSession)
+    cache.entrySet().removeIf(e =>
+      e.getValue.assigned.sparkSession.sparkContext.isStopped)
+    cache.computeIfAbsent(s"$sessionTag|$cacheKey|$idCol|$vecCol|$k|$seed", { _ =>
       val idx = build(df, idCol, vecCol, k, seed)
       idx.assigned.persist()
       idx
     })
+  }
 
   /** Fit centroids and assign every row to its cell. */
   def build(df: DataFrame, idCol: String, vecCol: String,
@@ -54,12 +61,18 @@ object Ivf {
       k: Int, nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
     val spark = query.sparkSession
     GraftFunctions.register(spark)
-    val qVec = query.select(col(vecCol)).head().getSeq[Float](0).map(_.toDouble).toArray
+    // element type may be float or double — widen either
+    val qVec = query.select(col(vecCol)).head().getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
     def cos(c: Array[Double]): Double = {
       var dp = 0.0; var nc = 0.0; var nq = 0.0
+      val n = math.min(c.length, qVec.length)
       var i = 0
-      while (i < c.length) { dp += c(i) * qVec(i); nc += c(i) * c(i); nq += qVec(i) * qVec(i); i += 1 }
-      dp / math.sqrt(nc * nq)
+      while (i < n) { dp += c(i) * qVec(i); nc += c(i) * c(i); nq += qVec(i) * qVec(i); i += 1 }
+      if (nc == 0 || nq == 0) -1.0 else dp / math.sqrt(nc * nq)
     }
     val probes = index.centroids.zipWithIndex
       .sortBy { case (c, _) => -cos(c) }.take(nprobe).map(_._2)

@@ -80,7 +80,8 @@ final case class HttpConf(
     cursor: Boolean,
     transportClass: String,
     extraParams: String,
-    maxPagesPerTrigger: Int)
+    maxPagesPerTrigger: Int,
+    cursorField: String)
 
 object HttpConf {
   def apply(o: CaseInsensitiveStringMap): HttpConf = HttpConf(
@@ -96,7 +97,8 @@ object HttpConf {
     transportClass = Option(o.get("transport"))
       .getOrElse(classOf[JdkHttpTransport].getName),
     extraParams = Option(o.get("extraParams")).getOrElse(""),
-    maxPagesPerTrigger = o.getInt("maxPagesPerTrigger", 4))
+    maxPagesPerTrigger = o.getInt("maxPagesPerTrigger", 4),
+    cursorField = Option(o.get("cursorField")).getOrElse("next_offset"))
 }
 
 final class HttpPagedScan(conf: HttpConf) extends Scan with Batch {
@@ -202,14 +204,29 @@ final class HttpPartitionReader(conf: HttpConf, part: HttpPartition)
   private val bucket = new TokenBucket(conf.ratePerSec, burst = math.max(1.0, conf.ratePerSec))
   private var page = part.startPage
   private var current: InternalRow = _
+  // cursor mode: the next request's offset comes from the PREVIOUS
+  // response's cursor field, not from the page counter
+  private var cursorOffset: Long = part.startPage.toLong * conf.pageSize
+  private var exhausted = false
+  private val cursorRe =
+    ("\"" + java.util.regex.Pattern.quote(conf.cursorField) +
+      "\"\\s*:\\s*(null|\"?[-0-9]+\"?)").r
 
   override def next(): Boolean = {
-    if (page >= part.endPage) return false
-    val offset = page.toLong * conf.pageSize
+    if (page >= part.endPage || exhausted) return false
+    val offset = if (conf.cursor) cursorOffset else page.toLong * conf.pageSize
     val sep = if (conf.url.contains("?")) "&" else "?"
     val extra = if (conf.extraParams.nonEmpty) "&" + conf.extraParams else ""
     val url = s"${conf.url}${sep}offset=$offset&limit=${conf.pageSize}$extra"
     val body = fetchWithRetry(url)
+    if (conf.cursor) {
+      // follow the server-provided cursor (numeric contract; the field
+      // name is configurable via `cursorField`, default next_offset)
+      cursorRe.findFirstMatchIn(body).map(_.group(1)) match {
+        case Some("null") | None => exhausted = true
+        case Some(tok) => cursorOffset = tok.replace("\"", "").toLong
+      }
+    }
     current = InternalRow(page, UTF8String.fromString(body))
     page += 1
     true

@@ -120,4 +120,16 @@ class HttpPagedSourceSpec extends SparkSpec {
     // 10 pages / 3-per-trigger => at least 4 micro-batches committed
     assert(spark.table("http_pages").count() == 10)
   }
+
+  test("cursor pagination follows next_offset and stops at server end") {
+    MockTransport.reset()
+    // server has only 120 records; the planner budgets 10 pages, but the
+    // cursor reader must stop when next_offset comes back null
+    val pages = read("http://mock.local/api?mock_total=120",
+      Map("pagination.cursor" -> "true"))
+    assert(pages.count() == 5, "120 records / 25 per page = 5 pages, then stop")
+    // offset mode keeps requesting its planned budget (empty pages)
+    MockTransport.reset()
+    assert(read("http://mock.local/api?mock_total=120").count() == 10)
+  }
 }
