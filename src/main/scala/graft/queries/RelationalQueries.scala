@@ -440,6 +440,52 @@ object RelationalQueries {
           saltSource = $"l_orderkey", nSalts = 32)
       },
       Some(s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_l_quantity,
-        count(*) AS n FROM lineitem GROUP BY l_returnflag"""))
+        count(*) AS n FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- q23: left outer join against an aggregated subquery (customers
+    // with zero orders in the window keep a 0 row).
+    GraftQuery(
+      "q23_left_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1995-07-01").cast("timestamp"))
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n0"), dsum($"o_totalprice").as("spend0"))
+        t(s, dir, "customer")
+          .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+          .select($"c_custkey",
+            coalesce($"n0", lit(0L)).as("n_orders"),
+            coalesce($"spend0", lit(0.0)).as("spend"))
+      },
+      Some(s"""SELECT c_custkey,
+        CAST(coalesce(n0, 0) AS BIGINT) AS n_orders,
+        CAST(coalesce(spend0, 0.0) AS DOUBLE) AS spend
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, count(*) AS n0, ${sqlDsum("o_totalprice")} AS spend0
+          FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+          GROUP BY o_custkey) o ON c_custkey = o_custkey""")),
+
+    // ---- q24: full outer join of two aggregates over different tables.
+    GraftQuery(
+      "q24_full_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer").groupBy($"c_nationkey".as("nk"))
+          .agg(count(lit(1)).as("n_customers"))
+        val su = t(s, dir, "supplier").groupBy($"s_nationkey".as("nk"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        c.join(su, Seq("nk"), "full_outer")
+          .select($"nk".as("nationkey"),
+            coalesce($"n_customers", lit(0L)).as("n_customers"),
+            coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+      },
+      Some("""SELECT coalesce(c.nk, s.nk) AS nationkey,
+        CAST(coalesce(c.n, 0) AS BIGINT) AS n_customers,
+        CAST(coalesce(s.n, 0) AS BIGINT) AS n_suppliers
+        FROM (SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nk, count(*) AS n FROM supplier GROUP BY 1) s
+        ON c.nk = s.nk"""))
   )
 }
