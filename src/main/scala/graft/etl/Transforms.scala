@@ -51,6 +51,14 @@ object Transforms {
   /** V1 — keep only rows satisfying a validity predicate. */
   def validate(pred: Column): Stage = df => df.filter(pred)
 
+  /** V1b — split a frame into (valid, quarantine) on a predicate: the
+    * reject path keeps the offending rows (plus a reason column) for a
+    * dead-letter sink instead of silently dropping them.
+    */
+  def quarantine(df: DataFrame, pred: Column, reason: String): (DataFrame, DataFrame) =
+    (df.filter(pred),
+     df.filter(!pred || pred.isNull).withColumn("reject_reason", lit(reason)))
+
   /** Compose stages left-to-right. */
   def pipeline(stages: Stage*): Stage = df => stages.foldLeft(df)((d, s) => s(d))
 }

@@ -114,6 +114,20 @@ object EtlQueries {
         count(*) AS n_copies FROM
         (SELECT event_id, user_id, value FROM events
          UNION ALL SELECT event_id, user_id, value FROM events)
-        GROUP BY event_id"""))
+        GROUP BY event_id""")),
+
+    // ---- V1b: quarantine split — the reject path of validation, with
+    // the reason attached for a dead-letter sink.
+    GraftQuery(
+      "e06_quarantine_rejects",
+      (s, dir) => {
+        import s.implicits._
+        val (_, rejects) = Transforms.quarantine(
+          Tables(s, dir, "events").select($"event_id", $"value"),
+          $"value" < 100.0, "value >= 100")
+        rejects
+      },
+      Some("""SELECT event_id, value, 'value >= 100' AS reject_reason
+        FROM events WHERE NOT (value < 100.0) OR value IS NULL"""))
   )
 }

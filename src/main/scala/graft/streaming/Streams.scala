@@ -81,6 +81,24 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner join with event-time bounds: match rows of two
+    * streams on a key within a ± time window. Both sides carry
+    * watermarks so the join state is bounded — without the time-range
+    * condition the state would grow forever.
+    */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String = "ts", rightTs: String = "ts",
+      within: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
+  }
+
   /** L1 streaming load: route every micro-batch through a batch
     * [[GraftSink]] — upsert semantics and consistency checks carry over
     * unchanged (exactly-once per sink idempotence).

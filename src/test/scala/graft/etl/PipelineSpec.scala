@@ -63,4 +63,14 @@ class PipelineSpec extends SparkSpec {
         requiredEnv = Seq("GRAFT_NO_SUCH_VAR")))
     }
   }
+
+  test("quarantine splits invalid rows with a reason instead of dropping") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, 10.0)).toDF("id", "value")
+    val (ok, bad) = Transforms.quarantine(df, $"value" >= 0, "negative value")
+    assert(ok.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val rejects = bad.select("id", "reject_reason").as[(Long, String)].collect()
+    assert(rejects.toSeq == Seq((2L, "negative value")))
+    assert(ok.count() + bad.count() == df.count())
+  }
 }

@@ -114,4 +114,27 @@ class StreamsSpec extends SparkSpec {
     assert(back.count() == 3)
     assert(back.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("stream-stream join matches pairs within the time bound") {
+    val clicks = MemoryStream[EventRow](spark)
+    val buys = MemoryStream[EventRow](spark)
+    clicks.addData(
+      EventRow(1, ts(0), 1, "click", 1.0),
+      EventRow(2, ts(30), 2, "click", 1.0))
+    buys.addData(
+      EventRow(10, ts(5), 1, "purchase", 9.0),   // within 10m of click 1
+      EventRow(11, ts(50), 2, "purchase", 9.0),  // 20m after click 2: out
+      EventRow(12, ts(59), 1, "purchase", 9.0))  // advances watermark
+    val joined = Streams.streamStreamJoin(
+      clicks.toDF().select($"event_id".as("click_id"), $"user_id", $"ts"),
+      buys.toDF().select($"event_id".as("buy_id"), $"user_id",
+        $"ts".as("buy_ts")),
+      key = "user_id", leftTs = "ts", rightTs = "buy_ts")
+      .select("click_id", "buy_id")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssjoin").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
 }
