@@ -486,6 +486,36 @@ object RelationalQueries {
         FROM (SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY 1) c
         FULL OUTER JOIN
              (SELECT s_nationkey AS nk, count(*) AS n FROM supplier GROUP BY 1) s
-        ON c.nk = s.nk"""))
+        ON c.nk = s.nk""")),
+
+    // ---- q25: exact median (interpolated at even counts; inputs on a
+    // 2-decimal grid → midpoints on a half-cent grid, so round-to-4
+    // stays clear of every rounding boundary).
+    GraftQuery(
+      "q25_median",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(round(median($"o_totalprice"), 4).as("median_price"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderstatus,
+        round(median(o_totalprice), 4) AS median_price, count(*) AS n
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- q26: array aggregation (collect distinct values, sorted for
+    // a deterministic list).
+    GraftQuery(
+      "q26_array_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(sort_array(collect_set($"o_orderpriority")).as("priorities"))
+      },
+      Some("""SELECT o_orderstatus,
+        list_sort(list_distinct(list(o_orderpriority))) AS priorities
+        FROM orders GROUP BY o_orderstatus"""))
   )
 }
