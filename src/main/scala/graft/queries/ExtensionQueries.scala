@@ -244,6 +244,54 @@ object ExtensionQueries {
       None,
       notes = "rows-only: approximate candidates (exact-verified cosine)"),
 
+    // ---- capstone: the full training-corpus cleaning pipeline —
+    // quality filter → exact dedup (min id per text) → near-dup removal
+    // (drop every doc with a smaller-id near-dup at jaccard ≥ 0.8).
+    // End-to-end oracle: the LSH candidate stage has recall ≈ 1-5e-8
+    // above the threshold, so the survivor set equals the exact
+    // pairwise formulation.
+    GraftQuery(
+      "x16_corpus_clean",
+      (s, dir) => {
+        import s.implicits._
+        val quality = Tables(s, dir, "documents")
+          .withColumn("quality", TextAnalysis.qualityScore($"text"))
+          .where($"quality" >= 0.5)
+        val exactDeduped = quality.groupBy($"text")
+          .agg(min($"doc_id").as("doc_id"))
+        val nearDupPairs = Dedup.minHashLsh(
+          exactDeduped, "doc_id", "text", threshold = 0.8)
+        exactDeduped
+          .join(nearDupPairs.select($"id_b".as("doc_id")), Seq("doc_id"), "left_anti")
+          .select($"doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        q AS (SELECT doc_id, text,
+          (CASE WHEN len(t) >= 10 AND len(t) <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+          + (CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END) * 0.25
+          + least((CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t,
+              x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                         'for','on','with','as','at','by','from','that','this'))) AS DOUBLE)
+              / len(t) ELSE 0.0 END) * 5.0, 1.0) * 0.25
+          + (CASE WHEN length(text) > 0 THEN
+              1.0 - least(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                          / length(text) * 5.0, 1.0) ELSE 0.0 END) * 0.25
+          AS quality FROM toks),
+        ed AS (SELECT text, min(doc_id) AS doc_id FROM q
+               WHERE quality >= 0.5 GROUP BY text),
+        edt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM ed),
+        sh AS (SELECT doc_id, list_distinct(
+            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s FROM edt),
+        nz AS (SELECT * FROM sh WHERE len(s) > 0),
+        dupped AS (SELECT b.doc_id FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        SELECT doc_id FROM ed
+        WHERE doc_id NOT IN (SELECT doc_id FROM dupped)""")),
+
     // ---- multimodal: binary payload + portable metadata extraction.
     GraftQuery(
       "x13_media_metadata",
