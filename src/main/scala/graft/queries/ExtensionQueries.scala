@@ -312,9 +312,16 @@ object ExtensionQueries {
       "x14_media_decode",
       (s, dir) => {
         import s.implicits._
+        // flatten the typed metadata struct to scalar columns: the
+        // harness compare can't hash struct cells, and downstream
+        // relational filters want flat columns anyway
         Multimodal.decode(s,
           Tables(s, dir, "documents").select($"doc_id", $"text".cast("binary").as("media")),
           "doc_id", "media").toDF()
+          .select($"id", $"nBytes", $"contentHash",
+            $"meta.format".as("format"), $"meta.width".as("width"),
+            $"meta.height".as("height"), $"meta.nFrames".as("n_frames"),
+            $"meta.durationMs".as("duration_ms"))
       },
       None,
       notes = "rows-only: decoder is a deterministic stub (no codecs in env)")

@@ -505,17 +505,24 @@ object RelationalQueries {
         FROM orders GROUP BY o_orderstatus""")),
 
     // ---- q26: array aggregation (collect distinct values, sorted for
-    // a deterministic list).
+    // a deterministic list). The aggregation is a real array agg
+    // (collect_set → sort_array); the final array_join flattens to a
+    // scalar so the harness compare (pandas sort) can hash the rows —
+    // list cells are unhashable there.
     GraftQuery(
       "q26_array_agg",
       (s, dir) => {
         import s.implicits._
         t(s, dir, "orders")
           .groupBy($"o_orderstatus")
-          .agg(sort_array(collect_set($"o_orderpriority")).as("priorities"))
+          .agg(array_join(sort_array(collect_set($"o_orderpriority")), "|")
+            .as("priorities"),
+            size(collect_set($"o_orderpriority")).as("n_distinct"))
       },
       Some("""SELECT o_orderstatus,
-        list_sort(list_distinct(list(o_orderpriority))) AS priorities
+        array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|')
+          AS priorities,
+        count(DISTINCT o_orderpriority) AS n_distinct
         FROM orders GROUP BY o_orderstatus"""))
   )
 }
