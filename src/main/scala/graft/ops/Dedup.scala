@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.GraftFunctions
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -27,6 +28,17 @@ object Dedup {
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Stage a narrow intermediate that multiple downstream joins reuse
+    * (shingle sets, signatures). Without this, self-join + verify
+    * recompute the projection 3-4×: the dominant cost of the dedup
+    * family. At cluster scale the same role is played by a staging
+    * table / `checkpoint`; MEMORY_AND_DISK spills rather than OOMs.
+    * Spark's CacheManager keys on the canonicalized plan, so repeated
+    * runs of the same query reuse one cache entry instead of leaking.
+    */
+  private def stage(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Sorted distinct 64-bit hash set of a document's shingles — the
     * shared per-doc representation for MinHash, banding, and exact
@@ -68,14 +80,18 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val numHashes = bands * rowsPerBand
-    val docs = df
+    // staged: feeds banding once + both sides of the verify join
+    val docs = stage(df
       .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
-      .where(size(col("h")) > 0)
+      .where(size(col("h")) > 0))
 
-    val banded = docs
+    // staged: feeds the hot-bucket count + both sides of the self-join;
+    // (id, band_idx, band_key) rows only — the signature itself never
+    // shuffles
+    val banded = stage(docs
       .withColumn("sig", minHashSignatureFromHashes(col("h"), numHashes))
       .select(col("id"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key"))))
 
     val capped = dropHotBuckets(banded, Seq("band_idx", "band_key"), maxBucket)
 
@@ -145,7 +161,9 @@ object Dedup {
     val nBlocks = maxHamming + 1
     val width = (64 + nBlocks - 1) / nBlocks
     val mask = if (width >= 64) -1L else (1L << width) - 1L
-    val hashed = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    // staged: two longs per doc; the tokenize+hash scan behind the
+    // fingerprint runs once instead of once per downstream use
+    val hashed = stage(df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim")))
     val exploded = hashed.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
         j => call_function("shiftright", col("sim"), j * lit(width)).bitwiseAND(lit(mask))))
@@ -163,9 +181,19 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard similarity join within a blocking key — the
-    * quadratic-but-partitioned baseline (use LSH when no natural block
-    * exists). Returns pairs with jaccard >= threshold.
+  /** Exact n-gram Jaccard similarity join within a blocking key, via
+    * prefix filtering (PPJoin-style): two sets with jaccard >= t must
+    * share an element among the first |h| - ceil(t·|h|) + 1 elements of
+    * their (globally consistently) sorted hash sets — a LOSSLESS
+    * candidate filter, unlike LSH. Candidates come from an
+    * inverted-index equi-join on (block, prefix hash) instead of the
+    * quadratic per-block cross join, then exact Jaccard verifies.
+    *
+    * 100 TB notes: shuffle volume is O(docs × prefixLen) small rows,
+    * and hash order is a uniform pseudo-random element order, so
+    * prefix tokens don't concentrate on frequent shingles. The
+    * size-ratio prune (jaccard >= t forces |A|/|B| ∈ [t, 1/t]) drops
+    * mismatched pairs before the merge loop.
     */
   def ngramJaccardBlocked(
       df: DataFrame,
@@ -175,17 +203,21 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val docs = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+    // staged: feeds the prefix explode + both sides of the verify join
+    val docs = stage(df.select(col(idCol).as("id"), col(blockCol).as("block"),
       shingleHashSet(col(textCol), n).as("h"))
       .where(size(col("h")) > 0)
-      .withColumn("hn", size(col("h")))
-    // lossless size-ratio prune: jaccard >= t forces |A|/|B| ∈ [t, 1/t],
-    // so mismatched sizes never reach the per-pair merge loop
-    val pairs = docs.as("x").join(docs.as("y"),
-      col("x.block") === col("y.block") && col("x.id") < col("y.id") &&
+      .withColumn("hn", size(col("h"))))
+    val prefixLen = (col("hn") - ceil(col("hn") * lit(threshold)) + 1).cast("int")
+    val pref = docs.select(col("id"), col("block"), col("hn"),
+      explode(slice(col("h"), lit(1), prefixLen)).as("tok"))
+    val pairs = pref.as("x").join(pref.as("y"),
+      col("x.block") === col("y.block") && col("x.tok") === col("y.tok") &&
+        col("x.id") < col("y.id") &&
         col("x.hn") * lit(threshold) <= col("y.hn") &&
         col("y.hn") * lit(threshold) <= col("x.hn"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
     verifyJaccard(pairs, docs.select(col("id"), col("h")), threshold)
   }
 }
