@@ -63,7 +63,60 @@ final class HttpPagedTable(options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    () => new HttpPagedScan(HttpConf(opts))
+    new HttpScanBuilder(HttpConf(opts))
+}
+
+/** Pushdown-aware scan builder — the API-source form of predicate
+  * pushdown (SURVEY §4): a `page` predicate shrinks the page range we
+  * request over HTTP, and column pruning lets a metadata-only scan
+  * (`count(*)`, `select(page)`) skip the body fetch entirely in offset
+  * mode. Pushed filters are also left in the post-scan Filter
+  * (returned as residuals) so correctness never depends on the
+  * source's bound math; `In`/equality still narrow to [min, max].
+  */
+final class HttpScanBuilder(conf: HttpConf) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private var lo = 0
+  private var hi = Int.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = HttpPagedSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (recognized, residual) = filters.partition(pagesBound)
+    recognized.foreach(applyBound)
+    pushed = recognized
+    // conservative: Spark re-applies everything post-scan
+    residual ++ recognized.filterNot(_.isInstanceOf[IsNotNull])
+  }
+
+  private def pagesBound(f: Filter): Boolean = f match {
+    case EqualTo("page", _: Int) | GreaterThan("page", _: Int) |
+        GreaterThanOrEqual("page", _: Int) | LessThan("page", _: Int) |
+        LessThanOrEqual("page", _: Int) | IsNotNull("page") => true
+    case In("page", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[Int])
+    case _ => false
+  }
+
+  private def applyBound(f: Filter): Unit = f match {
+    case EqualTo("page", v: Int) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+    case GreaterThan("page", v: Int) => lo = math.max(lo, v + 1)
+    case GreaterThanOrEqual("page", v: Int) => lo = math.max(lo, v)
+    case LessThan("page", v: Int) => hi = math.min(hi, v)
+    case LessThanOrEqual("page", v: Int) => hi = math.min(hi, v + 1)
+    case In("page", vs) =>
+      val ints = vs.collect { case i: Int => i }
+      lo = math.max(lo, ints.min); hi = math.min(hi, ints.max + 1)
+    case _ => () // IsNotNull: page is never null, nothing to narrow
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new HttpPagedScan(conf, lo, hi, required)
 }
 
 /** Immutable, serializable reader configuration. Secrets stay OUT of
@@ -101,9 +154,15 @@ object HttpConf {
     cursorField = Option(o.get("cursorField")).getOrElse("next_offset"))
 }
 
-final class HttpPagedScan(conf: HttpConf) extends Scan with Batch {
-  override def readSchema(): StructType = HttpPagedSource.schema
-  override def description(): String = s"HttpPagedScan(${conf.url})"
+final class HttpPagedScan(conf: HttpConf, minPage: Int = 0,
+    maxPageEx: Int = Int.MaxValue,
+    prunedSchema: StructType = HttpPagedSource.schema) extends Scan with Batch {
+  override def readSchema(): StructType = prunedSchema
+  override def description(): String = {
+    val bounds = if (minPage > 0 || maxPageEx < Int.MaxValue)
+      s", pages=[$minPage,${math.min(maxPageEx, nPages)})" else ""
+    s"HttpPagedScan(${conf.url}$bounds, cols=${prunedSchema.fieldNames.mkString(",")})"
+  }
   override def toBatch: Batch = this
 
   private[http] def nPages: Int = math.max(1L,
@@ -119,11 +178,19 @@ final class HttpPagedScan(conf: HttpConf) extends Scan with Batch {
       }.toArray
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    partitionRange(0, nPages)
+  override def planInputPartitions(): Array[InputPartition] = {
+    // pushed page bounds intersected with the configured extent; cursor
+    // mode still starts at 0 (the cursor chain can't be entered mid-way)
+    val start = if (conf.cursor) 0 else math.max(0, math.min(minPage, nPages))
+    val end = math.min(maxPageEx, nPages)
+    if (end <= start) Array.empty
+    else partitionRange(start, end)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    HttpReaderFactory(conf)
+    HttpReaderFactory(conf,
+      needPage = prunedSchema.fieldNames.contains("page"),
+      needBody = prunedSchema.fieldNames.contains("body"))
 
   /** Streaming view of the same pagination: offsets are page numbers —
     * the reference's rate-limited polling loop (README.md:13) as a
@@ -172,25 +239,37 @@ final class HttpMicroBatchStream(conf: HttpConf, totalPages: Int)
     new HttpPagedScan(conf).partitionRange(s, e)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = HttpReaderFactory(conf)
+  override def createReaderFactory(): PartitionReaderFactory =
+    HttpReaderFactory(conf, needPage = true, needBody = true)
   override def deserializeOffset(json: String): Offset = HttpOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 /** Explicit factory class (not a SAM lambda) — must serialize to executors. */
-final case class HttpReaderFactory(conf: HttpConf) extends PartitionReaderFactory {
+final case class HttpReaderFactory(conf: HttpConf, needPage: Boolean,
+    needBody: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new HttpPartitionReader(conf, partition.asInstanceOf[HttpPartition])
+    new HttpPartitionReader(conf, partition.asInstanceOf[HttpPartition],
+      needPage, needBody)
 }
 
 final case class HttpPartition(startPage: Int, endPage: Int) extends InputPartition
 
 /** Fetches [startPage, endPage) with auth, a token bucket, and
   * exponential backoff. One transport per reader.
+  *
+  * Column pruning: when the scan doesn't need `body` and pagination is
+  * offset-style (page existence is determined by config, not by
+  * responses), the HTTP fetch is skipped entirely — a pruned
+  * `count(*)`/`select(page)` costs zero network calls and zero quota.
+  * Cursor mode must still fetch: exhaustion is server-driven.
   */
-final class HttpPartitionReader(conf: HttpConf, part: HttpPartition)
+final class HttpPartitionReader(conf: HttpConf, part: HttpPartition,
+    needPage: Boolean = true, needBody: Boolean = true)
     extends PartitionReader[InternalRow] {
+
+  private val mustFetch = needBody || conf.cursor
 
   private val transport = Class.forName(conf.transportClass)
     .getDeclaredConstructor().newInstance().asInstanceOf[PageTransport]
@@ -214,11 +293,13 @@ final class HttpPartitionReader(conf: HttpConf, part: HttpPartition)
 
   override def next(): Boolean = {
     if (page >= part.endPage || exhausted) return false
-    val offset = if (conf.cursor) cursorOffset else page.toLong * conf.pageSize
-    val sep = if (conf.url.contains("?")) "&" else "?"
-    val extra = if (conf.extraParams.nonEmpty) "&" + conf.extraParams else ""
-    val url = s"${conf.url}${sep}offset=$offset&limit=${conf.pageSize}$extra"
-    val body = fetchWithRetry(url)
+    val body = if (mustFetch) {
+      val offset = if (conf.cursor) cursorOffset else page.toLong * conf.pageSize
+      val sep = if (conf.url.contains("?")) "&" else "?"
+      val extra = if (conf.extraParams.nonEmpty) "&" + conf.extraParams else ""
+      val url = s"${conf.url}${sep}offset=$offset&limit=${conf.pageSize}$extra"
+      fetchWithRetry(url)
+    } else ""
     if (conf.cursor) {
       // follow the server-provided cursor (numeric contract; the field
       // name is configurable via `cursorField`, default next_offset)
@@ -227,7 +308,12 @@ final class HttpPartitionReader(conf: HttpConf, part: HttpPartition)
         case Some(tok) => cursorOffset = tok.replace("\"", "").toLong
       }
     }
-    current = InternalRow(page, UTF8String.fromString(body))
+    current = (needPage, needBody) match {
+      case (true, true) => InternalRow(page, UTF8String.fromString(body))
+      case (true, false) => InternalRow(page)
+      case (false, true) => InternalRow(UTF8String.fromString(body))
+      case (false, false) => InternalRow.empty
+    }
     page += 1
     true
   }

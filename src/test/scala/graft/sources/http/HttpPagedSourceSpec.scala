@@ -51,7 +51,9 @@ class HttpPagedSourceSpec extends SparkSpec {
 
   test("E4: transient 429s are retried and the read still completes") {
     MockTransport.reset()
-    val n = read("http://mock.local/api?mock_total=250&mock_fail_every=3").count()
+    // touch `body` so column pruning doesn't elide the fetch
+    val n = read("http://mock.local/api?mock_total=250&mock_fail_every=3")
+      .where(length($"body") > 0).count()
     assert(n == 10)
     // at least one retried URL: more requests than pages
     assert(MockTransport.requests.size > 10)
@@ -60,7 +62,8 @@ class HttpPagedSourceSpec extends SparkSpec {
   test("E2: auth token resolves from env into a Bearer header, never options") {
     MockTransport.reset()
     val (envKey, envVal) = sys.env.head
-    read("http://mock.local/api?mock_total=250", Map("authEnv" -> envKey)).count()
+    read("http://mock.local/api?mock_total=250", Map("authEnv" -> envKey))
+      .where(length($"body") > 0).count()
     val auths = MockTransport.requests.map(_._2.get("Authorization")).distinct
     assert(auths == List(Some(s"Bearer $envVal")))
   }
@@ -119,6 +122,41 @@ class HttpPagedSourceSpec extends SparkSpec {
     assert(pages.toSeq == (0 until 10), s"got ${pages.toSeq}")
     // 10 pages / 3-per-trigger => at least 4 micro-batches committed
     assert(spark.table("http_pages").count() == 10)
+  }
+
+  test("pushdown: page predicates shrink the HTTP page range fetched") {
+    MockTransport.reset()
+    val got = read("http://mock.local/api?mock_total=250")
+      .where($"page" >= 3 && $"page" < 7)
+      .select($"page", length($"body").as("len"))
+      .collect()
+    assert(got.map(_.getInt(0)).sorted.toSeq == Seq(3, 4, 5, 6))
+    // only the 4 in-bound pages were requested, not all 10
+    assert(MockTransport.requests.size == 4,
+      s"expected 4 fetches, saw ${MockTransport.requests.size}")
+  }
+
+  test("pushdown: IN-list and equality narrow to [min, max] page bounds") {
+    MockTransport.reset()
+    val got = read("http://mock.local/api?mock_total=250")
+      .where($"page".isin(2, 5))
+      .select($"page", length($"body").as("len"))
+      .collect()
+    assert(got.map(_.getInt(0)).sorted.toSeq == Seq(2, 5))
+    // bounds narrow to pages [2,6); the residual filter drops 3 and 4
+    assert(MockTransport.requests.size == 4)
+  }
+
+  test("pruning: metadata-only scans (count/select page) skip the fetch") {
+    MockTransport.reset()
+    assert(read("http://mock.local/api?mock_total=250").count() == 10)
+    assert(MockTransport.requests.isEmpty,
+      "offset-mode count(*) must not touch the network")
+    // cursor mode cannot skip: page existence is server-driven
+    MockTransport.reset()
+    assert(read("http://mock.local/api?mock_total=250",
+      Map("pagination.cursor" -> "true")).count() == 10)
+    assert(MockTransport.requests.nonEmpty)
   }
 
   test("cursor pagination follows next_offset and stops at server end") {
