@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - double dot product of vectors"),
       es => DotProduct(es.head, es(1))))
+    // whole-operator extension: plans graft.plans.AsOfJoinNode as the
+    // co-partitioned sort-merge AsOfJoinExec
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

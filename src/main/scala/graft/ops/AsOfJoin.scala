@@ -1,8 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
 
 /** As-of join: for every left row, attach the most recent right row with
   * `rightTime <= leftTime` (within the same partition keys).
@@ -63,5 +67,35 @@ object AsOfJoin {
       .where(col("__side") === 1)
       .select((keys ++ Seq(timeCol)).map(col) ++ leftExtras.map(col) ++
         payload.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
+
+  /** The same as-of semantics as a first-class Catalyst operator
+    * ([[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinExec]]):
+    * co-partition on the keys, sort each side, one streaming merge per
+    * partition. Same column contract as [[apply]]; output column order
+    * follows the left DataFrame (plus `asof_*`).
+    */
+  def sortMerge(left: DataFrame, right: DataFrame, timeCol: String,
+      keys: Seq[String], payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    PlanBridge.ensureStrategy(spark, new AsOfJoinStrategy)
+    // alias the right side's columns: fresh exprIds make self-joins
+    // (left and right reading the same table) unambiguous
+    val rCols = ((keys :+ timeCol) ++ payload).distinct
+    val rPrep = right.select(rCols.map(c => col(c).as(s"__r_$c")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rPrep.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of join: column '$n' not found in ${p.output.map(_.name)}"))
+    val payloadAttrs = payload.map(c => attr(rPlan, s"__r_$c"))
+    val payloadOut = payload.zip(payloadAttrs).map { case (c, a) =>
+      AttributeReference(s"asof_$c", a.dataType, nullable = true)()
+    }
+    PlanBridge.ofRows(spark, AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
+      attr(lPlan, timeCol), attr(rPlan, s"__r_$timeCol"),
+      payloadAttrs, payloadOut))
   }
 }

@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator Catalyst integration of the as-of join (the
+  * preference-(c) path from the build brief: custom LogicalPlan +
+  * SparkStrategy + SparkPlan, for semantics Spark's built-in operators
+  * don't express as a single relational node).
+  *
+  * Semantics (identical to [[graft.ops.AsOfJoin.apply]], which stays as
+  * the composed-from-built-ins formulation): for every left row, attach
+  * the payload of the most recent right row with
+  * `rightTime <= leftTime` within the same key group; among right rows
+  * tied on (keys, time) the greatest payload wins; unmatched left rows
+  * get nulls.
+  *
+  * Physical algorithm: co-partition both sides on the keys
+  * ([[ClusteredDistribution]] → one shuffle each, satisfied for free by
+  * an already-partitioned child), sort each side by (keys, time)
+  * within partitions, then a single O(nL + nR) streaming merge per
+  * partition. Versus the union+window formulation this never widens
+  * rows with null padding, sorts each side separately (two smaller
+  * sorts instead of one combined), and carries no window-function
+  * machinery — and unlike a `l.time >= r.time` theta join it cannot
+  * degenerate to a broadcast-nested-loop row explosion at 100 TB.
+  */
+final case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    payload: Seq[Attribute],
+    payloadOut: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  // payloadOut is minted by this node, not read from the children —
+  // without this, checkAnalysis reports it as missing input
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(payloadOut)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+final class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+        n.payload, n.payloadOut, planLater(n.left), planLater(n.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    payload: Seq[Attribute],
+    payloadOut: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(payloadOut)
+
+  // one hash shuffle per side (elided when a child is already
+  // partitioned compatibly); EnsureRequirements co-partitions the pair
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // right additionally sorted by payload so the merge's "last row wins"
+  // deterministically picks the greatest payload among (keys, time) ties
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTime +: payload)).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val lOut = left.output
+    val rOut = right.output
+    val payloadExprs = payload
+    val outExprs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), rOut)
+      val payloadProj = UnsafeProjection.create(payloadExprs, rOut)
+      val outProj = UnsafeProjection.create(outExprs, lOut ++ payloadOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val nullPayload = new GenericInternalRow(payloadExprs.length)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // right-side lookahead
+        private var rRow: InternalRow = _
+        private var rKey: UnsafeRow = _
+        private var rTime: UnsafeRow = _
+        // last right row consumed whose key matched the group it was in
+        private var heldKey: UnsafeRow = _
+        private var heldPayload: UnsafeRow = _
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rRow = rIter.next()
+            rKey = rKeyProj(rRow)
+            rTime = rTimeProj(rRow)
+          } else { rRow = null; rKey = null; rTime = null }
+
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTime = lTimeProj(l)
+          // consume right rows at-or-before (lKey, lTime); the LAST one
+          // with a matching key is the as-of match (sort order makes
+          // that the latest time, greatest payload)
+          var cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+          while (rRow != null &&
+              (cmp < 0 || (cmp == 0 && timeOrd.compare(rTime, lTime) <= 0))) {
+            if (cmp == 0) {
+              heldKey = rKey.copy()
+              heldPayload = payloadProj(rRow).copy()
+            }
+            advanceRight()
+            cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+          }
+          val matched =
+            heldKey != null && keyOrd.compare(heldKey, lKey) == 0
+          outProj(joined(l, if (matched) heldPayload else nullPayload))
+        }
+      }
+    }
+  }
+}

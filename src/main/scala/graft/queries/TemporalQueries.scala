@@ -72,7 +72,9 @@ object TemporalQueries {
         val ev = Tables(s, dir, "events")
         val errors = ev.filter($"event_type" === "error")
           .select($"user_id", $"ts", $"event_id".as("err_id"))
-        AsOfJoin(ev.select($"event_id", $"user_id", $"ts"), errors,
+        // the custom Catalyst operator (AsOfJoinNode → AsOfJoinExec);
+        // AsOfJoin.apply is the equivalent built-ins-only formulation
+        AsOfJoin.sortMerge(ev.select($"event_id", $"user_id", $"ts"), errors,
           timeCol = "ts", keys = Seq("user_id"), payload = Seq("err_id"))
           .select($"event_id", $"user_id", $"ts", $"asof_err_id")
       },

@@ -2,8 +2,9 @@ package graft.ops
 
 import graft.SparkSpec
 import java.sql.Timestamp
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 
-class AsOfJoinSpec extends SparkSpec {
+class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
@@ -36,6 +37,56 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin(ev.select($"event_id", $"user_id", $"ts"), errors,
       "ts", Seq("user_id"), Seq("err_id"))
     assert(out.count() == ev.count())
+  }
+
+  test("sortMerge (custom Catalyst operator) matches the tiny oracle") {
+    val trades = Seq(
+      (1L, "A", ts(1)), (2L, "A", ts(5)), (3L, "A", ts(9)),
+      (4L, "B", ts(3)), (5L, "B", ts(4))
+    ).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(0), 100L), ("A", ts(5), 105L), ("A", ts(8), 108L),
+      ("B", ts(4), 200L)
+    ).toDF("sym", "ts", "px")
+
+    val out = AsOfJoin.sortMerge(trades, quotes, "ts", Seq("sym"), Seq("px"))
+      .select($"trade_id", $"asof_px").as[(Long, Option[Long])]
+      .collect().toMap
+
+    assert(out(1L).contains(100L))
+    assert(out(2L).contains(105L)) // equal timestamp matches
+    assert(out(3L).contains(108L))
+    assert(out(4L).isEmpty)
+    assert(out(5L).contains(200L))
+  }
+
+  test("sortMerge and union+window agree on real data (self as-of join)") {
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("err_id"))
+    val probe = ev.select($"event_id", $"user_id", $"ts")
+    val a = AsOfJoin(probe, errors, "ts", Seq("user_id"), Seq("err_id"))
+      .select($"event_id", $"user_id", $"ts", $"asof_err_id")
+    val b = AsOfJoin.sortMerge(probe, errors, "ts", Seq("user_id"), Seq("err_id"))
+    assert(b.columns.toSeq == Seq("event_id", "user_id", "ts", "asof_err_id"))
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "custom operator must reproduce the window formulation exactly")
+  }
+
+  test("sortMerge plans as AsOfJoinExec with one shuffle+sort per side") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("err_id"))
+    val out = AsOfJoin.sortMerge(ev.select($"event_id", $"user_id", $"ts"),
+      errors, "ts", Seq("user_id"), Seq("err_id"))
+    out.collect() // finalize AQE
+    val plan = out.queryExecution.executedPlan
+    val asof = collect(plan) { case e: graft.plans.AsOfJoinExec => e }
+    assert(asof.size == 1, s"expected AsOfJoinExec in:\n$plan")
+    val shuffles = collect(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"expected ≤2 shuffles, got ${shuffles.size}")
   }
 
   test("SQL extension functions resolve via GraftExtensions") {

@@ -35,10 +35,11 @@ class PlanSpec extends SparkSpec {
     assert(plan("q09_topk_per_customer").contains("WindowGroupLimit"))
   }
 
-  test("t03: as-of join is union + one window, never a join node") {
+  test("t03: as-of join plans the custom sort-merge operator, not a join") {
     val p = plan("t03_asof_join")
-    assert(p.contains("Union") && p.contains("Window"))
-    assert(!p.contains("Join"), "as-of must not plan a join")
+    assert(p.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
+      "as-of must not plan a pairwise join")
   }
 
   test("no query plans a cartesian or nested-loop join") {
