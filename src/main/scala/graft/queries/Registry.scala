@@ -6,8 +6,8 @@ package graft.queries
   */
 object Registry {
   def all: Seq[GraftQuery] =
-    RelationalQueries.all ++ TemporalQueries.all ++ EtlQueries.all ++
-      ExtensionQueries.all ++ AnalyticsQueries.all
+    RelationalQueries.all ++ AdvancedQueries.all ++ TemporalQueries.all ++
+      EtlQueries.all ++ ExtensionQueries.all ++ AnalyticsQueries.all
 
   def byName: Map[String, GraftQuery] = all.map(q => q.name -> q).toMap
 }

@@ -51,7 +51,10 @@ class PlanSpec extends SparkSpec {
         // BroadcastNestedLoopJoin is only acceptable for deliberate
         // 1-row broadcast cross joins (query vectors, scalar aggregates)
         val nlOk = Set("x10_sim_bruteforce_topk", "x12_sim_lsh_topk",
-          "q15_above_avg_balance")
+          "q15_above_avg_balance",
+          // deliberate broadcast cross joins of generated/scalar sides:
+          // dense month axis (~80 rows), funnel step counts (1 row)
+          "q30_gap_fill_months", "q37_event_funnel")
         if (!nlOk(q.name))
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans a nested-loop join")
