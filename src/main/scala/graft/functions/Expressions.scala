@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * `aggregate`, `array_intersect`) are interpreted per element — a
   * 128-permutation MinHash over a shingle array costs tens of millions
   * of boxed lambda invocations per partition. Each expression below
-  * replaces that with one eval call per row running a primitive JVM
-  * loop (measured ~50× faster on the sf0.1 corpus). `CodegenFallback`
-  * is fine here: the loop dominates, not the per-row dispatch.
+  * replaces that with one call per row into a primitive static loop
+  * ([[GraftNative]]), and implements `doGenCode` as a static call so
+  * whole-stage codegen spans stay unbroken across the surrounding
+  * filters/projections (a `CodegenFallback` here would split the span
+  * and re-introduce per-row interpreted dispatch).
   *
   * Hashing uses the splitmix64 finalizer (public-domain constants) —
   * deterministic and engine-internal only. Operator *outputs* never
@@ -33,22 +35,17 @@ object Mix {
   }
 }
 
-/** MinHash signature from a (distinct) array<long> of element hashes:
-  * sig[j] = min over elements of mix64(h + j·φ). Empty input → sentinel
-  * Long.MaxValue signature (matches "no shingles").
+/** Static primitive kernels shared by interpreted eval and generated
+  * code (Scala object → static forwarders callable from Janino).
   */
-case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
+object GraftNative {
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+  def minhashSig(input: ArrayData, numHashes: Int): ArrayData = {
+    val n = input.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      val h = input.getLong(i)
       var j = 0
       while (j < numHashes) {
         val p = Mix.mix64(h + j.toLong * 0x9E3779B97F4A7C15L)
@@ -59,31 +56,15 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
-}
 
-/** Sorted distinct 64-bit hashes of the word n-grams of a token array —
-  * the per-doc set representation for MinHash/Jaccard dedup, computed
-  * without materializing shingle strings: FNV-1a over each token's
-  * bytes, then a mix-fold across the n-gram window. Distinct n-grams map
-  * to distinct hashes w.h.p., so set cardinalities (and hence Jaccard
-  * values) equal the string-shingle formulation.
-  */
-case class NgramHashes(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "ngram_hashes"
-
-  override def nullSafeEval(tokensAny: Any, nAny: Any): Any = {
-    val arr = tokensAny.asInstanceOf[ArrayData]
-    val n = nAny.asInstanceOf[Number].intValue()
-    val total = arr.numElements()
+  def ngramHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val total = tokens.numElements()
     if (total < n) return new GenericArrayData(Array.empty[Long])
     // FNV-1a 64-bit per token
     val wordHashes = new Array[Long](total)
     var i = 0
     while (i < total) {
-      val s = arr.getUTF8String(i)
+      val s = tokens.getUTF8String(i)
       var h = 0xCBF29CE484222325L
       var b = 0
       val nb = s.numBytes()
@@ -114,21 +95,8 @@ case class NgramHashes(left: Expression, right: Expression)
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramHashes =
-    copy(left = l, right = r)
-}
 
-/** Jaccard similarity of two SORTED DISTINCT array<long> sets via a
-  * single merge pass — no per-pair hash set allocation.
-  */
-case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "jaccard_sorted"
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  def jaccardSorted(x: ArrayData, y: ArrayData): Double = {
     val nx = x.numElements(); val ny = y.numElements()
     if (nx == 0 && ny == 0) return 0.0
     var i = 0; var j = 0; var inter = 0L
@@ -140,20 +108,8 @@ case class JaccardSorted(left: Expression, right: Expression)
     }
     inter.toDouble / (nx.toLong + ny.toLong - inter)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
-    copy(left = l, right = r)
-}
 
-/** 64-bit SimHash from an array<long> of token hashes: bit b is set when
-  * more than half the hashes have bit b set.
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -174,6 +130,98 @@ case class SimHash64(child: Expression)
     }
     out
   }
+
+  def dotProduct(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+}
+
+/** MinHash signature from a (distinct) array<long> of element hashes:
+  * sig[j] = min over elements of mix64(h + j·φ). Empty input → sentinel
+  * Long.MaxValue signature (matches "no shingles").
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftNative.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftNative.minhashSig($c, $numHashes);")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Sorted distinct 64-bit hashes of the word n-grams of a token array —
+  * the per-doc set representation for MinHash/Jaccard dedup, computed
+  * without materializing shingle strings: FNV-1a over each token's
+  * bytes, then a mix-fold across the n-gram window. Distinct n-grams map
+  * to distinct hashes w.h.p., so set cardinalities (and hence Jaccard
+  * values) equal the string-shingle formulation.
+  */
+case class NgramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(tokensAny: Any, nAny: Any): Any =
+    GraftNative.ngramHashes(tokensAny.asInstanceOf[ArrayData],
+      nAny.asInstanceOf[Number].intValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftNative.ngramHashes($a, (int) $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramHashes =
+    copy(left = l, right = r)
+}
+
+/** Jaccard similarity of two SORTED DISTINCT array<long> sets via a
+  * single merge pass — no per-pair hash set allocation.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftNative.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftNative.jaccardSorted($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash from an array<long> of token hashes: bit b is set when
+  * more than half the hashes have bit b set.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftNative.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftNative.simhash64($c);")
+
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
@@ -182,7 +230,7 @@ case class SimHash64(child: Expression)
   * operators' inner loop.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
@@ -200,21 +248,14 @@ case class DotProduct(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    val lf = isFloat(left); val rf = isFloat(right)
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftNative.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftNative.dotProduct($a, $b, ${isFloat(left)}, ${isFloat(right)});")
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The native expressions implement `doGenCode` (static calls into
+  * GraftNative) so whole-stage codegen spans stay unbroken. This suite
+  * runs them under `spark.sql.codegen.fallback=false`, where a Janino
+  * compile error of the generated code THROWS instead of silently
+  * degrading to interpreted eval — i.e. it proves the generated code
+  * actually compiles and agrees with the interpreted path.
+  */
+class ExpressionsCodegenSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]").appName("codegen-strict")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("all native expressions compile and evaluate inside codegen") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", Array(1.0f, 2.0f, 3.0f)),
+      (2L, "the quick brown fox jumps over the lazy cat", Array(0.5f, 0.5f, 0.5f)),
+      (3L, "completely different text here", Array(1.0f, 0.0f, 0.0f))
+    ).toDF("id", "text", "vec")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("h", GraftFunctions.ngramHashes($"toks", 3))
+      .withColumn("sig", GraftFunctions.minhashSig($"h", 16))
+      .withColumn("sim", GraftFunctions.simhash64($"h"))
+      .withColumn("dp", GraftFunctions.dotProduct($"vec", $"vec"))
+
+    val rows = df.select($"id", size($"h").as("nh"), size($"sig").as("ns"),
+        $"sim", $"dp",
+        GraftFunctions.jaccardSorted($"h", $"h").as("self_j"))
+      .collect().sortBy(_.getLong(0))
+
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getInt(2) == 16, "minhash signature length")
+      assert(r.getDouble(5) == 1.0, "self-jaccard must be 1.0")
+    }
+    assert(rows(0).getDouble(4) == 14.0) // 1+4+9
+    // codegen result must equal interpreted result: similar docs share
+    // most shingles
+    val j = df.as("a").crossJoin(df.as("b"))
+      .where($"a.id" === 1 && $"b.id" === 2)
+      .select(GraftFunctions.jaccardSorted($"a.h", $"b.h"))
+      .head().getDouble(0)
+    assert(j > 0.5 && j < 1.0, s"near-dup jaccard, got $j")
+  }
+
+  test("codegen filter over jaccard keeps whole-stage codegen working") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i =>
+      (i.toLong, s"token$i " + (0 until 20).map(j => s"w${(i + j) % 30}").mkString(" ")))
+      .toDF("id", "text")
+      .withColumn("h", GraftFunctions.ngramHashes(split($"text", " "), 3))
+    val pairs = docs.as("x").crossJoin(docs.as("y"))
+      .where($"x.id" < $"y.id" &&
+        GraftFunctions.jaccardSorted($"x.h", $"y.h") >= 0.3)
+      .count()
+    assert(pairs > 0, "strict-codegen filter must run and find pairs")
+  }
+}
