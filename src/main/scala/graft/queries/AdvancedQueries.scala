@@ -341,6 +341,77 @@ object AdvancedQueries {
           CAST(date_diff('day', cohort_day, d) AS INT) AS offset_days,
           CAST(count(*) AS BIGINT) AS n_users
         FROM act JOIN cohort USING (user_id)
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ---- q39: multiset (bag) set operations — EXCEPT ALL keeps
+    // duplicate multiplicity, unlike q14's set variants. Both arms are
+    // one hash shuffle each.
+    GraftQuery(
+      "q39_set_ops_all",
+      (s, dir) => {
+        import s.implicits._
+        val open = t(s, dir, "orders").where($"o_orderstatus" === "O")
+          .select($"o_custkey")
+        val fin = t(s, dir, "orders").where($"o_orderstatus" === "F")
+          .select($"o_custkey")
+        open.exceptAll(fin).withColumn("op", lit("except_all"))
+          .unionByName(open.intersectAll(fin).withColumn("op", lit("intersect_all")))
+      },
+      Some("""SELECT o_custkey, 'except_all' AS op FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT o_custkey, 'intersect_all' AS op FROM (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""")),
+
+    // ---- q40: correlated LATERAL join (top-2 per group as a lateral
+    // subquery — the decorrelated plan is a partitioned window, not a
+    // per-row re-execution).
+    GraftQuery(
+      "q40_lateral_topn",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT n_name, l.c_name, l.c_acctbal
+          FROM nation, LATERAL (
+            SELECT c_name, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2) l""")
+      },
+      Some("""SELECT n_name, l.c_name, l.c_acctbal FROM nation,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) l""")),
+
+    // ---- q41: array higher-order functions (filter / transform /
+    // aggregate / slice) — the portable HOF surface; the dedup hot
+    // loops use native expressions instead (see functions/Expressions).
+    GraftQuery(
+      "q41_array_hof",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .where($"doc_id" % 10 === 3)
+          .withColumn("t", regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)))
+          .select($"doc_id",
+            size(expr("filter(t, x -> length(x) > 3)")).as("n_long"),
+            expr("aggregate(transform(t, x -> cast(length(x) as bigint)), 0L, (a, x) -> a + x)")
+              .as("total_chars"),
+            array_join(expr("transform(slice(t, 1, 3), x -> upper(x))"), ",")
+              .as("first3_upper"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents WHERE doc_id % 10 = 3)
+        SELECT doc_id,
+          CAST(len(list_filter(t, x -> len(x) > 3)) AS INT) AS n_long,
+          CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS BIGINT)
+            AS total_chars,
+          array_to_string(list_transform(t[1:3], x -> upper(x)), ',')
+            AS first3_upper
+        FROM toks"""))
   )
 }
