@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
@@ -327,6 +328,34 @@ object ExtensionQueries {
             $"meta.durationMs".as("duration_ms"))
       },
       None,
-      notes = "rows-only: decoder is a deterministic stub (no codecs in env)")
+      notes = "rows-only: decoder is a deterministic stub (no codecs in env)"),
+
+    // ---- embedding component statistics: array element access + exact
+    // decimal aggregation over float-derived doubles (the embeddings are
+    // unit-normalized, so norms are degenerate — components are not).
+    // One narrow projection + tiny grouped agg; never shuffles vectors.
+    GraftQuery(
+      "x17_embedding_component_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "embeddings")
+          .select($"label",
+            round(element_at($"embedding", 1).cast("double"), 6).as("c0"),
+            round(element_at($"embedding", 33).cast("double"), 6).as("c32"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"),
+            (sum($"c0".cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1))).as("avg_c0"),
+            min($"c0").as("min_c0"), max($"c0").as("max_c0"),
+            (sum($"c32".cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1))).as("avg_c32"))
+      },
+      Some("""WITH e AS (SELECT label,
+          round(CAST(embedding[1] AS DOUBLE), 6) AS c0,
+          round(CAST(embedding[33] AS DOUBLE), 6) AS c32 FROM embeddings)
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(c0 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_c0,
+          min(c0) AS min_c0, max(c0) AS max_c0,
+          CAST(sum(CAST(c32 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_c32
+        FROM e GROUP BY label""")
+    )
   )
 }
