@@ -89,6 +89,33 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 2, s"expected ≤2 shuffles, got ${shuffles.size}")
   }
 
+  test("sortMerge ≡ union+window on randomized data (ties, nulls, skew)") {
+    // differential property test: the custom physical operator must
+    // agree with the built-ins formulation on adversarial inputs —
+    // duplicate timestamps on both sides, keys with no right rows, keys
+    // with no left rows, null payloads, heavy per-key skew
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val nKeys = 1 + round * 3
+      val left = (1 to 400).map { i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(50)))
+      }.toDF("l_id", "k", "ts")
+      val right = (1 to 300).map { i =>
+        (rnd.nextInt(nKeys + 2).toLong, ts(rnd.nextInt(50)),
+          if (rnd.nextInt(5) == 0) null
+          else s"p${rnd.nextInt(10)}")
+      }.toDF("k", "ts", "payload")
+
+      val a = AsOfJoin(left, right, "ts", Seq("k"), Seq("payload"))
+        .select($"l_id", $"k", $"ts", $"asof_payload")
+      val b = AsOfJoin.sortMerge(left, right, "ts", Seq("k"), Seq("payload"))
+        .select($"l_id", $"k", $"ts", $"asof_payload")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"round $round: formulations diverge")
+      assert(b.count() == 400, s"round $round: left rows must be preserved")
+    }
+  }
+
   test("SQL extension functions resolve via GraftExtensions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").appName("ext-test")
