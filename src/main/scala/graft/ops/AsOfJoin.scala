@@ -85,9 +85,13 @@ object AsOfJoin {
     val rPrep = right.select(rCols.map(c => col(c).as(s"__r_$c")): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rPrep.queryExecution.analyzed
+    // exact match first, then case-insensitive — mirrors apply()'s
+    // col()-based resolution under Spark's default caseSensitive=false
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"as-of join: column '$n' not found in ${p.output.map(_.name)}"))
+      p.output.find(_.name == n)
+        .orElse(p.output.find(_.name.equalsIgnoreCase(n)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"as-of join: column '$n' not found in ${p.output.map(_.name)}"))
     val payloadAttrs = payload.map(c => attr(rPlan, s"__r_$c"))
     val payloadOut = payload.zip(payloadAttrs).map { case (c, a) =>
       AttributeReference(s"asof_$c", a.dataType, nullable = true)()

@@ -408,8 +408,8 @@ object AdvancedQueries {
           FROM documents WHERE doc_id % 10 = 3)
         SELECT doc_id,
           CAST(len(list_filter(t, x -> len(x) > 3)) AS INT) AS n_long,
-          CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS BIGINT)
-            AS total_chars,
+          CAST(COALESCE(list_aggregate(list_transform(t, x -> len(x)), 'sum'), 0)
+            AS BIGINT) AS total_chars,
           array_to_string(list_transform(t[1:3], x -> upper(x)), ',')
             AS first3_upper
         FROM toks"""))

@@ -99,15 +99,19 @@ final class HttpScanBuilder(conf: HttpConf) extends ScanBuilder
     case _ => false
   }
 
+  // exclusive upper bounds compute in Long: v+1 on Int.MaxValue would
+  // wrap negative and silently plan an empty scan
+  private def clampHi(v: Long): Int = math.min(hi.toLong, v).max(0L).toInt
+
   private def applyBound(f: Filter): Unit = f match {
-    case EqualTo("page", v: Int) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
-    case GreaterThan("page", v: Int) => lo = math.max(lo, v + 1)
+    case EqualTo("page", v: Int) => lo = math.max(lo, v); hi = clampHi(v.toLong + 1)
+    case GreaterThan("page", v: Int) => lo = math.max(lo, math.min(v.toLong + 1, Int.MaxValue.toLong).toInt)
     case GreaterThanOrEqual("page", v: Int) => lo = math.max(lo, v)
-    case LessThan("page", v: Int) => hi = math.min(hi, v)
-    case LessThanOrEqual("page", v: Int) => hi = math.min(hi, v + 1)
+    case LessThan("page", v: Int) => hi = clampHi(v.toLong)
+    case LessThanOrEqual("page", v: Int) => hi = clampHi(v.toLong + 1)
     case In("page", vs) =>
       val ints = vs.collect { case i: Int => i }
-      lo = math.max(lo, ints.min); hi = math.min(hi, ints.max + 1)
+      lo = math.max(lo, ints.min); hi = clampHi(ints.max.toLong + 1)
     case _ => () // IsNotNull: page is never null, nothing to narrow
   }
 
@@ -264,6 +268,12 @@ final case class HttpPartition(startPage: Int, endPage: Int) extends InputPartit
   * responses), the HTTP fetch is skipped entirely — a pruned
   * `count(*)`/`select(page)` costs zero network calls and zero quota.
   * Cursor mode must still fetch: exhaustion is server-driven.
+  *
+  * Deliberate consequence: a body-less count() no longer probes the
+  * endpoint, so it cannot detect a dead server or bad credentials —
+  * health checks must read `body` (as the auth/retry specs do). That
+  * is the correct trade at quota-bound scale: monitoring shouldn't
+  * spend quota implicitly.
   */
 final class HttpPartitionReader(conf: HttpConf, part: HttpPartition,
     needPage: Boolean = true, needBody: Boolean = true)

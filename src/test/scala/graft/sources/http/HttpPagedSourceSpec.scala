@@ -147,6 +147,19 @@ class HttpPagedSourceSpec extends SparkSpec {
     assert(MockTransport.requests.size == 4)
   }
 
+  test("pushdown: Int.MaxValue bounds don't overflow into an empty scan") {
+    // page <= Int.MaxValue is a tautology; a naive v+1 would wrap
+    // negative and plan zero partitions
+    val n = read("http://mock.local/api?mock_total=250")
+      .where($"page" <= Int.MaxValue && $"page" === Int.MaxValue - 1 || $"page" >= 0)
+      .count()
+    assert(n == 10)
+    assert(read("http://mock.local/api?mock_total=250")
+      .where($"page" <= Int.MaxValue).count() == 10)
+    assert(read("http://mock.local/api?mock_total=250")
+      .where($"page" === Int.MaxValue).count() == 0)
+  }
+
   test("pruning: metadata-only scans (count/select page) skip the fetch") {
     MockTransport.reset()
     assert(read("http://mock.local/api?mock_total=250").count() == 10)
