@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.GraftFunctions
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -35,10 +34,10 @@ object Dedup {
     * family. At cluster scale the same role is played by a staging
     * table / `checkpoint`; MEMORY_AND_DISK spills rather than OOMs.
     * Spark's CacheManager keys on the canonicalized plan, so repeated
-    * runs of the same query reuse one cache entry instead of leaking.
+    * runs of the same query reuse one cache entry; sessions running
+    * many distinct pipelines release via [[Staged.release]].
     */
-  private def stage(df: DataFrame): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK)
+  private def stage(df: DataFrame): DataFrame = Staged(df)
 
   /** Sorted distinct 64-bit hash set of a document's shingles — the
     * shared per-doc representation for MinHash, banding, and exact

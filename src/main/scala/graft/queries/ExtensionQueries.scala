@@ -260,9 +260,8 @@ object ExtensionQueries {
           .where($"quality" >= 0.5)
         // staged: feeds the LSH pass and the final anti-join — without
         // it the quality-score scan and text groupBy run twice
-        val exactDeduped = quality.groupBy($"text")
-          .agg(min($"doc_id").as("doc_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exactDeduped = graft.ops.Staged(quality.groupBy($"text")
+          .agg(min($"doc_id").as("doc_id")))
         val nearDupPairs = Dedup.minHashLsh(
           exactDeduped, "doc_id", "text", threshold = 0.8)
         exactDeduped
