@@ -46,6 +46,35 @@ class StreamsSpec extends SparkSpec {
     assert(out.contains((Timestamp.valueOf("2024-01-01 10:10:00"), "view", 1L, 3.0)))
   }
 
+  test("streaming tumbling agg over the real fixture equals the batch run") {
+    // the SAME stage (Streams.tumblingStats) over the same events data,
+    // once as a file stream and once as a batch DataFrame, must produce
+    // identical windows — the engine's batch/streaming unification claim
+    // on real data rather than synthetic MemoryStream rows
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source wants a directory; stage the fixture file
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamIn = spark.readStream.schema(sch)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = Streams.tumblingStats(streamIn)
+    val q = agg.writeStream.format("memory").queryName("tumbling_real")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_real")
+    val batch = Streams.tumblingStats(graft.sources.Tables(spark, sf, "events"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming and batch runs of the same stage must agree")
+  }
+
   test("session windows split on the gap") {
     val input = MemoryStream[EventRow](spark)
     input.addData(
