@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-stable only within one Spark version AND one
+  * partitioning of the input — a re-partitioned 100 TB corpus samples a
+  * DIFFERENT subset, which silently changes a training set between
+  * runs. Hash-gating on a stable record id is reproducible anywhere:
+  * the decision depends only on the id, so re-runs, re-partitions,
+  * other engines (the DuckDB oracle computes the same md5), and
+  * incremental appends all agree. It is also a consistent sampler:
+  * the 5% sample is a subset of the 10% sample, so sample-size sweeps
+  * don't reshuffle the data.
+  *
+  * Gate: first 16 bits of md5(id) < rate × 2¹⁶ — row-local expression,
+  * no shuffle, codegen'd.
+  */
+object Sampling {
+
+  /** Sampling gate as a Column (16-bit hash threshold). */
+  def hashGate(idCol: Column, rate: Double): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("int") < math.round(rate * 65536).toInt
+  }
+
+  /** Deterministic Bernoulli-by-hash sample of ~rate of the rows. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.where(hashGate(col(idCol), rate))
+
+  /** Stratified variant: a different rate per stratum value (absent
+    * strata keep nothing). The rate table rides inline as a when-chain,
+    * so this stays a scan-level filter — no join, no shuffle.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val gate = rates.foldLeft(lit(false)) { case (acc, (stratum, rate)) =>
+      when(col(strataCol) === stratum, hashGate(col(idCol), rate)).otherwise(acc)
+    }
+    df.where(gate)
+  }
+}

@@ -355,6 +355,36 @@ object ExtensionQueries {
           min(c0) AS min_c0, max(c0) AS max_c0,
           CAST(sum(CAST(c32 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_c32
         FROM e GROUP BY label""")
+    ),
+
+    // ---- deterministic hash-gated sampling (ops/Sampling): the
+    // reproducible-training-subset primitive. The gate is md5-based and
+    // engine-portable, so the oracle computes the identical sample —
+    // per-language totals, ~10% sample counts, and the stable sampled-id
+    // checksum all hash-match.
+    GraftQuery(
+      "x18_hash_sample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Sampling.hashSample(docs, "doc_id", 0.1)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum($"doc_id").as("id_sum"))
+          .join(docs.groupBy($"lang").agg(count(lit(1)).as("n_total")), Seq("lang"))
+          .select($"lang", $"n_total", $"n_sampled", $"id_sum")
+      },
+      Some("""WITH sampled AS (SELECT lang,
+            CAST(count(*) AS BIGINT) AS n_sampled,
+            CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM documents
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                < 6554
+          GROUP BY lang),
+          tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+                  FROM documents GROUP BY lang)
+        SELECT lang, n_total, n_sampled, id_sum
+        FROM sampled JOIN tot USING (lang)""")
     )
   )
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.sources.Tables(spark, sf, "documents")
+
+  test("hash sampling is deterministic and partitioning-independent") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select($"doc_id").as[Long].collect().sorted
+    val b = Sampling.hashSample(docs.repartition(13), "doc_id", 0.2)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(a.nonEmpty && a.sameElements(b),
+      "the sample must not depend on physical layout")
+  }
+
+  test("hash sampling is consistent: smaller rates nest inside larger") {
+    val small = Sampling.hashSample(docs, "doc_id", 0.05)
+      .select($"doc_id").as[Long].collect().toSet
+    val large = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large), "5% sample must be a subset of 20%")
+    val n = docs.count().toDouble
+    assert(math.abs(large.size / n - 0.2) < 0.08, s"got ${large.size / n}")
+  }
+
+  test("stratified rates apply per stratum; absent strata drop") {
+    val sampled = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+    val byLang = sampled.groupBy($"lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLang.keySet == Set("en", "de"), s"got ${byLang.keySet}")
+    val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en").toDouble / totals("en") - 0.5) < 0.15)
+    assert(byLang("de").toDouble / totals("de") < 0.3)
+  }
+}
