@@ -385,6 +385,34 @@ object ExtensionQueries {
                   FROM documents GROUP BY lang)
         SELECT lang, n_total, n_sampled, id_sum
         FROM sampled JOIN tot USING (lang)""")
+    ),
+
+    // ---- sequence packing (ops/Packing): contiguous-fill token-budget
+    // packs per language shard — parallel across shards, sequential
+    // only within one (see SCALE.md). Deterministic assignment →
+    // exact oracle.
+    GraftQuery(
+      "x19_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"lang", $"text")
+        val packed = graft.ops.Packing.packBy(docs, "lang", "doc_id",
+          size(TextAnalysis.tokens($"text")).cast("long"), budget = 2048)
+        graft.ops.Packing.packStats(packed, "lang", 2048)
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+              AS n_tok FROM documents),
+          packed AS (SELECT lang, n_tok,
+            CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+              / 2048) AS BIGINT) AS pack_id
+            FROM toks)
+        SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          round(CAST(sum(n_tok) AS DOUBLE) / 2048, 6) AS utilization
+        FROM packed GROUP BY lang, pack_id""")
     )
   )
 }
