@@ -412,6 +412,46 @@ object AdvancedQueries {
             AS BIGINT) AS total_chars,
           array_to_string(list_transform(t[1:3], x -> upper(x)), ',')
             AS first3_upper
-        FROM toks"""))
+        FROM toks""")),
+
+    // ---- q42: forward-fill interpolation — carry the last non-null
+    // observation forward per key (time-series gap repair as one keyed
+    // window, no self-join).
+    GraftQuery(
+      "q42_fill_forward",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"event_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("pv", when($"event_type" === "purchase", $"value"))
+          .select($"event_id", $"user_id",
+            last($"pv", ignoreNulls = true).over(w).as("last_purchase"))
+      },
+      Some("""SELECT event_id, user_id,
+          last_value(CASE WHEN event_type = 'purchase' THEN value END
+            IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+        FROM events""")),
+
+    // ---- q43: histogram bucketing via width_bucket (DuckDB lacks the
+    // function → exact floor emulation; bin edges k/8 are binary-exact
+    // for these constants, so edge values bucket identically).
+    GraftQuery(
+      "q43_histogram",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select(width_bucket($"o_totalprice", lit(0.0), lit(400000.0), lit(8))
+            .cast("int").as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 400000 THEN 9
+            ELSE CAST(floor(o_totalprice / 50000) AS INT) + 1 END AS bucket,
+          CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1"""))
   )
 }
