@@ -387,9 +387,10 @@ object ExtensionQueries {
         FROM sampled JOIN tot USING (lang)""")
     ),
 
-    // ---- sequence packing (ops/Packing): contiguous-fill token-budget
+    // ---- sequence packing (ops/Packing): offset-stride token-budget
     // packs per language shard — parallel across shards, sequential
-    // only within one (see SCALE.md). Deterministic assignment →
+    // only within one (see SCALE.md); the greedy-fill variant is the
+    // typed-API escape hatch, spec-covered. Deterministic assignment →
     // exact oracle.
     GraftQuery(
       "x19_sequence_packing",

@@ -1,18 +1,19 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.functions._
 
-/** Skew handling at the two layers the engine relies on:
-  * deliberate salting (ops/Skew.scala, q22) and AQE's runtime skew-join
-  * split — this spec proves the latter actually engages, i.e. a
-  * pathological key doesn't funnel a 100 TB join through one task.
+/** Skew handling at the two layers the engine relies on: AQE's runtime
+  * skew-join split, and deliberate salting (ops/Skew.scala, q22) for
+  * the case AQE legitimately refuses — a downstream operator that
+  * needs the join's partitioning. This spec proves both halves: the
+  * split engages for a free-standing join, and the keyed-consumer veto
+  * is real (which is exactly why salting exists).
   */
-class SkewSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+class SkewSpec extends SparkSpec {
   import spark.implicits._
 
-  test("AQE splits a skewed sort-merge join partition at runtime") {
+  test("AQE splits a skewed join; a keyed consumer vetoes the split") {
     val confs = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -38,6 +39,16 @@ class SkewSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"expected AQE skew-join split in:\n$plan")
+
+      // the veto: a groupBy on the join key needs the join's hash
+      // partitioning, so AQE must NOT split (splitting would scatter a
+      // key); this is the case explicit salting covers
+      val keyed = left.join(right, "k").groupBy($"k")
+        .agg(count(lit(1)).as("n"))
+      keyed.collect()
+      val keyedPlan = keyed.queryExecution.executedPlan.toString
+      assert(!keyedPlan.contains("skew=true"),
+        s"keyed consumer must veto the skew split:\n$keyedPlan")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
