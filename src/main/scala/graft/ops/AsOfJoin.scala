@@ -74,9 +74,15 @@ object AsOfJoin {
     * co-partition on the keys, sort each side, one streaming merge per
     * partition. Same column contract as [[apply]]; output column order
     * follows the left DataFrame (plus `asof_*`).
+    *
+    * @param tolerance maximum lookback (à la pandas merge_asof): a
+    *   right row older than `leftTime - tolerance` does not match and
+    *   the payload comes back null. Requires a timestamp/long time
+    *   column.
     */
   def sortMerge(left: DataFrame, right: DataFrame, timeCol: String,
-      keys: Seq[String], payload: Seq[String]): DataFrame = {
+      keys: Seq[String], payload: Seq[String],
+      tolerance: Option[java.time.Duration] = None): DataFrame = {
     val spark = left.sparkSession
     PlanBridge.ensureStrategy(spark, new AsOfJoinStrategy)
     // alias the right side's columns: fresh exprIds make self-joins
@@ -100,6 +106,7 @@ object AsOfJoin {
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
       attr(lPlan, timeCol), attr(rPlan, s"__r_$timeCol"),
-      payloadAttrs, payloadOut))
+      payloadAttrs, payloadOut,
+      toleranceUs = tolerance.map(d => d.toNanos / 1000)))
   }
 }

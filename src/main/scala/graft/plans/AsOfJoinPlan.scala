@@ -37,7 +37,8 @@ final case class AsOfJoinNode(
     leftTime: Attribute,
     rightTime: Attribute,
     payload: Seq[Attribute],
-    payloadOut: Seq[Attribute]) extends BinaryNode {
+    payloadOut: Seq[Attribute],
+    toleranceUs: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -55,7 +56,8 @@ final class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
-        n.payload, n.payloadOut, planLater(n.left), planLater(n.right)) :: Nil
+        n.payload, n.payloadOut, n.toleranceUs,
+        planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
@@ -67,8 +69,22 @@ final case class AsOfJoinExec(
     rightTime: Attribute,
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
+    toleranceUs: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
+
+  // tolerance compares time values as raw longs — sound exactly for the
+  // types whose internal representation is a long ordinal
+  toleranceUs.foreach { t =>
+    require(t >= 0, s"as-of tolerance must be >= 0, got $t")
+    require(leftTime.dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"as-of tolerance requires a timestamp/long time column, " +
+      s"got ${leftTime.dataType}")
+  }
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -113,6 +129,8 @@ final case class AsOfJoinExec(
       val nullPayload = new GenericInternalRow(payloadExprs.length)
       val joined = new JoinedRow
 
+      val tol = toleranceUs.getOrElse(-1L)
+
       new Iterator[InternalRow] {
         // right-side lookahead
         private var rRow: InternalRow = _
@@ -121,6 +139,8 @@ final case class AsOfJoinExec(
         // last right row consumed whose key matched the group it was in
         private var heldKey: UnsafeRow = _
         private var heldPayload: UnsafeRow = _
+        private var heldTimeUs: Long = Long.MinValue
+        private var heldTimeNull: Boolean = true
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
@@ -146,12 +166,17 @@ final case class AsOfJoinExec(
             if (cmp == 0) {
               heldKey = rKey.copy()
               heldPayload = payloadProj(rRow).copy()
+              heldTimeNull = rTime.isNullAt(0)
+              heldTimeUs = if (heldTimeNull) Long.MinValue else rTime.getLong(0)
             }
             advanceRight()
             cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
           }
           val matched =
-            heldKey != null && keyOrd.compare(heldKey, lKey) == 0
+            heldKey != null && keyOrd.compare(heldKey, lKey) == 0 &&
+              (tol < 0 ||
+                (!heldTimeNull && !lTime.isNullAt(0) &&
+                  lTime.getLong(0) - heldTimeUs <= tol))
           outProj(joined(l, if (matched) heldPayload else nullPayload))
         }
       }

@@ -83,6 +83,34 @@ object TemporalQueries {
           (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') err
           ON e.user_id = err.user_id AND e.ts >= err.ts""")),
 
+    // ---- bounded-lookback as-of (merge_asof tolerance): same join,
+    // but an error older than 10 minutes no longer explains the event.
+    // A backward match outside tolerance means NO match (anything
+    // earlier is older still), so the oracle just null-gates DuckDB's
+    // ASOF result on the age of the matched row.
+    GraftQuery(
+      "t06_asof_tolerance",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts", $"event_id".as("err_id"))
+        AsOfJoin.sortMerge(ev.select($"event_id", $"user_id", $"ts"), errors,
+          timeCol = "ts", keys = Seq("user_id"), payload = Seq("err_id"),
+          tolerance = Some(java.time.Duration.ofMinutes(10)))
+          .select($"event_id", $"user_id", $"ts", $"asof_err_id")
+      },
+      Some("""SELECT event_id, user_id, ts,
+          CASE WHEN ats IS NOT NULL AND ts - ats <= INTERVAL 10 MINUTE
+               THEN aid END AS asof_err_id
+        FROM (
+          SELECT e.event_id, e.user_id, e.ts, err.ts AS ats,
+                 err.event_id AS aid
+          FROM events e ASOF LEFT JOIN
+            (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'error') err
+            ON e.user_id = err.user_id AND e.ts >= err.ts)""")),
+
     // ---- sessionization in batch SQL form: gaps-and-islands with a
     // 30-minute gap; matches streaming session_window() semantics for
     // session starts/sizes.

@@ -89,6 +89,21 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 2, s"expected ≤2 shuffles, got ${shuffles.size}")
   }
 
+  test("sortMerge tolerance nulls out matches older than the lookback") {
+    val trades = Seq(
+      (1L, "A", ts(1)), (2L, "A", ts(5)), (3L, "A", ts(20))
+    ).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(("A", ts(0), 100L), ("A", ts(5), 105L))
+      .toDF("sym", "ts", "px")
+    val out = AsOfJoin.sortMerge(trades, quotes, "ts", Seq("sym"), Seq("px"),
+      tolerance = Some(java.time.Duration.ofMinutes(4)))
+      .select($"trade_id", $"asof_px").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L).contains(100L)) // 1 min back: within tolerance
+    assert(out(2L).contains(105L)) // exact-time match: zero age
+    assert(out(3L).isEmpty, "15-minute-old quote must not match")
+  }
+
   test("sortMerge ≡ union+window on randomized data (ties, nulls, skew)") {
     // differential property test: the custom physical operator must
     // agree with the built-ins formulation on adversarial inputs —
