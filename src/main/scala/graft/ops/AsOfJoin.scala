@@ -75,14 +75,18 @@ object AsOfJoin {
     * partition. Same column contract as [[apply]]; output column order
     * follows the left DataFrame (plus `asof_*`).
     *
-    * @param tolerance maximum lookback (à la pandas merge_asof): a
-    *   right row older than `leftTime - tolerance` does not match and
-    *   the payload comes back null. Requires a timestamp/long time
-    *   column.
+    * @param tolerance maximum lookback (or lookahead when `forward`),
+    *   à la pandas merge_asof: a right row further than `tolerance`
+    *   from the left time does not match and the payload comes back
+    *   null. Requires a timestamp/long time column.
+    * @param forward match the EARLIEST right row at-or-after the left
+    *   time (ties: smallest payload) instead of the latest at-or-before
+    *   (ties: greatest payload).
     */
   def sortMerge(left: DataFrame, right: DataFrame, timeCol: String,
       keys: Seq[String], payload: Seq[String],
-      tolerance: Option[java.time.Duration] = None): DataFrame = {
+      tolerance: Option[java.time.Duration] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     PlanBridge.ensureStrategy(spark, new AsOfJoinStrategy)
     // alias the right side's columns: fresh exprIds make self-joins
@@ -107,6 +111,7 @@ object AsOfJoin {
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
       attr(lPlan, timeCol), attr(rPlan, s"__r_$timeCol"),
       payloadAttrs, payloadOut,
-      toleranceUs = tolerance.map(d => d.toNanos / 1000)))
+      toleranceUs = tolerance.map(d => d.toNanos / 1000),
+      forward = forward))
   }
 }

@@ -38,7 +38,8 @@ final case class AsOfJoinNode(
     rightTime: Attribute,
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
-    toleranceUs: Option[Long] = None) extends BinaryNode {
+    toleranceUs: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -56,7 +57,7 @@ final class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
-        n.payload, n.payloadOut, n.toleranceUs,
+        n.payload, n.payloadOut, n.toleranceUs, n.forward,
         planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
@@ -70,6 +71,7 @@ final case class AsOfJoinExec(
     payload: Seq[Attribute],
     payloadOut: Seq[Attribute],
     toleranceUs: Option[Long],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -157,27 +159,44 @@ final case class AsOfJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTime = lTimeProj(l)
-          // consume right rows at-or-before (lKey, lTime); the LAST one
-          // with a matching key is the as-of match (sort order makes
-          // that the latest time, greatest payload)
-          var cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
-          while (rRow != null &&
-              (cmp < 0 || (cmp == 0 && timeOrd.compare(rTime, lTime) <= 0))) {
-            if (cmp == 0) {
-              heldKey = rKey.copy()
-              heldPayload = payloadProj(rRow).copy()
-              heldTimeNull = rTime.isNullAt(0)
-              heldTimeUs = if (heldTimeNull) Long.MinValue else rTime.getLong(0)
+          if (forward) {
+            // skip right rows strictly before (lKey, lTime); the
+            // lookahead itself is then the first at-or-after row —
+            // earliest time, smallest payload on ties, by sort order
+            var cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+            while (rRow != null &&
+                (cmp < 0 || (cmp == 0 && timeOrd.compare(rTime, lTime) < 0))) {
+              advanceRight()
+              cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
             }
-            advanceRight()
-            cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
-          }
-          val matched =
-            heldKey != null && keyOrd.compare(heldKey, lKey) == 0 &&
+            val matched = rRow != null && cmp == 0 &&
               (tol < 0 ||
-                (!heldTimeNull && !lTime.isNullAt(0) &&
-                  lTime.getLong(0) - heldTimeUs <= tol))
-          outProj(joined(l, if (matched) heldPayload else nullPayload))
+                (!rTime.isNullAt(0) && !lTime.isNullAt(0) &&
+                  rTime.getLong(0) - lTime.getLong(0) <= tol))
+            outProj(joined(l, if (matched) payloadProj(rRow) else nullPayload))
+          } else {
+            // consume right rows at-or-before (lKey, lTime); the LAST
+            // one with a matching key is the as-of match (sort order
+            // makes that the latest time, greatest payload)
+            var cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+            while (rRow != null &&
+                (cmp < 0 || (cmp == 0 && timeOrd.compare(rTime, lTime) <= 0))) {
+              if (cmp == 0) {
+                heldKey = rKey.copy()
+                heldPayload = payloadProj(rRow).copy()
+                heldTimeNull = rTime.isNullAt(0)
+                heldTimeUs = if (heldTimeNull) Long.MinValue else rTime.getLong(0)
+              }
+              advanceRight()
+              cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
+            }
+            val matched =
+              heldKey != null && keyOrd.compare(heldKey, lKey) == 0 &&
+                (tol < 0 ||
+                  (!heldTimeNull && !lTime.isNullAt(0) &&
+                    lTime.getLong(0) - heldTimeUs <= tol))
+            outProj(joined(l, if (matched) heldPayload else nullPayload))
+          }
         }
       }
     }

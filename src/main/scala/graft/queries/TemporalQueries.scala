@@ -111,6 +111,27 @@ object TemporalQueries {
              WHERE event_type = 'error') err
             ON e.user_id = err.user_id AND e.ts >= err.ts)""")),
 
+    // ---- forward as-of: every event gets the NEXT error at-or-after
+    // it per user (the "time to next failure" primitive). Same custom
+    // operator, direction flipped — the merge's lookahead row IS the
+    // match, no held state.
+    GraftQuery(
+      "t07_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts", $"event_id".as("err_id"))
+        AsOfJoin.sortMerge(ev.select($"event_id", $"user_id", $"ts"), errors,
+          timeCol = "ts", keys = Seq("user_id"), payload = Seq("err_id"),
+          forward = true)
+          .select($"event_id", $"user_id", $"ts", $"asof_err_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, e.ts, err.event_id AS asof_err_id
+        FROM events e ASOF LEFT JOIN
+          (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') err
+          ON e.user_id = err.user_id AND e.ts <= err.ts""")),
+
     // ---- sessionization in batch SQL form: gaps-and-islands with a
     // 30-minute gap; matches streaming session_window() semantics for
     // session starts/sizes.

@@ -104,6 +104,33 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out(3L).isEmpty, "15-minute-old quote must not match")
   }
 
+  test("sortMerge forward matches the earliest at-or-after right row") {
+    val trades = Seq(
+      (1L, "A", ts(1)), (2L, "A", ts(5)), (3L, "A", ts(9)),
+      (4L, "B", ts(3)), (5L, "B", ts(5))
+    ).toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts(0), 100L), ("A", ts(5), 105L), ("A", ts(8), 108L),
+      ("B", ts(4), 200L)
+    ).toDF("sym", "ts", "px")
+    val out = AsOfJoin.sortMerge(trades, quotes, "ts", Seq("sym"), Seq("px"),
+      forward = true)
+      .select($"trade_id", $"asof_px").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L).contains(105L)) // next quote after ts(1)
+    assert(out(2L).contains(105L)) // exact-time match
+    assert(out(3L).isEmpty, "no quote at-or-after ts(9)")
+    assert(out(4L).contains(200L))
+    assert(out(5L).isEmpty)
+    // forward + tolerance: the ts(5) quote is 4 min ahead of trade 1
+    val tight = AsOfJoin.sortMerge(trades, quotes, "ts", Seq("sym"), Seq("px"),
+      tolerance = Some(java.time.Duration.ofMinutes(3)), forward = true)
+      .select($"trade_id", $"asof_px").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(tight(1L).isEmpty, "4-minute lookahead exceeds 3-minute tolerance")
+    assert(tight(2L).contains(105L))
+  }
+
   test("sortMerge ≡ union+window on randomized data (ties, nulls, skew)") {
     // differential property test: the custom physical operator must
     // agree with the built-ins formulation on adversarial inputs —
