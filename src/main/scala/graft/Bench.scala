@@ -16,10 +16,12 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
-    // steady-state timing: best of 2 runs per query, so one-off codegen
-    // compilation / page-cache effects aren't billed to the operator
+    // steady-state timing: best of N runs per query (default 3), so
+    // one-off codegen compilation / page-cache effects and scheduler
+    // noise aren't billed to the operator
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
