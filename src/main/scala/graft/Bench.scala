@@ -19,7 +19,8 @@ object Bench {
     // steady-state timing: best of N runs per query (default 3), so
     // one-off codegen compilation / page-cache effects and scheduler
     // noise aren't billed to the operator
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -111,7 +111,12 @@ object AsOfJoin {
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__r_$k")),
       attr(lPlan, timeCol), attr(rPlan, s"__r_$timeCol"),
       payloadAttrs, payloadOut,
-      toleranceUs = tolerance.map(d => d.toNanos / 1000),
+      // saturate rather than throw for "effectively unbounded" durations
+      // (Duration.toNanos overflows past ~292 years)
+      toleranceUs = tolerance.map { d =>
+        try d.toNanos / 1000
+        catch { case _: ArithmeticException => Long.MaxValue }
+      },
       forward = forward))
   }
 }

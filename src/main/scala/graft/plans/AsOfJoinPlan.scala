@@ -75,16 +75,22 @@ final case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  // tolerance compares time values as raw longs — sound exactly for the
-  // types whose internal representation is a long ordinal
+  // the merge compares the two time columns with one ordering — they
+  // must be the same type, tolerance or not
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time columns must share a type, got ${leftTime.dataType} " +
+      s"vs ${rightTime.dataType}")
+  // tolerance compares time values as raw long MICROSECONDS — sound
+  // exactly for the timestamp types whose internal representation is
+  // micros (a bare LongType column has arbitrary units; pre-convert to
+  // a timestamp to use tolerance)
   toleranceUs.foreach { t =>
     require(t >= 0, s"as-of tolerance must be >= 0, got $t")
     require(leftTime.dataType match {
       case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType |
-           org.apache.spark.sql.types.LongType => true
+           org.apache.spark.sql.types.TimestampNTZType => true
       case _ => false
-    }, s"as-of tolerance requires a timestamp/long time column, " +
+    }, s"as-of tolerance requires a timestamp time column, " +
       s"got ${leftTime.dataType}")
   }
 
@@ -118,6 +124,10 @@ final case class AsOfJoinExec(
     val rOut = right.output
     val payloadExprs = payload
     val outExprs = output
+    // snapshot to locals: field reads inside the partition closure would
+    // capture (and serialize) the whole plan node per task
+    val tol = toleranceUs.getOrElse(-1L)
+    val fwd = forward
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
@@ -130,8 +140,6 @@ final case class AsOfJoinExec(
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
       val nullPayload = new GenericInternalRow(payloadExprs.length)
       val joined = new JoinedRow
-
-      val tol = toleranceUs.getOrElse(-1L)
 
       new Iterator[InternalRow] {
         // right-side lookahead
@@ -159,19 +167,21 @@ final case class AsOfJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTime = lTimeProj(l)
-          if (forward) {
+          if (fwd) {
             // skip right rows strictly before (lKey, lTime); the
             // lookahead itself is then the first at-or-after row —
-            // earliest time, smallest payload on ties, by sort order
+            // earliest time, smallest payload on ties, by sort order.
+            // A null left time matches nothing (mirrors `ts <= err.ts`
+            // SQL semantics, where NULL never compares true).
             var cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
             while (rRow != null &&
                 (cmp < 0 || (cmp == 0 && timeOrd.compare(rTime, lTime) < 0))) {
               advanceRight()
               cmp = if (rRow == null) 1 else keyOrd.compare(rKey, lKey)
             }
-            val matched = rRow != null && cmp == 0 &&
+            val matched = rRow != null && cmp == 0 && !lTime.isNullAt(0) &&
               (tol < 0 ||
-                (!rTime.isNullAt(0) && !lTime.isNullAt(0) &&
+                (!rTime.isNullAt(0) &&
                   rTime.getLong(0) - lTime.getLong(0) <= tol))
             outProj(joined(l, if (matched) payloadProj(rRow) else nullPayload))
           } else {

@@ -3,6 +3,7 @@ package graft.ops
 import graft.SparkSpec
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
 
 class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   import spark.implicits._
@@ -155,6 +156,49 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
         s"round $round: formulations diverge")
       assert(b.count() == 400, s"round $round: left rows must be preserved")
+    }
+  }
+
+  test("sortMerge ≡ brute-force reference across direction × tolerance") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(8).toLong, ts(rnd.nextInt(50)))
+    }.toDF("l_id", "k", "ts")
+    val right = (1 to 200).map { i =>
+      (rnd.nextInt(10).toLong, ts(rnd.nextInt(50)),
+        if (rnd.nextInt(5) == 0) null else s"p${rnd.nextInt(6)}")
+    }.toDF("k", "ts", "payload")
+
+    for (fwd <- Seq(false, true); tolMin <- Seq(None, Some(7))) {
+      val custom = AsOfJoin.sortMerge(left, right, "ts", Seq("k"),
+          Seq("payload"),
+          tolerance = tolMin.map(m => java.time.Duration.ofMinutes(m.toLong)),
+          forward = fwd)
+        .select($"l_id", $"asof_payload")
+
+      // brute force: every in-window candidate, rank by the documented
+      // tie-break (backward: latest time then greatest payload, null
+      // last; forward: earliest time then smallest payload, null first)
+      val r = right.select($"k".as("rk"), $"ts".as("rts"), $"payload")
+      val timeCond =
+        if (fwd) unix_micros($"rts") >= unix_micros($"ts")
+        else unix_micros($"rts") <= unix_micros($"ts")
+      val tolCond = tolMin.map { m =>
+        abs(unix_micros($"rts") - unix_micros($"ts")) <= m * 60L * 1000000L
+      }.getOrElse(lit(true))
+      val ord = if (fwd) Seq($"rts".asc, $"payload".asc_nulls_first)
+                else Seq($"rts".desc, $"payload".desc_nulls_last)
+      val w = Window.partitionBy($"l_id").orderBy(ord: _*)
+      val best = left.join(r, $"k" === $"rk" && timeCond && tolCond)
+        .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"l_id", $"payload".as("ref_payload"))
+      val reference = left.join(best, Seq("l_id"), "left")
+        .select($"l_id", $"ref_payload".as("asof_payload"))
+
+      assert(custom.exceptAll(reference).isEmpty &&
+        reference.exceptAll(custom).isEmpty,
+        s"diverges from brute force (forward=$fwd, tol=$tolMin)")
     }
   }
 
