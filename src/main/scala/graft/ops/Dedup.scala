@@ -180,6 +180,45 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs: the final step of corpus
+    * dedup — group transitively-linked near-duplicates and elect one
+    * representative (min id) per cluster, so "drop all but the rep"
+    * removes chains A~B~C even when A and C themselves don't pair.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels (one
+    * shuffle join + one aggregation per round); converges in
+    * O(cluster diameter) rounds — near-dup clusters are shallow, so
+    * this is 2-4 rounds in practice, bounded by `maxIter`. The
+    * driver-side loop only checks the per-round change COUNT (a
+    * scalar), never collects data. At 100 TB-scale iteration counts,
+    * swap the per-round persist for checkpointing to truncate lineage.
+    *
+    * Input: (id_a, id_b) pairs. Output: (doc_id, cluster_rep) for every
+    * doc that appears in at least one pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = Staged(pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+    var labels = Staged(edges.select(col("u").as("id")).distinct()
+      .withColumn("lab", col("id")))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = edges.join(labels, edges("u") === labels("id"))
+        .select(col("v").as("id"), col("lab"))
+      val next = Staged(labels.unionByName(nbr)
+        .groupBy("id").agg(min("lab").as("lab")))
+      changed = labels.join(next.withColumnRenamed("lab", "nl"), "id")
+        .where(col("lab") =!= col("nl")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_rep"))
+  }
+
   /** Exact n-gram Jaccard similarity join within a blocking key, via
     * prefix filtering (PPJoin-style): two sets with jaccard >= t must
     * share an element among the first |h| - ceil(t·|h|) + 1 elements of

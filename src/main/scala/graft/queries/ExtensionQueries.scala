@@ -414,6 +414,39 @@ object ExtensionQueries {
           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
           round(CAST(sum(n_tok) AS DOUBLE) / 2048, 6) AS utilization
         FROM packed GROUP BY lang, pack_id""")
+    ),
+
+    // ---- near-dup clustering: MinHash-LSH pairs → connected
+    // components → one representative per transitive cluster. The
+    // oracle recomputes the same exact-Jaccard pair set (as x03) and
+    // closes it with a recursive CTE.
+    GraftQuery(
+      "x20_dedup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.minHashLsh(
+          Tables(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        Dedup.connectedComponents(pairs)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s FROM toks),
+          nz AS (SELECT * FROM sh WHERE len(s) > 0),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT u AS id FROM edges),
+          reach AS (
+            WITH RECURSIVE r(id, lab) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.v, r.lab FROM r JOIN edges e ON e.u = r.id
+            ) SELECT * FROM r)
+        SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY id""")
     )
   )
 }

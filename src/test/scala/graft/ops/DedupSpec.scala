@@ -77,4 +77,18 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L))) // only the exact dup survives 0.99
   }
+
+  test("connected components cluster transitive chains, keep min-id rep") {
+    // chain 1-2-3 (1~2, 2~3 but never 1~3), separate pair 7-9, plus a
+    // star 10-{11,12}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (10L, 11L), (10L, 12L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // drop-all-but-rep removes the chain ends even though they never
+    // paired directly
+    assert(cc.count { case (id, rep) => id != rep } == 5)
+  }
 }
