@@ -196,8 +196,27 @@ object Dedup {
     *
     * Input: (id_a, id_b) pairs. Output: (doc_id, cluster_rep) for every
     * doc that appears in at least one pair.
+    *
+    * Convergence is VERIFIED, never assumed: if `maxIter` rounds exhaust
+    * while labels are still changing (a cluster whose diameter exceeds
+    * `maxIter` — e.g. an adversarial chain corpus), the labels are only
+    * partially propagated and returning them would silently mislabel
+    * clusters. `strict=true` (default) raises instead; `strict=false`
+    * logs a warning and returns the partial labels for callers that
+    * prefer a best-effort answer.
+    *
+    * Every `checkpointInterval` rounds the label table is
+    * `localCheckpoint`ed: the plan otherwise accumulates one join+agg
+    * per round and both Catalyst analysis time and RDD lineage grow
+    * unboundedly at high iteration counts. (On a real cluster with a
+    * fault-tolerance requirement, swap for reliable `checkpoint` with a
+    * checkpoint dir — same seam.)
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      checkpointInterval: Int = 8,
+      strict: Boolean = true): DataFrame = {
     val edges = Staged(pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
@@ -208,13 +227,25 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val nbr = edges.join(labels, edges("u") === labels("id"))
         .select(col("v").as("id"), col("lab"))
-      val next = Staged(labels.unionByName(nbr)
-        .groupBy("id").agg(min("lab").as("lab")))
+      val merged = labels.unionByName(nbr)
+        .groupBy("id").agg(min("lab").as("lab"))
+      // localCheckpoint persists internally, so checkpointed rounds skip
+      // the Staged persist (persist-after-checkpoint would throw on the
+      // storage-level change)
+      val next = if ((i + 1) % checkpointInterval == 0) merged.localCheckpoint()
+                 else Staged(merged)
       changed = labels.join(next.withColumnRenamed("lab", "nl"), "id")
         .where(col("lab") =!= col("nl")).count()
       labels.unpersist(blocking = false)
       labels = next
       i += 1
+    }
+    if (changed > 0) {
+      val msg = s"connectedComponents did not converge: $changed labels still " +
+        s"changing after $maxIter rounds (a cluster's diameter exceeds maxIter); " +
+        "labels are partially propagated"
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_rep"))
   }

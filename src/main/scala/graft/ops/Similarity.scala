@@ -41,7 +41,9 @@ object Similarity {
       roundTo: Int = 6): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(query.select(col(vecCol).as("query_vec")))
-    corpus.crossJoin(q)
+    // zero-norm corpus vectors have no cosine (0/0 = NaN, and Spark
+    // orders NaN above every number — the top-k would lead with NaN rows)
+    corpus.where(l2Norm(col(vecCol)) > 0).crossJoin(q)
       .select(col(idCol),
         round(cosine(col(vecCol), col("query_vec")), roundTo).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
@@ -170,8 +172,10 @@ object Similarity {
       roundTo: Int = 6): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val planes = hyperplanes(nBits, resolveDim(corpus, vecCol, dim), seed)
-    val bucketed = corpus.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), planes).as("bucket"))
+    // zero-norm vectors excluded for the same NaN reason as bruteForceTopK
+    val bucketed = corpus.where(l2Norm(col(vecCol)) > 0)
+      .select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), planes).as("bucket"))
     // query bucket + its nBits hamming-1 neighbors
     val probes = query
       .select(col(vecCol).as("query_vec"), lshBucket(col(vecCol), planes).as("qb"))

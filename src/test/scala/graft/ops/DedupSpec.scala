@@ -91,4 +91,27 @@ class DedupSpec extends SparkSpec {
     // paired directly
     assert(cc.count { case (id, rep) => id != rep } == 5)
   }
+
+  test("connected components: non-convergence raises instead of mislabeling") {
+    // a 12-node path has diameter 11 — min-label propagation cannot
+    // finish in 3 rounds, and partial labels would silently mislabel
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // strict=false: best-effort partial labels come back (with a log
+    // warning), every node still present
+    val partial = Dedup.connectedComponents(chain, maxIter = 3, strict = false)
+    assert(partial.count() == 12)
+  }
+
+  test("connected components: deep chain converges through checkpoints") {
+    // diameter 29 forces many rounds through the localCheckpoint seam
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 40, checkpointInterval = 5)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 30)
+    assert(cc.forall(_._2 == 0L), "all nodes must take the chain-min label")
+  }
 }

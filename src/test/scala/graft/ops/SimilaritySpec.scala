@@ -44,6 +44,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall too low")
   }
 
+  test("zero-norm corpus vectors never reach top-k (NaN guard)") {
+    // cosine(zero, q) = 0/0 = NaN, which Spark orders ABOVE every number:
+    // without the norm guard the zero vector would lead the ranking
+    val dim = 64
+    val zero = Seq((9999L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val poisoned = emb.select("vec_id", "embedding").unionByName(zero)
+    val query = emb.filter($"vec_id" === 7L)
+    val bf = Similarity.bruteForceTopK(poisoned, query, "vec_id", "embedding", k = 10)
+      .select("vec_id").as[Long].collect()
+    assert(bf.length == 10 && !bf.contains(9999L))
+    assert(bf.head == 7L, "self-similarity must still rank first")
+    val lsh = Similarity.lshTopK(poisoned, query, "vec_id", "embedding", k = 10, nBits = 6)
+      .select("vec_id").as[Long].collect()
+    assert(!lsh.contains(9999L))
+  }
+
   test("blocked cosine pairs are symmetric-free and above threshold") {
     val pairs = Similarity.cosinePairsBlocked(
       emb, "vec_id", "embedding", "label", threshold = 0.3)
