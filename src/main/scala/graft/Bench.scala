@@ -21,13 +21,26 @@ object Bench {
     // noise aren't billed to the operator
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3))
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated name filter for iterating on one query
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = filter match {
+      case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
+      case None => SparkEntry.queries
+    }
+    // full materialization via toRdd: a SQL count() on top lets Catalyst
+    // prune the query's own projections/windows out of the measured plan
+    // (a windowed query benched ~5x too fast that way), so execute the
+    // complete physical plan instead
+    def run1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).queryExecution.toRdd.count()
+    val results = selected.map { case (name, fn) =>
       // one untimed warm-up so codegen/JIT compilation and staged-persist
       // materialization aren't billed to the first timed run
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { run1(fn) } catch { case _: Throwable => () }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { run1(fn) } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       // unpersist this query's staged intermediates before the next query
