@@ -41,6 +41,65 @@ object Ivf {
     })
   }
 
+  /** Materialize an index as a partition-pruned on-disk table: the
+    * assigned corpus partitioned by `cluster`, centroids alongside. A
+    * probe over the reloaded index reads ONLY the nprobe matching
+    * directories (PartitionFilters on the parquet scan) — the 100 TB
+    * shape, where the index outlives the session and a query touches
+    * nprobe/k of the corpus bytes.
+    */
+  def writeIndex(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/assigned")
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload a written index. `assigned` comes back as a plain
+    * partitioned parquet relation, so `cluster` predicates prune
+    * partitions on the scan.
+    */
+  def readIndex(spark: SparkSession, path: String): Index = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray)
+    Index(cents, spark.read.parquet(s"$path/assigned"))
+  }
+
+  /** Disk-backed build-once: reuse the index table at `path` when its
+    * completion marker exists, else fit + write + reload. Safe against
+    * a half-written index from a killed run (the marker is written
+    * last).
+    */
+  def buildPersistent(df: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int = 16, seed: Long = 42L): Index = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_INDEX_OK")
+    if (!fs.exists(marker)) {
+      writeIndex(build(df, idCol, vecCol, k, seed), path)
+      fs.create(marker, true).close()
+    }
+    readIndex(spark, path)
+  }
+
+  /** [[buildPersistent]] memoized per (session, path, params): repeat
+    * queries skip the centroid re-read; the assigned scan stays lazy
+    * and partition-pruned (nothing pinned in executor memory).
+    */
+  def buildPersistentCached(df: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int = 16, seed: Long = 42L): Index = {
+    val sessionTag = System.identityHashCode(df.sparkSession)
+    cache.entrySet().removeIf(e =>
+      e.getValue.assigned.sparkSession.sparkContext.isStopped)
+    cache.computeIfAbsent(s"$sessionTag|disk|$path|$idCol|$vecCol|$k|$seed",
+      _ => buildPersistent(df, path, idCol, vecCol, k, seed))
+  }
+
   /** Fit centroids and assign every row to its cell. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, seed: Long = 42L): Index = {

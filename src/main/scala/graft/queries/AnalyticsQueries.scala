@@ -69,13 +69,17 @@ object AnalyticsQueries {
               generate_subscripts(embedding, 1) AS pos FROM embeddings)
         GROUP BY label, dim""")),
 
-    // ---- IVF approximate top-k (KMeans cells + nprobe search).
+    // ---- IVF approximate top-k (KMeans cells + nprobe search). The
+    // index is a PERSISTED table partitioned by cluster — the probe's
+    // scan shows PartitionFilters and reads nprobe/k of the corpus.
     GraftQuery(
       "a04_sim_ivf_topk",
       (s, dir) => {
         import s.implicits._
         val e = Tables(s, dir, "embeddings")
-        val index = Ivf.buildCached(e, cacheKey = dir, "vec_id", "embedding", k = 16)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-$tag-k16"
+        val index = Ivf.buildPersistentCached(e, path, "vec_id", "embedding", k = 16)
         Ivf.topK(index, e.filter($"vec_id" === 0L), "vec_id", "embedding", k = 50)
       },
       None,

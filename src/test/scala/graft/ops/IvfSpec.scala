@@ -28,4 +28,37 @@ class IvfSpec extends SparkSpec {
     assert(approx.contains(0L), "query must find itself")
     assert(recall >= 0.4, s"recall $recall too low for nprobe=half the cells")
   }
+
+  test("persisted index round-trips and the probe scan partition-prunes") {
+    val e = Tables(spark, sf, "embeddings")
+    val query = e.filter($"vec_id" === 3L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    val mem = Ivf.build(e, "vec_id", "embedding", k = 8)
+    val disk = Ivf.buildPersistent(e, dir, "vec_id", "embedding", k = 8)
+    // identical centroids and identical search results after reload
+    assert(disk.centroids.map(_.toSeq).toSeq == mem.centroids.map(_.toSeq).toSeq)
+    val memTop = Ivf.topK(mem, query, "vec_id", "embedding", 20, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    val diskTop = Ivf.topK(disk, query, "vec_id", "embedding", 20, nprobe = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(diskTop == memTop)
+    // the probe reads only the nprobe matching partitions: the scan
+    // carries a cluster partition filter and selects <= nprobe dirs
+    val probePlan = Ivf.topK(disk, query, "vec_id", "embedding", 20, nprobe = 3)
+      .queryExecution.executedPlan match {
+        // AQE wraps the real plan in a leaf-like adaptive node
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+    val scans = probePlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val indexScan = scans.find(_.partitionFilters.exists(_.references.exists(_.name == "cluster")))
+    assert(indexScan.isDefined, s"no partition-pruned index scan in:\n$probePlan")
+    assert(indexScan.get.selectedPartitions.partitionCount <= 3,
+      "scan must touch at most nprobe partitions")
+    // second build call must reuse the on-disk index, not refit
+    val again = Ivf.buildPersistent(e, dir, "vec_id", "embedding", k = 8)
+    assert(again.centroids.map(_.toSeq).toSeq == mem.centroids.map(_.toSeq).toSeq)
+  }
 }
