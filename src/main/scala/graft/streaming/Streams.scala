@@ -99,6 +99,44 @@ object Streams {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
   }
 
+  /** Streaming as-of join: for every left event, the payload of the
+    * LATEST right row with `rTime <= lTime` within `lookback` on the
+    * same key — the batch as-of with tolerance
+    * ([[graft.ops.AsOfJoin.sortMerge]] t06 semantics; ties on time
+    * break by greatest payload, matching the batch operator).
+    *
+    * A FINITE lookback is mandatory in a stream: it is exactly what
+    * bounds the join state (batch's unbounded lookback would mean
+    * remembering every right row forever). Formulation: two chained
+    * stateful operators — a time-bounded stream-stream LEFT OUTER join
+    * (unmatched left rows emit once the watermark closes them), then a
+    * per-left-row max_by aggregation selecting the latest matching
+    * right row. Append mode is legal because the grouping keys include
+    * the watermarked left event time.
+    */
+  def asOfStream(left: DataFrame, right: DataFrame, key: String,
+      timeCol: String, payloadCol: String,
+      lookback: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(timeCol, watermark).alias("l")
+    val r = right.withWatermark(timeCol, watermark).alias("r")
+    val lTs = col(s"l.$timeCol")
+    val rTs = col(s"r.$timeCol")
+    val joined = l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        rTs <= lTs && rTs >= lTs - expr(s"INTERVAL $lookback"),
+      "left_outer")
+    val leftCols = left.columns.toSeq.map(c => col(s"l.$c"))
+    // max_by ignores rows whose ordering expression is null, so the
+    // left-outer null row (and nothing else) never wins; ordering by
+    // (time, payload) reproduces the batch tie-break
+    joined
+      .groupBy(leftCols: _*)
+      .agg(max_by(col(s"r.$payloadCol"),
+        when(rTs.isNotNull, struct(rTs, col(s"r.$payloadCol"))))
+        .as(s"asof_$payloadCol"))
+  }
+
   /** L1 streaming load: route every micro-batch through a batch
     * [[GraftSink]] — upsert semantics and consistency checks carry over
     * unchanged (exactly-once per sink idempotence).

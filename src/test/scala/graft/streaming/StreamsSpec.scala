@@ -144,6 +144,67 @@ class StreamsSpec extends SparkSpec {
     assert(back.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming as-of over the real fixture equals the batch tolerance as-of") {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-asof")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    def streamIn = spark.readStream.schema(sch).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val leftS = streamIn.select($"event_id", $"user_id", $"ts")
+    val rightS = streamIn.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("err_id"))
+    val joined = Streams.asOfStream(leftS, rightS, key = "user_id",
+      timeCol = "ts", payloadCol = "err_id",
+      lookback = "10 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits left rows the watermark has closed; a
+      // far-future dummy event advances it past the whole fixture
+      val batchEv = graft.sources.Tables(spark, sf, "events")
+      val maxNs = batchEv.select(max(unix_micros($"ts"))).head().getLong(0) * 1000L
+      // watermarks propagate one batch late through the chained join +
+      // agg operators, so two successive dummies (each its own batch)
+      // are needed to close every fixture group. They must be "error"
+      // rows: the right stream filters on event_type, and a watermark
+      // only advances on rows that REACH it — a non-error dummy would
+      // leave the right (and thus the global min) watermark pinned at
+      // the last fixture error.
+      for (h <- Seq(2L, 4L)) {
+        val tmpOut = java.nio.file.Files.createTempDirectory("graft-asof-dummy")
+        Seq((999999990L + h, maxNs + 3600L * h * 1000000000L, 1L, "error", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        // the file source watches dir non-recursively: drop the part file in
+        val part = java.nio.file.Files.list(tmpOut)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(part, dir.resolve(s"zz-late-dummy-$h.parquet"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("asof_stream")
+      .where($"event_id" < 999999990L) // exclude the watermark dummies
+      .select($"event_id", $"asof_err_id").as[(Long, Option[Long])].collect().toSet
+    val batchEv = graft.sources.Tables(spark, sf, "events")
+    val batch = graft.ops.AsOfJoin.sortMerge(
+      batchEv.select($"event_id", $"user_id", $"ts"),
+      batchEv.filter($"event_type" === "error")
+        .select($"user_id", $"ts", $"event_id".as("err_id")),
+      timeCol = "ts", keys = Seq("user_id"), payload = Seq("err_id"),
+      tolerance = Some(java.time.Duration.ofMinutes(10)))
+      .select($"event_id", $"asof_err_id").as[(Long, Option[Long])].collect().toSet
+    assert(streamed.nonEmpty)
+    // every fixture event must have emitted and agree with batch
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("stream-stream join matches pairs within the time bound") {
     val clicks = MemoryStream[EventRow](spark)
     val buys = MemoryStream[EventRow](spark)
