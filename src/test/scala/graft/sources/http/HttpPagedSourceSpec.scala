@@ -172,6 +172,31 @@ class HttpPagedSourceSpec extends SparkSpec {
     assert(MockTransport.requests.nonEmpty)
   }
 
+  test("pushdown: cursor mode stops early on a pushed page upper bound") {
+    MockTransport.reset()
+    // a cursor chain can't be entered mid-way (no lower-bound skip), but
+    // a pushed upper bound caps the walk: pages [0, 4) fetched, not 10
+    val got = read("http://mock.local/api?mock_total=250",
+      Map("pagination.cursor" -> "true"))
+      .where($"page" < 4)
+      .select($"page", length($"body").as("len"))
+      .collect()
+    assert(got.map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(MockTransport.requests.size == 4,
+      s"cursor walk must stop at the pushed bound, saw ${MockTransport.requests.size} fetches")
+    // lower bound alone cannot shrink the cursor walk: all 10 fetched,
+    // residual filter trims the output
+    MockTransport.reset()
+    val lower = read("http://mock.local/api?mock_total=250",
+      Map("pagination.cursor" -> "true"))
+      .where($"page" >= 7)
+      .select($"page", length($"body").as("len"))
+      .collect()
+    assert(lower.map(_.getInt(0)).sorted.toSeq == Seq(7, 8, 9))
+    assert(MockTransport.requests.size == 10,
+      "cursor mode cannot skip ahead; the chain must be walked from 0")
+  }
+
   test("cursor pagination follows next_offset and stops at server end") {
     MockTransport.reset()
     // server has only 120 records; the planner budgets 10 pages, but the
