@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Benchmark decontamination: find (and remove) training documents that
+  * share token n-grams with an evaluation/benchmark corpus — the
+  * standard guard against test-set leakage in LLM training data.
+  *
+  * 100 TB shape: the benchmark side is small (eval suites are 1e5-1e7
+  * n-grams), so its DISTINCT n-gram hash set broadcasts; the corpus
+  * side streams through one explode + broadcast hash join with
+  * map-side partial counts — the 100 TB corpus is never shuffled on
+  * n-grams and never self-joined. n-grams travel as 64-bit hashes
+  * ([[Dedup.shingleHashSet]]'s native expression), never as strings.
+  */
+object Decontam {
+
+  /** Per-document overlap report: (id, n_overlap) for every training
+    * doc sharing at least one distinct token n-gram with `bench`.
+    */
+  def overlaps(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val dHash = docs.select(col(idCol),
+      explode(Dedup.shingleHashSet(col(textCol), n)).as("h"))
+    val bHash = bench
+      .select(explode(Dedup.shingleHashSet(col(textCol), n)).as("h"))
+      .distinct()
+    dHash.join(broadcast(bHash), "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** The clean corpus: training docs with NO n-gram overlap with
+    * `bench` (broadcast anti-join through [[overlaps]]'s hash set).
+    */
+  def removeContaminated(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame =
+    docs.join(overlaps(docs, bench, idCol, textCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -447,6 +447,65 @@ object ExtensionQueries {
             ) SELECT * FROM r)
         SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
         FROM reach GROUP BY id""")
+    ),
+
+    // ---- benchmark decontamination: training docs sharing any token
+    // 5-gram with the benchmark subset (doc_id % 11 == 0 stands in for
+    // an eval suite). The op joins on 64-bit n-gram hashes against a
+    // broadcast benchmark set; the oracle recomputes with string
+    // n-grams — identical counts modulo 64-bit collisions (~1e-9).
+    GraftQuery(
+      "x21_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Decontam.overlaps(
+          docs.filter($"doc_id" % 11 =!= 0),
+          docs.filter($"doc_id" % 11 === 0),
+          "doc_id", "text", n = 5)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' ||
+                 t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                 FOR i IN range(1, greatest(len(t) - 3, 1))]) AS s FROM toks),
+          bn AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 11 = 0),
+          dn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 11 <> 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM dn JOIN bn USING (g) GROUP BY doc_id""")
+    ),
+
+    // ---- intra-document repetition score (Gopher-style repetition
+    // filter): fraction of a doc's token trigrams that are repeats.
+    // One narrow projection, no shuffle; the distinct count rides the
+    // same native shingle expression the dedup family uses.
+    GraftQuery(
+      "x22_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val t = TextAnalysis.tokens($"text")
+        val total = greatest(size(t) - 2, lit(0))
+        val dist = size(Dedup.shingleHashSet($"text", 3))
+        Tables(s, dir, "documents").select(
+          $"doc_id",
+          total.as("n_ngrams"),
+          dist.as("n_distinct"),
+          round(when(total > 0,
+            lit(1.0) - dist.cast("double") / total.cast("double"))
+            .otherwise(0.0), 6).as("repetition"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          sh AS (SELECT doc_id, greatest(len(t) - 2, 0) AS n_ngrams,
+            len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              FOR i IN range(1, greatest(len(t) - 1, 1))])) AS n_distinct
+            FROM toks)
+        SELECT doc_id, CAST(n_ngrams AS INT) AS n_ngrams,
+          CAST(n_distinct AS INT) AS n_distinct,
+          round(CASE WHEN n_ngrams > 0
+            THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams
+            ELSE 0.0 END, 6) AS repetition
+        FROM sh""")
     )
   )
 }

@@ -24,12 +24,37 @@ final case class GraftQuery(
 /** Shared helpers for oracle-deterministic aggregation. */
 object Q {
   /** Order-independent sum of a double column that lives on a 10^-scale
-    * decimal grid: cast each value to DECIMAL (exact), sum exactly, cast
-    * back to DOUBLE. Identical bits in Spark and DuckDB regardless of
-    * partitioning / accumulation order.
+    * decimal grid: round each value onto the grid (exact), sum exactly,
+    * cast back to DOUBLE. Identical bits in Spark and DuckDB regardless
+    * of partitioning / accumulation order.
+    *
+    * NOT implemented as `sum(cast(c as decimal(18,s)))`: Sum widens the
+    * buffer to decimal(28,s), past the long-backed 18-digit range, so
+    * every row pays a BigDecimal add (and the double→decimal cast
+    * allocates another BigDecimal per row) — measured 10× over a double
+    * sum. Instead this extends Spark's own DecimalAggregates rewrite
+    * (which requires precision ≤ 8) overflow-safely to wide values:
+    *  - recover the exact scaled integer v = value·10^s in pure FP:
+    *    c·10^s is a correctly-rounded product, so for on-grid values
+    *    with |v| < ~4.5e15 its error is strictly < 0.5 and
+    *    floor(c·10^s + 0.5) = v exactly (sign-independent — no
+    *    half-boundary exists on-grid);
+    *  - split v = hi·2²⁰ + lo and sum hi/lo as plain longs (codegen'd,
+    *    exact, order-independent);
+    *  - recombine per GROUP in decimal(38) and divide back.
+    * Every step is exact until the single final decimal→double
+    * rounding — bit-identical to the naive decimal sum for on-grid
+    * input. Overflow headroom is 2²⁰× a plain long sum
+    * (Σ|v| < 2⁸³ ≈ 9.7e24), far past 100 TB on cent/basis-point grids.
     */
-  def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+  def dsum(c: Column, scale: Int = 2): Column = {
+    val v = floor(c * lit(math.pow(10, scale)) + lit(0.5)).cast(LongType)
+    val hi = shiftright(v, 20)
+    val lo = v - hi * lit(1L << 20) // 0 <= lo < 2^20 (arithmetic shift floors)
+    val total = sum(hi).cast(DecimalType(38, 0)) * lit(1L << 20) +
+      sum(lo).cast(DecimalType(38, 0))
+    (total / lit(math.pow(10, scale).toLong)).cast(DoubleType)
+  }
 
   /** Deterministic average built from the exact decimal sum. */
   def davg(c: Column, scale: Int = 2): Column =

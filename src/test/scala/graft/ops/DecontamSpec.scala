@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val benchText = "the capital of france is paris and the capital " +
+    "of italy is rome while the capital of spain is madrid"
+
+  private lazy val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+
+  private lazy val docs = Seq(
+    // verbatim leak of a benchmark span (> 5 shared tokens)
+    (1L, "trivia corner the capital of france is paris which tourists love"),
+    // paraphrase sharing no 5-gram
+    (2L, "paris serves as the french capital and rome as the italian one"),
+    // unrelated
+    (3L, "spark shuffles partition data across executors during wide stages"),
+    // full benchmark copy
+    (4L, benchText)
+  ).toDF("doc_id", "text")
+
+  test("overlaps flags leaked docs with their n-gram counts, not paraphrases") {
+    val out = Decontam.overlaps(docs, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out.contains(1L), "verbatim span must be flagged")
+    assert(out.contains(4L), "full copy must be flagged")
+    assert(!out.contains(2L), "paraphrase shares no 5-gram")
+    assert(!out.contains(3L), "unrelated doc must not be flagged")
+    // the full copy shares every benchmark 5-gram; the span leak only some
+    assert(out(4L) > out(1L))
+    // doc 1 shares exactly the 5-grams inside "the capital of france is
+    // paris": 2 windows of 5 consecutive shared tokens (6 shared tokens)
+    assert(out(1L) == 2L)
+  }
+
+  test("removeContaminated keeps exactly the clean docs") {
+    val clean = Decontam.removeContaminated(docs, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(2L, 3L))
+  }
+
+  test("empty benchmark removes nothing") {
+    val clean = Decontam.removeContaminated(
+      docs, bench.limit(0), "doc_id", "text", n = 5)
+    assert(clean.count() == 4)
+  }
+}
