@@ -222,9 +222,20 @@ object Dedup {
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
     var labels = Staged(edges.select(col("u").as("id")).distinct()
       .withColumn("lab", col("id")))
-    var changed = 1L
+    // convergence witness: min-label propagation only ever DECREASES
+    // labels, so Σlab (exact, decimal — no long overflow at any node
+    // count) is strictly monotone until fixpoint: equal sums ⟺ no label
+    // changed. One tiny aggregation per round instead of a labels⨝next
+    // comparison join.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("lab").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // no nodes: no pairs
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       val nbr = edges.join(labels, edges("u") === labels("id"))
         .select(col("v").as("id"), col("lab"))
       val merged = labels.unionByName(nbr)
@@ -234,16 +245,16 @@ object Dedup {
       // storage-level change)
       val next = if ((i + 1) % checkpointInterval == 0) merged.localCheckpoint()
                  else Staged(merged)
-      changed = labels.join(next.withColumnRenamed("lab", "nl"), "id")
-        .where(col("lab") =!= col("nl")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist(blocking = false)
       labels = next
       i += 1
     }
-    if (changed > 0) {
-      val msg = s"connectedComponents did not converge: $changed labels still " +
-        s"changing after $maxIter rounds (a cluster's diameter exceeds maxIter); " +
-        "labels are partially propagated"
+    if (!converged) {
+      val msg = s"connectedComponents did not converge within $maxIter rounds " +
+        "(a cluster's diameter exceeds maxIter); labels are partially propagated"
       if (strict) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }

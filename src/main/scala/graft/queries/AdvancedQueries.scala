@@ -146,13 +146,15 @@ object AdvancedQueries {
       "q31_percentiles",
       (s, dir) => {
         import s.implicits._
+        // ONE percentile agg with an array of fractions: four separate
+        // calls would each buffer the whole group (4x the agg state)
         t(s, dir, "orders")
           .groupBy($"o_orderstatus")
-          .agg(
-            expr("percentile(o_totalprice, 0.25D)").as("p25"),
-            expr("percentile(o_totalprice, 0.5D)").as("p50"),
-            expr("percentile(o_totalprice, 0.75D)").as("p75"),
-            expr("percentile(o_totalprice, 0.9D)").as("p90"))
+          .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
+            .as("ps"))
+          .select($"o_orderstatus",
+            $"ps"(0).as("p25"), $"ps"(1).as("p50"),
+            $"ps"(2).as("p75"), $"ps"(3).as("p90"))
       },
       Some("""SELECT o_orderstatus,
           quantile_cont(o_totalprice, 0.25) AS p25,
