@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The 16-bit integer threshold a rate maps to — shared with oracle
+    * SQL so both engines compare against the identical literal.
+    */
+  def gateThreshold(rate: Double): Int = math.round(rate * 65536).toInt
+
   /** Sampling gate as a Column (16-bit hash threshold). */
   def hashGate(idCol: Column, rate: Double): Column = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
     conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
-      .cast("int") < math.round(rate * 65536).toInt
+      .cast("int") < gateThreshold(rate)
   }
 
   /** Deterministic Bernoulli-by-hash sample of ~rate of the rows. */
@@ -42,4 +47,32 @@ object Sampling {
     }
     df.where(gate)
   }
+
+  /** Per-stratum keep rates that reshape a corpus toward a target mix
+    * of relative weights (domain re-weighting for training data),
+    * downsampling only — the output is the LARGEST corpus achieving
+    * the exact mix: M = min_s(n_s / w_s), rate_s = w_s·M / n_s.
+    * One tiny count aggregation collected to the driver (k strata).
+    * Strata absent from `weights` get rate 0 (dropped).
+    */
+  def mixRates(df: DataFrame, strataCol: String,
+      weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mix weights must be positive")
+    val wSum = weights.values.sum
+    val w = weights.view.mapValues(_ / wSum).toMap
+    val counts = df.where(col(strataCol).isInCollection(w.keys.toSeq))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = w.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"mix weights reference empty/absent strata: $missing")
+    val m = w.map { case (s, ws) => counts(s) / ws }.min
+    w.map { case (s, ws) => s -> (ws * m / counts(s)) }
+  }
+
+  /** Resample to the target mix: [[mixRates]] + [[stratifiedHashSample]]. */
+  def resampleToMix(df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double]): DataFrame =
+    stratifiedHashSample(df, idCol, strataCol, mixRates(df, strataCol, weights))
 }

@@ -506,6 +506,34 @@ object ExtensionQueries {
             THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams
             ELSE 0.0 END, 6) AS repetition
         FROM sh""")
+    ),
+
+    // ---- stratified domain resampling: per-language keep rates over
+    // the deterministic md5 gate (the domain re-weighting primitive;
+    // ops/Sampling.mixRates derives rates from a target mix —
+    // spec-covered — while this query pins explicit rates so the
+    // oracle can mirror the exact gate thresholds).
+    GraftQuery(
+      "x23_stratified_resample",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Sampling.stratifiedHashSample(
+          Tables(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.3, "zh" -> 0.8, "fr" -> 1.0))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+      }, {
+        def gate(rate: Double): String =
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < " +
+            graft.ops.Sampling.gateThreshold(rate)
+        Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+            CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM documents
+          WHERE (lang = 'en' AND ${gate(0.3)})
+             OR (lang = 'zh' AND ${gate(0.8)})
+             OR (lang = 'fr' AND ${gate(1.0)})
+          GROUP BY lang""")
+      }
     )
   )
 }

@@ -37,4 +37,32 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byLang("en").toDouble / totals("en") - 0.5) < 0.15)
     assert(byLang("de").toDouble / totals("de") < 0.3)
   }
+
+  test("mixRates hits the largest corpus achieving the target mix") {
+    val totals = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // 1:1 en:fr — fr is the scarce stratum, so fr keeps everything and
+    // en downsamples to fr's count
+    val rates = Sampling.mixRates(docs, "lang", Map("en" -> 1.0, "fr" -> 1.0))
+    assert(rates.keySet == Set("en", "fr"))
+    assert(rates("fr") == 1.0, "scarce stratum must not be downsampled")
+    assert(math.abs(rates("en") * totals("en") - totals("fr")) < 1e-6,
+      "en rate must target exactly fr's count")
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+    // resample end-to-end: achieved counts near the 1:1 target
+    val got = Sampling.resampleToMix(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "fr" -> 1.0))
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("en", "fr"))
+    val expected = totals("fr").toDouble
+    assert(math.abs(got("en") - expected) < 4 * math.sqrt(expected),
+      s"en kept ${got("en")}, want ~$expected")
+    assert(got("fr") == totals("fr"))
+  }
+
+  test("mixRates rejects weights on absent strata") {
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.mixRates(docs, "lang", Map("en" -> 1.0, "klingon" -> 1.0))
+    }
+    assert(ex.getMessage.contains("klingon"))
+  }
 }
