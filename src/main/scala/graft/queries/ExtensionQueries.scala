@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Scrub, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** [EXTENSION] operators (SURVEY §2.2): dedup, similarity search,
@@ -534,6 +534,31 @@ object ExtensionQueries {
              OR (lang = 'fr' AND ${gate(1.0)})
           GROUP BY lang""")
       }
+    ),
+
+    // ---- PII scrubbing report: RE2-compatible patterns run
+    // identically in Spark and DuckDB; redaction correctness is pinned
+    // by the redacted length (the full redacted text also hash-matches
+    // but lengths keep the oracle readable). Fixture docs are synthetic
+    // prose, so most counts are 0 — planted-PII behavior is ScrubSpec's
+    // job; this query gates the cross-engine regex semantics.
+    GraftQuery(
+      "x24_pii_scrub",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Scrub.scrub(Tables(s, dir, "documents"), "doc_id", "text")
+          .select($"doc_id", $"n_emails", $"n_urls", $"n_long_nums",
+            length($"redacted").as("len_redacted"))
+      },
+      Some(s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '${Scrub.emailRe}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '${Scrub.urlRe}')) AS INT) AS n_urls,
+          CAST(len(regexp_extract_all(text, '${Scrub.longNumRe}')) AS INT) AS n_long_nums,
+          length(regexp_replace(regexp_replace(regexp_replace(text,
+            '${Scrub.urlRe}', '[URL]', 'g'),
+            '${Scrub.emailRe}', '[EMAIL]', 'g'),
+            '${Scrub.longNumRe}', '[NUM]', 'g')) AS len_redacted
+        FROM documents""")
     )
   )
 }
