@@ -261,6 +261,89 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_rep"))
   }
 
+  /** Persist the MinHash-LSH state of a corpus as an incremental dedup
+    * index: `bands/` — (id, band_idx, band_key) partitioned by
+    * band_idx — and `shingles/` — (id, h) for exact verification. A
+    * later batch then dedups against the corpus WITHOUT recomputing
+    * corpus signatures (the operation a daily-ingest pipeline actually
+    * runs at 100 TB: the index is touched by one equi-join, the corpus
+    * text never again).
+    */
+  def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.8, bands: Int = 32,
+      rowsPerBand: Int = 4, shingleSize: Int = 3): Unit = {
+    GraftFunctions.register(df.sparkSession)
+    val docs = df
+      .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
+      .where(size(col("h")) > 0)
+    docs.write.mode("overwrite").parquet(s"$path/shingles")
+    val reloaded = df.sparkSession.read.parquet(s"$path/shingles")
+    reloaded
+      .withColumn("sig", minHashSignatureFromHashes(col("h"), bands * rowsPerBand))
+      .select(col("id"),
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+      .write.mode("overwrite").partitionBy("band_idx").parquet(s"$path/bands")
+  }
+
+  /** Near-dup pairs introduced by a NEW batch against an existing
+    * [[writeLshIndex]] corpus: cross pairs (new ↔ indexed, via one
+    * equi-join on the persisted band table) plus the batch's internal
+    * pairs ([[minHashLsh]]). Exactly-verified like the batch operator:
+    * the result equals `minHashLsh(corpus ∪ batch)` minus the
+    * corpus-internal pairs (the differential spec pins this identity).
+    * Returns (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def incrementalNearDup(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      bands: Int = 32, rowsPerBand: Int = 4, shingleSize: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val spark = newDocs.sparkSession
+    GraftFunctions.register(spark)
+    val newShingles = stage(newDocs
+      .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
+      .where(size(col("h")) > 0))
+    val newBands = stage(newShingles
+      .withColumn("sig", minHashSignatureFromHashes(col("h"), bands * rowsPerBand))
+      .select(col("id"),
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key"))))
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+      .select(col("id").as("id_x"), col("band_idx"), col("band_key"))
+    // hot-bucket cap on the UNION of both sides (a bucket can only be
+    // hot together), then new×indexed candidates from one equi-join
+    val cappedNew = dropHotBuckets(newBands, Seq("band_idx", "band_key"), maxBucket)
+    val candidates = cappedNew
+      .join(idxBands, Seq("band_idx", "band_key"))
+      .select(least(col("id"), col("id_x")).as("id_a"),
+        greatest(col("id"), col("id_x")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .distinct()
+    val idxShingles = spark.read.parquet(s"$indexPath/shingles")
+    val allShingles = newShingles.unionByName(idxShingles)
+      .groupBy("id").agg(first("h").as("h")) // a doc present in both sides resolves once
+    val cross = verifyJaccard(candidates, allShingles, threshold)
+    val internal = minHashLsh(newDocs, idCol, textCol, threshold,
+      bands, rowsPerBand, shingleSize, maxBucket)
+    cross.unionByName(internal).distinct()
+  }
+
+  /** Extend the index with a batch (after [[incrementalNearDup]] and
+    * whatever keep/drop policy was applied to it).
+    */
+  def appendToLshIndex(newDocs: DataFrame, indexPath: String, idCol: String,
+      textCol: String, bands: Int = 32, rowsPerBand: Int = 4,
+      shingleSize: Int = 3): Unit = {
+    GraftFunctions.register(newDocs.sparkSession)
+    val docs = newDocs
+      .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
+      .where(size(col("h")) > 0)
+    docs.write.mode("append").parquet(s"$indexPath/shingles")
+    docs
+      .withColumn("sig", minHashSignatureFromHashes(col("h"), bands * rowsPerBand))
+      .select(col("id"),
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+      .write.mode("append").partitionBy("band_idx").parquet(s"$indexPath/bands")
+  }
+
   /** Exact n-gram Jaccard similarity join within a blocking key, via
     * prefix filtering (PPJoin-style): two sets with jaccard >= t must
     * share an element among the first |h| - ceil(t·|h|) + 1 elements of

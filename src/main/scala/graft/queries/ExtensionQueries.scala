@@ -536,6 +536,37 @@ object ExtensionQueries {
       }
     ),
 
+    // ---- incremental near-dup: the daily-ingest shape — dedup a new
+    // batch (odd doc_ids) against a PERSISTED LSH band index of the
+    // existing corpus (even doc_ids) without recomputing corpus
+    // signatures. Oracle = exact pairwise jaccard restricted to pairs
+    // involving at least one new doc; the Spark side must reproduce it
+    // from one band-table equi-join + verify.
+    GraftQuery(
+      "x25_incremental_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${sys.props("java.io.tmpdir")}/graft-lsh-$tag"
+        val marker = new java.io.File(s"$path/_INDEX_OK")
+        if (!marker.exists()) {
+          Dedup.writeLshIndex(docs.filter($"doc_id" % 2 === 0),
+            "doc_id", "text", path, threshold = 0.8)
+          marker.createNewFile(): Unit
+        }
+        Dedup.incrementalNearDup(docs.filter($"doc_id" % 2 === 1),
+          path, "doc_id", "text", threshold = 0.8)
+      },
+      Some(s"""$shingleCte
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""")),
+
     // ---- PII scrubbing report: RE2-compatible patterns run
     // identically in Spark and DuckDB; redaction correctness is pinned
     // by the redacted length (the full redacted text also hash-matches

@@ -106,6 +106,37 @@ class DedupSpec extends SparkSpec {
     assert(partial.count() == 12)
   }
 
+  test("incremental near-dup against a persisted index equals the full batch run") {
+    import org.apache.spark.sql.functions.col
+    val batch1 = corpus.where(col("doc_id").isin(0L, 1L, 4L))
+    val batch2 = corpus.where(col("doc_id").isin(2L, 3L, 5L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    Dedup.writeLshIndex(batch1, "doc_id", "text", dir, threshold = 0.5)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+    val full = pairSet(Dedup.minHashLsh(corpus, "doc_id", "text", threshold = 0.5))
+    val internal1 = pairSet(Dedup.minHashLsh(batch1, "doc_id", "text", threshold = 0.5))
+    val incr = pairSet(Dedup.incrementalNearDup(batch2, dir, "doc_id", "text",
+      threshold = 0.5))
+    assert(full == (internal1 ++ incr),
+      s"full=$full\nvs split=${internal1 ++ incr}")
+    // cross-batch pairs must have come from the index join, not a rebuild
+    assert(incr.exists { case (a, b, _) => Set(0L, 1L)(a) && Set(2L, 3L)(b) },
+      "expected cross-batch near-dup pairs")
+
+    // growing the index: after appending batch2, a re-ingested copy of
+    // doc 2 pairs with both its original and the batch1 cluster
+    Dedup.appendToLshIndex(batch2, dir, "doc_id", "text")
+    val copy = Seq((99L, base.replace("quick", "fast"))).toDF("doc_id", "text")
+    val reIngest = pairSet(Dedup.incrementalNearDup(copy, dir, "doc_id", "text",
+      threshold = 0.5))
+    assert(reIngest.contains((2L, 99L, 1.0)), "exact copy of doc 2 must pair at 1.0")
+    assert(reIngest.exists { case (a, b, _) => a == 0L && b == 99L },
+      "copy must also pair with the batch1 cluster via the index")
+  }
+
   test("connected components: deep chain converges through checkpoints") {
     // diameter 29 forces many rounds through the localCheckpoint seam
     val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
