@@ -99,6 +99,23 @@ object Streams {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"))
   }
 
+  /** Streaming NEAR-dup suppression: drop events whose content
+    * fingerprint (SimHash of the text column) repeats within the
+    * watermark horizon — the streaming face of the dedup family.
+    * Exact-duplicate and boilerplate-variant suppression at ingest
+    * time; state is bounded by (watermark × distinct fingerprints).
+    * SimHash collisions conflate only near-identical token streams —
+    * precisely the rows an ingest near-dup filter wants to drop.
+    */
+  def dedupeNearStream(df: DataFrame, textCol: String,
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__fp", graft.ops.Dedup.simHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   /** Streaming as-of join: for every left event, the payload of the
     * LATEST right row with `rTime <= lTime` within `lookback` on the
     * same key — the batch as-of with tolerance

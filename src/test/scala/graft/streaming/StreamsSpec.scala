@@ -5,6 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
+final case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -101,6 +103,21 @@ class StreamsSpec extends SparkSpec {
     runToMemory(Streams.dedupeStream(input.toDF(), "10 minutes"), "deduped")
     assert(spark.table("deduped").select("event_id").as[Long].collect().sorted
       .toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming near-dup drops fingerprint repeats within the watermark") {
+    val input = MemoryStream[DocEvent](spark)
+    val text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    input.addData(
+      DocEvent(1, ts(1), text),
+      DocEvent(2, ts(2), text),                     // exact repeat: dropped
+      DocEvent(3, ts(3), text + "!"),               // near-identical tokens: same simhash
+      DocEvent(4, ts(4), "completely different content about catalyst " +
+        "codegen stages and tungsten memory format internals"))
+    runToMemory(Streams.dedupeNearStream(input.toDF(), "text", watermark = "10 minutes"),
+      "neardedup")
+    val kept = spark.table("neardedup").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L), s"got $kept")
   }
 
   test("flatMapGroupsWithState keeps running per-user totals") {
