@@ -567,6 +567,18 @@ object ExtensionQueries {
           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""")),
 
+    // ---- mergeable Misra-Gries heavy hitters over document tokens.
+    // Approximate by design (estimates vary with merge order within
+    // the N/(k+1) bound) → rows-only; the guarantee — heavy items
+    // always survive, counts under-estimate by ≤ N/(k+1), under ANY
+    // partitioning — is pinned by HeavyHittersSpec.
+    GraftQuery(
+      "x26_heavy_hitters",
+      (s, dir) => graft.ops.HeavyHitters.frequentTokens(
+        Tables(s, dir, "documents"), "text", k = 30),
+      None,
+      notes = "rows-only: mergeable sketch, estimates are partition-order-dependent"),
+
     // ---- PII scrubbing report: RE2-compatible patterns run
     // identically in Spark and DuckDB; redaction correctness is pinned
     // by the redacted length (the full redacted text also hash-matches
