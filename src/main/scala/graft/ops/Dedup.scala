@@ -220,8 +220,12 @@ object Dedup {
     val edges = Staged(pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
-    var labels = Staged(edges.select(col("u").as("id")).distinct()
-      .withColumn("lab", col("id")))
+    // seed labels with min(self, direct neighbors) — the first
+    // propagation round folded into the init aggregation, so a star
+    // cluster (the common near-dup shape) converges one round sooner
+    var labels = Staged(edges.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u").as("id"), least(col("u"), col("mv")).as("lab")))
     // convergence witness: min-label propagation only ever DECREASES
     // labels, so Σlab (exact, decimal — no long overflow at any node
     // count) is strictly monotone until fixpoint: equal sums ⟺ no label
