@@ -66,4 +66,38 @@ class PlanSpec extends SparkSpec {
     // two HashAggregate nodes (partial + final) around one exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("x21: the benchmark n-gram set broadcasts; the corpus side streams") {
+    val p = plan("x21_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "decontamination must broadcast the benchmark hash set")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle on n-gram hashes")
+  }
+
+  test("x25: incremental dedup reads the persisted band index, not corpus text") {
+    val p = plan("x25_incremental_neardup")
+    // the index side must be a parquet scan of the bands table
+    assert(p.contains("graft-lsh-") && p.contains("/bands"),
+      s"expected a persisted band-table scan in:\n$p")
+    // exactly the new batch gets signatures: minhash_sig appears for the
+    // odd-batch scans, never over the index side (which has none to do)
+    assert(p.contains("minhash_sig"), "the new batch computes signatures")
+  }
+
+  test("x23: the stratified gate stays a row-local filter (no shuffle before agg)") {
+    val p = plan("x23_stratified_resample")
+    assert(p.contains("md5"), "the deterministic gate must be in the plan")
+    // one exchange: the final group-by; sampling itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"sampling should not add shuffles, saw $exchanges:\n$p")
+  }
+
+  test("dsum sums plain longs, not wide decimals, per row") {
+    val p = plan("q27_stat_moments")
+    assert(p.contains("sum("), "aggregation present")
+    assert(!p.toLowerCase.contains("sum(cast") ||
+      !p.contains("decimal(28"),
+      "per-row decimal(28) accumulation must not reappear")
+  }
 }
