@@ -287,7 +287,41 @@ object Dedup {
       .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
       .write.mode("overwrite").partitionBy("band_idx").parquet(s"$path/bands")
+    // fresh build: drop any stale stats before seeding from the new bands
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket_counts"), true)
+    mergeBucketCounts(df.sparkSession, path,
+      bandCountsOf(df.sparkSession.read.parquet(s"$path/bands")))
   }
+
+  /** Per-bucket population of the band table — the index statistic that
+    * lets [[incrementalNearDup]] cap hot buckets without scanning the
+    * band table per batch. The initial build aggregates the fresh band
+    * table once; appends MERGE their delta counts into the existing
+    * stats (O(distinct buckets + new bands), never a band-table
+    * re-scan).
+    */
+  private def mergeBucketCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/bucket_counts")
+    val merged =
+      if (fs.exists(dst))
+        spark.read.parquet(dst.toString).unionByName(delta)
+          .groupBy(col("band_idx"), col("band_key"))
+          .agg(sum(col("n")).as("n"))
+      else delta
+    val tmp = s"$path/bucket_counts_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst): Unit
+  }
+
+  private def bandCountsOf(bandsDf: DataFrame): DataFrame =
+    bandsDf.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
 
   /** Near-dup pairs introduced by a NEW batch against an existing
     * [[writeLshIndex]] corpus: cross pairs (new ↔ indexed, via one
@@ -312,11 +346,24 @@ object Dedup {
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key"))))
     val idxBands = spark.read.parquet(s"$indexPath/bands")
       .select(col("id").as("id_x"), col("band_idx"), col("band_key"))
-    // hot-bucket cap on the UNION of both sides (a bucket can only be
-    // hot together), then new×indexed candidates from one equi-join
-    val cappedNew = dropHotBuckets(newBands, Seq("band_idx", "band_key"), maxBucket)
+    // hot-bucket cap over the COMBINED population: a bucket the corpus
+    // already saturates must not join every new doc that lands in it
+    // (the quadratic blowup the cap exists to prevent). Corpus-side
+    // per-bucket counts are part of the index (maintained at
+    // write/append time — O(buckets), no scan of the band table);
+    // the new batch's counts aggregate from its own tiny band set.
+    val idxCounts = spark.read.parquet(s"$indexPath/bucket_counts")
+      .select(col("band_idx"), col("band_key"), col("n").as("n_idx"))
+    val newCounts = newBands.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n_new"))
+    val hot = newCounts.join(idxCounts, Seq("band_idx", "band_key"), "full_outer")
+      .where(coalesce(col("n_new"), lit(0L)) + coalesce(col("n_idx"), lit(0L))
+        > maxBucket)
+      .select(col("band_idx"), col("band_key"))
+    val cappedNew = newBands.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+    val cappedIdx = idxBands.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
     val candidates = cappedNew
-      .join(idxBands, Seq("band_idx", "band_key"))
+      .join(cappedIdx, Seq("band_idx", "band_key"))
       .select(least(col("id"), col("id_x")).as("id_a"),
         greatest(col("id"), col("id_x")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
@@ -341,11 +388,12 @@ object Dedup {
       .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
       .where(size(col("h")) > 0)
     docs.write.mode("append").parquet(s"$indexPath/shingles")
-    docs
+    val newBands = docs
       .withColumn("sig", minHashSignatureFromHashes(col("h"), bands * rowsPerBand))
       .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
-      .write.mode("append").partitionBy("band_idx").parquet(s"$indexPath/bands")
+    newBands.write.mode("append").partitionBy("band_idx").parquet(s"$indexPath/bands")
+    mergeBucketCounts(newDocs.sparkSession, indexPath, bandCountsOf(newBands))
   }
 
   /** Exact n-gram Jaccard similarity join within a blocking key, via

@@ -137,6 +137,24 @@ class DedupSpec extends SparkSpec {
       "copy must also pair with the batch1 cluster via the index")
   }
 
+  test("incremental dedup caps buckets the index side already saturates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-hot").toString
+    // 4 identical corpus docs saturate every band bucket they occupy
+    val spam = (0 until 4).map(i => (100L + i, base)).toDF("doc_id", "text")
+    Dedup.writeLshIndex(spam, "doc_id", "text", dir, threshold = 0.5)
+    val probe = Seq((200L, base)).toDF("doc_id", "text")
+    // combined population 4 (index) + 1 (new) exceeds maxBucket=3 →
+    // the bucket is degenerate and must be dropped, not joined
+    val capped = Dedup.incrementalNearDup(probe, dir, "doc_id", "text",
+      threshold = 0.5, maxBucket = 3)
+    assert(capped.count() == 0, "saturated buckets must not produce candidates")
+    // with a sane cap the exact-dup pairs come back
+    val uncapped = Dedup.incrementalNearDup(probe, dir, "doc_id", "text",
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == (0 until 4).map(i => (100L + i, 200L)).toSet)
+  }
+
   test("connected components: deep chain converges through checkpoints") {
     // diameter 29 forces many rounds through the localCheckpoint seam
     val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
