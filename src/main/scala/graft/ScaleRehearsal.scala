@@ -77,8 +77,24 @@ object ScaleRehearsal {
         Dedup.connectedComponents(pairs, maxIter = 40).count()
       }
       Staged.release()
+      // incremental-vs-full: dedup a 10% daily batch against the other
+      // 90% — full re-dedup cost grows with the corpus, incremental
+      // cost with the batch (+ one index equi-join)
+      val batch = docs.where(col("doc_id") % 10 === 0)
+      val corpus90 = docs.where(col("doc_id") % 10 =!= 0)
+      val idxPath = s"/tmp/graft-scale-lshidx-${k}x"
+      if (!new java.io.File(s"$idxPath/_OK").exists()) {
+        Dedup.writeLshIndex(corpus90, "doc_id", "text", idxPath, threshold = 0.8)
+        new java.io.File(s"$idxPath/_OK").createNewFile()
+      }
+      val (tIncr, nIncr) = time {
+        Dedup.incrementalNearDup(batch, idxPath, "doc_id", "text",
+          threshold = 0.8).count()
+      }
+      Staged.release()
       println(s"""{"mult":$k,"docs":$n,"lsh_sec":$tPairs,"lsh_pairs":$nPairs,""" +
-        s""""ngram_sec":$tNgram,"ngram_pairs":$nNgram,"cc_sec":$tCc,"cc_rows":$nCc}""")
+        s""""ngram_sec":$tNgram,"ngram_pairs":$nNgram,"cc_sec":$tCc,"cc_rows":$nCc,""" +
+        s""""incr_sec":$tIncr,"incr_pairs":$nIncr}""")
     }
     spark.stop()
   }
