@@ -549,7 +549,9 @@ object ExtensionQueries {
         val docs = Tables(s, dir, "documents")
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val path = s"${sys.props("java.io.tmpdir")}/graft-lsh-$tag"
-        val marker = new java.io.File(s"$path/_INDEX_OK")
+        // versioned marker: an index written by an older format (e.g.
+        // before bucket_counts existed) must rebuild, not half-load
+        val marker = new java.io.File(s"$path/_INDEX_OK_v2")
         if (!marker.exists()) {
           Dedup.writeLshIndex(docs.filter($"doc_id" % 2 === 0),
             "doc_id", "text", path, threshold = 0.8)
