@@ -156,6 +156,18 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
         s"round $round: formulations diverge")
       assert(b.count() == 400, s"round $round: left rows must be preserved")
+
+      // same adversarial data with STRING keys: long keys take the
+      // fixed-width ordinal merge, string keys the generic
+      // projection+ordering merge — both must agree with the built-ins
+      val leftS = left.withColumn("k", concat(lit("k"), $"k"))
+      val rightS = right.withColumn("k", concat(lit("k"), $"k"))
+      val aS = AsOfJoin(leftS, rightS, "ts", Seq("k"), Seq("payload"))
+        .select($"l_id", $"k", $"ts", $"asof_payload")
+      val bS = AsOfJoin.sortMerge(leftS, rightS, "ts", Seq("k"), Seq("payload"))
+        .select($"l_id", $"k", $"ts", $"asof_payload")
+      assert(aS.exceptAll(bS).isEmpty && bS.exceptAll(aS).isEmpty,
+        s"round $round (string keys): formulations diverge")
     }
   }
 
