@@ -372,8 +372,18 @@ object Dedup {
     val allShingles = newShingles.unionByName(idxShingles)
       .groupBy("id").agg(first("h").as("h")) // a doc present in both sides resolves once
     val cross = verifyJaccard(candidates, allShingles, threshold)
-    val internal = minHashLsh(newDocs, idCol, textCol, threshold,
-      bands, rowsPerBand, shingleSize, maxBucket)
+    // batch-internal pairs from the SAME staged bands/shingles (no
+    // second pass over the text); the combined-population cap applies
+    // here too, which is exactly what minHashLsh(corpus ∪ batch) would
+    // have done to these buckets
+    val internalCands = cappedNew.as("x")
+      .join(cappedNew.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val internal = verifyJaccard(internalCands, newShingles, threshold)
     cross.unionByName(internal).distinct()
   }
 
