@@ -38,6 +38,8 @@ object Decontam {
     */
   def removeContaminated(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame =
-    docs.join(overlaps(docs, bench, idCol, textCol, n).select(col(idCol)),
+    // the contaminated-id set is benchmark-sized — broadcast it so the
+    // corpus side never shuffles on doc id either
+    docs.join(broadcast(overlaps(docs, bench, idCol, textCol, n).select(col(idCol))),
       Seq(idCol), "left_anti")
 }

@@ -252,7 +252,7 @@ object Dedup {
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist(blocking = false)
+      releaseLabels(labels)
       labels = next
       i += 1
     }
@@ -263,6 +263,19 @@ object Dedup {
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_rep"))
+  }
+
+  /** Release a retired label generation. `unpersist` only clears
+    * CacheManager entries, which localCheckpoint'ed rounds don't have —
+    * their blocks live on the checkpointed RDD inside the LogicalRDD
+    * node, so that RDD is unpersisted explicitly.
+    */
+  private def releaseLabels(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+    }: Unit
   }
 
   /** Persist the MinHash-LSH state of a corpus as an incremental dedup
@@ -316,7 +329,8 @@ object Dedup {
     val tmp = s"$path/bucket_counts_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst): Unit
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"failed to publish $dst — index stats are missing, rebuild the index")
   }
 
   private def bandCountsOf(bandsDf: DataFrame): DataFrame =

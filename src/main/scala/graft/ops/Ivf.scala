@@ -79,12 +79,19 @@ object Ivf {
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_INDEX_OK")
+    // params are part of the marker: a path holding a k=16 index must
+    // not satisfy a k=8 request (same versioning idea as the LSH index)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_INDEX_OK_k${k}_s${seed}_$vecCol")
     if (!fs.exists(marker)) {
       writeIndex(build(df, idCol, vecCol, k, seed), path)
       fs.create(marker, true).close()
     }
-    readIndex(spark, path)
+    val idx = readIndex(spark, path)
+    require(idx.centroids.length == k,
+      s"index at $path holds ${idx.centroids.length} centroids, expected $k " +
+        "(stale index written with different parameters — delete the path)")
+    idx
   }
 
   /** [[buildPersistent]] memoized per (session, path, params): repeat

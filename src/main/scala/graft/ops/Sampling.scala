@@ -68,7 +68,9 @@ object Sampling {
     require(missing.isEmpty,
       s"mix weights reference empty/absent strata: $missing")
     val m = w.map { case (s, ws) => counts(s) / ws }.min
-    w.map { case (s, ws) => s -> (ws * m / counts(s)) }
+    // the argmin stratum computes ws*(n/ws)/n, which floating point can
+    // round a hair ABOVE 1.0 — clamp, or hashGate's bounds check throws
+    w.map { case (s, ws) => s -> math.min(1.0, ws * m / counts(s)) }
   }
 
   /** Resample to the target mix: [[mixRates]] + [[stratifiedHashSample]]. */

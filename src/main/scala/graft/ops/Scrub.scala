@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
 object Scrub {
 
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val urlRe = "https?://[^\\s]+"
+  // whitespace spelled out rather than \s: Java's \s includes vertical
+  // tab (\x0B), RE2's does not — the explicit class pins identical
+  // match spans in both engines
+  val urlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   val longNumRe = "[0-9]{7,}"
 
   def emailCount(text: Column): Column =

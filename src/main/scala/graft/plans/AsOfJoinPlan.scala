@@ -80,6 +80,12 @@ final case class AsOfJoinExec(
   require(leftTime.dataType == rightTime.dataType,
     s"as-of time columns must share a type, got ${leftTime.dataType} " +
       s"vs ${rightTime.dataType}")
+  // same for every key pair: there is no coercion in this operator, and
+  // the fixed-width merge picks width codes from the LEFT types — a
+  // mismatched right key would be read with the wrong accessor
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of key columns must share types pairwise, got " +
+      s"${leftKeys.map(_.dataType)} vs ${rightKeys.map(_.dataType)}")
   // tolerance compares time values as raw long MICROSECONDS — sound
   // exactly for the timestamp types whose internal representation is
   // micros (a bare LongType column has arbitrary units; pre-convert to

@@ -130,6 +130,11 @@ object Streams {
     * per-left-row max_by aggregation selecting the latest matching
     * right row. Append mode is legal because the grouping keys include
     * the watermarked left event time.
+    *
+    * Contract: left rows must be ROW-UNIQUE (carry an event id) — the
+    * per-left-row selection groups by all left columns, so fully
+    * identical duplicate left rows collapse into one output row,
+    * unlike the batch operator which preserves multiplicity.
     */
   def asOfStream(left: DataFrame, right: DataFrame, key: String,
       timeCol: String, payloadCol: String,

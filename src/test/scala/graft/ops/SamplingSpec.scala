@@ -59,6 +59,18 @@ class SamplingSpec extends SparkSpec {
     assert(got("fr") == totals("fr"))
   }
 
+  test("mixRates clamps the argmin stratum's rate against FP round-up") {
+    // ws*(n/ws)/n rounds to 1.0000000000000002 for ws=0.3, n=7 — the
+    // scarce stratum's rate must clamp to 1.0, not crash hashGate
+    val df = ((1 to 7).map(i => (i.toLong, "a")) ++
+      (8 to 24).map(i => (i.toLong, "b"))).toDF("doc_id", "lang")
+    val rates = Sampling.mixRates(df, "lang", Map("a" -> 0.3, "b" -> 0.7))
+    assert(rates.values.forall(_ <= 1.0), s"rates must clamp: $rates")
+    assert(rates("a") == 1.0)
+    Sampling.resampleToMix(df, "doc_id", "lang",
+      Map("a" -> 0.3, "b" -> 0.7)).count() // must not throw
+  }
+
   test("mixRates rejects weights on absent strata") {
     val ex = intercept[IllegalArgumentException] {
       Sampling.mixRates(docs, "lang", Map("en" -> 1.0, "klingon" -> 1.0))
