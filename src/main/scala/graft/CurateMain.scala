@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.sources.Tables
+
+/** End-to-end training-corpus curation — every stage of the
+  * LLM-data-pipeline surface composed into one runnable job:
+  *
+  *   scrub PII → quality filter → benchmark decontamination →
+  *   exact dedup → near-dup clustering (keep cluster reps) →
+  *   domain resampling to a target language mix → sequence packing →
+  *   write curated parquet + one JSON summary line.
+  *
+  * Each stage is the same operator the query registry verifies against
+  * the DuckDB oracle; this main exists to show (and smoke-test) the
+  * composition a production pipeline would run. Stage order matters:
+  * scrubbing precedes dedup (redaction canonicalizes near-identical
+  * PII variants), decontamination precedes dedup (a contaminated doc
+  * must not survive as a cluster representative), packing runs last
+  * (it consumes the final kept set).
+  *
+  * Usage: runMain graft.CurateMain [sfDir] [outDir]
+  */
+object CurateMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-curate").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = Tables(spark, sfDir, "documents")
+    val nTotal = docs.count()
+
+    // 1. PII scrub: redact in place, keep per-doc detection counts
+    val scrubbed = Staged(Scrub.scrub(docs, "doc_id", "text")
+      .join(docs.drop("text"), Seq("doc_id"))
+      .withColumnRenamed("redacted", "text"))
+    val nPii = scrubbed
+      .where($"n_emails" + $"n_urls" + $"n_long_nums" > 0).count()
+
+    // 2. quality gate
+    val quality = Staged(scrubbed
+      .withColumn("quality", TextAnalysis.qualityScore($"text"))
+      .where($"quality" >= 0.5))
+    val nQuality = quality.count()
+
+    // 3. decontamination against the held-out benchmark slice
+    val bench = quality.where($"doc_id" % 101 === 0)
+    val train = quality.where($"doc_id" % 101 =!= 0)
+    val clean = Staged(Decontam.removeContaminated(
+      train, bench, "doc_id", "text", n = 5))
+    val nClean = clean.count()
+
+    // 4. exact dedup (min id per identical text)
+    val exact = Staged(clean
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"text").orderBy($"doc_id")))
+      .where($"__rk" === 1).drop("__rk"))
+    val nExact = exact.count()
+
+    // 5. near-dup clustering; keep each cluster's representative
+    val pairs = Dedup.minHashLsh(exact, "doc_id", "text", threshold = 0.8)
+    val clusters = Dedup.connectedComponents(pairs)
+    val kept = Staged(exact.join(
+      broadcast(clusters.where($"doc_id" =!= $"cluster_rep")
+        .select($"doc_id")),
+      Seq("doc_id"), "left_anti"))
+    val nKept = kept.count()
+
+    // 6. resample to a uniform language mix (downsample-only)
+    val langs = kept.select($"lang").distinct().as[String].collect().toSeq
+    val mixed = Staged(Sampling.resampleToMix(
+      kept, "doc_id", "lang", langs.map(_ -> 1.0).toMap))
+    val nMixed = mixed.count()
+
+    // 7. pack into token-budget sequences per language shard
+    val packed = Packing.packBy(mixed, "lang", "doc_id",
+      size(TextAnalysis.tokens($"text")).cast("long"), budget = 2048)
+    val nPacks = packed.select($"lang", $"pack_id").distinct().count()
+
+    mixed.select($"doc_id", $"lang", $"source", $"text", $"quality")
+      .write.mode("overwrite").parquet(s"$outDir/curated")
+    Staged.release()
+
+    println(s"""{"stage_counts":{"input":$nTotal,"pii_flagged":$nPii,""" +
+      s""""quality":$nQuality,"decontaminated":$nClean,"exact":$nExact,""" +
+      s""""near_dedup":$nKept,"mixed":$nMixed,"packs":$nPacks},""" +
+      s""""out":"$outDir/curated"}""")
+    spark.stop()
+  }
+}
