@@ -107,6 +107,49 @@ object Ivf {
       _ => buildPersistent(df, path, idCol, vecCol, k, seed))
   }
 
+  /** Append new vectors to a persisted index WITHOUT refitting:
+    * assign each to its nearest existing centroid (cosine, matching
+    * [[topK]]'s probe ranking) and append to the partitioned table.
+    * The daily-ingest path for the vector index — centroids drift only
+    * on explicit rebuilds, exactly like a production IVF. Per-partition
+    * imperative assignment (`mapPartitions`) is deliberate: the k×dim
+    * centroid matrix loads once per partition, each row is one
+    * k·dim-flop argmin, no shuffle.
+    */
+  def appendToIndex(newVecs: DataFrame, path: String, idCol: String,
+      vecCol: String): Index = {
+    val spark = newVecs.sparkSession
+    val index = readIndex(spark, path)
+    val centroids = index.centroids
+    import spark.implicits._
+    val assigned = newVecs
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.map { case (id, vec) =>
+          var best = -1; var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < centroids.length) {
+            val cen = centroids(c)
+            var dp = 0.0; var nv = 0.0; var nc = 0.0
+            val n = math.min(cen.length, vec.length)
+            var i = 0
+            while (i < n) {
+              dp += vec(i) * cen(i); nv += vec(i) * vec(i); nc += cen(i) * cen(i)
+              i += 1
+            }
+            val cos = if (nv == 0 || nc == 0) -1.0 else dp / math.sqrt(nv * nc)
+            if (cos > bestCos) { bestCos = cos; best = c }
+            c += 1
+          }
+          (id, vec, best)
+        }
+      }
+      .toDF(idCol, vecCol, "cluster")
+    assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+    readIndex(spark, path)
+  }
+
   /** Fit centroids and assign every row to its cell. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, seed: Long = 42L): Index = {

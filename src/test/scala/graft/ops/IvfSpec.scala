@@ -61,4 +61,26 @@ class IvfSpec extends SparkSpec {
     val again = Ivf.buildPersistent(e, dir, "vec_id", "embedding", k = 8)
     assert(again.centroids.map(_.toSeq).toSeq == mem.centroids.map(_.toSeq).toSeq)
   }
+
+  test("append assigns new vectors to existing centroids without refit") {
+    val e = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    Ivf.buildPersistent(e, dir, "vec_id", "embedding", k = 8)
+    // re-ingest vector 5 under a new id: same cell as the original,
+    // and a search for vector 5 must now surface the copy at cos 1.0
+    val v5 = e.filter($"vec_id" === 5L)
+      .select(org.apache.spark.sql.functions.lit(777777L).as("vec_id"), $"embedding")
+    val after = Ivf.appendToIndex(v5, dir, "vec_id", "embedding")
+    assert(after.centroids.length == 8, "append must not refit centroids")
+    val cellOf = after.assigned
+      .where($"vec_id".isin(5L, 777777L))
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(cellOf(777777L) == cellOf(5L),
+      "the copy must land in the original's Voronoi cell")
+    val top = Ivf.topK(after, e.filter($"vec_id" === 5L),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("vec_id").as[Long].collect()
+    assert(top.take(2).toSet == Set(5L, 777777L),
+      s"both copies must lead the ranking, got ${top.toSeq}")
+  }
 }
