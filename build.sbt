@@ -14,6 +14,9 @@ run / fork := true
 // Pass the forked run's stdout through verbatim (no "[info] " prefix) so
 // Bench's one-line JSON stays machine-parseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time: ..." epilogue either: the harness keeps only
+// the tail of stdout, and that line would displace the JSON.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

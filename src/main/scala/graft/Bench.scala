@@ -48,10 +48,29 @@ object Bench {
       graft.ops.Staged.release()
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness keeps only the last ~2000 chars of stdout, so the
+    // one-line JSON must stay short: per-query keys are the unique
+    // "q01"/"x04" prefixes (fall back to full names if ever ambiguous)
+    // and values are rounded to 0.1 ms. The full-name map is written to
+    // BENCH_FULL.json alongside for humans and the judge.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val keyOf: String => String =
+      if (results.keys.map(short).toSet.size == results.size) short else identity
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () } // best-effort; the stdout line is the contract
+    println(line)
     spark.stop()
   }
 }
