@@ -226,17 +226,36 @@ object Dedup {
     var labels = Staged(edges.groupBy(col("u"))
       .agg(min(col("v")).as("mv"))
       .select(col("u").as("id"), least(col("u"), col("mv")).as("lab")))
-    // convergence witness: min-label propagation only ever DECREASES
-    // labels, so Σlab (exact, decimal — no long overflow at any node
-    // count) is strictly monotone until fixpoint: equal sums ⟺ no label
-    // changed. One tiny aggregation per round instead of a labels⨝next
-    // comparison join.
+    // convergence witness, two forms by label type:
+    //  - integral/decimal(scale 0) labels: min-label propagation only
+    //    ever DECREASES labels, so Σlab (exact, decimal — no long
+    //    overflow at any node count) is strictly monotone until
+    //    fixpoint: equal sums ⟺ no label changed. One tiny aggregation
+    //    per round instead of a labels⨝next comparison join.
+    //  - any other label type (string doc ids, floats): the decimal
+    //    cast is lossy or NULL, so the sum is NOT a valid witness —
+    //    a NULL-ing cast would make every round's sum ZERO and declare
+    //    convergence after round 1 with partially-propagated labels.
+    //    Fall back to the direct labels⨝next inequality count (one
+    //    co-partitioned join per round; both sides share the id-hash
+    //    partitioning, so no extra shuffle).
+    val sumWitnessSafe = labels.schema("lab").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("lab").cast(
         org.apache.spark.sql.types.DecimalType(38, 0)))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d // no nodes: no pairs
     }
-    var prevSum = labelSum(labels)
+    def changedCount(next: DataFrame, cur: DataFrame): Long =
+      next.as("n").join(cur.as("c"), col("n.id") === col("c.id"))
+        .where(col("n.lab") =!= col("c.lab")).count()
+    var prevSum = if (sumWitnessSafe) labelSum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -249,9 +268,13 @@ object Dedup {
       // storage-level change)
       val next = if ((i + 1) % checkpointInterval == 0) merged.localCheckpoint()
                  else Staged(merged)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      if (sumWitnessSafe) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = changedCount(next, labels) == 0L
+      }
       releaseLabels(labels)
       labels = next
       i += 1

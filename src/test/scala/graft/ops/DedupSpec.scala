@@ -92,6 +92,34 @@ class DedupSpec extends SparkSpec {
     assert(cc.count { case (id, rep) => id != rep } == 5)
   }
 
+  test("connected components: string doc ids propagate fully (no sum-witness false convergence)") {
+    // the Σlab decimal-sum witness is only valid for integral labels;
+    // string ids cast to NULL, which once made labelSum return ZERO
+    // every round — the loop declared convergence after round 1 and
+    // returned partially-propagated labels. This chain has diameter 4:
+    // a correct run labels everything "a"; the false-convergence bug
+    // left "d"/"e" pointing at intermediate nodes.
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).as[(String, String)].collect().toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a"))
+    // two separate string clusters keep separate min reps
+    val two = Seq(("m", "n"), ("x", "y"), ("y", "z")).toDF("id_a", "id_b")
+    val cc2 = Dedup.connectedComponents(two).as[(String, String)].collect().toMap
+    assert(cc2 == Map("m" -> "m", "n" -> "m", "x" -> "x", "y" -> "x", "z" -> "x"))
+  }
+
+  test("connected components: string-id non-convergence raises under strict") {
+    // with the broken witness this returned silently; now the
+    // inequality-join witness detects the unfinished propagation
+    val chain = (0 until 11).map(i => (s"n%02d".format(i), s"n%02d".format(i + 1)))
+      .toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("connected components: non-convergence raises instead of mislabeling") {
     // a 12-node path has diameter 11 — min-label propagation cannot
     // finish in 3 rounds, and partial labels would silently mislabel
