@@ -4,6 +4,7 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 import graft.functions.GraftFunctions
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the
@@ -108,45 +109,85 @@ object Ivf {
   }
 
   /** Append new vectors to a persisted index WITHOUT refitting:
-    * assign each to its nearest existing centroid (cosine, matching
-    * [[topK]]'s probe ranking) and append to the partitioned table.
-    * The daily-ingest path for the vector index — centroids drift only
-    * on explicit rebuilds, exactly like a production IVF. Per-partition
-    * imperative assignment (`mapPartitions`) is deliberate: the k×dim
-    * centroid matrix loads once per partition, each row is one
-    * k·dim-flop argmin, no shuffle.
+    * assign each to its nearest existing centroid and append to the
+    * partitioned table. The daily-ingest path for the vector index —
+    * centroids drift only on explicit rebuilds, exactly like a
+    * production IVF. Per-partition imperative assignment
+    * (`mapPartitions`) is deliberate: the k×dim centroid matrix loads
+    * once per partition, each row is one k·dim-flop argmin, no shuffle.
+    *
+    * Two invariants this method must hold (both broke once):
+    *  - SCHEMA: the batch is cast to the EXISTING assigned table's
+    *    column types — `build()`/[[writeIndex]] preserve the source
+    *    schema, so a hardcoded long/float cast here would interleave
+    *    mixed-schema parquet files under `assigned/` and later reads
+    *    would fail or silently misread depending on which file wins
+    *    schema inference. Incompatible batches fail fast instead.
+    *  - METRIC: assignment ranks centroids by squared EUCLIDEAN
+    *    distance, matching the KMeans Voronoi cells of `build()`. A
+    *    cosine argmin can put an appended copy of an existing vector
+    *    in a different cell than its original (for unnormalized
+    *    embeddings the two argmins genuinely differ), after which a
+    *    probe finds the original but misses the copy.
     */
   def appendToIndex(newVecs: DataFrame, path: String, idCol: String,
       vecCol: String): Index = {
     val spark = newVecs.sparkSession
     val index = readIndex(spark, path)
     val centroids = index.centroids
-    import spark.implicits._
-    val assigned = newVecs
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { rows =>
-        rows.map { case (id, vec) =>
-          var best = -1; var bestCos = Double.NegativeInfinity
-          var c = 0
-          while (c < centroids.length) {
-            val cen = centroids(c)
-            var dp = 0.0; var nv = 0.0; var nc = 0.0
-            val n = math.min(cen.length, vec.length)
-            var i = 0
-            while (i < n) {
-              dp += vec(i) * cen(i); nv += vec(i) * vec(i); nc += cen(i) * cen(i)
-              i += 1
-            }
-            val cos = if (nv == 0 || nc == 0) -1.0 else dp / math.sqrt(nv * nc)
-            if (cos > bestCos) { bestCos = cos; best = c }
-            c += 1
+    val idType = index.assigned.schema(idCol).dataType
+    val vecType = index.assigned.schema(vecCol).dataType
+    require(vecType match {
+      case types.ArrayType(types.FloatType | types.DoubleType, _) => true
+      case _ => false
+    }, s"index at $path stores $vecCol as ${vecType.simpleString}, " +
+      "expected array<float> or array<double>")
+    newVecs.schema(vecCol).dataType match {
+      case types.ArrayType(_: types.NumericType, _) => ()
+      case t => throw new IllegalArgumentException(
+        s"append batch column $vecCol is ${t.simpleString}, expected a " +
+          "numeric array — refusing a lossy/NULLing cast")
+    }
+    val batch = newVecs.select(
+      col(idCol).cast(idType).as(idCol),
+      col(vecCol).cast(vecType).as(vecCol))
+    val outSchema = batch.schema.add("cluster", types.IntegerType, nullable = false)
+    val assigned = batch.mapPartitions { rows =>
+      rows.map { r =>
+        val vs = r.getSeq[Any](1)
+        val vec = new Array[Double](vs.length)
+        var j = 0
+        while (j < vec.length) {
+          vec(j) = vs(j) match {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d
+            case n: java.lang.Number => n.doubleValue()
           }
-          (id, vec, best)
+          j += 1
         }
+        var best = -1; var bestDist = Double.PositiveInfinity
+        var c = 0
+        while (c < centroids.length) {
+          val cen = centroids(c)
+          var d2 = 0.0
+          val n = math.min(cen.length, vec.length)
+          var i = 0
+          while (i < n) {
+            val d = vec(i) - cen(i); d2 += d * d
+            i += 1
+          }
+          if (d2 < bestDist) { bestDist = d2; best = c }
+          c += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best)
       }
-      .toDF(idCol, vecCol, "cluster")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
     assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+    // this session's cached plans/indexes snapshotted the PRE-append
+    // file listing: refresh the path and drop memoized entries so the
+    // next buildPersistentCached/readIndex sees the appended files
+    spark.catalog.refreshByPath(s"$path/assigned")
+    cache.keySet.removeIf(_.contains(s"|disk|$path|"))
     readIndex(spark, path)
   }
 

@@ -83,4 +83,80 @@ class IvfSpec extends SparkSpec {
     assert(top.take(2).toSet == Set(5L, 777777L),
       s"both copies must lead the ranking, got ${top.toSeq}")
   }
+
+  test("append preserves the built index's schema (no mixed-schema parquet)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Tables(spark, sf, "embeddings")
+    // build from an array<double> corpus — append once hardcoded a
+    // float cast, interleaving mixed-schema files under assigned/
+    val dbl = e.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-schema").toString
+    Ivf.buildPersistent(dbl, dir, "vec_id", "embedding", k = 4)
+    val n = dbl.count()
+    // the batch arrives as array<float> (the raw table type) and must be
+    // widened to the index's double, not the other way around
+    val batch = e.filter($"vec_id" === 7L)
+      .select(lit(888888L).as("vec_id"), $"embedding")
+    Ivf.appendToIndex(batch, dir, "vec_id", "embedding")
+    val back = spark.read.parquet(s"$dir/assigned")
+    assert(back.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, true),
+      s"appended files changed the element type: ${back.schema}")
+    assert(back.count() == n + 1)
+    // every row's vector is readable (a mixed-schema dir would throw or
+    // NULL out one side depending on which file wins inference)
+    assert(back.where(col("embedding").isNull).count() == 0)
+    // incompatible element types are rejected, never silently cast
+    val bad = Seq((1L, Seq("a", "b"))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(bad, dir, "vec_id", "embedding")
+    }
+  }
+
+  test("append assigns by the build metric (Euclidean), not cosine") {
+    // two KMeans cells: A near (10,0), B near (0,1) ∪ the outlier (2,0).
+    // For v=(2,0) the two argmins genuinely differ: Euclidean picks B
+    // (dist ~1.8 vs 8), cosine picks A (cos 1.0 vs ~0.45) — assigning
+    // appends by cosine would separate an appended copy from its
+    // original, and a probe of the original's cell would miss it.
+    val pts = Seq(
+      (1L, Seq(10.0, 0.1)), (2L, Seq(10.0, -0.1)), (3L, Seq(9.9, 0.0)),
+      (4L, Seq(10.1, 0.0)),
+      (5L, Seq(0.0, 0.9)), (6L, Seq(0.0, 1.1)), (7L, Seq(-0.1, 1.0)),
+      (8L, Seq(0.1, 1.0)), (9L, Seq(2.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-metric").toString
+    Ivf.buildPersistent(pts, dir, "vec_id", "embedding", k = 2)
+    val copy = Seq((99L, Seq(2.0, 0.0))).toDF("vec_id", "embedding")
+    val after = Ivf.appendToIndex(copy, dir, "vec_id", "embedding")
+    val cellOf = after.assigned.select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toMap
+    assert(cellOf(99L) == cellOf(9L),
+      "the appended copy must land in its original's Voronoi cell " +
+        s"(got ${cellOf(99L)} vs ${cellOf(9L)})")
+  }
+
+  test("a cached persistent index sees appended rows in the same session") {
+    val e = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cache").toString
+    val before = Ivf.buildPersistentCached(e, dir, "vec_id", "embedding", k = 8)
+    val n = before.assigned.count()
+    // materialize a probe through the cached index first (snapshots the
+    // pre-append file listing)
+    Ivf.topK(before, e.filter($"vec_id" === 5L), "vec_id", "embedding", 5).count()
+    val v5 = e.filter($"vec_id" === 5L)
+      .select(org.apache.spark.sql.functions.lit(555555L).as("vec_id"), $"embedding")
+    Ivf.appendToIndex(v5, dir, "vec_id", "embedding")
+    // the memoized entry must have been invalidated: the re-fetched
+    // index and its probes see the appended file set
+    val after = Ivf.buildPersistentCached(e, dir, "vec_id", "embedding", k = 8)
+    assert(after.assigned.count() == n + 1,
+      "cached index still probes the pre-append file listing")
+    val top = Ivf.topK(after, e.filter($"vec_id" === 5L),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("vec_id").as[Long].collect()
+    assert(top.take(2).toSet == Set(5L, 555555L),
+      s"post-append probe must surface the appended copy, got ${top.toSeq}")
+  }
 }
