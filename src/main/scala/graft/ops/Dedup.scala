@@ -326,10 +326,42 @@ object Dedup {
     // fresh build: drop any stale stats before seeding from the new bands
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket_counts"), true)
+    listStatsDirs(fs, path).foreach { case (p, _) => fs.delete(p, true) }
     mergeBucketCounts(df.sparkSession, path,
       bandCountsOf(df.sparkSession.read.parquet(s"$path/bands")))
   }
+
+  /** All stats dirs under the index with their version numbers: the
+    * versioned `bucket_counts_vN` dirs plus the legacy unversioned
+    * `bucket_counts` (version 0) from pre-versioning indexes.
+    */
+  private def listStatsDirs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(org.apache.hadoop.fs.Path, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Seq.empty
+    val versioned = "bucket_counts_v(\\d+)".r
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      st.getPath.getName match {
+        case "bucket_counts" => Some((st.getPath, 0))
+        case versioned(v) => Some((st.getPath, v.toInt))
+        case _ => None
+      }
+    }
+  }
+
+  /** The latest COMMITTED stats table: highest-version dir whose parquet
+    * `_SUCCESS` marker exists (the legacy unversioned dir counts as
+    * committed for pre-versioning indexes). A dir without the marker is
+    * a crashed publish and is ignored — the previous version stays
+    * authoritative.
+    */
+  private[ops] def committedBucketCounts(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[org.apache.hadoop.fs.Path] =
+    listStatsDirs(fs, path)
+      .filter { case (p, v) =>
+        v == 0 || fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .sortBy(-_._2).headOption.map(_._1)
 
   /** Per-bucket population of the band table — the index statistic that
     * lets [[incrementalNearDup]] cap hot buckets without scanning the
@@ -337,23 +369,41 @@ object Dedup {
     * table once; appends MERGE their delta counts into the existing
     * stats (O(distinct buckets + new bands), never a band-table
     * re-scan).
+    *
+    * Published crash-safely: the merged table is written to a NEW
+    * versioned dir (`bucket_counts_v{N+1}`), committed by the parquet
+    * `_SUCCESS` marker, and only then are superseded versions retired.
+    * A crash at any point leaves the previous committed stats readable
+    * — the old delete-then-rename publish had a window that left the
+    * index with bands but no stats, bricking every subsequent
+    * [[incrementalNearDup]] until a full rebuild.
     */
   private def mergeBucketCounts(spark: org.apache.spark.sql.SparkSession,
       path: String, delta: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(s"$path/bucket_counts")
-    val merged =
-      if (fs.exists(dst))
-        spark.read.parquet(dst.toString).unionByName(delta)
+    val cur = committedBucketCounts(fs, path)
+    val merged = cur match {
+      case Some(p) =>
+        spark.read.parquet(p.toString).unionByName(delta)
           .groupBy(col("band_idx"), col("band_key"))
           .agg(sum(col("n")).as("n"))
-      else delta
-    val tmp = s"$path/bucket_counts_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"failed to publish $dst — index stats are missing, rebuild the index")
+      case None => delta
+    }
+    val curVersion = listStatsDirs(fs, path)
+      .filter { case (p, v) =>
+        v == 0 || fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .map(_._2).maxOption.getOrElse(0)
+    // overwrite: a crashed publish may have left an UNCOMMITTED dir at
+    // this same version number
+    merged.write.mode("overwrite")
+      .parquet(s"$path/bucket_counts_v${curVersion + 1}")
+    // retire superseded stats and crashed-publish debris best-effort —
+    // a crash here leaves extra dirs and readers still pick the max
+    // committed version
+    listStatsDirs(fs, path)
+      .filter(_._2 != curVersion + 1)
+      .foreach { case (p, _) => fs.delete(p, true) }
   }
 
   private def bandCountsOf(bandsDf: DataFrame): DataFrame =
@@ -389,7 +439,12 @@ object Dedup {
     // per-bucket counts are part of the index (maintained at
     // write/append time — O(buckets), no scan of the band table);
     // the new batch's counts aggregate from its own tiny band set.
-    val idxCounts = spark.read.parquet(s"$indexPath/bucket_counts")
+    val statsFs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsPath = committedBucketCounts(statsFs, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"no committed bucket_counts under $indexPath — rebuild the index"))
+    val idxCounts = spark.read.parquet(statsPath.toString)
       .select(col("band_idx"), col("band_key"), col("n").as("n_idx"))
     val newCounts = newBands.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("n_new"))

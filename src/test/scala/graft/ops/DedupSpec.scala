@@ -183,6 +183,44 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == (0 until 4).map(i => (100L + i, 200L)).toSet)
   }
 
+  test("stats publish is crash-safe: uncommitted versions are ignored, gaps raise") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-crash").toString
+    Dedup.writeLshIndex(corpus.where(col("doc_id").isin(0L, 1L, 4L)),
+      "doc_id", "text", dir, threshold = 0.5)
+    val batch = corpus.where(col("doc_id").isin(2L, 3L, 5L))
+    def run() = Dedup.incrementalNearDup(batch, dir, "doc_id", "text",
+      threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = run()
+    assert(expected.nonEmpty)
+    // a publish that died after writing files but BEFORE the _SUCCESS
+    // commit marker: the torn higher-version dir must be ignored and
+    // the previous committed stats stay authoritative (the old
+    // delete-then-rename publish left NO readable stats in this window)
+    val torn = new java.io.File(s"$dir/bucket_counts_v99")
+    assert(torn.mkdirs())
+    assert(new java.io.File(torn, "part-00000.parquet").createNewFile())
+    assert(run() == expected, "torn publish must not change the stats read")
+    // the next successful publish retires both the superseded version
+    // and the debris
+    Dedup.appendToLshIndex(batch, dir, "doc_id", "text")
+    assert(!torn.exists(), "crashed-publish debris must be retired")
+    assert(run().nonEmpty)
+    // pre-versioning indexes (legacy unversioned bucket_counts) read fine
+    val cur = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("bucket_counts_v\\d+")).head
+    assert(cur.renameTo(new java.io.File(s"$dir/bucket_counts")))
+    assert(run().nonEmpty, "legacy stats layout must stay readable")
+    // no committed stats at all: a clear rebuild error, not a crash
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/bucket_counts"))
+    val ex = intercept[IllegalStateException] { run() }
+    assert(ex.getMessage.contains("rebuild the index"))
+  }
+
   test("connected components: deep chain converges through checkpoints") {
     // diameter 29 forces many rounds through the localCheckpoint seam
     val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
