@@ -124,22 +124,7 @@ object Similarity {
       seed: Long = 42L,
       maxBucket: Int = 10000,
       roundTo: Int = 6): DataFrame = {
-    GraftFunctions.register(df.sparkSession)
-    val planes = hyperplanes(nBits, resolveDim(df, vecCol, dim), seed)
-    // zero vectors have no cosine (0/0 = NaN, and Spark orders NaN above
-    // every number, so it would pass the threshold) — exclude them
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      l2Norm(col(vecCol)).as("nrm"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-      .where(col("nrm") > 0)
-    // hot-HOME-bucket cap via a tiny aggregated count (<= 2^nBits rows,
-    // map-side partial agg + broadcast back) — NOT a window over the
-    // exploded corpus, which would funnel each hot bucket through one
-    // task. Rows of a hot bucket are excluded from both roles; such
-    // buckets are degenerate regions the signature can't discriminate.
-    val hot = base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBucket).select(col("bucket"))
-    val kept = base.join(broadcast(hot), Seq("bucket"), "left_anti")
+    val kept = lshNearDupBuckets(df, idCol, vecCol, nBits, dim, seed, maxBucket)
     // multi-probe: each row also probes its nBits Hamming-1 buckets;
     // symmetry guarantees each qualifying pair matches in exactly one
     // (probe-side, anchor-side) orientation after the id ordering, so
@@ -156,6 +141,41 @@ object Similarity {
       .where(col("cos_sim") > threshold)
   }
 
+  /** The post-cap signature table behind [[lshNearDupPairs]]:
+    * (id, v, nrm, bucket) for every non-zero-norm row whose home bucket
+    * survived the hot-bucket cap. Factored out so the bucket signatures
+    * can be materialized for external verification — given this table,
+    * the operator's candidate predicate is exactly
+    * "Hamming(bucket_a, bucket_b) <= 1" (each qualifying pair matches
+    * the probe join in exactly one orientation), and the cosine verify
+    * is plain arithmetic — both replayable in SQL by the oracle.
+    */
+  def lshNearDupBuckets(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBits: Int = 12,
+      dim: Int = -1,
+      seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val planes = hyperplanes(nBits, resolveDim(df, vecCol, dim), seed)
+    // zero vectors have no cosine (0/0 = NaN, and Spark orders NaN above
+    // every number, so it would pass the threshold) — exclude them
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+      .where(col("nrm") > 0)
+    // hot-HOME-bucket cap via a tiny aggregated count (<= 2^nBits rows,
+    // map-side partial agg + broadcast back) — NOT a window over the
+    // exploded corpus, which would funnel each hot bucket through one
+    // task. Rows of a hot bucket are excluded from both roles; such
+    // buckets are degenerate regions the signature can't discriminate.
+    val hot = base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).select(col("bucket"))
+    base.join(broadcast(hot), Seq("bucket"), "left_anti")
+  }
+
   /** Approximate top-k: LSH-bucket the corpus, probe the query's bucket
     * plus all Hamming-1 neighbor buckets (multi-probe), exact re-rank
     * inside the candidate set. Recall/cost tradeoff via nBits.
@@ -170,6 +190,29 @@ object Similarity {
       dim: Int = -1, // <=0: read from the first row
       seed: Long = 42L,
       roundTo: Int = 6): DataFrame = {
+    val (bucketed, probes) = lshTopKTables(corpus, query, idCol, vecCol, nBits, dim, seed)
+    bucketed.join(broadcast(probes), "bucket")
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("query_vec")), roundTo).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The (bucketed corpus, probe set) pair [[lshTopK]] joins: the
+    * corpus with its signature and the query's multi-probe bucket list
+    * (home + nBits Hamming-1 neighbors). Factored out so the
+    * signatures can be materialized for external verification — the
+    * candidate set is then one equi-join and the re-rank plain cosine
+    * arithmetic, both replayable in SQL by the oracle.
+    */
+  def lshTopKTables(
+      corpus: DataFrame,
+      query: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBits: Int = 8,
+      dim: Int = -1,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
     GraftFunctions.register(corpus.sparkSession)
     val planes = hyperplanes(nBits, resolveDim(corpus, vecCol, dim), seed)
     // zero-norm vectors excluded for the same NaN reason as bruteForceTopK
@@ -181,10 +224,6 @@ object Similarity {
       .select(col(vecCol).as("query_vec"), lshBucket(col(vecCol), planes).as("qb"))
       .select(col("query_vec"),
         explode(hamming1Probes(col("qb"), nBits)).as("bucket"))
-    bucketed.join(broadcast(probes), "bucket")
-      .select(col(idCol),
-        round(cosine(col(vecCol), col("query_vec")), roundTo).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
+    (bucketed, probes)
   }
 }

@@ -82,7 +82,24 @@ object AnalyticsQueries {
         val index = Ivf.buildPersistentCached(e, path, "vec_id", "embedding", k = 16)
         Ivf.topK(index, e.filter($"vec_id" === 0L), "vec_id", "embedding", k = 50)
       },
-      None,
-      notes = "rows-only: approximate (KMeans cells); recall tested in IvfSpec")
+      // the KMeans fit is not SQL-portable, but the PERSISTED index is
+      // data: the oracle reads centroids + the cluster-partitioned
+      // assigned table and replays the probe selection (nprobe=4
+      // nearest cells by centroid cosine) and the exact cosine re-rank
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+        probes AS (SELECT cluster FROM cents CROSS JOIN q
+          ORDER BY list_cosine_similarity(centroid, qv) DESC, cluster LIMIT 4),
+        a AS (SELECT vec_id, embedding, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1))
+        SELECT a.vec_id,
+          round(list_cosine_similarity(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cos_sim
+        FROM a JOIN probes p ON a.cluster = p.cluster CROSS JOIN q
+        ORDER BY cos_sim DESC, a.vec_id LIMIT 50"""),
+      notes = "oracle replays probe selection + re-rank over the persisted index")
   )
 }

@@ -90,14 +90,29 @@ object ExtensionQueries {
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""")),
 
-    // ---- SimHash near-dup: xxhash64-based, not oracle-expressible;
-    // accuracy covered by DedupSpec (known near-identical docs).
+    // ---- SimHash near-dup. The xxhash64 fingerprint itself has no
+    // DuckDB equivalent, but once dumped it is DATA: the pigeonhole
+    // block join is complete by construction (a pair within the
+    // Hamming bound must agree on one whole block), so the operator's
+    // result must equal the oracle's exact pairwise Hamming
+    // recomputation over the dumped fingerprints.
     GraftQuery(
       "x05_dedup_simhash",
-      (s, dir) => Dedup.simHashNearDup(
-        Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 6),
-      None,
-      notes = "rows-only: SimHash uses xxhash64 (no DuckDB equivalent)"),
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        OracleDump.dump(
+          docs.select($"doc_id", Dedup.simHash($"text").as("sim")),
+          dir, "x05_simhash")
+        Dedup.simHashNearDup(docs, "doc_id", "text", maxHamming = 6)
+      },
+      Some("""WITH s AS (SELECT doc_id, sim
+          FROM read_parquet('__SCRATCH__/x05_simhash/*.parquet'))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 6"""),
+      notes = "oracle = exact pairwise Hamming over the dumped fingerprints"),
 
     // ---- per-document text statistics (token counting incl. BPE-ish).
     GraftQuery(
@@ -222,17 +237,38 @@ object ExtensionQueries {
         WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.3""")),
 
     // ---- LSH-bucketed approximate top-k (the 100 TB path; recall
-    // measured against brute force in SimilaritySpec).
+    // measured against brute force in SimilaritySpec). The seeded
+    // hyperplane signatures are dumped as data; the oracle replays the
+    // candidate equi-join + exact cosine re-rank in SQL.
     GraftQuery(
       "x12_sim_lsh_topk",
       (s, dir) => {
         import s.implicits._
         val e = Tables(s, dir, "embeddings")
-        Similarity.lshTopK(
-          e, e.filter($"vec_id" === 0L), "vec_id", "embedding", k = 50)
+        val q = e.filter($"vec_id" === 0L)
+        if (OracleDump.enabled) {
+          val (bucketed, probes) =
+            Similarity.lshTopKTables(e, q, "vec_id", "embedding")
+          OracleDump.dump(bucketed.select($"vec_id", $"bucket"), dir, "x12_buckets")
+          OracleDump.dump(probes.select($"bucket"), dir, "x12_probes")
+        }
+        Similarity.lshTopK(e, q, "vec_id", "embedding", k = 50)
       },
-      None,
-      notes = "rows-only: approximate candidates; recall tested in SimilaritySpec"),
+      Some("""WITH b AS (SELECT vec_id, bucket
+          FROM read_parquet('__SCRATCH__/x12_buckets/*.parquet')),
+        p AS (SELECT DISTINCT bucket
+          FROM read_parquet('__SCRATCH__/x12_probes/*.parquet')),
+        q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+          round(list_cosine_similarity(
+            list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cos_sim
+        FROM embeddings e
+        JOIN b ON e.vec_id = b.vec_id
+        JOIN p ON b.bucket = p.bucket
+        CROSS JOIN q
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 50"""),
+      notes = "oracle replays the bucket join + exact re-rank over dumped signatures"),
 
     // ---- unblocked embedding near-dup via sign-LSH bucket join +
     // Hamming-1 multi-probe + exact cosine verify — the 100 TB path
@@ -240,10 +276,31 @@ object ExtensionQueries {
     // SimilaritySpec; precision 1.0 by construction.
     GraftQuery(
       "x15_sim_lsh_neardup",
-      (s, dir) => Similarity.lshNearDupPairs(
-        Tables(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.3),
-      None,
-      notes = "rows-only: approximate candidates (exact-verified cosine)"),
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        if (OracleDump.enabled)
+          OracleDump.dump(
+            Similarity.lshNearDupBuckets(e, "vec_id", "embedding")
+              .select(col("id"), col("bucket")),
+            dir, "x15_buckets")
+        Similarity.lshNearDupPairs(e, "vec_id", "embedding", threshold = 0.3)
+      },
+      // candidate predicate given the dumped signatures: buckets within
+      // Hamming distance 1 (home + Hamming-1 multi-probe, matched in
+      // exactly one orientation) — then the exact cosine verify
+      Some("""WITH kb AS (SELECT id, bucket
+          FROM read_parquet('__SCRATCH__/x15_buckets/*.parquet')),
+        e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        SELECT a.id AS id_a, b.id AS id_b,
+          round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+        FROM kb a
+        JOIN kb b ON a.id < b.id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+        JOIN e ea ON a.id = ea.vec_id
+        JOIN e eb ON b.id = eb.vec_id
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 6) > 0.3"""),
+      notes = "oracle = Hamming<=1 candidate predicate + exact cosine over dumped signatures"),
 
     // ---- capstone: the full training-corpus cleaning pipeline —
     // quality filter → exact dedup (min id per text) → near-dup removal

@@ -21,6 +21,37 @@ final case class GraftQuery(
     oracle: Option[String],
     notes: String = "")
 
+/** Side-channel tables for the DuckDB oracle. Some operators' only
+  * non-SQL-portable part is a fitted or seeded ARTIFACT — KMeans cells,
+  * hyperplane bucket signatures, xxhash fingerprints. Once computed,
+  * that artifact is plain data: Verify materializes it as parquet so
+  * the oracle can replay the portable math (candidate join, re-rank,
+  * exact verify) in SQL and hash-compare the full result.
+  *
+  * Dumps are gated on a system property that only Verify sets: bench
+  * runs execute the identical result plan without the side writes, so
+  * timings stay comparable round-over-round.
+  */
+object OracleDump {
+  val prop = "graft.oracle.dump"
+  def enabled: Boolean = sys.props.get(prop).contains("true")
+  def sfTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+  def scratchRoot(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-oracle-${sfTag(dir)}"
+  def dump(df: DataFrame, dir: String, name: String): Unit =
+    if (enabled)
+      df.write.mode("overwrite").parquet(s"${scratchRoot(dir)}/$name")
+  /** Builder-authored oracle SQL can't know the sfDir it will run
+    * against, so scratch/index paths are written with these tokens and
+    * Verify substitutes the concrete per-sfDir values before dumping
+    * oracle_sql.json.
+    */
+  def substitute(sql: String, dir: String): String =
+    sql.replace("__SCRATCH__", scratchRoot(dir))
+      .replace("__TMP__", sys.props("java.io.tmpdir"))
+      .replace("__SFTAG__", sfTag(dir))
+}
+
 /** Shared helpers for oracle-deterministic aggregation. */
 object Q {
   /** Order-independent sum of a double column that lives on a 10^-scale
