@@ -24,6 +24,22 @@ import graft.sources.Tables
   * Usage: runMain graft.CurateMain [sfDir] [outDir]
   */
 object CurateMain {
+
+  /** Per-stage survivor counts + output location — the pipeline's
+    * verifiable contract (CurateMainSpec pins these and a content hash
+    * of the curated table, so a regression in any composed operator
+    * can't ship silently).
+    */
+  final case class CurateSummary(input: Long, piiFlagged: Long,
+      quality: Long, decontaminated: Long, exact: Long, nearDedup: Long,
+      mixed: Long, packs: Long, out: String) {
+    def json: String =
+      s"""{"stage_counts":{"input":$input,"pii_flagged":$piiFlagged,""" +
+        s""""quality":$quality,"decontaminated":$decontaminated,"exact":$exact,""" +
+        s""""near_dedup":$nearDedup,"mixed":$mixed,"packs":$packs},""" +
+        s""""out":"$out"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse(
@@ -35,6 +51,12 @@ object CurateMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, sfDir, outDir).json)
+    spark.stop()
+  }
+
+  /** The pipeline itself, session-agnostic so tests can drive it. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): CurateSummary = {
     import spark.implicits._
 
     val docs = Tables(spark, sfDir, "documents")
@@ -92,10 +114,7 @@ object CurateMain {
       .write.mode("overwrite").parquet(s"$outDir/curated")
     Staged.release()
 
-    println(s"""{"stage_counts":{"input":$nTotal,"pii_flagged":$nPii,""" +
-      s""""quality":$nQuality,"decontaminated":$nClean,"exact":$nExact,""" +
-      s""""near_dedup":$nKept,"mixed":$nMixed,"packs":$nPacks},""" +
-      s""""out":"$outDir/curated"}""")
-    spark.stop()
+    CurateSummary(nTotal, nPii, nQuality, nClean, nExact, nKept, nMixed,
+      nPacks, s"$outDir/curated")
   }
 }
