@@ -222,6 +222,88 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("streaming as-of: identical duplicate left rows collapse; row-unique lefts match batch") {
+    // Pins the documented asOfStream contract: the per-left-row
+    // selection groups by ALL left columns, so FULLY identical
+    // duplicate left rows collapse into one output row — unlike the
+    // batch operator, which preserves multiplicity. Carrying a
+    // row-unique id on the left (the documented requirement) restores
+    // exact batch parity including multiplicity.
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def ts(m: Int) = java.sql.Timestamp.valueOf("2024-01-01 10:%02d:00".format(m))
+    val fixture = Seq(
+      // events 1 and 2 are identical except for their id
+      (1L, ts(0), 7L, "view", 0.0),
+      (2L, ts(0), 7L, "view", 0.0),
+      (3L, ts(5), 7L, "view", 0.0),
+      (9L, ts(0), 7L, "error", 42.0))
+
+    def run(queryName: String, leftCols: Seq[String]): Seq[Seq[Any]] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-$queryName")
+      fixture.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      def in = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val left = in.filter($"event_type" === "view")
+        .select(leftCols.map(col): _*)
+      val right = in.filter($"event_type" === "error")
+        .select($"user_id", $"ts", $"value")
+      val joined = Streams.asOfStream(left, right, key = "user_id",
+        timeCol = "ts", payloadCol = "value",
+        lookback = "10 minutes", watermark = "10 minutes")
+      val q = joined.writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // two far-future dummy batches close the fixture through the
+        // chained join + agg watermarks; both streams filter by
+        // event_type, so each dummy file carries both types
+        for (h <- Seq(2, 4)) {
+          val far = java.sql.Timestamp.valueOf(s"2024-01-0${1 + h} 10:00:00")
+          val tmp = java.nio.file.Files.createTempDirectory("graft-asof-dummy")
+          Seq((900L + h, far, 99L, "view", 0.0), (910L + h, far, 99L, "error", 0.0))
+            .toDF("event_id", "ts", "user_id", "event_type", "value")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp)
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          java.nio.file.Files.copy(part, dir.resolve(s"zz-dummy-$h.parquet"))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(queryName).where($"user_id" === 7L)
+        .collect().map(_.toSeq).toSeq
+    }
+
+    val batchAll = fixture.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def batchAsOf(leftCols: Seq[String]) = graft.ops.AsOfJoin.sortMerge(
+      batchAll.filter($"event_type" === "view").select(leftCols.map(col): _*),
+      batchAll.filter($"event_type" === "error").select($"user_id", $"ts", $"value"),
+      timeCol = "ts", keys = Seq("user_id"), payload = Seq("value"),
+      tolerance = Some(java.time.Duration.ofMinutes(10)))
+
+    // batch preserves the duplicate left row (3 output rows); the
+    // stream collapses the two identical lefts (2 rows) but agrees on
+    // the distinct result set
+    val collapsed = run("asof_dup", Seq("user_id", "ts"))
+    val batchDup = batchAsOf(Seq("user_id", "ts")).collect().map(_.toSeq)
+    assert(batchDup.length == 3)
+    assert(collapsed.length == 2,
+      s"identical duplicate lefts must collapse to one row: $collapsed")
+    assert(collapsed.toSet == batchDup.toSet)
+
+    // with a row-unique event id on the left, stream == batch exactly,
+    // multiplicity included
+    val uniq = run("asof_uniq", Seq("event_id", "user_id", "ts"))
+    val batchUniq = batchAsOf(Seq("event_id", "user_id", "ts")).collect().map(_.toSeq)
+    assert(uniq.length == 3)
+    assert(uniq.sortBy(_.head.asInstanceOf[Long]) ==
+      batchUniq.sortBy(_.head.asInstanceOf[Long]).toSeq)
+  }
+
   test("stream-stream join matches pairs within the time bound") {
     val clicks = MemoryStream[EventRow](spark)
     val buys = MemoryStream[EventRow](spark)
