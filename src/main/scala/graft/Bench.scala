@@ -46,7 +46,7 @@ object Bench {
       // unpersist this query's staged intermediates before the next query
       // runs, so the 80-query sweep doesn't accumulate block-manager state
       graft.ops.Staged.release()
-      name -> times.min
+      name -> times.sorted
     }
     // The harness keeps only the last ~2000 chars of stdout, so the
     // one-line JSON must stay short: per-query keys are the unique
@@ -57,11 +57,17 @@ object Bench {
     val keyOf: String => String =
       if (results.keys.map(short).toSet.size == results.size) short else identity
     def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+    val qs = results.map { case (k, ts) => "\"" + keyOf(k) + "\":" + fmt(ts.head) }
       .mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // BENCH_FULL.json records the per-query SPREAD (min/median/max over
+    // the timed runs): a best-of number whose siblings are 5× larger is
+    // external load, not a regression — the spread is what tells a
+    // reader which it was
+    val qsFull = results.map { case (k, ts) =>
+      val med = ts(ts.size / 2)
+      "\"" + k + s"""\":{"min":${ts.head},"med":$med,"max":${ts.last}}"""
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.head).sum else 0.0
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val full =
