@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Ivf, Similarity, Staged}
+import graft.sources.Tables
+
+/** Scale rehearsal for the similarity/ANN family (VERDICT r4 item 7):
+  * replicate the sf0.1 embeddings table K times and measure, build and
+  * probe SEPARATELY, how the sign-LSH bucket table, the sign-LSH
+  * near-dup join, the LSH top-k probe, and the IVF index (KMeans fit +
+  * partitioned write vs partition-pruned probe) scale with corpus size.
+  *
+  * Replication preserves problem structure: each replica multiplies
+  * every dimension by a deterministic ±1 sign pattern (a diagonal
+  * orthogonal transform), so within-replica norms and cosines — and
+  * therefore true near-dup pairs — are EXACTLY the originals (pairs
+  * grow K×), while cross-replica similarity decorrelates. Verbatim
+  * replication would plant K-sized exact-dup cliques and grow pairs
+  * K²×, poisoning the curve.
+  *
+  * Usage: runMain graft.ScaleRehearsalAnn [multipliers...] (default 1 2 5 10 20)
+  */
+object ScaleRehearsalAnn {
+
+  /** ±1 pattern for replica r from its bits; r < 2^dim patterns are
+    * distinct, so no two replicas are trivially correlated.
+    */
+  private def signs(r: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => if (((r >> (j % 31)) & 1) == 1) -1.0 else 1.0)
+
+  def scaledVecs(base: DataFrame, k: Int, dim: Int): DataFrame =
+    (0 until k).map { r =>
+      val s = typedLit(signs(r, dim))
+      base.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        (if (r == 0) col("embedding")
+         else zip_with(col("embedding").cast("array<double>"), s, (x, sg) => x * sg)
+           .cast("array<float>")).as("embedding"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val multipliers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10, 20)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+
+    multipliers.foreach { k =>
+      val path = s"/tmp/graft-scale-vecs-${k}x"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        scaledVecs(base, k, dim).repartition(32).write.mode("overwrite").parquet(path)
+      }
+      val vecs = spark.read.parquet(path)
+      val n = vecs.count()
+      val query = vecs.where(col("vec_id") === 0L)
+
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+
+      // sign-LSH build: signature + bucket every corpus row (the
+      // shared prefix of both LSH operators)
+      val (tBucket, nBucket) = time {
+        Similarity.lshNearDupBuckets(vecs, "vec_id", "embedding").count()
+      }
+      Staged.release()
+      // sign-LSH near-dup join (x15): bucket + Hamming-1 probe join +
+      // exact cosine verify; true pairs grow K× by construction
+      val (tPairs, nPairs) = time {
+        Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.3).count()
+      }
+      Staged.release()
+      // LSH top-k probe (x12): corpus-side bucketing dominates; the
+      // probe set stays O(nBits) regardless of K
+      val (tTopk, nTopk) = time {
+        Similarity.lshTopK(vecs, query, "vec_id", "embedding", k = 50).count()
+      }
+      Staged.release()
+      // IVF build (a04): KMeans fit + cluster-partitioned write —
+      // forced fresh so the fit is measured, not the marker shortcut
+      val idxPath = s"/tmp/graft-scale-ivf-${k}x"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(idxPath))
+      val (tBuild, _) = time {
+        Ivf.buildPersistent(vecs, idxPath, "vec_id", "embedding", k = 16)
+        16L
+      }
+      // IVF probe: fresh reload (no session cache) + nprobe-pruned scan
+      val (tProbe, nProbe) = time {
+        Ivf.topK(Ivf.readIndex(spark, idxPath), query,
+          "vec_id", "embedding", k = 50).count()
+      }
+      println(s"""{"mult":$k,"vecs":$n,"lsh_bucket_sec":$tBucket,"rows":$nBucket,""" +
+        s""""lsh_pairs_sec":$tPairs,"pairs":$nPairs,"lsh_topk_sec":$tTopk,""" +
+        s""""topk_rows":$nTopk,"ivf_build_sec":$tBuild,"ivf_probe_sec":$tProbe,""" +
+        s""""probe_rows":$nProbe}""")
+    }
+    spark.stop()
+  }
+}
