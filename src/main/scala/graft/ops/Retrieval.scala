@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-style relevance scoring over the document corpus — the
+  * filter a training-data pipeline runs to mine documents relevant to a
+  * topic/query mix (quality-targeted upsampling, domain mining).
+  *
+  * 100 TB shape: for a FIXED query-term list the whole computation is
+  * two corpus scans and zero shuffles — one map-side aggregation pass
+  * for the collection statistics (N, Σ|d|, per-term document
+  * frequencies: O(terms) scalars to the driver), then one projection
+  * pass where the per-term contributions are literal-folded into a
+  * single fused expression. No explode, no inverted index, no join:
+  * the statistics ride with the plan as literals.
+  */
+object Bm25 {
+
+  /** Okapi BM25 with Lucene's +1 IDF smoothing. Deterministic across
+    * partitionings: collection stats are exact integers, per-row double
+    * arithmetic is IEEE-fixed, and the per-term contributions sum in
+    * fixed (term-list) order inside one row — never across rows.
+    * Returns (idCol, bm25) for docs with a positive score.
+    */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      roundTo: Int = 6): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val withToks = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    // one aggregation pass: N, Σ|d|, df(t) per term — O(terms) scalars
+    val aggs = count(lit(1)).as("n") +:
+      sum(size(col("__t")).cast("long")).as("sumdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__t"), t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val st = withToks.agg(aggs.head, aggs.tail: _*).head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n
+    val dl = size(col("__t")).cast("double")
+    // term frequency without a per-row HOF loop: |t| - |t \ {term}|
+    def tf(t: String): Column =
+      (size(col("__t")) - size(array_remove(col("__t"), t))).cast("double")
+    val contributions = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = st.getLong(2 + i).toDouble
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      lit(idf) * tf(t) * lit(k1 + 1.0) /
+        (tf(t) + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }
+    val bm25 = round(contributions.reduce(_ + _), roundTo)
+    withToks.select(col(idCol), bm25.as("bm25")).where(col("bm25") > 0)
+  }
+}

@@ -660,7 +660,93 @@ object ExtensionQueries {
             '${Scrub.urlRe}', '[URL]', 'g'),
             '${Scrub.emailRe}', '[EMAIL]', 'g'),
             '${Scrub.longNumRe}', '[NUM]', 'g')) AS len_redacted
-        FROM documents""")
-    )
+        FROM documents""")),
+
+    // ---- BM25 relevance scoring against a fixed query — topic/domain
+    // mining over the corpus. Two scan passes, zero shuffles: the
+    // collection stats (N, Σ|d|, per-term df) are one map-side agg to
+    // the driver, then the per-term contributions literal-fold into a
+    // single fused projection (see ops/Retrieval.scala). Both engines
+    // sum the term contributions in the same fixed order.
+    GraftQuery(
+      "x27_bm25_score",
+      (s, dir) => graft.ops.Bm25.score(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "data")),
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        st AS (SELECT count(*) AS n,
+            CAST(sum(len(t)) AS BIGINT) AS sumdl,
+            CAST(sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+            CAST(sum(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+            CAST(sum(CASE WHEN list_contains(t, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM toks),
+        tf AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+            CAST(len(t) - len(list_filter(t, x -> x <> 'spark')) AS DOUBLE) AS tf0,
+            CAST(len(t) - len(list_filter(t, x -> x <> 'join')) AS DOUBLE) AS tf1,
+            CAST(len(t) - len(list_filter(t, x -> x <> 'data')) AS DOUBLE) AS tf2
+          FROM toks)
+        SELECT doc_id, round(
+            ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+              / (tf0 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+          + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+              / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+          + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+              / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6)
+          AS bm25
+        FROM tf, st
+        WHERE round(
+            ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+              / (tf0 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+          + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+              / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+          + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+              / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6) > 0"""),
+      notes = "fixed term-order summation keeps the double sum deterministic"),
+
+    // ---- sliding-window chunking: size-50/stride-30 token windows,
+    // all-integer boundary arithmetic (no float chunk edges).
+    GraftQuery(
+      "x28_chunk_sliding",
+      (s, dir) => graft.ops.Chunking.slidingChunks(
+        Tables(s, dir, "documents"), "doc_id", "text", size = 50, stride = 30),
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        c AS (SELECT doc_id, t, n,
+            unnest(range(0, 1 + (greatest(n - 50, 0) + 29) // 30)) AS ci
+          FROM nz)
+        SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+          array_to_string(t[ci * 30 + 1 : ci * 30 + 50], ' ') AS chunk_text,
+          CAST(least(50, n - ci * 30) AS INT) AS n_tokens
+        FROM c"""),
+      notes = "integer chunk-boundary math mirrors exactly across engines"),
+
+    // ---- symmetric int8 embedding quantization (the ANN memory cut):
+    // per-vector scale 127/max|x|, flattened to (vec, dim) rows so the
+    // result hashes portably.
+    GraftQuery(
+      "x29_quantize_int8",
+      (s, dir) => graft.ops.Quantize.int8(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        m AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        nz AS (SELECT * FROM m WHERE maxabs > 0),
+        f AS (SELECT vec_id, maxabs,
+            CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+            unnest(v) AS x
+          FROM nz)
+        SELECT vec_id, dim,
+          CAST(greatest(-127.0, least(127.0, round(x * (127.0 / maxabs), 0))) AS INT) AS q,
+          round(abs(CAST(CAST(greatest(-127.0, least(127.0,
+              round(x * (127.0 / maxabs), 0))) AS INT) AS DOUBLE)
+            / (127.0 / maxabs) - x), 6) AS err
+        FROM f"""),
+      notes = "round-half-away matches Spark's HALF_UP on doubles")
   )
 }
