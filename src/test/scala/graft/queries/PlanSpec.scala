@@ -93,6 +93,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"sampling should not add shuffles, saw $exchanges:\n$p")
   }
 
+  test("x27/x28/x29: scan-local pipelines plan zero shuffles") {
+    // BM25's collection stats ride as literals (the agg pass happens at
+    // build time, driver-side); chunking and quantization are
+    // generate-and-project. None of the three may introduce an Exchange.
+    Seq("x27_bm25_score", "x28_chunk_sliding", "x29_quantize_int8")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("Exchange"),
+          s"$name must stay a scan-local pipeline:\n$p")
+      }
+  }
+
   test("dsum sums plain longs, not wide decimals, per row") {
     val p = plan("q27_stat_moments")
     assert(p.contains("sum("), "aggregation present")
