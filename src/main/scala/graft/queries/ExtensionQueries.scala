@@ -747,6 +747,30 @@ object ExtensionQueries {
               round(x * (127.0 / maxabs), 0))) AS INT) AS DOUBLE)
             / (127.0 / maxabs) - x), 6) AS err
         FROM f"""),
-      notes = "round-half-away matches Spark's HALF_UP on doubles")
+      notes = "round-half-away matches Spark's HALF_UP on doubles"),
+
+    // ---- unigram LM scoring (the KenLM-perplexity quality-filter
+    // stand-in): per-doc average log-prob under the corpus's own
+    // unigram distribution. Per-token log-probs round onto a 1e-9 grid
+    // and sum exactly in decimal, so the result is partition-order
+    // independent on both engines.
+    GraftQuery(
+      "x30_unigram_logprob",
+      (s, dir) => graft.ops.LangModel.unigramLogProb(
+        Tables(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+        ex AS (SELECT doc_id, unnest(t) AS tok FROM nz),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM ex),
+        vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+          FROM ex GROUP BY tok)
+        SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          round(CAST(sum(CAST(round(ln(CAST(v.n_tok AS DOUBLE) / total), 9)
+              AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS avg_logp
+        FROM ex e JOIN vocab v ON e.tok = v.tok CROSS JOIN tot
+        GROUP BY e.doc_id"""),
+      notes = "decimal-grid log-prob sum keeps the average order-independent")
   )
 }

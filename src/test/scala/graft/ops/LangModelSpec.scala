@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigram log-prob matches the hand-computed distribution") {
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = LangModel.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // N=4: p(a)=1/2, p(b)=p(c)=1/4
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (2 * math.log(0.5) + math.log(0.25)) / 3) < 1e-6)
+    assert(out(2L)._1 == 1L)
+    assert(math.abs(out(2L)._2 - math.log(0.25)) < 1e-6)
+  }
+
+  test("common-token documents score above rare-token documents") {
+    val docs = (1 to 20).map(i => (i.toLong, "common tokens repeated here")) ++
+      Seq((99L, "zxqj vvwk unusual glyph"))
+    val out = LangModel.unigramLogProb(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) > out(99L),
+      s"common ${out(1L)} must beat rare ${out(99L)}")
+  }
+
+  test("score is invariant to partitioning") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val a = LangModel.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = LangModel.unigramLogProb(docs.repartition(13), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b, "result must not depend on input partitioning")
+  }
+}
