@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
-import graft.ops.{Dedup, Multimodal, Scrub, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Ivf, Multimodal, Scrub, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** [EXTENSION] operators (SURVEY §2.2): dedup, similarity search,
@@ -771,6 +771,58 @@ object ExtensionQueries {
               AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS avg_logp
         FROM ex e JOIN vocab v ON e.tok = v.tok CROSS JOIN tot
         GROUP BY e.doc_id"""),
-      notes = "decimal-grid log-prob sum keeps the average order-independent")
+      notes = "decimal-grid log-prob sum keeps the average order-independent"),
+
+    // ---- SemDeDup-style semantic dedup: partition the corpus into
+    // KMeans cells (the SAME persisted IVF index a04 probes — built
+    // once), find exact-cosine near-dup pairs WITHIN cells, connect
+    // components, and report every vector that loses to a smaller-id
+    // representative. Cross-cell near-dups are out of scope by design
+    // (SemDeDup's own approximation — the cell partition IS the
+    // candidate blocking). Oracle: the fitted cell assignment is
+    // dumped as data; DuckDB replays the within-cell pairwise cosine,
+    // the transitive closure (recursive CTE), and the min-id rep.
+    GraftQuery(
+      "x31_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-$tag-k16"
+        val idx = Ivf.buildPersistentCached(e, path, "vec_id", "embedding", k = 16)
+        if (OracleDump.enabled)
+          OracleDump.dump(idx.assigned.select($"vec_id", $"cluster"),
+            dir, "x31_assigned")
+        val pairs = Similarity.cosinePairsBlocked(
+          idx.assigned, "vec_id", "embedding", "cluster", threshold = 0.3)
+          .select($"id_a", $"id_b")
+        Dedup.connectedComponents(pairs)
+          .where($"doc_id" =!= $"cluster_rep")
+          .select($"doc_id".as("vec_id"), $"cluster_rep".as("dup_of"))
+      },
+      Some("""WITH a AS (SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
+            FROM read_parquet('__SCRATCH__/x31_assigned/*.parquet')),
+          e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          pairs AS (SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+            FROM a a1 JOIN a a2
+              ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+            JOIN e e1 ON a1.vec_id = e1.vec_id
+            JOIN e e2 ON a2.vec_id = e2.vec_id
+            WHERE round(list_cosine_similarity(e1.v, e2.v), 6) > 0.3),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT u AS id FROM edges),
+          reach AS (
+            WITH RECURSIVE r(id, lab) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.v, r.lab FROM r JOIN edges e ON e.u = r.id
+            ) SELECT * FROM r),
+          comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS rep
+            FROM reach GROUP BY id)
+        SELECT id AS vec_id, rep AS dup_of FROM comp WHERE id <> rep"""),
+      notes = "oracle replays within-cell cosine + transitive closure over the dumped assignment")
   )
 }
