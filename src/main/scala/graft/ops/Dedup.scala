@@ -217,15 +217,39 @@ object Dedup {
       maxIter: Int = 20,
       checkpointInterval: Int = 8,
       strict: Boolean = true): DataFrame = {
-    val edges = Staged(pairs
+    // Two plan-shape decisions that are invisible in the data flow but
+    // dominate wall-clock (measured 135 s for a 3,615-edge graph whose
+    // actual data work is milliseconds):
+    //  - localCheckpoint the edges, not a plain persist: every round's
+    //    plan embeds the edge PLAN (not just its blocks), and with an
+    //    expensive upstream pair pipeline (an embedding self-join, an
+    //    LSH verify) Catalyst re-analysis of that subtree every round
+    //    is the cost. Checkpointing collapses it to a leaf.
+    //  - SELF-LOOPS instead of a labels∪propagated union: min(own,
+    //    neighbors) via a (u,u) edge per node means each round's plan
+    //    references `labels` exactly ONCE (one join + one agg), so the
+    //    logical tree grows linearly in rounds — the union formulation
+    //    referenced labels twice and the tree DOUBLED every round,
+    //    exponential until the checkpoint cadence truncated it.
+    val bidir = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val edges = bidir
+      .union(bidir.select(col("u"), col("u").as("v")).distinct())
+      .localCheckpoint()
     // seed labels with min(self, direct neighbors) — the first
     // propagation round folded into the init aggregation, so a star
     // cluster (the common near-dup shape) converges one round sooner
+    // the edges leaf appears inside every generation's plan; per-round
+    // releases must never free IT (its truncated lineage can't recompute)
+    val edgesRddIds = edges.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    // seed = min(self, direct neighbors): the self-loops put u itself
+    // in min(v), folding the first propagation round into the init agg
     var labels = Staged(edges.groupBy(col("u"))
-      .agg(min(col("v")).as("mv"))
-      .select(col("u").as("id"), least(col("u"), col("mv")).as("lab")))
+      .agg(min(col("v")).as("lab"))
+      .select(col("u").as("id"), col("lab")))
     // convergence witness, two forms by label type:
     //  - integral/decimal(scale 0) labels: min-label propagation only
     //    ever DECREASES labels, so Σlab (exact, decimal — no long
@@ -259,9 +283,11 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbr = edges.join(labels, edges("u") === labels("id"))
+      // each edge (u,v) ships lab(u) to v; the self-loop ships a node
+      // its own label, so the min is min(own, neighbors) without a
+      // second reference to `labels`
+      val merged = edges.join(labels, edges("u") === labels("id"))
         .select(col("v").as("id"), col("lab"))
-      val merged = labels.unionByName(nbr)
         .groupBy("id").agg(min("lab").as("lab"))
       // localCheckpoint persists internally, so checkpointed rounds skip
       // the Staged persist (persist-after-checkpoint would throw on the
@@ -275,7 +301,7 @@ object Dedup {
       } else {
         converged = changedCount(next, labels) == 0L
       }
-      releaseLabels(labels)
+      releaseLabels(labels, keep = edgesRddIds)
       labels = next
       i += 1
     }
@@ -285,18 +311,30 @@ object Dedup {
       if (strict) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    labels.select(col("id").as("doc_id"), col("lab").as("cluster_rep"))
+    // return a materialized leaf: the caller's plan must not reference
+    // the checkpointed edges (their blocks are released below and the
+    // truncated lineage cannot recompute), and re-executing the result
+    // must not replay the whole loop
+    val result = labels
+      .select(col("id").as("doc_id"), col("lab").as("cluster_rep"))
+      .localCheckpoint()
+    releaseLabels(labels, keep = Set.empty)
+    releaseLabels(edges, keep = Set.empty)
+    result
   }
 
   /** Release a retired label generation. `unpersist` only clears
     * CacheManager entries, which localCheckpoint'ed rounds don't have —
     * their blocks live on the checkpointed RDD inside the LogicalRDD
-    * node, so that RDD is unpersisted explicitly.
+    * node, so those RDDs are unpersisted explicitly. RDDs in `keep`
+    * (the loop's edges leaf, which every generation's plan embeds) are
+    * left alone.
     */
-  private def releaseLabels(df: DataFrame): Unit = {
+  private def releaseLabels(df: DataFrame, keep: Set[Int]): Unit = {
     df.unpersist(blocking = false)
     df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if !keep.contains(l.rdd.id) =>
         l.rdd.unpersist(blocking = false)
     }: Unit
   }

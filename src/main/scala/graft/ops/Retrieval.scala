@@ -27,8 +27,10 @@ object Bm25 {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       roundTo: Int = 6): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    val withToks = df.select(col(idCol),
-      TextAnalysis.tokens(col(textCol)).as("__t"))
+    // staged: the tokenization feeds both the stats pass and the
+    // scoring pass — without it the regex scan runs twice
+    val withToks = Staged(df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__t")))
     // one aggregation pass: N, Σ|d|, df(t) per term — O(terms) scalars
     val aggs = count(lit(1)).as("n") +:
       sum(size(col("__t")).cast("long")).as("sumdl") +:
