@@ -793,12 +793,8 @@ object ExtensionQueries {
         if (OracleDump.enabled)
           OracleDump.dump(idx.assigned.select($"vec_id", $"cluster"),
             dir, "x31_assigned")
-        val pairs = Similarity.cosinePairsBlocked(
-          idx.assigned, "vec_id", "embedding", "cluster", threshold = 0.3)
-          .select($"id_a", $"id_b")
-        Dedup.connectedComponents(pairs)
-          .where($"doc_id" =!= $"cluster_rep")
-          .select($"doc_id".as("vec_id"), $"cluster_rep".as("dup_of"))
+        graft.ops.SemanticDedup.dropList(
+          idx.assigned, "vec_id", "embedding", threshold = 0.3)
       },
       Some("""WITH a AS (SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
             FROM read_parquet('__SCRATCH__/x31_assigned/*.parquet')),
