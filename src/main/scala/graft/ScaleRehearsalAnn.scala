@@ -23,11 +23,21 @@ import graft.sources.Tables
   */
 object ScaleRehearsalAnn {
 
-  /** ±1 pattern for replica r from its bits; r < 2^dim patterns are
-    * distinct, so no two replicas are trivially correlated.
+  /** ±1 pattern for replica r: each sign comes from a mixed 64-bit
+    * hash of (r, j), so ~half the dims flip per replica and any two
+    * replicas' patterns disagree on ~half the dims — E[cos] between a
+    * vector and its other-replica copy is ~0, std 1/√dim. (A first cut
+    * took sign j from bit (j mod 31) of the SMALL integer r, which
+    * flips only popcount(r) ≈ 2-3 of 64 dims — cross-replica copies
+    * stayed at cos ≈ 0.9 and the pair counts grew K², poisoning the
+    * curve this file exists to measure.)
     */
   private def signs(r: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(j => if (((r >> (j % 31)) & 1) == 1) -1.0 else 1.0)
+    (0 until dim).map { j =>
+      var h = r.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      if ((h & 1L) == 1L) -1.0 else 1.0
+    }
 
   def scaledVecs(base: DataFrame, k: Int, dim: Int): DataFrame =
     (0 until k).map { r =>

@@ -279,6 +279,7 @@ object Dedup {
     def changedCount(next: DataFrame, cur: DataFrame): Long =
       next.as("n").join(cur.as("c"), col("n.id") === col("c.id"))
         .where(col("n.lab") =!= col("c.lab")).count()
+    try {
     var prevSum = if (sumWitnessSafe) labelSum(labels) else null
     var converged = false
     var i = 0
@@ -312,15 +313,27 @@ object Dedup {
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     // return a materialized leaf: the caller's plan must not reference
-    // the checkpointed edges (their blocks are released below and the
-    // truncated lineage cannot recompute), and re-executing the result
-    // must not replay the whole loop
+    // the checkpointed edges (their blocks are released in the finally
+    // and the truncated lineage cannot recompute), and re-executing
+    // the result must not replay the whole loop
     val result = labels
       .select(col("id").as("doc_id"), col("lab").as("cluster_rep"))
       .localCheckpoint()
-    releaseLabels(labels, keep = Set.empty)
-    releaseLabels(edges, keep = Set.empty)
+    // register the leaf for the caller's post-consumption
+    // Staged.release(): repeated calls (a bench sweep's warm-up + timed
+    // runs, rehearsal multipliers) would otherwise accumulate
+    // checkpoint blocks nothing can reclaim
+    result.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        Staged.trackRdd(l.rdd)
+    }: Unit
     result
+    } finally {
+      // runs on the strict-non-convergence throw path too — the loop's
+      // working state must never outlive the call
+      releaseLabels(labels, keep = Set.empty)
+      releaseLabels(edges, keep = Set.empty)
+    }
   }
 
   /** Release a retired label generation. `unpersist` only clears
@@ -387,19 +400,19 @@ object Dedup {
     }
   }
 
-  /** The latest COMMITTED stats table: highest-version dir whose parquet
-    * `_SUCCESS` marker exists (the legacy unversioned dir counts as
-    * committed for pre-versioning indexes). A dir without the marker is
-    * a crashed publish and is ignored — the previous version stays
-    * authoritative.
+  /** The latest COMMITTED stats table with its version: highest-version
+    * dir whose parquet `_SUCCESS` marker exists (the legacy unversioned
+    * dir counts as committed version 0 for pre-versioning indexes). A
+    * dir without the marker is a crashed publish and is ignored — the
+    * previous version stays authoritative.
     */
   private[ops] def committedBucketCounts(
       fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Option[org.apache.hadoop.fs.Path] =
+      path: String): Option[(org.apache.hadoop.fs.Path, Int)] =
     listStatsDirs(fs, path)
       .filter { case (p, v) =>
         v == 0 || fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
-      .sortBy(-_._2).headOption.map(_._1)
+      .sortBy(-_._2).headOption
 
   /** Per-bucket population of the band table — the index statistic that
     * lets [[incrementalNearDup]] cap hot buckets without scanning the
@@ -422,16 +435,15 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = committedBucketCounts(fs, path)
     val merged = cur match {
-      case Some(p) =>
+      case Some((p, _)) =>
         spark.read.parquet(p.toString).unionByName(delta)
           .groupBy(col("band_idx"), col("band_key"))
           .agg(sum(col("n")).as("n"))
       case None => delta
     }
-    val curVersion = listStatsDirs(fs, path)
-      .filter { case (p, v) =>
-        v == 0 || fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
-      .map(_._2).maxOption.getOrElse(0)
+    // read path and publish numbering derive from the SAME committed
+    // lookup — a second listing with its own filter could disagree
+    val curVersion = cur.map(_._2).getOrElse(0)
     // overwrite: a crashed publish may have left an UNCOMMITTED dir at
     // this same version number
     merged.write.mode("overwrite")
@@ -479,8 +491,8 @@ object Dedup {
     // the new batch's counts aggregate from its own tiny band set.
     val statsFs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statsPath = committedBucketCounts(statsFs, indexPath).getOrElse(
-      throw new IllegalStateException(
+    val statsPath = committedBucketCounts(statsFs, indexPath).map(_._1)
+      .getOrElse(throw new IllegalStateException(
         s"no committed bucket_counts under $indexPath — rebuild the index"))
     val idxCounts = spark.read.parquet(statsPath.toString)
       .select(col("band_idx"), col("band_key"), col("n").as("n_idx"))

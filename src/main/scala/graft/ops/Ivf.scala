@@ -148,6 +148,22 @@ object Ivf {
         s"append batch column $vecCol is ${t.simpleString}, expected a " +
           "numeric array — refusing a lossy/NULLing cast")
     }
+    // the id cast must be lossless too: a long batch id appended to an
+    // int-id index would wrap silently (non-ANSI cast), a string id
+    // would cast to NULL — both corrupt the index instead of failing
+    val batchIdType = newVecs.schema(idCol).dataType
+    def intRank(t: types.DataType): Int = t match {
+      case types.ByteType => 1
+      case types.ShortType => 2
+      case types.IntegerType => 3
+      case types.LongType => 4
+      case _ => Int.MaxValue // non-integral: only an exact match is lossless
+    }
+    val idCastLossless = batchIdType == idType ||
+      (intRank(batchIdType) <= intRank(idType) && intRank(idType) < Int.MaxValue)
+    require(idCastLossless,
+      s"append batch id column $idCol is ${batchIdType.simpleString} but the " +
+        s"index stores ${idType.simpleString} — refusing a lossy/NULLing cast")
     val batch = newVecs.select(
       col(idCol).cast(idType).as(idCol),
       col(vecCol).cast(vecType).as(vecCol))

@@ -39,6 +39,7 @@ object Bm25 {
       }
     val st = withToks.agg(aggs.head, aggs.tail: _*).head()
     val n = st.getLong(0)
+    require(n > 0, "BM25 needs a non-empty corpus (collection stats are undefined)")
     val avgdl = st.getLong(1).toDouble / n
     val dl = size(col("__t")).cast("double")
     // term frequency without a per-row HOF loop: |t| - |t \ {term}|

@@ -123,8 +123,21 @@ object Similarity {
       dim: Int = -1, // <=0: read from the first row
       seed: Long = 42L,
       maxBucket: Int = 10000,
+      roundTo: Int = 6): DataFrame =
+    lshNearDupPairsFrom(
+      lshNearDupBuckets(df, idCol, vecCol, nBits, dim, seed, maxBucket),
+      threshold, nBits, roundTo)
+
+  /** [[lshNearDupPairs]] from an already-computed bucket table (the
+    * output of [[lshNearDupBuckets]]): callers that materialize the
+    * signatures (e.g. for external verification) score from the same
+    * computation instead of bucketing the corpus twice.
+    */
+  def lshNearDupPairsFrom(
+      kept: DataFrame,
+      threshold: Double,
+      nBits: Int = 12,
       roundTo: Int = 6): DataFrame = {
-    val kept = lshNearDupBuckets(df, idCol, vecCol, nBits, dim, seed, maxBucket)
     // multi-probe: each row also probes its nBits Hamming-1 buckets;
     // symmetry guarantees each qualifying pair matches in exactly one
     // (probe-side, anchor-side) orientation after the id ordering, so
@@ -191,12 +204,24 @@ object Similarity {
       seed: Long = 42L,
       roundTo: Int = 6): DataFrame = {
     val (bucketed, probes) = lshTopKTables(corpus, query, idCol, vecCol, nBits, dim, seed)
+    lshTopKFrom(bucketed, probes, idCol, vecCol, k, roundTo)
+  }
+
+  /** [[lshTopK]] from already-computed (bucketed, probes) tables —
+    * same compute-once rationale as [[lshNearDupPairsFrom]].
+    */
+  def lshTopKFrom(
+      bucketed: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      roundTo: Int = 6): DataFrame =
     bucketed.join(broadcast(probes), "bucket")
       .select(col(idCol),
         round(cosine(col(vecCol), col("query_vec")), roundTo).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
-  }
 
   /** The (bucketed corpus, probe set) pair [[lshTopK]] joins: the
     * corpus with its signature and the query's multi-probe bucket list

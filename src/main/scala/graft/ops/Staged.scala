@@ -17,6 +17,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object Staged {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val trackedRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   /** Persist (MEMORY_AND_DISK: spill, don't OOM) and track. */
   def apply(df: DataFrame): DataFrame = {
@@ -25,9 +27,19 @@ object Staged {
     p
   }
 
+  /** Track a checkpointed RDD (e.g. a localCheckpoint'ed result leaf)
+    * for the next [[release]]. Unlike persisted DataFrames these CANNOT
+    * recompute after release (their lineage is truncated) — callers
+    * must have consumed the result first, which is release()'s
+    * documented contract anyway.
+    */
+  def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    trackedRdds.add(rdd): Unit
+
   /** Unpersist everything staged since the last release. Safe to call
     * while results are still lazily defined — downstream plans simply
-    * recompute — but intended to run after the consuming action.
+    * recompute (checkpointed leaves registered via [[trackRdd]]
+    * excepted) — but intended to run after the consuming action.
     */
   def release(): Unit = {
     var df = tracked.poll()
@@ -35,6 +47,12 @@ object Staged {
       try df.unpersist(blocking = false)
       catch { case _: Throwable => () } // session may already be stopped
       df = tracked.poll()
+    }
+    var rdd = trackedRdds.poll()
+    while (rdd != null) {
+      try rdd.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      rdd = trackedRdds.poll()
     }
   }
 }

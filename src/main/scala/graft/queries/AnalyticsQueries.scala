@@ -77,9 +77,8 @@ object AnalyticsQueries {
       (s, dir) => {
         import s.implicits._
         val e = Tables(s, dir, "embeddings")
-        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-$tag-k16"
-        val index = Ivf.buildPersistentCached(e, path, "vec_id", "embedding", k = 16)
+        val index = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, 16),
+          "vec_id", "embedding", k = 16)
         Ivf.topK(index, e.filter($"vec_id" === 0L), "vec_id", "embedding", k = 50)
       },
       // the KMeans fit is not SQL-portable, but the PERSISTED index is

@@ -247,12 +247,14 @@ object ExtensionQueries {
         val e = Tables(s, dir, "embeddings")
         val q = e.filter($"vec_id" === 0L)
         if (OracleDump.enabled) {
+          // dump AND score from the same tables — the signatures are
+          // computed once, and the oracle reads exactly what was joined
           val (bucketed, probes) =
             Similarity.lshTopKTables(e, q, "vec_id", "embedding")
           OracleDump.dump(bucketed.select($"vec_id", $"bucket"), dir, "x12_buckets")
           OracleDump.dump(probes.select($"bucket"), dir, "x12_probes")
-        }
-        Similarity.lshTopK(e, q, "vec_id", "embedding", k = 50)
+          Similarity.lshTopKFrom(bucketed, probes, "vec_id", "embedding", k = 50)
+        } else Similarity.lshTopK(e, q, "vec_id", "embedding", k = 50)
       },
       Some("""WITH b AS (SELECT vec_id, bucket
           FROM read_parquet('__SCRATCH__/x12_buckets/*.parquet')),
@@ -278,12 +280,11 @@ object ExtensionQueries {
       "x15_sim_lsh_neardup",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-        if (OracleDump.enabled)
-          OracleDump.dump(
-            Similarity.lshNearDupBuckets(e, "vec_id", "embedding")
-              .select(col("id"), col("bucket")),
-            dir, "x15_buckets")
-        Similarity.lshNearDupPairs(e, "vec_id", "embedding", threshold = 0.3)
+        if (OracleDump.enabled) {
+          val kept = Similarity.lshNearDupBuckets(e, "vec_id", "embedding")
+          OracleDump.dump(kept.select(col("id"), col("bucket")), dir, "x15_buckets")
+          Similarity.lshNearDupPairsFrom(kept, threshold = 0.3)
+        } else Similarity.lshNearDupPairs(e, "vec_id", "embedding", threshold = 0.3)
       },
       // candidate predicate given the dumped signatures: buckets within
       // Hamming distance 1 (home + Hamming-1 multi-probe, matched in
@@ -787,9 +788,8 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val e = Tables(s, dir, "embeddings")
-        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-$tag-k16"
-        val idx = Ivf.buildPersistentCached(e, path, "vec_id", "embedding", k = 16)
+        val idx = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, 16),
+          "vec_id", "embedding", k = 16)
         if (OracleDump.enabled)
           OracleDump.dump(idx.assigned.select($"vec_id", $"cluster"),
             dir, "x31_assigned")

@@ -50,6 +50,14 @@ object OracleDump {
     sql.replace("__SCRATCH__", scratchRoot(dir))
       .replace("__TMP__", sys.props("java.io.tmpdir"))
       .replace("__SFTAG__", sfTag(dir))
+
+  /** The persisted IVF index path. ONE definition: a04 and x31 share
+    * the index (built once per sfDir), and their oracles read it back
+    * through the `__TMP__/graft-ivf-__SFTAG__-k<k>` substitution —
+    * three hand-rolled copies of this scheme could silently drift.
+    */
+  def ivfPath(dir: String, k: Int): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-${sfTag(dir)}-k$k"
 }
 
 /** Shared helpers for oracle-deterministic aggregation. */
