@@ -221,6 +221,22 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("rebuild the index"))
   }
 
+  test("connected components: result checkpoint blocks are reclaimed by release") {
+    // the returned leaf is localCheckpoint'ed (re-execution must not
+    // replay the loop); without Staged registration every bench run
+    // would leak those blocks for the session's lifetime
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.count() == 3)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.nonEmpty, "the result leaf should be persisted pre-release")
+    Staged.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"release() must reclaim the loop's blocks, still held: $after")
+  }
+
   test("connected components: deep chain converges through checkpoints") {
     // diameter 29 forces many rounds through the localCheckpoint seam
     val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
