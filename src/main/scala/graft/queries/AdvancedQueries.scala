@@ -454,6 +454,36 @@ object AdvancedQueries {
             WHEN o_totalprice >= 400000 THEN 9
             ELSE CAST(floor(o_totalprice / 50000) AS INT) + 1 END AS bucket,
           CAST(count(*) AS BIGINT) AS n
-        FROM orders GROUP BY 1"""))
+        FROM orders GROUP BY 1""")),
+
+    // ---- q44: winsorized mean — the outlier-robust average (clamp at
+    // the p05/p95 quantiles, then average). Two passes: quantiles to
+    // the driver (percentile ≡ quantile_cont, proven by q31), bounds
+    // rounded onto the cent grid so the clamped column stays dsum-exact
+    // on both engines.
+    GraftQuery(
+      "q44_winsorized_mean",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        // HALF_UP on the exact binary value mirrors DuckDB's
+        // ties-away round() on the same double
+        val Array(lo, hi) = li
+          .select(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+            expr("percentile(l_extendedprice, 0.95)").as("hi"))
+          .head().toSeq.map(v => BigDecimal(v.asInstanceOf[Double])
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+        li.groupBy($"l_returnflag")
+          .agg(Q.davg(greatest(least($"l_extendedprice", lit(hi)), lit(lo)))
+            .as("wins_avg"))
+      },
+      Some(s"""WITH b AS (SELECT
+            round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+            round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+          FROM lineitem)
+        SELECT l_returnflag,
+          (${Q.sqlDsum("greatest(least(l_extendedprice, hi), lo)")}
+             / count(*)) AS wins_avg
+        FROM lineitem, b GROUP BY l_returnflag"""))
   )
 }
