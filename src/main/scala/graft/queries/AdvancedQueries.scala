@@ -466,12 +466,13 @@ object AdvancedQueries {
       (s, dir) => {
         import s.implicits._
         val li = t(s, dir, "lineitem")
-        // HALF_UP on the exact binary value mirrors DuckDB's
-        // ties-away round() on the same double
+        // ONE percentile agg with both fractions (two calls would each
+        // buffer the whole column, q31's lesson); HALF_UP on the exact
+        // binary value mirrors DuckDB's ties-away round() on the same
+        // double
         val Array(lo, hi) = li
-          .select(expr("percentile(l_extendedprice, 0.05)").as("lo"),
-            expr("percentile(l_extendedprice, 0.95)").as("hi"))
-          .head().toSeq.map(v => BigDecimal(v.asInstanceOf[Double])
+          .select(expr("percentile(l_extendedprice, array(0.05D, 0.95D))"))
+          .head().getSeq[Double](0).map(v => BigDecimal(v)
             .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
         li.groupBy($"l_returnflag")
           .agg(Q.davg(greatest(least($"l_extendedprice", lit(hi)), lit(lo)))
