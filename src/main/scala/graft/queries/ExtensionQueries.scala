@@ -605,8 +605,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables(s, dir, "documents")
-        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"${sys.props("java.io.tmpdir")}/graft-lsh-$tag"
+        val path = s"${sys.props("java.io.tmpdir")}/graft-lsh-${OracleDump.sfTag(dir)}"
         // versioned marker: an index written by an older format (e.g.
         // before bucket_counts existed) must rebuild, not half-load
         val marker = new java.io.File(s"$path/_INDEX_OK_v2")
