@@ -235,7 +235,7 @@ object Dedup {
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
     val edges = bidir
-      .union(bidir.select(col("u"), col("u").as("v")).distinct())
+      .union(bidir.select(col("u")).distinct().select(col("u"), col("u").as("v")))
       .localCheckpoint()
     // seed labels with min(self, direct neighbors) — the first
     // propagation round folded into the init aggregation, so a star
