@@ -18,7 +18,15 @@ object Verify {
     // oracle side-channel: queries whose fitted/seeded artifacts the
     // DuckDB oracle reads back dump them only under Verify
     sys.props(graft.queries.OracleDump.prop) = "true"
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated name filter for iterating on one query
+    // (the driver sets no filter and always dumps everything)
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = filter match {
+      case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

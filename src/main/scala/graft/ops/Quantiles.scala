@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Scale-safe exact quantiles (percentile_cont semantics: linear
+  * interpolation at rank (n-1)*p).
+  *
+  * Spark's built-in `percentile` / `median` are ImperativeAggregates that
+  * buffer every value of the group in a single aggregation buffer
+  * (ObjectHashAggregate) — fine at sf0.1, OOM on one task at 100 TB when
+  * a group (or, for a global percentile, the whole column) has billions
+  * of rows. This helper computes the *same exact value* with bounded
+  * state everywhere:
+  *
+  *  1. histogram pass — `groupBy(keys, value).count()`: O(1) agg state
+  *     per distinct value; shuffle volume is O(distinct values), which
+  *     for on-grid data (prices on the cent grid) is bounded by the
+  *     value DOMAIN, not by row count;
+  *  2. rank pass — a running sum over the per-group value-sorted
+  *     histogram (WindowExec spills; partition size = distinct values,
+  *     again domain-bounded), then one O(distinct) aggregation picks the
+  *     bracketing values for each fraction and interpolates.
+  *
+  * Oracle parity: [[oracleSql]] generates DuckDB SQL that replays the
+  * identical two-pass math — same histogram, same running sum, same
+  * double expression `lo + d*(hi-lo)` with d = (n-1)*p - floor((n-1)*p).
+  * Every floating step is a single non-fused IEEE op on both engines
+  * (Spark codegen emits plain Java arithmetic, which may not contract to
+  * FMA; DuckDB executes one vectorized op per operator), so results are
+  * bit-identical without any approximation tolerance.
+  */
+object Quantiles {
+
+  /** Exact quantiles of `valueCol` per `keys` group (global when `keys`
+    * is empty). Returns one row per group: keys ++ one double column per
+    * (name, fraction) ++ `n` (the group's non-null value count).
+    */
+  def exact(df: DataFrame, keys: Seq[String], valueCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val kcols = keys.map(col)
+    val v = col(valueCol)
+    val hist = df.where(v.isNotNull)
+      .groupBy((kcols :+ v): _*)
+      .agg(count(lit(1)).as("__c"))
+    // Both windows share one partitioning → one exchange; the ordered
+    // frame is a streaming running sum, the unordered one a whole-
+    // partition total. Partition size = distinct values (domain-bounded).
+    val wOrd = Window.partitionBy(kcols: _*).orderBy(v)
+    val wAll = Window.partitionBy(kcols: _*)
+    val ranked = hist
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val aggs = fractions.flatMap { case (nm, p) =>
+      val rp = (col("__n") - 1).cast(DoubleType) * lit(p)
+      val kLo = floor(rp) // LongType in Spark; numeric compare below
+      val kHi = ceil(rp)
+      Seq(
+        // d is constant within the group (function of n only)
+        max(rp - kLo).as(s"__d_$nm"),
+        // value at 0-indexed rank k = first value whose cum-count > k
+        min(when(col("__cum") > kLo, v)).as(s"__lo_$nm"),
+        min(when(col("__cum") > kHi, v)).as(s"__hi_$nm"))
+    }
+    val grouped = ranked.groupBy(kcols: _*)
+      .agg(max(col("__n")).as("n"), aggs: _*)
+    val out: Seq[Column] = kcols ++ fractions.map { case (nm, _) =>
+      (col(s"__lo_$nm") +
+        col(s"__d_$nm") * (col(s"__hi_$nm") - col(s"__lo_$nm"))).as(nm)
+    } :+ col("n")
+    grouped.select(out: _*)
+  }
+
+  /** DuckDB replay of [[exact]] — same histogram, running sum, bracket
+    * selection, and interpolation expression, so the hash compare is
+    * exact. Fraction literals go through CAST('<p>' AS DOUBLE): a
+    * correctly-rounded string→double parse, identical to Spark's
+    * `lit(p)`.
+    */
+  def oracleSql(table: String, keys: Seq[String], valueCol: String,
+      fractions: Seq[(String, Double)]): String = {
+    val kList = keys.mkString(", ")
+    val kPrefix = if (keys.isEmpty) "" else s"$kList, "
+    val partBy = if (keys.isEmpty) "" else s"PARTITION BY $kList "
+    val groupByKeys = if (keys.isEmpty) "" else s"GROUP BY $kList"
+    def d(p: Double) = {
+      val rp = s"(CAST(__n - 1 AS DOUBLE) * CAST('$p' AS DOUBLE))"
+      s"($rp - floor($rp))"
+    }
+    val aggCols = fractions.map { case (nm, p) =>
+      s"""max(${d(p)}) AS __d_$nm,
+         |      min(CASE WHEN __cum > floor((CAST(__n - 1 AS DOUBLE) * CAST('$p' AS DOUBLE))) THEN __v END) AS __lo_$nm,
+         |      min(CASE WHEN __cum > ceil((CAST(__n - 1 AS DOUBLE) * CAST('$p' AS DOUBLE))) THEN __v END) AS __hi_$nm""".stripMargin
+    }.mkString(",\n      ")
+    val outCols = fractions.map { case (nm, _) =>
+      s"__lo_$nm + __d_$nm * (__hi_$nm - __lo_$nm) AS $nm"
+    }.mkString(",\n      ")
+    s"""WITH __h AS (
+       |    SELECT $kPrefix$valueCol AS __v, count(*) AS __c
+       |    FROM $table WHERE $valueCol IS NOT NULL
+       |    GROUP BY $kPrefix$valueCol),
+       |  __r AS (
+       |    SELECT *,
+       |      sum(__c) OVER (${partBy}ORDER BY __v) AS __cum,
+       |      sum(__c) OVER (${partBy.trim}) AS __n
+       |    FROM __h),
+       |  __a AS (
+       |    SELECT ${kPrefix}CAST(max(__n) AS BIGINT) AS n,
+       |      $aggCols
+       |    FROM __r $groupByKeys)
+       |  SELECT $kPrefix$outCols, n FROM __a""".stripMargin
+  }
+}

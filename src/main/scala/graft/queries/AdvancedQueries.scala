@@ -139,29 +139,23 @@ object AdvancedQueries {
         FROM grid g LEFT JOIN cnt ON g.r_name = cnt.r_name AND g.month = cnt.month""")),
 
     // ---- q31: exact percentiles (percentile_cont semantics, linear
-    // interpolation). Exact percentile needs the group sorted — fine
-    // per-group here; at scale prefer approx_percentile (t05 covers
-    // the sketch path).
+    // interpolation), via the scale-safe two-pass histogram+rank in
+    // graft.ops.Quantiles — no aggregation buffer ever holds a group
+    // (the built-in `percentile` ObjectHashAggregate does, and OOMs at
+    // 100x). Oracle replays the identical two-pass math.
     GraftQuery(
       "q31_percentiles",
       (s, dir) => {
         import s.implicits._
-        // ONE percentile agg with an array of fractions: four separate
-        // calls would each buffer the whole group (4x the agg state)
-        t(s, dir, "orders")
-          .groupBy($"o_orderstatus")
-          .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))")
-            .as("ps"))
-          .select($"o_orderstatus",
-            $"ps"(0).as("p25"), $"ps"(1).as("p50"),
-            $"ps"(2).as("p75"), $"ps"(3).as("p90"))
+        graft.ops.Quantiles.exact(t(s, dir, "orders"),
+            Seq("o_orderstatus"), "o_totalprice",
+            Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))
+          .drop("n")
       },
-      Some("""SELECT o_orderstatus,
-          quantile_cont(o_totalprice, 0.25) AS p25,
-          quantile_cont(o_totalprice, 0.5) AS p50,
-          quantile_cont(o_totalprice, 0.75) AS p75,
-          quantile_cont(o_totalprice, 0.9) AS p90
-        FROM orders GROUP BY o_orderstatus""")),
+      Some(s"""WITH q AS (${graft.ops.Quantiles.oracleSql("orders",
+          Seq("o_orderstatus"), "o_totalprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))})
+        SELECT o_orderstatus, p25, p50, p75, p90 FROM q""")),
 
     // ---- q32: rank-family window functions (ntile / percent_rank /
     // cume_dist) under a total per-partition order (ties broken by key
@@ -457,31 +451,29 @@ object AdvancedQueries {
         FROM orders GROUP BY 1""")),
 
     // ---- q44: winsorized mean — the outlier-robust average (clamp at
-    // the p05/p95 quantiles, then average). Two passes: quantiles to
-    // the driver (percentile ≡ quantile_cont, proven by q31), bounds
-    // rounded onto the cent grid so the clamped column stays dsum-exact
-    // on both engines.
+    // the p05/p95 quantiles, then average). The GLOBAL percentile goes
+    // through the scale-safe two-pass Quantiles helper (the built-in
+    // `percentile(col, array(...))` holds the entire column in one
+    // ObjectHashAggregate buffer — the 100 TB killer); bounds rounded
+    // onto the cent grid so the clamped column stays dsum-exact on both
+    // engines. HALF_UP on the exact binary value mirrors DuckDB's
+    // ties-away round() on the same double (prices are positive).
     GraftQuery(
       "q44_winsorized_mean",
       (s, dir) => {
         import s.implicits._
         val li = t(s, dir, "lineitem")
-        // ONE percentile agg with both fractions (two calls would each
-        // buffer the whole column, q31's lesson); HALF_UP on the exact
-        // binary value mirrors DuckDB's ties-away round() on the same
-        // double
-        val Array(lo, hi) = li
-          .select(expr("percentile(l_extendedprice, array(0.05D, 0.95D))"))
-          .head().getSeq[Double](0).map(v => BigDecimal(v)
-            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+        val b = graft.ops.Quantiles.exact(li, Nil, "l_extendedprice",
+            Seq("lo" -> 0.05, "hi" -> 0.95)).head()
+        val Seq(lo, hi) = Seq(b.getDouble(0), b.getDouble(1)).map(v =>
+          BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
         li.groupBy($"l_returnflag")
           .agg(Q.davg(greatest(least($"l_extendedprice", lit(hi)), lit(lo)))
             .as("wins_avg"))
       },
-      Some(s"""WITH b AS (SELECT
-            round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
-            round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
-          FROM lineitem)
+      Some(s"""WITH q AS (${graft.ops.Quantiles.oracleSql("lineitem",
+            Nil, "l_extendedprice", Seq("lo" -> 0.05, "hi" -> 0.95))}),
+          b AS (SELECT round(lo, 2) AS lo, round(hi, 2) AS hi FROM q)
         SELECT l_returnflag,
           (${Q.sqlDsum("greatest(least(l_extendedprice, hi), lo)")}
              / count(*)) AS wins_avg

@@ -489,20 +489,23 @@ object RelationalQueries {
         ON c.nk = s.nk""")),
 
     // ---- q25: exact median (interpolated at even counts; inputs on a
-    // 2-decimal grid → midpoints on a half-cent grid, so round-to-4
-    // stays clear of every rounding boundary).
+    // 2-decimal grid → midpoints near the half-cent grid, so round-to-4
+    // stays clear of every rounding boundary). Computed via the
+    // scale-safe two-pass Quantiles helper — the built-in `median`
+    // buffers the whole group in one ObjectHashAggregate buffer; the
+    // two-pass form's state is bounded by distinct cent values.
     GraftQuery(
       "q25_median",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "orders")
-          .groupBy($"o_orderstatus")
-          .agg(round(median($"o_totalprice"), 4).as("median_price"),
-            count(lit(1)).as("n"))
+        graft.ops.Quantiles.exact(t(s, dir, "orders"),
+            Seq("o_orderstatus"), "o_totalprice", Seq("p50" -> 0.5))
+          .select($"o_orderstatus",
+            round($"p50", 4).as("median_price"), $"n")
       },
-      Some("""SELECT o_orderstatus,
-        round(median(o_totalprice), 4) AS median_price, count(*) AS n
-        FROM orders GROUP BY o_orderstatus""")),
+      Some(s"""WITH q AS (${graft.ops.Quantiles.oracleSql("orders",
+          Seq("o_orderstatus"), "o_totalprice", Seq("p50" -> 0.5))})
+        SELECT o_orderstatus, round(p50, 4) AS median_price, n FROM q""")),
 
     // ---- q26: array aggregation (collect distinct values, sorted for
     // a deterministic list). The aggregation is a real array agg

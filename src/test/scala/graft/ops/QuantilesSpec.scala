@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.ExplainMode
+
+/** The scale-safe two-pass exact quantile must (a) equal the
+  * percentile_cont definition computed naively on sorted data, and
+  * (b) never plan an ObjectHashAggregate (the buffer-the-group shape
+  * it exists to replace).
+  */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive reference: percentile_cont(p) = linear interpolation at rank
+    * (n-1)*p over the sorted values. Same formula as the operator, but
+    * computed on a plain sorted Scala array.
+    */
+  private def ref(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted
+    val rp = (s.size - 1).toDouble * p
+    val lo = s(rp.toInt)
+    val hi = s(math.ceil(rp).toInt)
+    lo + (rp - math.floor(rp)) * (hi - lo)
+  }
+
+  test("grouped quantiles match the sorted-array definition (ties, even/odd n)") {
+    val rnd = new scala.util.Random(42)
+    // ties on a cent grid, uneven group sizes (including n=1 and n=2)
+    val rows = Seq.tabulate(501) { i =>
+      val g = if (i == 0) "solo" else if (i <= 2) "pair" else s"g${i % 3}"
+      (g, math.floor(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val df = rows.toDF("k", "v")
+    val got = Quantiles.exact(df, Seq("k"), "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2))
+    byKey.foreach { case (k, vs) =>
+      val (p25, p50, p90, n) = got(k)
+      assert(n === vs.size)
+      assert(p25 === ref(vs, 0.25), s"p25 of $k")
+      assert(p50 === ref(vs, 0.5), s"p50 of $k")
+      assert(p90 === ref(vs, 0.9), s"p90 of $k")
+    }
+  }
+
+  test("global quantiles (no keys) match, and nulls are ignored") {
+    val vs = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+    val df = (vs.map(Option(_)) ++ Seq(None, None)).toDF("v")
+    val r = Quantiles.exact(df, Nil, "v", Seq("med" -> 0.5, "p95" -> 0.95)).head()
+    assert(r.getDouble(0) === ref(vs, 0.5))
+    assert(r.getDouble(1) === ref(vs, 0.95))
+    assert(r.getLong(2) === 5L)
+  }
+
+  test("quantile plans stay bounded: no ObjectHashAggregate, histogram is partial+final") {
+    val li = spark.read.parquet(s"$sf/orders.parquet")
+    val p = Quantiles.exact(li, Seq("o_orderstatus"), "o_totalprice",
+        Seq("p50" -> 0.5)).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("ObjectHashAggregate"),
+      s"two-pass quantile must never buffer a group:\n$p")
+    // the histogram pass keeps map-side partial aggregation
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

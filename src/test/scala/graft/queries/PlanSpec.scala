@@ -105,6 +105,17 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q25/q31: exact quantiles plan no buffer-the-group aggregate") {
+    // the two-pass Quantiles form replaced percentile/median precisely
+    // so that no ObjectHashAggregate holds O(group) state
+    Seq("q25_median", "q31_percentiles").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("ObjectHashAggregate"),
+        s"$name must use the two-pass quantile, not a buffering agg:\n$p")
+      assert(p.contains("Window"), s"$name should rank via a running sum:\n$p")
+    }
+  }
+
   test("dsum sums plain longs, not wide decimals, per row") {
     val p = plan("q27_stat_moments")
     assert(p.contains("sum("), "aggregation present")
