@@ -39,15 +39,20 @@ object ScaleRehearsalAnn {
       if ((h & 1L) == 1L) -1.0 else 1.0
     }
 
-  def scaledVecs(base: DataFrame, k: Int, dim: Int): DataFrame =
+  def scaledVecs(base: DataFrame, k: Int, dim: Int): DataFrame = {
+    // replica stride from the data, not a constant: a fixed 10M offset
+    // would collide replica ids on a ≥10M-row base and silently corrupt
+    // the pair-count curve this harness measures
+    val stride = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
     (0 until k).map { r =>
       val s = typedLit(signs(r, dim))
       base.select(
-        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        (col("vec_id") + lit(r * stride)).as("vec_id"),
         (if (r == 0) col("embedding")
          else zip_with(col("embedding").cast("array<double>"), s, (x, sg) => x * sg)
            .cast("array<float>")).as("embedding"))
     }.reduce(_ unionByName _)
+  }
 
   def main(args: Array[String]): Unit = {
     val multipliers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10, 20)

@@ -20,6 +20,27 @@ object Ivf {
 
   final case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
 
+  /** Target expected cell population for corpus-sized k. 4096 rows/cell
+    * keeps a within-cell all-pairs step at ~8M pairs per cell — cheap
+    * per task — while k stays ≤ 2^18 even at 10^9 vectors (centroid
+    * matrix ≤ 2^18 × dim doubles, still broadcastable).
+    */
+  val DefaultTargetCell: Int = 4096
+
+  /** Corpus-sized k: constant EXPECTED cell population (`targetCell`)
+    * regardless of N, so anything quadratic-within-cell (SemDeDup's
+    * pair join) stays linear in the corpus. Clamped to [kMin, kMax]:
+    * kMin keeps small corpora at a useful cell count (and keeps every
+    * test SF on the same shared k=16 index as the ANN probes); kMax
+    * bounds the KMeans fit and the centroid broadcast.
+    */
+  def kForCells(n: Long, targetCell: Int = DefaultTargetCell,
+      kMin: Int = 16, kMax: Int = 1 << 18): Int = {
+    require(targetCell > 0 && kMin > 0 && kMax >= kMin)
+    val ideal = math.ceil(n.toDouble / targetCell)
+    math.max(kMin.toDouble, math.min(kMax.toDouble, ideal)).toInt
+  }
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
@@ -148,6 +169,18 @@ object Ivf {
         s"append batch column $vecCol is ${t.simpleString}, expected a " +
           "numeric array — refusing a lossy/NULLing cast")
     }
+    // widening (float batch → double index) is lossless and allowed;
+    // narrowing (double batch → float index) silently rounds every
+    // element — fail fast like the id path does
+    (newVecs.schema(vecCol).dataType, vecType) match {
+      case (types.ArrayType(types.DoubleType, _),
+            types.ArrayType(types.FloatType, _)) =>
+        throw new IllegalArgumentException(
+          s"append batch column $vecCol is array<double> but the index " +
+            "stores array<float> — refusing a precision-narrowing cast " +
+            "(rebuild the index at double, or cast the batch explicitly)")
+      case _ => ()
+    }
     // the id cast must be lossless too: a long batch id appended to an
     // int-id index would wrap silently (non-ANSI cast), a string id
     // would cast to NULL — both corrupt the index instead of failing
@@ -178,6 +211,9 @@ object Ivf {
             case f: java.lang.Float => f.toDouble
             case d: java.lang.Double => d
             case n: java.lang.Number => n.doubleValue()
+            case null => throw new IllegalArgumentException(
+              s"null element at position $j of $vecCol for id ${r.get(0)} — " +
+                "vectors in an append batch must be dense")
           }
           j += 1
         }
@@ -222,6 +258,18 @@ object Ivf {
   /** Approximate top-k for one query vector (1-row DataFrame): rank the
     * nprobe nearest cells by centroid distance (driver-side, k values),
     * then exact cosine re-rank within them.
+    *
+    * Probe ranking uses squared EUCLIDEAN distance — the SAME metric
+    * that assigned rows to cells in `build()`/[[appendToIndex]]. Cells
+    * are Euclidean Voronoi regions; ranking them by centroid COSINE
+    * (as a first cut did) can exclude the very cell holding the best
+    * match for unnormalized vectors — e.g. a near-copy of the query
+    * sits with it in a small-norm cell, while a far but
+    * directionally-aligned centroid outranks that cell on cosine. A
+    * recall gap, not a correctness one, and invisible to any oracle
+    * that replays the same rule — which is why the rule must match the
+    * cell geometry (IvfSpec pins it with deliberately unnormalized
+    * vectors).
     */
   def topK(index: Index, query: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
@@ -233,15 +281,15 @@ object Ivf {
       case d: Double => d
       case n: Number => n.doubleValue()
     }.toArray
-    def cos(c: Array[Double]): Double = {
-      var dp = 0.0; var nc = 0.0; var nq = 0.0
+    def d2(c: Array[Double]): Double = {
+      var s = 0.0
       val n = math.min(c.length, qVec.length)
       var i = 0
-      while (i < n) { dp += c(i) * qVec(i); nc += c(i) * c(i); nq += qVec(i) * qVec(i); i += 1 }
-      if (nc == 0 || nq == 0) -1.0 else dp / math.sqrt(nc * nq)
+      while (i < n) { val d = c(i) - qVec(i); s += d * d; i += 1 }
+      s
     }
     val probes = index.centroids.zipWithIndex
-      .sortBy { case (c, _) => -cos(c) }.take(nprobe).map(_._2)
+      .sortBy { case (c, i) => (d2(c), i) }.take(nprobe).map(_._2)
     val q = broadcast(query.select(col(vecCol).as("query_vec")))
     index.assigned
       .where(col("cluster").isInCollection(probes.toSeq))

@@ -11,22 +11,69 @@ import org.apache.spark.sql.functions._
   * approximation SemDeDup makes — so the corpus is never crossed with
   * itself.
   *
-  * 100 TB shape: the per-cell pair join is quadratic only within a
-  * cell (cells are corpus/k and tunable via k); everything downstream
-  * runs on the pair list, which is tiny relative to the corpus. The
-  * index can be (and in the registry is) the SAME persisted
+  * 100 TB shape — two governors keep the within-cell pair join from
+  * going quadratic in the CORPUS (not just the cell):
+  *  - k scales with the corpus ([[Ivf.kForCells]]): constant expected
+  *    cell population regardless of N, so total pair work is
+  *    O(N × targetCell), linear in the corpus;
+  *  - a hot-cell cap ([[keptCells]], same shape as the LSH
+  *    `maxBucket` cap in [[Similarity.lshNearDupBuckets]]): KMeans
+  *    balances only in expectation, and a degenerate dense region
+  *    (near-identical embeddings, e.g. boilerplate) can swallow a
+  *    constant fraction of the corpus into one cell. Cells over
+  *    `maxCell` rows are excluded from pairing entirely — visible via
+  *    [[droppedCells]], never silent.
+  * The index can be (and in the registry is) the SAME persisted
   * cluster-partitioned table the ANN probes use — built once, shared.
   */
 object SemanticDedup {
 
+  /** Cells whose population exceeds `maxCell`: (blockCol, n) rows.
+    * Computed from a tiny aggregated count (≤ k rows, map-side partial
+    * agg) — the accounting face of the cap, so truncation is always
+    * observable (log/report this before trusting a drop list).
+    */
+  def droppedCells(assigned: DataFrame, blockCol: String = "cluster",
+      maxCell: Long = DefaultMaxCell): DataFrame =
+    assigned.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxCell)
+
+  /** The governed corpus: rows of cells at or under `maxCell`. Hot
+    * cells are excluded from BOTH pair roles (mirroring the LSH
+    * hot-bucket cap): a cell the clustering can't discriminate is a
+    * degenerate region where "within-cell all-pairs" stops being a
+    * blocking strategy at all.
+    */
+  def keptCells(assigned: DataFrame, blockCol: String = "cluster",
+      maxCell: Long = DefaultMaxCell): DataFrame =
+    assigned.join(
+      broadcast(droppedCells(assigned, blockCol, maxCell).select(col(blockCol))),
+      Seq(blockCol), "left_anti")
+
+  /** Default hot-cell cap: 8× the [[Ivf.kForCells]] target population —
+    * generous headroom for KMeans imbalance, firm bound on the
+    * quadratic term (≤ 64× the expected per-cell pair work).
+    */
+  val DefaultMaxCell: Long = 8L * Ivf.DefaultTargetCell
+
   /** Vectors that lose to a smaller-id near-duplicate:
     * (idCol, dup_of) rows, one per dropped vector. Keep-set = corpus
-    * anti-join on the result.
+    * anti-join on the result. Applies the hot-cell cap; callers that
+    * materialize the governed assignment themselves (e.g. to dump it
+    * for external verification) use [[dropListFromKept]] so the exact
+    * same rows feed both faces.
     */
   def dropList(assigned: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, blockCol: String = "cluster",
+      maxCell: Long = DefaultMaxCell): DataFrame =
+    dropListFromKept(keptCells(assigned, blockCol, maxCell),
+      idCol, vecCol, threshold, blockCol)
+
+  /** [[dropList]] over an already-governed assignment. */
+  def dropListFromKept(kept: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blockCol: String = "cluster"): DataFrame = {
     val pairs = Similarity.cosinePairsBlocked(
-      assigned, idCol, vecCol, "cluster", threshold)
+      kept, idCol, vecCol, blockCol, threshold)
       .select(col("id_a"), col("id_b"))
     Dedup.connectedComponents(pairs)
       .where(col("doc_id") =!= col("cluster_rep"))

@@ -84,13 +84,14 @@ object AnalyticsQueries {
       // the KMeans fit is not SQL-portable, but the PERSISTED index is
       // data: the oracle reads centroids + the cluster-partitioned
       // assigned table and replays the probe selection (nprobe=4
-      // nearest cells by centroid cosine) and the exact cosine re-rank
+      // nearest cells by centroid EUCLIDEAN distance — the metric the
+      // cells were built with) and the exact cosine re-rank
       Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
           FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
         q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
           FROM embeddings WHERE vec_id = 0),
         probes AS (SELECT cluster FROM cents CROSS JOIN q
-          ORDER BY list_cosine_similarity(centroid, qv) DESC, cluster LIMIT 4),
+          ORDER BY list_distance(centroid, qv) ASC, cluster LIMIT 4),
         a AS (SELECT vec_id, embedding, CAST(cluster AS INTEGER) AS cluster
           FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
                             hive_partitioning = 1))

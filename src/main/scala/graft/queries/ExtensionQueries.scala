@@ -775,25 +775,32 @@ object ExtensionQueries {
 
     // ---- SemDeDup-style semantic dedup: partition the corpus into
     // KMeans cells (the SAME persisted IVF index a04 probes — built
-    // once), find exact-cosine near-dup pairs WITHIN cells, connect
-    // components, and report every vector that loses to a smaller-id
-    // representative. Cross-cell near-dups are out of scope by design
-    // (SemDeDup's own approximation — the cell partition IS the
-    // candidate blocking). Oracle: the fitted cell assignment is
-    // dumped as data; DuckDB replays the within-cell pairwise cosine,
-    // the transitive closure (recursive CTE), and the min-id rep.
+    // once; k sized to the corpus by Ivf.kForCells so the expected
+    // cell population is CONSTANT as the corpus grows — at every test
+    // SF the policy lands on the shared k=16 index), find exact-cosine
+    // near-dup pairs WITHIN surviving cells (cells over the hot-cell
+    // cap are excluded with visible accounting — SemanticDedup
+    // .droppedCells), connect components, and report every vector that
+    // loses to a smaller-id representative. Cross-cell near-dups are
+    // out of scope by design (SemDeDup's own approximation — the cell
+    // partition IS the candidate blocking). Oracle: the GOVERNED cell
+    // assignment is dumped as data; DuckDB replays the within-cell
+    // pairwise cosine, the transitive closure (recursive CTE), and the
+    // min-id rep.
     GraftQuery(
       "x31_semantic_dedup",
       (s, dir) => {
         import s.implicits._
         val e = Tables(s, dir, "embeddings")
-        val idx = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, 16),
-          "vec_id", "embedding", k = 16)
+        val k = Ivf.kForCells(e.count())
+        val idx = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, k),
+          "vec_id", "embedding", k = k)
+        val kept = graft.ops.SemanticDedup.keptCells(idx.assigned)
         if (OracleDump.enabled)
-          OracleDump.dump(idx.assigned.select($"vec_id", $"cluster"),
+          OracleDump.dump(kept.select($"vec_id", $"cluster"),
             dir, "x31_assigned")
-        graft.ops.SemanticDedup.dropList(
-          idx.assigned, "vec_id", "embedding", threshold = 0.3)
+        graft.ops.SemanticDedup.dropListFromKept(
+          kept, "vec_id", "embedding", threshold = 0.3)
       },
       Some("""WITH a AS (SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
             FROM read_parquet('__SCRATCH__/x31_assigned/*.parquet')),

@@ -137,6 +137,66 @@ class IvfSpec extends SparkSpec {
         s"(got ${cellOf(99L)} vs ${cellOf(9L)})")
   }
 
+  test("probe ranking matches the cell geometry: Euclidean, not cosine") {
+    // Deliberately unnormalized vectors. Cells are Euclidean Voronoi:
+    //   cell 0 centroid (2, 0.5) — the small-norm region, CONTAINS the
+    //     query's near-copy v*=(2.2, 1.1);
+    //   cell 1 centroid (40, 20) — exactly the query's direction but
+    //     Euclidean-far; members are large-norm, cos ≈ 0.9999 < 1.
+    // For query (2, 1): cos(c1) = 1.0 > cos(c0) ≈ 0.976, so a COSINE
+    // probe rule with nprobe=1 picks cell 1 and misses v* entirely;
+    // the Euclidean rule (dist 0.5 vs ~42.4) picks cell 0 and finds it.
+    val c0 = Array(2.0, 0.5)
+    val c1 = Array(40.0, 20.0)
+    val assigned = Seq(
+      (10L, Seq(2.2, 1.1), 0),  // v*: cosine 1.0 with the query
+      (11L, Seq(1.8, 0.2), 0),
+      (20L, Seq(40.0, 21.0), 1),
+      (21L, Seq(39.0, 19.0), 1)
+    ).toDF("vec_id", "embedding", "cluster")
+    // sanity: the constructed case really discriminates the two rules
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = Array(2.0, 1.0)
+    assert(cos(c1, q) > cos(c0, q), "cosine rule would probe the wrong cell")
+
+    val idx = Ivf.Index(Array(c0, c1), assigned)
+    val query = Seq((0L, Seq(2.0, 1.0))).toDF("vec_id", "embedding")
+    val top = Ivf.topK(idx, query, "vec_id", "embedding", k = 1, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(10L),
+      s"nprobe=1 must probe the query's own Voronoi cell, got ${top.toSeq}")
+  }
+
+  test("append rejects a precision-narrowing double batch into a float index") {
+    val e = Tables(spark, sf, "embeddings") // raw table is array<float>
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-narrow").toString
+    Ivf.buildPersistent(e, dir, "vec_id", "embedding", k = 4)
+    val dblBatch = e.filter($"vec_id" === 3L)
+      .select(org.apache.spark.sql.functions.lit(333333L).as("vec_id"),
+        $"embedding".cast("array<double>").as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(dblBatch, dir, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("narrowing"))
+  }
+
+  test("append fails descriptively on a null vector element") {
+    val e = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-nullel").toString
+    Ivf.buildPersistent(e, dir, "vec_id", "embedding", k = 4)
+    val holey = Seq((444444L, Seq[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Ivf.appendToIndex(holey, dir, "vec_id", "embedding")
+    }
+    val root = Option(ex.getCause).getOrElse(ex)
+    assert(root.getMessage.contains("null element"),
+      s"want the descriptive error, got: ${root.getMessage}")
+  }
+
   test("a cached persistent index sees appended rows in the same session") {
     val e = Tables(spark, sf, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cache").toString
