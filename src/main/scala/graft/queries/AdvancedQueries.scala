@@ -281,17 +281,20 @@ object AdvancedQueries {
 
     // ---- q37: ordered event funnel (view → click → purchase, each
     // step strictly after the previous per user). Three grouped mins,
-    // each a key-partitioned agg + broadcast-sized join.
+    // each a key-partitioned agg + broadcast-sized join. Each stage's
+    // per-user table feeds BOTH the next stage's join and its own
+    // count, so the aggregated intermediates are Staged — without it
+    // the events scan and the first aggregations execute twice.
     GraftQuery(
       "q37_event_funnel",
       (s, dir) => {
         import s.implicits._
         val ev = t(s, dir, "events")
-        val v = ev.where($"event_type" === "view")
-          .groupBy($"user_id").agg(min($"ts").as("t1"))
-        val c = ev.where($"event_type" === "click").as("e")
+        val v = graft.ops.Staged(ev.where($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t1")))
+        val c = graft.ops.Staged(ev.where($"event_type" === "click").as("e")
           .join(v, Seq("user_id")).where($"ts" > $"t1")
-          .groupBy($"user_id").agg(min($"ts").as("t2"))
+          .groupBy($"user_id").agg(min($"ts").as("t2")))
         val p = ev.where($"event_type" === "purchase").as("e2")
           .join(c, Seq("user_id")).where($"ts" > $"t2")
           .groupBy($"user_id").agg(min($"ts").as("t3"))

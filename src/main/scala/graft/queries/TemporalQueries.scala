@@ -173,20 +173,62 @@ object TemporalQueries {
           FROM numbered GROUP BY user_id, session_id""")),
 
     // ---- sketch aggregates: HLL distinct + approximate quantiles.
-    // Algorithms differ engine-to-engine → rows-only; exactness is
-    // covered by q13's exact countDistinct.
+    // The sketch VALUES are engine-specific (HLL++/GK internals), but
+    // their BOUND CONTRACTS are not: the sketch outputs are dumped as
+    // data, and both engines compute — in pure integer arithmetic, so
+    // the booleans are bit-identical — (a) |approx_users − exact| ≤
+    // 15% of exact (3σ at HLL++'s default 5% rsd) and (b) each
+    // approximate percentile's true rank lands within ±1% of its
+    // target (10× percentile_approx's n/accuracy guarantee). The
+    // oracle replays the checks over the dump: the sketch leaves
+    // rows-only-land while the engine-specific internals stay free.
     GraftQuery(
       "t05_sketches",
       (s, dir) => {
         import s.implicits._
-        Tables(s, dir, "events")
-          .groupBy($"event_type")
+        val ev = Tables(s, dir, "events")
+        val sk = graft.ops.Staged(ev.groupBy($"event_type")
           .agg(
             approx_count_distinct($"user_id").as("approx_users"),
             percentile_approx($"value", lit(0.5), lit(1000)).as("p50_value"),
-            percentile_approx($"value", lit(0.99), lit(1000)).as("p99_value"))
+            percentile_approx($"value", lit(0.99), lit(1000)).as("p99_value")))
+        if (OracleDump.enabled) OracleDump.dump(sk, dir, "t05_sketch")
+        val ex = ev.groupBy($"event_type").agg(
+          countDistinct($"user_id").as("exact_users"),
+          count($"value").as("n"))
+        // true ranks of the sketched percentile values: the value's
+        // rank interval is (lt, le]; the contract holds iff it
+        // intersects [(p − tol)·n, (p + tol)·n]
+        val rk = ev.join(sk.select($"event_type", $"p50_value", $"p99_value"),
+            Seq("event_type"))
+          .groupBy($"event_type").agg(
+            sum(when($"value" <= $"p50_value", 1L).otherwise(0L)).as("le50"),
+            sum(when($"value" < $"p50_value", 1L).otherwise(0L)).as("lt50"),
+            sum(when($"value" <= $"p99_value", 1L).otherwise(0L)).as("le99"))
+        sk.join(ex, Seq("event_type")).join(rk, Seq("event_type"))
+          .select($"event_type", $"approx_users", $"p50_value", $"p99_value",
+            (abs($"approx_users" - $"exact_users") * 100 <= $"exact_users" * 15)
+              .as("hll_ok"),
+            ($"le50" * 100 >= $"n" * 49 && $"lt50" * 100 <= $"n" * 51).as("p50_ok"),
+            ($"le99" * 100 >= $"n" * 98).as("p99_ok"))
       },
-      None,
-      notes = "rows-only: sketch algorithms (HLL++/KLL) are engine-specific")
+      Some("""WITH sk AS (SELECT event_type, approx_users, p50_value, p99_value
+            FROM read_parquet('__SCRATCH__/t05_sketch/*.parquet')),
+          ex AS (SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              CAST(count(value) AS BIGINT) AS n
+            FROM events GROUP BY event_type),
+          rk AS (SELECT e.event_type,
+              CAST(sum(CASE WHEN e.value <= sk.p50_value THEN 1 ELSE 0 END) AS BIGINT) AS le50,
+              CAST(sum(CASE WHEN e.value < sk.p50_value THEN 1 ELSE 0 END) AS BIGINT) AS lt50,
+              CAST(sum(CASE WHEN e.value <= sk.p99_value THEN 1 ELSE 0 END) AS BIGINT) AS le99
+            FROM events e JOIN sk ON e.event_type = sk.event_type
+            GROUP BY e.event_type)
+        SELECT sk.event_type, sk.approx_users, sk.p50_value, sk.p99_value,
+          (abs(sk.approx_users - ex.exact_users) * 100 <= ex.exact_users * 15) AS hll_ok,
+          (rk.le50 * 100 >= ex.n * 49 AND rk.lt50 * 100 <= ex.n * 51) AS p50_ok,
+          (rk.le99 * 100 >= ex.n * 98) AS p99_ok
+        FROM sk JOIN ex USING (event_type) JOIN rk USING (event_type)"""),
+      notes = "sketch values dumped as data; both engines verify the bound contracts in integer arithmetic")
   )
 }
