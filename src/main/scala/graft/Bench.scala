@@ -45,7 +45,7 @@ object Bench {
       }
       // unpersist this query's staged intermediates before the next query
       // runs, so the 80-query sweep doesn't accumulate block-manager state
-      graft.ops.Staged.release()
+      graft.ops.Staged.releaseAll()
       name -> times.sorted
     }
     // The harness keeps only the last ~2000 chars of stdout, so the
@@ -64,7 +64,10 @@ object Bench {
     // external load, not a regression — the spread is what tells a
     // reader which it was
     val qsFull = results.map { case (k, ts) =>
-      val med = ts(ts.size / 2)
+      // conventional median: average the two middle elements when the
+      // timed-run count is even (ts is already sorted)
+      val med = if (ts.size % 2 == 1) ts(ts.size / 2)
+                else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
       "\"" + k + s"""\":{"min":${ts.head},"med":$med,"max":${ts.last}}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.head).sum else 0.0

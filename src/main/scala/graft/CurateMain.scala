@@ -112,7 +112,7 @@ object CurateMain {
 
     mixed.select($"doc_id", $"lang", $"source", $"text", $"quality")
       .write.mode("overwrite").parquet(s"$outDir/curated")
-    Staged.release()
+    Staged.releaseAll()
 
     CurateSummary(nTotal, nPii, nQuality, nClean, nExact, nKept, nMixed,
       nPacks, s"$outDir/curated")

@@ -65,18 +65,18 @@ object ScaleRehearsal {
       val (tPairs, nPairs) = time {
         Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.8).count()
       }
-      Staged.release()
+      Staged.releaseAll()
       val (tNgram, nNgram) = time {
         Dedup.ngramJaccardBlocked(
           docs.withColumn("block", lit(1)), "doc_id", "text", "block",
           n = 3, threshold = 0.8).count()
       }
-      Staged.release()
+      Staged.releaseAll()
       val (tCc, nCc) = time {
         val pairs = Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.8)
         Dedup.connectedComponents(pairs, maxIter = 40).count()
       }
-      Staged.release()
+      Staged.releaseAll()
       // incremental-vs-full: dedup a 10% daily batch against the other
       // 90% — full re-dedup cost grows with the corpus, incremental
       // cost with the batch (+ one index equi-join)
@@ -91,7 +91,7 @@ object ScaleRehearsal {
         Dedup.incrementalNearDup(batch, idxPath, "doc_id", "text",
           threshold = 0.8).count()
       }
-      Staged.release()
+      Staged.releaseAll()
       println(s"""{"mult":$k,"docs":$n,"lsh_sec":$tPairs,"lsh_pairs":$nPairs,""" +
         s""""ngram_sec":$tNgram,"ngram_pairs":$nNgram,"cc_sec":$tCc,"cc_rows":$nCc,""" +
         s""""incr_sec":$tIncr,"incr_pairs":$nIncr}""")

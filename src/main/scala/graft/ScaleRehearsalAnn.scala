@@ -87,19 +87,19 @@ object ScaleRehearsalAnn {
       val (tBucket, nBucket) = time {
         Similarity.lshNearDupBuckets(vecs, "vec_id", "embedding").count()
       }
-      Staged.release()
+      Staged.releaseAll()
       // sign-LSH near-dup join (x15): bucket + Hamming-1 probe join +
       // exact cosine verify; true pairs grow K× by construction
       val (tPairs, nPairs) = time {
         Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.3).count()
       }
-      Staged.release()
+      Staged.releaseAll()
       // LSH top-k probe (x12): corpus-side bucketing dominates; the
       // probe set stays O(nBits) regardless of K
       val (tTopk, nTopk) = time {
         Similarity.lshTopK(vecs, query, "vec_id", "embedding", k = 50).count()
       }
-      Staged.release()
+      Staged.releaseAll()
       // IVF build (a04): KMeans fit + cluster-partitioned write —
       // forced fresh so the fit is measured, not the marker shortcut
       val idxPath = s"/tmp/graft-scale-ivf-${k}x"

@@ -58,7 +58,7 @@ object ScaleRehearsalSem {
           .agg(count(lit(1)).as("c"))
           .agg(sum(expr("c * (c - 1) DIV 2"))).head().getLong(0)
         idx.assigned.unpersist()
-        Staged.release()
+        Staged.releaseAll()
         (sec, drops, pairBudget)
       }
 

@@ -33,7 +33,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // bound cache footprint across the 70+ sequential pipelines
-      finally graft.ops.Staged.release()
+      finally graft.ops.Staged.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -320,9 +320,11 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lab").as("cluster_rep"))
       .localCheckpoint()
     // register the leaf for the caller's post-consumption
-    // Staged.release(): repeated calls (a bench sweep's warm-up + timed
-    // runs, rehearsal multipliers) would otherwise accumulate
-    // checkpoint blocks nothing can reclaim
+    // Staged.releaseCheckpoints() (its own queue — a plain release()
+    // from unrelated code can't destroy the unconsumed result):
+    // repeated calls (a bench sweep's warm-up + timed runs, rehearsal
+    // multipliers) would otherwise accumulate checkpoint blocks
+    // nothing can reclaim
     result.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         Staged.trackRdd(l.rdd)
@@ -401,17 +403,21 @@ object Dedup {
   }
 
   /** The latest COMMITTED stats table with its version: highest-version
-    * dir whose parquet `_SUCCESS` marker exists (the legacy unversioned
-    * dir counts as committed version 0 for pre-versioning indexes). A
-    * dir without the marker is a crashed publish and is ignored — the
-    * previous version stays authoritative.
+    * dir whose parquet `_SUCCESS` marker exists (only the LEGACY
+    * unversioned `bucket_counts` dir is exempt from the marker check —
+    * pre-versioning indexes never wrote one; a dir literally named
+    * `bucket_counts_v0` gets no such grace, it must carry the marker
+    * like any other versioned publish). A dir without the marker is a
+    * crashed publish and is ignored — the previous version stays
+    * authoritative.
     */
   private[ops] def committedBucketCounts(
       fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[(org.apache.hadoop.fs.Path, Int)] =
     listStatsDirs(fs, path)
-      .filter { case (p, v) =>
-        v == 0 || fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+      .filter { case (p, _) =>
+        p.getName == "bucket_counts" ||
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
       .sortBy(-_._2).headOption
 
   /** Per-bucket population of the band table — the index statistic that

@@ -28,18 +28,20 @@ object Staged {
   }
 
   /** Track a checkpointed RDD (e.g. a localCheckpoint'ed result leaf)
-    * for the next [[release]]. Unlike persisted DataFrames these CANNOT
-    * recompute after release (their lineage is truncated) — callers
-    * must have consumed the result first, which is release()'s
-    * documented contract anyway.
+    * for [[releaseCheckpoints]]. Unlike persisted DataFrames these
+    * CANNOT recompute after release (their lineage is truncated), so
+    * they live in their own queue: a plain [[release]] from unrelated
+    * code between an operator returning its checkpointed result and
+    * the caller consuming it must not be able to destroy the result.
     */
   def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
     trackedRdds.add(rdd): Unit
 
-  /** Unpersist everything staged since the last release. Safe to call
-    * while results are still lazily defined — downstream plans simply
-    * recompute (checkpointed leaves registered via [[trackRdd]]
-    * excepted) — but intended to run after the consuming action.
+  /** Unpersist every DataFrame staged since the last release. Safe to
+    * call while results are still lazily defined — downstream plans
+    * simply recompute — but intended to run after the consuming
+    * action. Checkpointed result leaves are NOT touched; callers that
+    * own the results call [[releaseCheckpoints]] once done with them.
     */
   def release(): Unit = {
     var df = tracked.poll()
@@ -48,6 +50,13 @@ object Staged {
       catch { case _: Throwable => () } // session may already be stopped
       df = tracked.poll()
     }
+  }
+
+  /** Unpersist tracked checkpoint leaves ([[trackRdd]]). IRREVERSIBLE:
+    * truncated lineage cannot recompute — only call after every
+    * returned result built on them has been fully consumed.
+    */
+  def releaseCheckpoints(): Unit = {
     var rdd = trackedRdds.poll()
     while (rdd != null) {
       try rdd.unpersist(blocking = false)
@@ -55,4 +64,10 @@ object Staged {
       rdd = trackedRdds.poll()
     }
   }
+
+  /** [[release]] + [[releaseCheckpoints]] for sweep drivers (Verify,
+    * Bench, rehearsals) that fully consume each pipeline's result
+    * before moving to the next.
+    */
+  def releaseAll(): Unit = { release(); releaseCheckpoints() }
 }

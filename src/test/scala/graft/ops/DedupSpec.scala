@@ -231,7 +231,7 @@ class DedupSpec extends SparkSpec {
     assert(cc.count() == 3)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.nonEmpty, "the result leaf should be persisted pre-release")
-    Staged.release()
+    Staged.releaseAll()
     val after = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(after.isEmpty,
       s"release() must reclaim the loop's blocks, still held: $after")
