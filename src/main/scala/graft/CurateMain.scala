@@ -8,10 +8,12 @@ import graft.sources.Tables
 /** End-to-end training-corpus curation — every stage of the
   * LLM-data-pipeline surface composed into one runnable job:
   *
-  *   scrub PII → quality filter → benchmark decontamination →
-  *   exact dedup → near-dup clustering (keep cluster reps) →
-  *   domain resampling to a target language mix → sequence packing →
-  *   write curated parquet + one JSON summary line.
+  *   paginated HTTP extract (auth/pagination/rate-limit/retry via the
+  *   deterministic offline transport, with a planted 429) → union into
+  *   the parquet corpus → scrub PII → quality filter → benchmark
+  *   decontamination → exact dedup → near-dup clustering (keep cluster
+  *   reps) → domain resampling to a target language mix → sequence
+  *   packing → write curated parquet + one JSON summary line.
   *
   * Each stage is the same operator the query registry verifies against
   * the DuckDB oracle; this main exists to show (and smoke-test) the
@@ -30,14 +32,65 @@ object CurateMain {
     * of the curated table, so a regression in any composed operator
     * can't ship silently).
     */
-  final case class CurateSummary(input: Long, piiFlagged: Long,
-      quality: Long, decontaminated: Long, exact: Long, nearDedup: Long,
-      mixed: Long, packs: Long, out: String) {
+  final case class CurateSummary(httpIngested: Long, input: Long,
+      piiFlagged: Long, quality: Long, decontaminated: Long, exact: Long,
+      nearDedup: Long, mixed: Long, packs: Long, out: String) {
     def json: String =
-      s"""{"stage_counts":{"input":$input,"pii_flagged":$piiFlagged,""" +
-        s""""quality":$quality,"decontaminated":$decontaminated,"exact":$exact,""" +
+      s"""{"stage_counts":{"http_ingested":$httpIngested,"input":$input,""" +
+        s""""pii_flagged":$piiFlagged,"quality":$quality,""" +
+        s""""decontaminated":$decontaminated,"exact":$exact,""" +
         s""""near_dedup":$nearDedup,"mixed":$mixed,"packs":$packs},""" +
         s""""out":"$out"}"""
+  }
+
+  /** The page payload the connector stage parses (the mock provider's
+    * shape — BSON-illegal keys included, so the sanitize transform has
+    * real work).
+    */
+  private val pageSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("data",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user.name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.LongType)))))))
+
+  /** Connector stage: a paginated, rate-limited HTTP feed of extra
+    * documents (the reference's E1–E4 face) through the deterministic
+    * offline transport. `mock_fail_every=3` plants a 429 on one page's
+    * first attempt, so every run exercises the retry path; the reader's
+    * token bucket paces the fetches. Records become document rows
+    * (id-offset into a reserved range, deterministic text with enough
+    * stopword mass to pass the quality gate honestly).
+    */
+  private def httpExtract(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.sources.http.{HttpPagedSource, MockTransport}
+    val pages = spark.read.format(classOf[HttpPagedSource].getName)
+      .option("url", "http://mock.local/api?mock_total=50&mock_fail_every=3")
+      .option("pageSize", "20")
+      .option("totalRecords", "50")
+      .option("transport", classOf[MockTransport].getName)
+      .option("ratePerSec", "10000")
+      .load()
+    val recs = pages
+      .withColumn("parsed", from_json($"body", pageSchema))
+      .select(explode($"parsed.data").as("rec"))
+      .select($"rec.*")
+    // T4 sanitize (user.name → user_name), then shape into corpus rows
+    val clean = graft.etl.Transforms.sanitizeFields(recs)
+    graft.etl.Transforms.requireNonNull("id")(clean)
+      .select(($"id" + 1000000L).as("doc_id"),
+        // ids woven in every <5 tokens: no two api docs share a 5-token
+        // run, so the decontamination stage (5-gram overlap) judges them
+        // on real content, not on a common template suffix
+        format_string(
+          "the record %d holds the value %d and the user %s keeps " +
+            "the row %d in a table of %d entries",
+          $"id", $"value", $"user_name", $"id", $"value").as("text"),
+        lit("en").as("lang"), lit("api").as("source"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -59,7 +112,13 @@ object CurateMain {
   def run(spark: SparkSession, sfDir: String, outDir: String): CurateSummary = {
     import spark.implicits._
 
+    // 0. connector extract (E1-E4) unioned into the parquet corpus —
+    // one corpus regardless of which source a document arrived through
+    val api = Staged(httpExtract(spark))
+    val nHttp = api.count()
     val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source")
+      .unionByName(api)
     val nTotal = docs.count()
 
     // 1. PII scrub: redact in place, keep per-doc detection counts
@@ -114,7 +173,7 @@ object CurateMain {
       .write.mode("overwrite").parquet(s"$outDir/curated")
     Staged.releaseAll()
 
-    CurateSummary(nTotal, nPii, nQuality, nClean, nExact, nKept, nMixed,
-      nPacks, s"$outDir/curated")
+    CurateSummary(nHttp, nTotal, nPii, nQuality, nClean, nExact, nKept,
+      nMixed, nPacks, s"$outDir/curated")
   }
 }

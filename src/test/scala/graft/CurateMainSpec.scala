@@ -2,14 +2,17 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.sources.http.MockTransport
 
 /** End-to-end verification of the flagship curation job: per-stage
   * survivor counts AND an order-independent content hash of the curated
   * output are pinned as goldens, so a regression in any composed
-  * operator (scrub, quality, decontam, dedup, clustering, resample,
-  * packing) fails here instead of shipping silently. Every stage is
-  * individually oracle-verified in the registry; this spec verifies the
-  * COMPOSITION.
+  * operator (HTTP extract, scrub, quality, decontam, dedup, clustering,
+  * resample, packing) fails here instead of shipping silently. Every
+  * stage is individually oracle-verified in the registry; this spec
+  * verifies the COMPOSITION — including that the connector stage's
+  * paginated extract really went through the transport with a planted
+  * 429 that the reader retried.
   */
 class CurateMainSpec extends SparkSpec {
 
@@ -22,31 +25,48 @@ class CurateMainSpec extends SparkSpec {
         col("text"), col("quality")).cast(DecimalType(38, 0))))
       .head().getDecimal(0).toString
 
+  /** The planted-429 contract: exactly one page URL was fetched twice
+    * (429 then success on retry), every other page once.
+    */
+  private def assertRetriedOnce(): Unit = {
+    val byUrl = MockTransport.requests.groupBy(_._1).view.mapValues(_.size)
+    val retried = byUrl.filter(_._2 > 1).toMap
+    assert(retried.values.toSeq == Seq(2),
+      s"want exactly one page retried exactly once, saw $retried")
+  }
+
   // NB on the goldens: the synthetic documents tables contain no
   // PII-shaped text and no sub-0.5-quality docs (verified directly
   // against the parquet with DuckDB regexes), so pii_flagged=0 and
   // quality=input are CORRECT here, not missed detections — the
   // detection behaviors themselves are fixture-tested in
   // ScrubSpec/TextAnalysisSpec; this spec pins the composition.
+  // http_ingested=50 joins the corpus; decontaminated = 541 is
+  // 492 (parquet survivors) + 50 − 1 (the one api doc whose id lands
+  // in the held-out benchmark slice).
   test("curation pipeline is pinned end-to-end at sf0.001") {
+    MockTransport.reset()
     val out = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString
     val s = CurateMain.run(spark, "/root/testdata/sf0.001", out)
     assert(s == CurateMain.CurateSummary(
-      input = 500, piiFlagged = 0, quality = 500, decontaminated = 492,
-      exact = 492, nearDedup = 471, mixed = 340, packs = 10,
-      out = s"$out/curated"), s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "1989880728505580823",
+      httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
+      decontaminated = 541, exact = 541, nearDedup = 520, mixed = 344,
+      packs = 10, out = s"$out/curated"), s"stage counts drifted: $s")
+    assert(contentHash(s.out) == "-6645696203127003400",
       s"curated content drifted: ${contentHash(s.out)}")
+    assertRetriedOnce()
   }
 
   test("curation pipeline is pinned end-to-end at sf0.01") {
+    MockTransport.reset()
     val out = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString
     val s = CurateMain.run(spark, "/root/testdata/sf0.01", out)
     assert(s == CurateMain.CurateSummary(
-      input = 500, piiFlagged = 0, quality = 500, decontaminated = 495,
-      exact = 495, nearDedup = 471, mixed = 313, packs = 10,
-      out = s"$out/curated"), s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "-86292477455433414616",
+      httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
+      decontaminated = 544, exact = 544, nearDedup = 520, mixed = 312,
+      packs = 10, out = s"$out/curated"), s"stage counts drifted: $s")
+    assert(contentHash(s.out) == "-110874439820715081669",
       s"curated content drifted: ${contentHash(s.out)}")
+    assertRetriedOnce()
   }
 }
