@@ -72,8 +72,12 @@ object SemanticDedup {
   /** [[dropList]] over an already-governed assignment. */
   def dropListFromKept(kept: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: String = "cluster"): DataFrame = {
+    // the governed frame feeds BOTH sides of the pair self-join; stage
+    // it so the cap's count+anti-join executes once, not once per side
+    // (house pattern — released by the caller's Staged.release)
+    val stagedKept = Staged(kept)
     val pairs = Similarity.cosinePairsBlocked(
-      kept, idCol, vecCol, blockCol, threshold)
+      stagedKept, idCol, vecCol, blockCol, threshold)
       .select(col("id_a"), col("id_b"))
     Dedup.connectedComponents(pairs)
       .where(col("doc_id") =!= col("cluster_rep"))
