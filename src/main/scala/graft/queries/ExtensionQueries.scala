@@ -368,7 +368,15 @@ object ExtensionQueries {
         sha256(text) AS content_sha FROM documents""")),
 
     // ---- multimodal decode plumbing (stubbed codec, real partition-wise
-    // Dataset pipeline).
+    // Dataset pipeline). Oracle-paired t05-style: only the byte-hash at
+    // the stub's core is engine-specific — it is dumped as data, and the
+    // oracle re-derives EVERYTHING else and hash-compares it: n_bytes
+    // against the true blob length from the raw table, and every fake
+    // meta field (format/width/height/frames/duration) by replaying the
+    // stub's integer derivation from the dumped hash. The decode
+    // pipeline, row coverage, and meta math are verified; only
+    // Arrays.hashCode itself is trusted as data — exactly the seam a
+    // real codec would occupy.
     GraftQuery(
       "x14_media_decode",
       (s, dir) => {
@@ -376,16 +384,32 @@ object ExtensionQueries {
         // flatten the typed metadata struct to scalar columns: the
         // harness compare can't hash struct cells, and downstream
         // relational filters want flat columns anyway
-        Multimodal.decode(s,
+        val decoded = Multimodal.decode(s,
           Tables(s, dir, "documents").select($"doc_id", $"text".cast("binary").as("media")),
           "doc_id", "media").toDF()
-          .select($"id", $"nBytes", $"contentHash",
+          .select($"id", $"nBytes".as("n_bytes"),
+            $"contentHash".as("content_hash"),
             $"meta.format".as("format"), $"meta.width".as("width"),
             $"meta.height".as("height"), $"meta.nFrames".as("n_frames"),
             $"meta.durationMs".as("duration_ms"))
+        if (OracleDump.enabled) OracleDump.dump(decoded, dir, "x14_decoded")
+        decoded
       },
-      None,
-      notes = "rows-only: decoder is a deterministic stub (no codecs in env)"),
+      Some("""WITH d AS (SELECT id, content_hash
+            FROM read_parquet('__SCRATCH__/x14_decoded/*.parquet')),
+          docs AS (SELECT doc_id,
+              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS true_bytes
+            FROM documents),
+          f AS (SELECT id, content_hash,
+              (content_hash & 2147483647) AS pos FROM d)
+        SELECT f.id, docs.true_bytes AS n_bytes, f.content_hash,
+          ['png','jpeg','wav','mp4'][CAST(pos % 4 AS INT) + 1] AS format,
+          CAST(16 + pos % 4096 AS INT) AS width,
+          CAST(16 + (pos // 7) % 4096 AS INT) AS height,
+          CAST(1 + (pos // 11) % 300 AS INT) AS n_frames,
+          CAST((pos // 13) % 600000 AS BIGINT) AS duration_ms
+        FROM f JOIN docs ON f.id = docs.doc_id"""),
+      notes = "decode plumbing + meta derivation hash-verified; only the stub's byte-hash rides as dumped data (the real-codec seam)"),
 
     // ---- embedding component statistics: array element access + exact
     // decimal aggregation over float-derived doubles (the embeddings are
@@ -627,16 +651,51 @@ object ExtensionQueries {
             / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""")),
 
     // ---- mergeable Misra-Gries heavy hitters over document tokens.
-    // Approximate by design (estimates vary with merge order within
-    // the N/(k+1) bound) → rows-only; the guarantee — heavy items
-    // always survive, counts under-estimate by ≤ N/(k+1), under ANY
-    // partitioning — is pinned by HeavyHittersSpec.
+    // The estimates vary with merge order, but the GUARANTEES don't:
+    // every count under-estimates truth by at most N/(k+1), and every
+    // token with true frequency > N/(k+1) is present in the summary.
+    // t05's pattern: the sketch output is dumped as data, and both
+    // engines verify the contracts in pure integer arithmetic
+    // ((true−est)·(k+1) ≤ N etc.) over exact token counts — the
+    // tokenization regex is already cross-engine-proven (x09/x28/x30).
     GraftQuery(
       "x26_heavy_hitters",
-      (s, dir) => graft.ops.HeavyHitters.frequentTokens(
-        Tables(s, dir, "documents"), "text", k = 30),
-      None,
-      notes = "rows-only: mergeable sketch, estimates are partition-order-dependent"),
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val k = 30
+        val sk = graft.ops.HeavyHitters.frequentTokens(docs, "text", k)
+        if (OracleDump.enabled) OracleDump.dump(sk, dir, "x26_sketch")
+        val ex = graft.ops.Staged(docs
+          .select(explode(graft.ops.TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("true_count")))
+        val nTotal = ex.agg(sum($"true_count")).head().getLong(0)
+        // coverage guarantee: no heavy token (freq > N/(k+1)) missing
+        val heavyMissing = ex.where($"true_count" * (k + 1) > nTotal)
+          .join(sk, Seq("token"), "left_anti").count()
+        sk.join(ex, Seq("token"))
+          .select($"token", $"est_count",
+            ($"est_count" <= $"true_count" &&
+              ($"true_count" - $"est_count") * (k + 1) <= nTotal)
+              .as("bound_ok"),
+            lit(heavyMissing == 0L).as("all_heavy_present"))
+      },
+      Some("""WITH sk AS (SELECT token, est_count
+            FROM read_parquet('__SCRATCH__/x26_sketch/*.parquet')),
+          ex AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents),
+          tc AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count
+            FROM ex GROUP BY token),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ex),
+          hm AS (SELECT count(*) AS missing FROM tc CROSS JOIN n
+            WHERE tc.true_count * 31 > n.total
+              AND tc.token NOT IN (SELECT token FROM sk))
+        SELECT sk.token, sk.est_count,
+          (sk.est_count <= tc.true_count
+            AND (tc.true_count - sk.est_count) * 31 <= n.total) AS bound_ok,
+          (hm.missing = 0) AS all_heavy_present
+        FROM sk JOIN tc USING (token) CROSS JOIN n CROSS JOIN hm"""),
+      notes = "sketch dumped as data; both engines verify the Misra-Gries bound + coverage contracts in integer arithmetic"),
 
     // ---- PII scrubbing report: RE2-compatible patterns run
     // identically in Spark and DuckDB; redaction correctness is pinned
