@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, expr}
 
 /** The scale-safe two-pass exact quantile must (a) equal the
   * percentile_cont definition computed naively on sorted data, and
@@ -52,6 +53,31 @@ class QuantilesSpec extends SparkSpec {
     assert(r.getDouble(0) === ref(vs, 0.5))
     assert(r.getDouble(1) === ref(vs, 0.95))
     assert(r.getLong(2) === 5L)
+  }
+
+  test("differential: agrees with Spark's percentile to 1 ulp on random doubles") {
+    // percentile_cont semantics match the built-in exactly; the only
+    // permitted divergence is the final interpolation's association
+    // order, worth at most one ulp (the oracle replays OUR formula, so
+    // cross-engine hashing is still bit-exact — this test pins the
+    // SEMANTICS against an independent implementation)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(2000)(i => (s"g${i % 7}", rnd.nextDouble() * 1e6 - 5e5))
+    val df = rows.toDF("k", "v")
+    val fr = Seq("p05" -> 0.05, "p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    val mine = Quantiles.exact(df, Seq("k"), "v", fr)
+      .select(col("k") +: fr.map(f => col(f._1)): _*)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    val builtin = df.groupBy(col("k"))
+      .agg(expr("percentile(v, array(0.05D, 0.25D, 0.5D, 0.9D))").as("ps"))
+      .select(col("k") +: (0 to 3).map(i => col("ps")(i)): _*)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    mine.foreach { case (k, ms) =>
+      ms.zip(builtin(k)).foreach { case (a, b) =>
+        assert(a == b || math.abs(a - b) <= math.ulp(b),
+          s"$k: $a vs builtin $b differ by more than 1 ulp")
+      }
+    }
   }
 
   test("quantile plans stay bounded: no ObjectHashAggregate, histogram is partial+final") {
