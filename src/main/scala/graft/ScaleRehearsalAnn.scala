@@ -68,7 +68,10 @@ object ScaleRehearsalAnn {
     val dim = base.select(size(col("embedding"))).head().getInt(0)
 
     multipliers.foreach { k =>
-      val path = s"/tmp/graft-scale-vecs-${k}x"
+      // sfDir-fingerprinted cache (shared with ScaleRehearsalSem): a
+      // path without the corpus tag would silently reuse replicas built
+      // from a DIFFERENT sfDir — or from the pre-fix fixed-stride code
+      val path = s"/tmp/graft-scale-vecs-${graft.queries.OracleDump.sfTag(sfDir)}-${k}x"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         scaledVecs(base, k, dim).repartition(32).write.mode("overwrite").parquet(path)
       }

@@ -50,7 +50,14 @@ object ScaleRehearsalCc {
       assert(clusters == expected,
         s"CC wrong at n=$n L=$chainLen: $clusters clusters, want $expected")
       Staged.releaseAll()
-      pairs.rdd.unpersist(blocking = false)
+      // free the checkpointed input blocks: Dataset.rdd builds a NEW
+      // deserializing RDD, so unpersisting IT is a no-op — the blocks
+      // live on the RDD inside the plan's LogicalRDD leaf (the same
+      // reason Dedup.releaseLabels walks the analyzed plan)
+      pairs.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+      }: Unit
       println(s"""{"nodes":$n,"chain_len":$chainLen,"edges":${n - expected},""" +
         s""""rounds_needed":${chainLen - 1},"clusters":$clusters,"sec":$sec}""")
     }

@@ -36,7 +36,8 @@ object ScaleRehearsalSem {
     val dim = base.select(size(col("embedding"))).head().getInt(0)
 
     multipliers.foreach { m =>
-      val path = s"/tmp/graft-scale-vecs-${m}x" // shared with ScaleRehearsalAnn
+      // sfDir-fingerprinted, shared with ScaleRehearsalAnn (see there)
+      val path = s"/tmp/graft-scale-vecs-${graft.queries.OracleDump.sfTag(sfDir)}-${m}x"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         ScaleRehearsalAnn.scaledVecs(base, m, dim)
           .repartition(32).write.mode("overwrite").parquet(path)

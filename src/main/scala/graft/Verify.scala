@@ -23,7 +23,16 @@ object Verify {
     val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = filter match {
-      case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
+      case Some(f) =>
+        val sel = SparkEntry.queries.filter { case (n, _) => f(n) }
+        // a typo'd filter would otherwise dump nothing and exit 0 — a
+        // dev iterating on one query must not mistake that for a pass
+        if (sel.isEmpty) {
+          System.err.println(
+            s"[verify] SPARK_GRAFT_VERIFY_FILTER matched no queries: $f")
+          sys.exit(2)
+        }
+        sel
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

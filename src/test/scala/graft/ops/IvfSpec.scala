@@ -181,6 +181,15 @@ class IvfSpec extends SparkSpec {
       Ivf.appendToIndex(dblBatch, dir, "vec_id", "embedding")
     }
     assert(ex.getMessage.contains("narrowing"))
+    // integer-typed (e.g. quantized) batches narrow too: int→float
+    // loses precision past 2^24
+    val intBatch = e.filter($"vec_id" === 4L)
+      .select(org.apache.spark.sql.functions.lit(444444L).as("vec_id"),
+        $"embedding".cast("array<int>").as("embedding"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(intBatch, dir, "vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("narrowing"))
   }
 
   test("append fails descriptively on a null vector element") {
