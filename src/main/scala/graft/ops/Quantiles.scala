@@ -37,6 +37,15 @@ object Quantiles {
   /** Exact quantiles of `valueCol` per `keys` group (global when `keys`
     * is empty). Returns one row per group: keys ++ one double column per
     * (name, fraction) ++ `n` (the group's non-null value count).
+    *
+    * Scale note on the global (no-keys) case: the running sum flows
+    * through ONE window partition, but over the HISTOGRAM — O(distinct
+    * grid values) rows, a constant of the value domain (a full price
+    * domain at cent granularity is ~10^7 rows: one spillable sorted
+    * pass), never O(input rows). If a use case ever has an unbounded
+    * value domain, pre-band the grid (floor(value/width) as a key) and
+    * prefix-sum the per-band totals — the grouped path then
+    * distributes; no such domain exists in this engine's surface.
     */
   def exact(df: DataFrame, keys: Seq[String], valueCol: String,
       fractions: Seq[(String, Double)]): DataFrame = {
