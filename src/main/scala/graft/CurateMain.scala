@@ -65,7 +65,8 @@ object CurateMain {
     * (id-offset into a reserved range, deterministic text with enough
     * stopword mass to pass the quality gate honestly).
     */
-  private def httpExtract(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+  private def httpExtract(spark: SparkSession,
+      idOffset: Long): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     import graft.sources.http.{HttpPagedSource, MockTransport}
     val pages = spark.read.format(classOf[HttpPagedSource].getName)
@@ -82,7 +83,7 @@ object CurateMain {
     // T4 sanitize (user.name → user_name), then shape into corpus rows
     val clean = graft.etl.Transforms.sanitizeFields(recs)
     graft.etl.Transforms.requireNonNull("id")(clean)
-      .select(($"id" + 1000000L).as("doc_id"),
+      .select(($"id" + idOffset).as("doc_id"),
         // ids woven in every <5 tokens: no two api docs share a 5-token
         // run, so the decontamination stage (5-gram overlap) judges them
         // on real content, not on a common template suffix
@@ -114,11 +115,17 @@ object CurateMain {
 
     // 0. connector extract (E1-E4) unioned into the parquet corpus —
     // one corpus regardless of which source a document arrived through
-    val api = Staged(httpExtract(spark))
-    val nHttp = api.count()
-    val docs = Tables(spark, sfDir, "documents")
+    val corpus = Tables(spark, sfDir, "documents")
       .select($"doc_id", $"text", $"lang", $"source")
-      .unionByName(api)
+    // API docs live in a reserved id range: base 1_000_000, lifted to
+    // max(doc_id)+1 when a larger corpus exceeds it. A FIXED offset
+    // silently merged distinct documents in exact dedup/decontam on id
+    // collision; on the standard fixtures the corpus max stays below
+    // the base, so ids (and capstone hashes) are unchanged there.
+    val maxDocId = corpus.agg(max($"doc_id")).head().getLong(0)
+    val api = Staged(httpExtract(spark, math.max(1000000L, maxDocId + 1L)))
+    val nHttp = api.count()
+    val docs = corpus.unionByName(api)
     val nTotal = docs.count()
 
     // 1. PII scrub: redact in place, keep per-doc detection counts

@@ -418,7 +418,13 @@ object Dedup {
       .filter { case (p, _) =>
         p.getName == "bucket_counts" ||
           fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
-      .sortBy(-_._2).headOption
+      // version desc, and on a version tie (legacy `bucket_counts` vs a
+      // committed `bucket_counts_v0`, both version 0) the VERSIONED dir
+      // wins — a bare `sortBy(-version)` left that tie to filesystem
+      // listing order, i.e. a nondeterministic stats table
+      .sortBy { case (p, v) =>
+        (-v, if (p.getName == "bucket_counts") 1 else 0) }
+      .headOption
 
   /** Per-bucket population of the band table — the index statistic that
     * lets [[incrementalNearDup]] cap hot buckets without scanning the

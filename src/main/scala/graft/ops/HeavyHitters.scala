@@ -61,14 +61,21 @@ object HeavyHitters {
     items.select(new MisraGries(k).toColumn).as[Seq[(String, Long)]].head()
   }
 
-  /** Heavy-hitter tokens of a text column as a DataFrame
+  /** Heavy-hitter tokens of a text column as a LAZY DataFrame
     * (token, est_count) — est_count is a lower bound within N/(k+1).
+    *
+    * No job runs until the result is consumed (building a query around
+    * the sketch costs nothing); callers that feed the sketch into
+    * several downstream joins stage it ([[Staged]]) so the corpus
+    * aggregation executes once, not once per consumer.
     */
   def frequentTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .as[String]
-    topK(toks, k).toDF("token", "est_count")
+      .select(new MisraGries(k).toColumn.name("sk"))
+      .select(explode(col("sk")).as("kv"))
+      .select(col("kv._1").as("token"), col("kv._2").as("est_count"))
   }
 }

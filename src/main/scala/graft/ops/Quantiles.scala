@@ -38,6 +38,12 @@ object Quantiles {
     * is empty). Returns one row per group: keys ++ one double column per
     * (name, fraction) ++ `n` (the group's non-null value count).
     *
+    * Empty-input contract: nulls are filtered before the histogram, so
+    * with NO non-null values a GROUPED call returns an empty frame (no
+    * group exists) while a GLOBAL call (empty `keys`) returns the usual
+    * single aggregate row with NULL quantiles and NULL n — callers
+    * reading doubles out of that row must null-check explicitly.
+    *
     * Scale note on the global (no-keys) case: the running sum flows
     * through ONE window partition, but over the HISTOGRAM — O(distinct
     * grid values) rows, a constant of the value domain (a full price

@@ -466,8 +466,15 @@ object AdvancedQueries {
       (s, dir) => {
         import s.implicits._
         val li = t(s, dir, "lineitem")
+        // With no non-null prices the global aggregate row carries NULL
+        // bounds (see Quantiles.exact's empty-input contract) — fail
+        // with a contract error, not a bare NPE from getDouble
         val b = graft.ops.Quantiles.exact(li, Nil, "l_extendedprice",
-            Seq("lo" -> 0.05, "hi" -> 0.95)).head()
+            Seq("lo" -> 0.05, "hi" -> 0.95))
+          .head(1).headOption.filterNot(_.isNullAt(0))
+          .getOrElse(throw new IllegalArgumentException(
+            "q44: winsorization bounds undefined — lineitem has no " +
+              "non-null l_extendedprice values"))
         val Seq(lo, hi) = Seq(b.getDouble(0), b.getDouble(1)).map(v =>
           BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
         li.groupBy($"l_returnflag")

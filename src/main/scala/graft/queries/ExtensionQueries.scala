@@ -687,21 +687,31 @@ object ExtensionQueries {
         import s.implicits._
         val docs = Tables(s, dir, "documents")
         val k = HeavyHitterK
-        val sk = graft.ops.HeavyHitters.frequentTokens(docs, "text", k)
+        // Fully lazy: building this query runs no Spark jobs, so bench
+        // times the work itself, and the staged sketch + staged exact
+        // counts each execute ONCE (Verify's dump populates the cache;
+        // the coverage anti-join and the final join reuse it) — not
+        // once per consumer as the old eager form did.
+        val sk = graft.ops.Staged(
+          graft.ops.HeavyHitters.frequentTokens(docs, "text", k))
         if (OracleDump.enabled) OracleDump.dump(sk, dir, "x26_sketch")
         val ex = graft.ops.Staged(docs
           .select(explode(graft.ops.TextAnalysis.tokens($"text")).as("token"))
           .groupBy($"token").agg(count(lit(1)).as("true_count")))
-        val nTotal = ex.agg(sum($"true_count")).head().getLong(0)
+        val total = ex.agg(sum($"true_count").as("__n"))
         // coverage guarantee: no heavy token (freq > N/(k+1)) missing
-        val heavyMissing = ex.where($"true_count" * (k + 1) > nTotal)
-          .join(sk, Seq("token"), "left_anti").count()
+        val missing = ex.crossJoin(broadcast(total))
+          .where($"true_count" * (k + 1) > $"__n")
+          .join(sk, Seq("token"), "left_anti")
+          .agg(count(lit(1)).as("__missing"))
         sk.join(ex, Seq("token"))
+          .crossJoin(broadcast(total))
+          .crossJoin(broadcast(missing))
           .select($"token", $"est_count",
             ($"est_count" <= $"true_count" &&
-              ($"true_count" - $"est_count") * (k + 1) <= nTotal)
+              ($"true_count" - $"est_count") * (k + 1) <= $"__n")
               .as("bound_ok"),
-            lit(heavyMissing == 0L).as("all_heavy_present"))
+            ($"__missing" === 0L).as("all_heavy_present"))
       },
       Some(s"""WITH sk AS (SELECT token, est_count
             FROM read_parquet('__SCRATCH__/x26_sketch/*.parquet')),

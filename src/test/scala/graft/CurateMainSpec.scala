@@ -57,6 +57,35 @@ class CurateMainSpec extends SparkSpec {
     assertRetriedOnce()
   }
 
+  test("api ids lift above a corpus that already exceeds the reserved range") {
+    import spark.implicits._
+    MockTransport.reset()
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-hi").toString
+    // corpus already occupies the 1e6+ reserved base: the old fixed
+    // +1000000 offset would collide api ids with these real docs and
+    // silently merge distinct documents downstream
+    Seq(
+      (1000002L, "the quick brown fox jumps over the lazy dog and the cat " +
+        "sits on the mat by the door of the house", "en", "web"),
+      (1000003L, "a small bird flies over the hill and the sun rises in " +
+        "the east while the river runs down to the sea", "en", "web"),
+      (1000004L, "the old clock on the wall ticks and the kettle on the " +
+        "stove whistles in the quiet of the morning light", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-hi-out").toString
+    val s = CurateMain.run(spark, dir, out)
+    assert(s.input == 53, s"3 corpus + 50 api docs expected, got ${s.input}")
+    val curated = spark.read.parquet(s.out)
+    val apiIds = curated.where(col("source") === "api")
+      .select(col("doc_id")).as[Long].collect()
+    assert(apiIds.nonEmpty, "api docs must survive the pipeline")
+    assert(apiIds.min >= 1000005L,
+      s"api ids must start at max(doc_id)+1, got min ${apiIds.min}")
+    assert(curated.select(col("doc_id")).distinct().count() == curated.count(),
+      "id collision: two distinct documents share a doc_id")
+  }
+
   test("curation pipeline is pinned end-to-end at sf0.01") {
     MockTransport.reset()
     val out = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString

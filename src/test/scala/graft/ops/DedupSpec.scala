@@ -221,6 +221,28 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("rebuild the index"))
   }
 
+  test("stats tie-break: committed bucket_counts_v0 beats legacy bucket_counts") {
+    // both dirs carry version 0; before the explicit tie-break the
+    // winner fell to filesystem listing order — two different stats
+    // tables, nondeterministically chosen
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-tie").toString
+    assert(new java.io.File(s"$dir/bucket_counts").mkdirs())
+    val v0 = new java.io.File(s"$dir/bucket_counts_v0")
+    assert(v0.mkdirs())
+    assert(new java.io.File(v0, "_SUCCESS").createNewFile())
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Dedup.committedBucketCounts(fs, dir).map(_._1.getName)
+      == Some("bucket_counts_v0"),
+      "on a version tie the versioned committed dir must win")
+    // a higher committed version still beats both
+    val v1 = new java.io.File(s"$dir/bucket_counts_v1")
+    assert(v1.mkdirs())
+    assert(new java.io.File(v1, "_SUCCESS").createNewFile())
+    assert(Dedup.committedBucketCounts(fs, dir).map(_._1.getName)
+      == Some("bucket_counts_v1"))
+  }
+
   test("connected components: result checkpoint blocks are reclaimed by release") {
     // the returned leaf is localCheckpoint'ed (re-execution must not
     // replay the loop); without Staged registration every bench run

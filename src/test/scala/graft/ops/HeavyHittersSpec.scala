@@ -32,6 +32,57 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("x26 query construction runs no Spark jobs (lazy staged sketch)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val started = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .map(_.getProperty("spark.job.description", "")).getOrElse("")
+        started.add(
+          if (desc.nonEmpty) desc
+          else s"[stages: ${js.stageInfos.map(_.name).mkString("; ")}]"): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def sentinel(tag: String): Unit = {
+      // the listener bus is FIFO: once this job's start event is
+      // visible, every earlier-posted event has been dispatched too
+      spark.sparkContext.setJobDescription(tag)
+      spark.range(1).count(): Unit
+      spark.sparkContext.setJobDescription(null)
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!started.contains(tag) && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(started.contains(tag), s"listener never saw $tag")
+    }
+    try {
+      // drain backlog events from earlier tests before measuring
+      sentinel("x26-drain")
+      started.clear()
+      val df = graft.SparkEntry.queries("x26_heavy_hitters")(spark, sf)
+      sentinel("x26-sentinel")
+      val seen = new scala.collection.mutable.ArrayBuffer[String]()
+      started.forEach(d => seen += d)
+      // a count() may post more than one job under AQE — any number of
+      // sentinel jobs is fine. The only other job class allowed is the
+      // parquet footer/schema read every spark.read.parquet performs
+      // (O(file metadata)); a corpus-scanning job (head/count/collect
+      // over tokens — the r7 finding) fails here.
+      assert(seen.forall(d =>
+        d == "x26-sentinel" || d.contains("parquet at Tables.scala")),
+        s"building x26 must run no corpus jobs; jobs seen: $seen")
+      // consuming the query still verifies both Misra-Gries contracts
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+        "Misra-Gries bound or coverage contract violated")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.ops.Staged.release()
+    }
+  }
+
   test("frequentTokens surfaces stopword-grade tokens from real docs") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val exact = docs

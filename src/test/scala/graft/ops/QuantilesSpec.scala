@@ -55,6 +55,24 @@ class QuantilesSpec extends SparkSpec {
     assert(r.getLong(2) === 5L)
   }
 
+  test("empty-input contract: all-null input is null/empty, q44 fails loudly") {
+    val allNull = Seq[(String, Option[Double])](("a", None), ("b", None)).toDF("k", "v")
+    // grouped: no group exists → empty frame
+    assert(Quantiles.exact(allNull, Seq("k"), "v", Seq("p50" -> 0.5)).count() === 0L)
+    // global: one aggregate row with NULL quantile and NULL n
+    val g = Quantiles.exact(allNull, Nil, "v", Seq("p50" -> 0.5)).head()
+    assert(g.isNullAt(0) && g.isNullAt(1))
+    // the q44 call site turns that null row into a contract error
+    // (previously a bare NullPointerException from getDouble)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q44-empty").toString
+    Seq.empty[(String, Option[Double])].toDF("l_returnflag", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      graft.SparkEntry.queries("q44_winsorized_mean")(spark, dir)
+    }
+    assert(ex.getMessage.contains("no non-null"))
+  }
+
   test("differential: agrees with Spark's percentile to 1 ulp on random doubles") {
     // percentile_cont semantics match the built-in exactly; the only
     // permitted divergence is the final interpolation's association
