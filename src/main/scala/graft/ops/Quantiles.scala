@@ -48,10 +48,10 @@ object Quantiles {
     * through ONE window partition, but over the HISTOGRAM — O(distinct
     * grid values) rows, a constant of the value domain (a full price
     * domain at cent granularity is ~10^7 rows: one spillable sorted
-    * pass), never O(input rows). If a use case ever has an unbounded
-    * value domain, pre-band the grid (floor(value/width) as a key) and
-    * prefix-sum the per-band totals — the grouped path then
-    * distributes; no such domain exists in this engine's surface.
+    * pass), never O(input rows). For an UNBOUNDED value domain (raw
+    * doubles), use [[exactBanded]]: it pre-bands the histogram and
+    * prefix-sums per-band totals, so no single window partition ever
+    * sees O(distinct values) rows.
     */
   def exact(df: DataFrame, keys: Seq[String], valueCol: String,
       fractions: Seq[(String, Double)]): DataFrame = {
@@ -68,6 +68,17 @@ object Quantiles {
     val ranked = hist
       .withColumn("__cum", sum(col("__c")).over(wOrd))
       .withColumn("__n", sum(col("__c")).over(wAll))
+    interpolate(ranked, kcols, v, fractions)
+  }
+
+  /** Shared final pass of [[exact]] and [[exactBanded]]: rows carrying
+    * (__cum = 0-indexed-exclusive running count, __n = group total) →
+    * one output row per group with the interpolated quantiles. The
+    * agg + interpolation expressions are byte-identical between the
+    * two entry points, so both share one oracle replay ([[oracleSql]]).
+    */
+  private def interpolate(ranked: DataFrame, kcols: Seq[Column],
+      v: Column, fractions: Seq[(String, Double)]): DataFrame = {
     val aggs = fractions.flatMap { case (nm, p) =>
       val rp = (col("__n") - 1).cast(DoubleType) * lit(p)
       val kLo = floor(rp) // LongType in Spark; numeric compare below
@@ -86,6 +97,75 @@ object Quantiles {
         col(s"__d_$nm") * (col(s"__hi_$nm") - col(s"__lo_$nm"))).as(nm)
     } :+ col("n")
     grouped.select(out: _*)
+  }
+
+  /** [[exact]] for UNBOUNDED value domains (raw doubles: cosine scores,
+    * log-probs, price products) — same exact percentile_cont result,
+    * but the rank pass never puts O(distinct values) rows through one
+    * window partition, which is what [[exact]]'s global form does when
+    * the domain isn't grid-bounded:
+    *
+    *  1. histogram pass — as in [[exact]] (distributed, O(1) state);
+    *  2. band totals — each value's coarse band `floor(v / bandWidth)`
+    *     (monotone in v, so band order = value order); per-group band
+    *     counts aggregate distributedly to O(#bands) rows;
+    *  3. band rank pass — the running sum over the per-group
+    *     band-sorted totals: the only group-wide ordered window, over
+    *     O(#bands) rows instead of O(distinct values);
+    *  4. refinement — only the ≤ 2·|fractions| bands whose count range
+    *     brackets a target rank rejoin the histogram (equi-join on the
+    *     band key); the in-band running sum windows over ONE band's
+    *     rows, offset by the band's prefix count, and the shared
+    *     interpolation pass reads the bracketing values off it.
+    *
+    * Choose `bandWidth` so #bands ≈ sqrt(distinct values) or simply
+    * domain-range/10^4: both window partition sizes (#bands, rows per
+    * band) then stay far below O(N). Band ids live in a long —
+    * |value| must stay under bandWidth·2^63.
+    *
+    * Same oracle as [[exact]]: banding changes the execution shape,
+    * not the value — lo/hi are data values and d/interpolation are the
+    * shared expressions — so [[oracleSql]] replays this result
+    * bit-exactly. Empty-input contract matches [[exact]] too.
+    */
+  def exactBanded(df: DataFrame, keys: Seq[String], valueCol: String,
+      fractions: Seq[(String, Double)], bandWidth: Double): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    val kcols = keys.map(col)
+    val v = col(valueCol)
+    val hist = df.where(v.isNotNull)
+      .groupBy((kcols :+ v): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__band", floor(v / lit(bandWidth)))
+    val bands = hist.groupBy((kcols :+ col("__band")): _*)
+      .agg(sum(col("__c")).as("__bc"))
+    val wOrd = Window.partitionBy(kcols: _*).orderBy(col("__band"))
+    val wAll = Window.partitionBy(kcols: _*)
+    val ranked = bands
+      .withColumn("__bcum", sum(col("__bc")).over(wOrd))
+      .withColumn("__n", sum(col("__bc")).over(wAll))
+    // a band is refined iff some target rank k (0-indexed) falls inside
+    // its count range (__bcum - __bc, __bcum]: the value at rank k =
+    // first value with cum > k lives exactly there
+    val needed = fractions
+      .flatMap { case (_, p) =>
+        val rp = (col("__n") - 1).cast(DoubleType) * lit(p)
+        Seq(floor(rp), ceil(rp))
+      }
+      .map(rk => col("__bcum") > rk && col("__bcum") - col("__bc") <= rk)
+      .reduce(_ || _)
+    val selected = ranked.where(needed)
+      .select((kcols :+ col("__band") :+
+        (col("__bcum") - col("__bc")).as("__before") :+ col("__n")): _*)
+    // values in unselected bands can't be bracketing values, and their
+    // absence never breaks `min(when(cum > k, v))`: every surviving row
+    // of an earlier band has cum ≤ its band's __bcum ≤ k
+    val refined = hist
+      .join(selected, keys :+ "__band")
+      .withColumn("__cum",
+        col("__before") + sum(col("__c")).over(
+          Window.partitionBy((kcols :+ col("__band")): _*).orderBy(v)))
+    interpolate(refined, kcols, v, fractions)
   }
 
   /** DuckDB replay of [[exact]] — same histogram, running sum, bracket

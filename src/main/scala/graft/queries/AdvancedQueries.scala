@@ -487,6 +487,30 @@ object AdvancedQueries {
         SELECT l_returnflag,
           (${Q.sqlDsum("greatest(least(l_extendedprice, hi), lo)")}
              / count(*)) AS wins_avg
-        FROM lineitem, b GROUP BY l_returnflag"""))
+        FROM lineitem, b GROUP BY l_returnflag""")),
+
+    // ---- q45: exact global percentiles of an OFF-GRID double
+    // (l_extendedprice · l_discount: products of grid values land on no
+    // decimal grid, so q44's "histogram ≤ value domain" bound does not
+    // apply — distinct count ≈ row count). Runs the BANDED two-pass
+    // quantile: the only group-wide ordered window scans per-band
+    // totals (O(#bands) rows), then refinement windows inside the ≤ 2
+    // selected bands — no single window partition ever sees O(N) rows
+    // (PlanSpec + QuantilesSpec pin the shape). The oracle replays the
+    // plain percentile_cont math: banding changes the execution shape,
+    // not the value.
+    GraftQuery(
+      "q45_banded_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val v = t(s, dir, "lineitem")
+          .select(($"l_extendedprice" * $"l_discount").as("disc_value"))
+        graft.ops.Quantiles.exactBanded(v, Nil, "disc_value",
+          Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99), bandWidth = 64.0)
+      },
+      Some(graft.ops.Quantiles.oracleSql("lineitem", Nil,
+        "(l_extendedprice * l_discount)",
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))),
+      notes = "banded rank pass: ordered window over band totals only, refinement inside selected bands")
   )
 }

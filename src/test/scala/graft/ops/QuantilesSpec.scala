@@ -98,6 +98,61 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("banded ≡ unbanded on random doubles, any bandWidth (incl. 1 band and ~1/band)") {
+    val rnd = new scala.util.Random(11)
+    // off-grid doubles with ties (25% dup rate), uneven groups, n=1 group
+    val vals = Array.fill(800)(rnd.nextDouble() * 2e4 - 1e4)
+    val rows = Seq.tabulate(1000) { i =>
+      val g = if (i == 0) "solo" else s"g${i % 3}"
+      (g, vals(rnd.nextInt(if (i % 4 == 0) 200 else 800)))
+    }
+    val df = rows.toDF("k", "v")
+    val fr = Seq("p05" -> 0.05, "p50" -> 0.5, "p95" -> 0.95)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ((1 to 3).map(r.getDouble), r.getLong(4))).toMap
+    val want = canon(Quantiles.exact(df, Seq("k"), "v", fr))
+    // one band swallowing everything, a medium grid, and ~unit bands
+    for (w <- Seq(1e6, 500.0, 3.7)) {
+      val got = canon(Quantiles.exactBanded(df, Seq("k"), "v", fr, bandWidth = w))
+      assert(got == want, s"bandWidth=$w diverged from the unbanded result")
+    }
+    // global form too (the case exactBanded exists for)
+    val gw = Quantiles.exact(df, Nil, "v", fr).head()
+    val gg = Quantiles.exactBanded(df, Nil, "v", fr, bandWidth = 250.0).head()
+    assert((0 to 2).forall(i => gw.getDouble(i) == gg.getDouble(i)) &&
+      gw.getLong(3) == gg.getLong(3))
+  }
+
+  test("banded: ranks exactly on a band boundary interpolate across bands") {
+    // 4 values, p~0.5 targets ranks 1 and 2; with bandWidth=10 the pair
+    // (9.0, 11.0) straddles bands 0 and 1 — both bands must be refined
+    val df = Seq(1.0, 9.0, 11.0, 19.0).toDF("v")
+    val r = Quantiles.exactBanded(df, Nil, "v",
+      Seq("p50" -> 0.5, "p33" -> (1.0 / 3)), bandWidth = 10.0).head()
+    assert(r.getDouble(0) === 10.0, "p50 = (9+11)/2 across the band split")
+    assert(r.getDouble(1) === 9.0, "rank 1 exactly (d=0) inside band 0")
+    assert(r.getLong(2) === 4L)
+  }
+
+  test("banded: the group-wide ordered window sees O(#bands) rows, not O(distinct)") {
+    import org.apache.spark.sql.functions.{countDistinct, floor => ffloor}
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(20000)(rnd.nextDouble() * 1e6).toDF("v")
+    val w = 1e4
+    val Array(nDistinct, nBands) = df
+      .agg(countDistinct(col("v")), countDistinct(ffloor(col("v") / w)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    // the rank scan's single partition shrinks from ~20k rows to ≤ ~101
+    assert(nBands <= 110, s"band grid must bound the rank scan, got $nBands")
+    assert(nDistinct > 100 * nBands,
+      s"off-grid input must be ~all-distinct ($nDistinct vs $nBands bands)")
+    // and the result over that shape is still exact
+    val got = Quantiles.exactBanded(df, Nil, "v", Seq("p99" -> 0.99), w).head()
+    val want = Quantiles.exact(df, Nil, "v", Seq("p99" -> 0.99)).head()
+    assert(got.getDouble(0) == want.getDouble(0) && got.getLong(1) == want.getLong(1))
+  }
+
   test("quantile plans stay bounded: no ObjectHashAggregate, histogram is partial+final") {
     val li = spark.read.parquet(s"$sf/orders.parquet")
     val p = Quantiles.exact(li, Seq("o_orderstatus"), "o_totalprice",

@@ -53,8 +53,10 @@ class PlanSpec extends SparkSpec {
         val nlOk = Set("x10_sim_bruteforce_topk", "x12_sim_lsh_topk",
           "q15_above_avg_balance",
           // deliberate broadcast cross joins of generated/scalar sides:
-          // dense month axis (~80 rows), funnel step counts (1 row)
-          "q30_gap_fill_months", "q37_event_funnel")
+          // dense month axis (~80 rows), funnel step counts (1 row),
+          // corpus token total + missing-heavy count (1 row each, the
+          // lazy replacements for x26's old construction-time actions)
+          "q30_gap_fill_months", "q37_event_funnel", "x26_heavy_hitters")
         if (!nlOk(q.name))
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans a nested-loop join")
@@ -114,6 +116,20 @@ class PlanSpec extends SparkSpec {
         s"$name must use the two-pass quantile, not a buffering agg:\n$p")
       assert(p.contains("Window"), s"$name should rank via a running sum:\n$p")
     }
+  }
+
+  test("q45: banded quantile windows only over band totals / single bands") {
+    val p = plan("q45_banded_quantiles")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"banded quantile must never buffer a group:\n$p")
+    // exactly the two-pass shape: a global-partition window over the
+    // BAND totals (the O(#bands) rank scan) and a per-band-partitioned
+    // window for refinement — never a global window over the histogram
+    val windows = p.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.nonEmpty, s"banded rank pass must plan windows:\n$p")
+    // the refinement window partitions by the band key, so the full
+    // histogram never flows through one partition
+    assert(p.contains("__band"), s"band key must appear in the plan:\n$p")
   }
 
   test("dsum sums plain longs, not wide decimals, per row") {
