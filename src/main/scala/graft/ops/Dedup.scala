@@ -599,4 +599,56 @@ object Dedup {
       .distinct()
     verifyJaccard(pairs, docs.select(col("id"), col("h")), threshold)
   }
+
+  /** Passage-level exact dedup — repeated-passage removal at sub-
+    * document granularity (the "Deduplicating Training Data Makes
+    * Language Models Better" operation, at fixed window grain): split
+    * each document into non-overlapping `window`-token passages
+    * ([[Chunking.slidingChunks]] with stride = size — the boundary
+    * math x28 pins cross-engine), keep only the FIRST occurrence of
+    * each distinct passage in (doc id, passage index) order, and
+    * reconstruct every document from its surviving passages. Whole-doc
+    * dedup (x01) can't touch boilerplate that rides INSIDE otherwise-
+    * distinct documents; this removes it corpus-wide. A document whose
+    * every passage first occurred elsewhere drops out entirely.
+    *
+    * 100 TB shape: winners come from two map-side-partial aggregations
+    * (per-(passage, doc) min index, then per-passage min doc) plus
+    * equi-joins — never a row_number window partitioned by passage
+    * content, which would funnel ALL occurrences of one hot
+    * boilerplate passage through a single task. Passage text rides as
+    * the grouping key exactly as x01 groups by full text (one hash
+    * shuffle on the content key; AQE splits skewed joins).
+    * Reconstruction state is bounded by a single document's own size.
+    *
+    * Returns (idCol, clean_text, n_kept, n_dropped); `clean_text` is
+    * the surviving passages joined on single spaces (i.e. normalized
+    * token text, like chunk_text in x28).
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    val p = stage(Chunking.slidingChunks(df, idCol, textCol,
+        size = window, stride = window)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text")))
+    val perDoc = p.groupBy(col("chunk_text"), col(idCol))
+      .agg(min(col("chunk_idx")).as("__midx"))
+    val wins = perDoc.groupBy(col("chunk_text"))
+      .agg(min(col(idCol)).as("__wdoc"))
+    val winner = perDoc.join(wins, Seq("chunk_text"))
+      .where(col(idCol) === col("__wdoc"))
+      .select(col("chunk_text"), col(idCol),
+        col("__midx").as("chunk_idx"))
+    val kept = p.join(winner, Seq("chunk_text", idCol, "chunk_idx"))
+    val totals = p.groupBy(col(idCol)).agg(count(lit(1)).as("__nall"))
+    kept.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+          col("chunk_idx").as("i"), col("chunk_text").as("t")))).as("__ps"),
+        count(lit(1)).as("__nkept"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol),
+        array_join(transform(col("__ps"), x => x.getField("t")), " ")
+          .as("clean_text"),
+        col("__nkept").cast("int").as("n_kept"),
+        (col("__nall") - col("__nkept")).cast("int").as("n_dropped"))
+  }
 }

@@ -917,6 +917,46 @@ object ExtensionQueries {
           comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS rep
             FROM reach GROUP BY id)
         SELECT id AS vec_id, rep AS dup_of FROM comp WHERE id <> rep"""),
-      notes = "oracle replays within-cell cosine + transitive closure over the dumped assignment")
+      notes = "oracle replays within-cell cosine + transitive closure over the dumped assignment"),
+
+    // ---- passage-level exact dedup: remove repeated sub-document
+    // passages corpus-wide, keeping first occurrences (whole-doc dedup
+    // can't touch boilerplate inside otherwise-distinct docs). Window
+    // of 3 tokens: real pipelines run 50-100-token passages, but the
+    // synthetic 40-word-vocabulary fixture only produces cross-doc
+    // duplicate windows at small n (~1.8k dup occurrences at w=3, zero
+    // at w=50) — the MATH is window-size-independent and the boundary
+    // arithmetic is x28's, already pinned cross-engine.
+    GraftQuery(
+      "x32_passage_dedup",
+      (s, dir) => graft.ops.Dedup.passageDedup(
+        Tables(s, dir, "documents"), "doc_id", "text", window = 3),
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        c AS (SELECT doc_id, t, n,
+            unnest(range(0, 1 + (greatest(n - 3, 0) + 2) // 3)) AS ci
+          FROM nz),
+        p AS (SELECT doc_id, CAST(ci AS INT) AS ci,
+            array_to_string(t[ci * 3 + 1 : ci * 3 + 3], ' ') AS pass
+          FROM c),
+        perdoc AS (SELECT pass, doc_id, min(ci) AS midx
+          FROM p GROUP BY pass, doc_id),
+        wins AS (SELECT pass, min(doc_id) AS wdoc FROM perdoc GROUP BY pass),
+        winner AS (SELECT pd.pass, pd.doc_id, pd.midx
+          FROM perdoc pd JOIN wins w ON pd.pass = w.pass AND pd.doc_id = w.wdoc),
+        kept AS (SELECT p.doc_id, p.ci, p.pass
+          FROM p JOIN winner x
+            ON p.pass = x.pass AND p.doc_id = x.doc_id AND p.ci = x.midx),
+        tot AS (SELECT doc_id, count(*) AS nall FROM p GROUP BY doc_id),
+        ka AS (SELECT doc_id,
+            string_agg(pass, ' ' ORDER BY ci) AS clean_text,
+            count(*) AS nkept
+          FROM kept GROUP BY doc_id)
+        SELECT ka.doc_id, ka.clean_text, CAST(ka.nkept AS INT) AS n_kept,
+          CAST(tot.nall - ka.nkept AS INT) AS n_dropped
+        FROM ka JOIN tot ON ka.doc_id = tot.doc_id"""),
+      notes = "first-occurrence winners via two partial aggs + equi-joins; no content-partitioned window")
   )
 }

@@ -221,6 +221,51 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("rebuild the index"))
   }
 
+  test("passage dedup: first occurrence survives, boilerplate-only docs drop") {
+    // w=2 passages; "x y" boilerplate rides inside docs 1-3, and doc 3
+    // is NOTHING BUT already-seen passages
+    val docs = Seq(
+      (1L, "a b x y c d"), // passages: "a b" "x y" "c d" — all first
+      (2L, "e f x y"),     // "e f" first, "x y" dropped (seen in doc 1)
+      (3L, "x y a b"),     // both passages first-occurred in doc 1 → doc drops
+      (4L, "a b g")        // "a b" dropped, short tail "g" kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, "doc_id", "text", window = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out == Map(
+      1L -> (("a b x y c d", 3, 0)),
+      2L -> (("e f", 1, 1)),
+      4L -> (("g", 1, 1))),
+      s"got $out")
+    // global invariants on real docs: every distinct passage is kept
+    // exactly once corpus-wide, and kept+dropped accounts for every
+    // passage of the SURVIVING docs (fully-deduped docs are absent
+    // from the result — their passages all won first occurrence
+    // elsewhere, so the distinct-passage identity still closes)
+    val real = graft.sources.Tables(spark, sf, "documents")
+    val w = 3
+    val chunks = Chunking.slidingChunks(real, "doc_id", "text", w, w)
+    val nDistinct = chunks.select("chunk_text").distinct().count()
+    val nTotal = chunks.count()
+    val result = Dedup.passageDedup(real, "doc_id", "text", w)
+    val agg = result.agg(sum($"n_kept"), sum($"n_dropped")).head()
+    assert(agg.getLong(0) == nDistinct,
+      "each distinct passage must survive exactly once")
+    val survTotal = chunks
+      .join(result.select($"doc_id"), Seq("doc_id")).count()
+    assert(agg.getLong(0) + agg.getLong(1) == survTotal,
+      "kept+dropped must cover every passage of surviving docs")
+    assert(survTotal <= nTotal)
+    Staged.releaseAll()
+  }
+
+  test("passage dedup: repeats INSIDE one doc collapse to the first index") {
+    val docs = Seq((7L, "p q r s p q")).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, "doc_id", "text", window = 2).head()
+    assert(out.getString(1) == "p q r s" && out.getInt(2) == 2 && out.getInt(3) == 1)
+  }
+
   test("stats tie-break: committed bucket_counts_v0 beats legacy bucket_counts") {
     // both dirs carry version 0; before the explicit tie-break the
     // winner fell to filesystem listing order — two different stats
