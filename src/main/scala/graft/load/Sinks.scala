@@ -26,6 +26,26 @@ final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Append)
   }
 }
 
+/** [[ParquetSink]]'s contract in any Spark file format — `format` is
+  * the DataSource name ("orc", "csv", "json", "parquet"). ORC is the
+  * case that matters for 100 TB parity: columnar, splittable, and —
+  * like parquet — predicate pushdown and column pruning reach the scan
+  * (SinksSpec pins PushedFilters + pruned ReadSchema on the
+  * read-back), so a warehouse standardized on ORC keeps the scan
+  * behavior every plan spec in this repo asserts for parquet. The
+  * row-based formats (csv/json) ride the same code path for
+  * interchange use; they trade the columnar properties away.
+  */
+final case class FormatSink(path: String, format: String,
+    mode: SaveMode = SaveMode.Append,
+    options: Map[String, String] = Map.empty) extends GraftSink {
+  def write(df: DataFrame): Long = {
+    val n = df.count()
+    df.write.mode(mode).options(options).format(format).save(path)
+    n
+  }
+}
+
 /** L2 — idempotent keyed upsert: incoming rows win over existing rows
   * with the same key; re-running the same load leaves the collection
   * unchanged. The anti-join touches only the key column of the incoming

@@ -31,6 +31,32 @@ class SinksSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(Consistency.verify(events, back))
   }
 
+  test("orc round-trip preserves content, with pushdown + pruning at the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    val n = FormatSink(dir, "orc").write(events)
+    assert(n == events.count())
+    val back = spark.read.orc(dir)
+    assert(Consistency.verify(events, back))
+    // the columnar contract: filters and projection reach the ORC scan
+    // exactly as the parquet plan specs assert
+    val plan = back.where($"value" > 0.5).select($"event_id", $"value")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,0.5)]"),
+      s"ORC scan must take pushed filters:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("event_id") && !readSchema.contains("user_id"),
+      s"ORC scan must prune to the projected columns: $readSchema")
+  }
+
+  test("FormatSink appends like ParquetSink (same collection contract)") {
+    val dir = Files.createTempDirectory("graft-orc-append").toString + "/out"
+    val sink = FormatSink(dir, "orc")
+    sink.write(events.limit(10))
+    sink.write(events.limit(5))
+    assert(spark.read.orc(dir).count() == 15)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft-warehouse").toString
     val s2 = graft.GraftSession.builder("graft-bucketing")
