@@ -48,13 +48,24 @@ object ScaleRehearsalSem {
       threshold = thresholds.min))
     val within = Staged(Similarity.cosinePairsBlocked(
       kept, "vec_id", "embedding", "cluster", threshold = thresholds.min))
+    // multi-probe blocking (p=2): each vector also joins its second-
+    // nearest cell, recovering boundary-straddling pairs; candidate
+    // pairs dedupe across shared cells
+    val keptM = Staged(SemanticDedup.keptCells(
+      Ivf.multiAssign(idx, e, "vec_id", "embedding", probes = 2)))
+    val withinM = Staged(Similarity.cosinePairsBlocked(
+        keptM, "vec_id", "embedding", "cluster", threshold = thresholds.min)
+      .select($"id_a", $"id_b", $"cos_sim").distinct())
     val floors = thresholds.map { t =>
       val nTrue = truth.where($"cos_sim" > t).count()
       val nCaught = within.where($"cos_sim" > t).count()
+      val nCaughtM = withinM.where($"cos_sim" > t).count()
       val recall = if (nTrue == 0) 1.0 else nCaught.toDouble / nTrue
+      val recallM = if (nTrue == 0) 1.0 else nCaughtM.toDouble / nTrue
       println(s"""{"sf":"$sfDir","vecs":$n,"threshold":$t,""" +
         s""""true_pairs":$nTrue,"captured_pairs":$nCaught,""" +
-        f""""recall":$recall%.4f,"dropped_cells":$dropped}""")
+        f""""recall":$recall%.4f,"captured_p2":$nCaughtM,""" +
+        f""""recall_p2":$recallM%.4f,"dropped_cells":$dropped}""")
       t -> recall
     }.toMap
     Staged.releaseAll()

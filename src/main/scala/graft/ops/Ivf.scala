@@ -261,6 +261,70 @@ object Ivf {
     Index(model.clusterCenters.map(_.toArray), assigned)
   }
 
+  /** Multi-probe assignment: each row lands in its `probes` nearest
+    * cells (squared Euclidean — the cell geometry, see [[topK]]'s
+    * metric note). Output repeats each input row once per probed cell
+    * with `cluster` set; consumers treat cell membership as a set.
+    *
+    * Why it exists: a near-dup pair split by a Voronoi boundary is
+    * invisible to single-assignment within-cell blocking — the recall
+    * gap ScaleRehearsalSem's `recall` mode measures. Probing the
+    * second-nearest cell recovers exactly the boundary-straddling
+    * pairs. Cost model: p× the rows, up to p²× the within-cell pair
+    * volume — still linear in the corpus under the constant-population
+    * cell policy, with the hot-cell cap applying to the PROBED
+    * population. Ties break deterministically toward the lower cell id
+    * (centroids scanned in id order, strict-inequality insertion).
+    */
+  def multiAssign(index: Index, df: DataFrame, idCol: String,
+      vecCol: String, probes: Int): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val centroids = index.centroids
+    val p = math.min(probes, centroids.length)
+    val base = df.select(col(idCol), col(vecCol))
+    val outSchema = base.schema.add("cluster", types.IntegerType, nullable = false)
+    base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val vs = r.getSeq[Any](1)
+        val vec = new Array[Double](vs.length)
+        var j = 0
+        while (j < vec.length) {
+          vec(j) = vs(j) match {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d
+            case n: java.lang.Number => n.doubleValue()
+            case null => throw new IllegalArgumentException(
+              s"null element at position $j of $vecCol for id ${r.get(0)} — " +
+                "vectors must be dense")
+          }
+          j += 1
+        }
+        val bestIdx = Array.fill(p)(-1)
+        val bestD = Array.fill(p)(Double.PositiveInfinity)
+        var c = 0
+        while (c < centroids.length) {
+          val cen = centroids(c)
+          var d2 = 0.0
+          val n = math.min(cen.length, vec.length)
+          var i = 0
+          while (i < n) { val d = vec(i) - cen(i); d2 += d * d; i += 1 }
+          var pos = p
+          while (pos > 0 && bestD(pos - 1) > d2) pos -= 1
+          if (pos < p) {
+            var m = p - 1
+            while (m > pos) {
+              bestD(m) = bestD(m - 1); bestIdx(m) = bestIdx(m - 1); m -= 1
+            }
+            bestD(pos) = d2; bestIdx(pos) = c
+          }
+          c += 1
+        }
+        (0 until p).iterator.filter(bestIdx(_) >= 0)
+          .map(i => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bestIdx(i)))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Approximate top-k for one query vector (1-row DataFrame): rank the
     * nprobe nearest cells by centroid distance (driver-side, k values),
     * then exact cosine re-rank within them.

@@ -69,6 +69,31 @@ object SemanticDedup {
     dropListFromKept(keptCells(assigned, blockCol, maxCell),
       idCol, vecCol, threshold, blockCol)
 
+  /** [[dropList]] with multi-probe blocking: every vector joins its
+    * `probes` nearest cells ([[Ivf.multiAssign]]), so a near-dup pair
+    * split by a Voronoi boundary — invisible to single-assignment
+    * blocking, the measured recall gap in SCALE.md's x31 section —
+    * pairs up in a shared second-choice cell. Candidate pairs
+    * deduplicate across shared cells; the hot-cell cap governs the
+    * PROBED population (a cell saturated by second choices is just as
+    * degenerate for pairing as one saturated by first choices).
+    * Within-cell pair work rises by ≤ probes², still linear in the
+    * corpus under the constant-population k policy.
+    */
+  def dropListMultiProbe(index: Ivf.Index, idCol: String, vecCol: String,
+      threshold: Double, probes: Int = 2, blockCol: String = "cluster",
+      maxCell: Long = DefaultMaxCell): DataFrame = {
+    val multi = Ivf.multiAssign(index,
+      index.assigned.drop(blockCol), idCol, vecCol, probes)
+    val stagedKept = Staged(keptCells(multi, blockCol, maxCell))
+    val pairs = Similarity.cosinePairsBlocked(
+        stagedKept, idCol, vecCol, blockCol, threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+    Dedup.connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as(idCol), col("cluster_rep").as("dup_of"))
+  }
+
   /** [[dropList]] over an already-governed assignment. */
   def dropListFromKept(kept: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: String = "cluster"): DataFrame = {

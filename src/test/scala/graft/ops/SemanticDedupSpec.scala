@@ -34,6 +34,50 @@ class SemanticDedupSpec extends SparkSpec {
     assert(dropped == 0, "cross-cell pairs are out of scope by design")
   }
 
+  test("multi-probe blocking recovers a boundary-straddling near-dup pair") {
+    // two angular fans around ±x, members 15° apart (adjacent cos
+    // 0.966 < threshold — no intra-fan near-dups); the near-dup pair
+    // (±0.02, 1.0) at ~±89° straddles the Voronoi boundary (pair cos
+    // ≈ 0.9992). Centroids/assignment are explicit (the Euclidean
+    // argmin for these points — KMeans init noise would make the
+    // boundary, and hence the spec, nondeterministic).
+    val mass = (0 until 8).flatMap { i =>
+      val t = -0.91 + 0.26 * i
+      Seq((100L + i, Seq(math.cos(t), math.sin(t))),
+        (200L + i, Seq(-math.cos(t), -math.sin(t))))
+    }
+    val pairA = Seq((1L, Seq(0.02, 1.0)), (2L, Seq(-0.02, 1.0)))
+    val assigned = (mass ++ pairA)
+      .map { case (id, v) => (id, v, if (v.head >= 0) 0 else 1) }
+      .toDF("vec_id", "embedding", "cluster")
+    val idx = Ivf.Index(Array(Array(0.83, 0.0), Array(-0.83, 0.0)), assigned)
+    // single assignment: the pair lands in different cells and survives
+    val single = SemanticDedup.dropList(idx.assigned, "vec_id", "embedding",
+      threshold = 0.99).count()
+    assert(single == 0, "boundary pair must be invisible to single-probe blocking")
+    // p=2: both vectors also join their second-nearest cell → pair found
+    val multi = SemanticDedup.dropListMultiProbe(idx, "vec_id", "embedding",
+      threshold = 0.99, probes = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(multi == Map(2L -> 1L), s"p=2 must recover the straddling pair: $multi")
+    Staged.releaseAll()
+  }
+
+  test("multiAssign: p=1 equals the build assignment; p=2 is a superset") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq(math.cos(i * 0.7), math.sin(i * 0.7), i * 0.1)))
+      .toDF("vec_id", "embedding")
+    val idx = Ivf.build(vecs, "vec_id", "embedding", k = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster").as[(Long, Int)].collect().toSet
+    val built = pairs(idx.assigned)
+    val p1 = pairs(Ivf.multiAssign(idx, vecs, "vec_id", "embedding", 1))
+    assert(p1 == built, "p=1 multi-assign must reproduce the KMeans assignment")
+    val p2 = pairs(Ivf.multiAssign(idx, vecs, "vec_id", "embedding", 2))
+    assert(built.subsetOf(p2) && p2.size == 2 * built.size,
+      "p=2 must add exactly one extra cell per vector")
+  }
+
   test("hot cells over maxCell are excluded from pairing, with visible accounting") {
     // cell 0: 6 near-identical vectors (a degenerate dense region);
     // cell 1: a well-behaved pair. With maxCell = 5 the hot cell's
