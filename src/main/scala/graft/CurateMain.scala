@@ -122,7 +122,9 @@ object CurateMain {
     // silently merged distinct documents in exact dedup/decontam on id
     // collision; on the standard fixtures the corpus max stays below
     // the base, so ids (and capstone hashes) are unchanged there.
-    val maxDocId = corpus.agg(max($"doc_id")).head().getLong(0)
+    // empty corpus → NULL max aggregate; fall back to the reserved base
+    val maxRow = corpus.agg(max($"doc_id")).head()
+    val maxDocId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     val api = Staged(httpExtract(spark, math.max(1000000L, maxDocId + 1L)))
     val nHttp = api.count()
     val docs = corpus.unionByName(api)

@@ -16,14 +16,12 @@ trait GraftSink {
   def write(df: DataFrame): Long
 }
 
-/** Append/overwrite a parquet "collection". */
+/** Append/overwrite a parquet "collection" ([[FormatSink]] fixed to
+  * parquet — kept as the named default sink of the load stage).
+  */
 final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Append)
     extends GraftSink {
-  def write(df: DataFrame): Long = {
-    val n = df.count()
-    df.write.mode(mode).parquet(path)
-    n
-  }
+  def write(df: DataFrame): Long = FormatSink(path, "parquet", mode).write(df)
 }
 
 /** [[ParquetSink]]'s contract in any Spark file format — `format` is

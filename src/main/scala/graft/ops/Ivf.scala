@@ -209,35 +209,9 @@ object Ivf {
     val outSchema = batch.schema.add("cluster", types.IntegerType, nullable = false)
     val assigned = batch.mapPartitions { rows =>
       rows.map { r =>
-        val vs = r.getSeq[Any](1)
-        val vec = new Array[Double](vs.length)
-        var j = 0
-        while (j < vec.length) {
-          vec(j) = vs(j) match {
-            case f: java.lang.Float => f.toDouble
-            case d: java.lang.Double => d
-            case n: java.lang.Number => n.doubleValue()
-            case null => throw new IllegalArgumentException(
-              s"null element at position $j of $vecCol for id ${r.get(0)} — " +
-                "vectors in an append batch must be dense")
-          }
-          j += 1
-        }
-        var best = -1; var bestDist = Double.PositiveInfinity
-        var c = 0
-        while (c < centroids.length) {
-          val cen = centroids(c)
-          var d2 = 0.0
-          val n = math.min(cen.length, vec.length)
-          var i = 0
-          while (i < n) {
-            val d = vec(i) - cen(i); d2 += d * d
-            i += 1
-          }
-          if (d2 < bestDist) { bestDist = d2; best = c }
-          c += 1
-        }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best)
+        val vec = decodeVec(r.getSeq[Any](1), vecCol, r.get(0))
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ nearestCells(vec, centroids, 1)(0))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
@@ -285,44 +259,63 @@ object Ivf {
     val outSchema = base.schema.add("cluster", types.IntegerType, nullable = false)
     base.mapPartitions { rows =>
       rows.flatMap { r =>
-        val vs = r.getSeq[Any](1)
-        val vec = new Array[Double](vs.length)
-        var j = 0
-        while (j < vec.length) {
-          vec(j) = vs(j) match {
-            case f: java.lang.Float => f.toDouble
-            case d: java.lang.Double => d
-            case n: java.lang.Number => n.doubleValue()
-            case null => throw new IllegalArgumentException(
-              s"null element at position $j of $vecCol for id ${r.get(0)} — " +
-                "vectors must be dense")
-          }
-          j += 1
-        }
-        val bestIdx = Array.fill(p)(-1)
-        val bestD = Array.fill(p)(Double.PositiveInfinity)
-        var c = 0
-        while (c < centroids.length) {
-          val cen = centroids(c)
-          var d2 = 0.0
-          val n = math.min(cen.length, vec.length)
-          var i = 0
-          while (i < n) { val d = vec(i) - cen(i); d2 += d * d; i += 1 }
-          var pos = p
-          while (pos > 0 && bestD(pos - 1) > d2) pos -= 1
-          if (pos < p) {
-            var m = p - 1
-            while (m > pos) {
-              bestD(m) = bestD(m - 1); bestIdx(m) = bestIdx(m - 1); m -= 1
-            }
-            bestD(pos) = d2; bestIdx(pos) = c
-          }
-          c += 1
-        }
-        (0 until p).iterator.filter(bestIdx(_) >= 0)
-          .map(i => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bestIdx(i)))
+        val vec = decodeVec(r.getSeq[Any](1), vecCol, r.get(0))
+        nearestCells(vec, centroids, p).iterator
+          .map(cell => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cell))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Widen one row's vector elements to doubles (float/double/any
+    * numeric), failing loudly on null elements. ONE copy shared by the
+    * append assignment and [[multiAssign]] so the decode rules can't
+    * drift between the two executor-side paths.
+    */
+  private def decodeVec(vs: Seq[Any], vecCol: String, id: Any): Array[Double] = {
+    val vec = new Array[Double](vs.length)
+    var j = 0
+    while (j < vec.length) {
+      vec(j) = vs(j) match {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d
+        case n: java.lang.Number => n.doubleValue()
+        case null => throw new IllegalArgumentException(
+          s"null element at position $j of $vecCol for id $id — " +
+            "vectors must be dense")
+      }
+      j += 1
+    }
+    vec
+  }
+
+  /** The `p` nearest centroid ids of `vec` by squared Euclidean
+    * distance, ascending; ties break toward the lower cell id
+    * (centroids scanned in id order, strict-inequality insertion).
+    * p = 1 is exactly the build/append assignment rule.
+    */
+  private def nearestCells(vec: Array[Double],
+      centroids: Array[Array[Double]], p: Int): Array[Int] = {
+    val bestIdx = Array.fill(p)(-1)
+    val bestD = Array.fill(p)(Double.PositiveInfinity)
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var d2 = 0.0
+      val n = math.min(cen.length, vec.length)
+      var i = 0
+      while (i < n) { val d = vec(i) - cen(i); d2 += d * d; i += 1 }
+      var pos = p
+      while (pos > 0 && bestD(pos - 1) > d2) pos -= 1
+      if (pos < p) {
+        var m = p - 1
+        while (m > pos) {
+          bestD(m) = bestD(m - 1); bestIdx(m) = bestIdx(m - 1); m -= 1
+        }
+        bestD(pos) = d2; bestIdx(pos) = c
+      }
+      c += 1
+    }
+    bestIdx.filter(_ >= 0)
   }
 
   /** Approximate top-k for one query vector (1-row DataFrame): rank the

@@ -136,7 +136,12 @@ object Quantiles {
     val hist = df.where(v.isNotNull)
       .groupBy((kcols :+ v): _*)
       .agg(count(lit(1)).as("__c"))
-      .withColumn("__band", floor(v / lit(bandWidth)))
+      // NaN sorts ABOVE every double in Spark's ordering (exact's rank
+      // window relies on that); floor(NaN/w) would cast to band 0 and
+      // misplace it first — pin NaN to the top band instead so banded
+      // and unbanded agree on domains where NaN arises (0/0 cosines)
+      .withColumn("__band", when(isnan(v), lit(Long.MaxValue))
+        .otherwise(floor(v / lit(bandWidth))))
     val bands = hist.groupBy((kcols :+ col("__band")): _*)
       .agg(sum(col("__c")).as("__bc"))
     val wOrd = Window.partitionBy(kcols: _*).orderBy(col("__band"))

@@ -85,25 +85,31 @@ object SemanticDedup {
       maxCell: Long = DefaultMaxCell): DataFrame = {
     val multi = Ivf.multiAssign(index,
       index.assigned.drop(blockCol), idCol, vecCol, probes)
-    val stagedKept = Staged(keptCells(multi, blockCol, maxCell))
-    val pairs = Similarity.cosinePairsBlocked(
-        stagedKept, idCol, vecCol, blockCol, threshold)
-      .select(col("id_a"), col("id_b")).distinct()
-    Dedup.connectedComponents(pairs)
-      .where(col("doc_id") =!= col("cluster_rep"))
-      .select(col("doc_id").as(idCol), col("cluster_rep").as("dup_of"))
+    // the cap scales by p: the probed population of a cell is up to p×
+    // its first-choice population, and a cell legitimate under the
+    // single-probe cap must stay legitimate here — an unscaled cap
+    // would DROP dense-but-valid cells and return fewer duplicates
+    // than plain dropList (spec-pinned)
+    dropListFromKept(keptCells(multi, blockCol, maxCell * probes),
+      idCol, vecCol, threshold, blockCol, dedupPairs = true)
   }
 
-  /** [[dropList]] over an already-governed assignment. */
+  /** [[dropList]] over an already-governed assignment. `dedupPairs`
+    * distincts the candidate pairs first — required for multi-probe
+    * assignments where one pair can share several cells; a no-op (and
+    * skipped shuffle) for single assignment.
+    */
   def dropListFromKept(kept: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blockCol: String = "cluster"): DataFrame = {
+      threshold: Double, blockCol: String = "cluster",
+      dedupPairs: Boolean = false): DataFrame = {
     // the governed frame feeds BOTH sides of the pair self-join; stage
     // it so the cap's count+anti-join executes once, not once per side
     // (house pattern — released by the caller's Staged.release)
     val stagedKept = Staged(kept)
-    val pairs = Similarity.cosinePairsBlocked(
+    val raw = Similarity.cosinePairsBlocked(
       stagedKept, idCol, vecCol, blockCol, threshold)
       .select(col("id_a"), col("id_b"))
+    val pairs = if (dedupPairs) raw.distinct() else raw
     Dedup.connectedComponents(pairs)
       .where(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id").as(idCol), col("cluster_rep").as("dup_of"))

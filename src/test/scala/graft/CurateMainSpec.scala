@@ -86,6 +86,19 @@ class CurateMainSpec extends SparkSpec {
       "id collision: two distinct documents share a doc_id")
   }
 
+  test("an empty corpus still curates the api extract (no NULL-max crash)") {
+    import spark.implicits._
+    MockTransport.reset()
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-empty").toString
+    Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-empty-out").toString
+    val s = CurateMain.run(spark, dir, out)
+    assert(s.input == 50, s"the 50 api docs are the whole corpus: $s")
+    assert(spark.read.parquet(s.out).count() > 0)
+  }
+
   test("curation pipeline is pinned end-to-end at sf0.01") {
     MockTransport.reset()
     val out = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString

@@ -124,6 +124,22 @@ class QuantilesSpec extends SparkSpec {
       gw.getLong(3) == gg.getLong(3))
   }
 
+  test("banded matches unbanded when NaN values are present (NaN sorts last)") {
+    // floor(NaN/w) casts to 0L — without the explicit top-band pin,
+    // NaN rows would land FIRST in the banded rank scan while exact's
+    // value ordering puts NaN last, silently skewing every quantile
+    val vs = Seq(1.0, 11.0, 21.0, Double.NaN, 5.0, Double.NaN)
+    val df = vs.toDF("v")
+    val fr = Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95)
+    val a = Quantiles.exact(df, Nil, "v", fr).head()
+    val b = Quantiles.exactBanded(df, Nil, "v", fr, bandWidth = 10.0).head()
+    (0 to 2).foreach { i =>
+      assert(java.lang.Double.compare(a.getDouble(i), b.getDouble(i)) == 0,
+        s"col $i: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+    }
+    assert(a.getLong(3) == b.getLong(3))
+  }
+
   test("banded: ranks exactly on a band boundary interpolate across bands") {
     // 4 values, p~0.5 targets ranks 1 and 2; with bandWidth=10 the pair
     // (9.0, 11.0) straddles bands 0 and 1 — both bands must be refined

@@ -63,6 +63,31 @@ class SemanticDedupSpec extends SparkSpec {
     Staged.releaseAll()
   }
 
+  test("multi-probe scales the hot-cell cap: a dense-but-valid cell keeps its pairs") {
+    // cell A: 6 near-identical vectors (cap 8 admits them at p=1);
+    // cell B: 4 angularly-spread fillers. Under p=2 every vector joins
+    // both cells, so A's probed population is 10 — an UNSCALED cap of 8
+    // would drop the whole cell and lose all 5 legitimate drops
+    val dense = (0 until 6).map(i => (10L + i, Seq(1.0, i * 0.001)))
+    val fillers = (0 until 4).map { i =>
+      val t = math.Pi + 0.3 * (i - 1.5)
+      (20L + i, Seq(math.cos(t), math.sin(t)))
+    }
+    val assigned = (dense ++ fillers)
+      .map { case (id, v) => (id, v, if (v.head >= 0) 0 else 1) }
+      .toDF("vec_id", "embedding", "cluster")
+    val idx = Ivf.Index(Array(Array(1.0, 0.0), Array(-1.0, 0.0)), assigned)
+    val single = SemanticDedup.dropList(idx.assigned, "vec_id", "embedding",
+      threshold = 0.99, maxCell = 8L).as[(Long, Long)].collect().toMap
+    assert(single == (11 to 15).map(_.toLong -> 10L).toMap)
+    val multi = SemanticDedup.dropListMultiProbe(idx, "vec_id", "embedding",
+      threshold = 0.99, probes = 2, maxCell = 8L)
+      .as[(Long, Long)].collect().toMap
+    assert(multi == single,
+      s"the scaled cap must keep the dense cell's pairs at p=2: $multi")
+    Staged.releaseAll()
+  }
+
   test("multiAssign: p=1 equals the build assignment; p=2 is a superset") {
     val vecs = (0 until 30).map(i =>
       (i.toLong, Seq(math.cos(i * 0.7), math.sin(i * 0.7), i * 0.1)))
