@@ -50,9 +50,11 @@ object ScaleRehearsalSem {
       kept, "vec_id", "embedding", "cluster", threshold = thresholds.min))
     // multi-probe blocking (p=2): each vector also joins its second-
     // nearest cell, recovering boundary-straddling pairs; candidate
-    // pairs dedupe across shared cells
+    // pairs dedupe across shared cells. Cap scaled by p, mirroring
+    // dropListMultiProbe's governance.
     val keptM = Staged(SemanticDedup.keptCells(
-      Ivf.multiAssign(idx, e, "vec_id", "embedding", probes = 2)))
+      Ivf.multiAssign(idx, e, "vec_id", "embedding", probes = 2),
+      maxCell = SemanticDedup.DefaultMaxCell * 2))
     val withinM = Staged(Similarity.cosinePairsBlocked(
         keptM, "vec_id", "embedding", "cluster", threshold = thresholds.min)
       .select($"id_a", $"id_b", $"cos_sim").distinct())

@@ -133,7 +133,10 @@ object Quantiles {
     require(bandWidth > 0, "bandWidth must be positive")
     val kcols = keys.map(col)
     val v = col(valueCol)
-    val hist = df.where(v.isNotNull)
+    // staged: the histogram feeds BOTH the band-total rank scan and the
+    // refinement join — without it the full corpus aggregates twice
+    // (house pattern; released by the caller's Staged.release)
+    val hist = Staged(df.where(v.isNotNull)
       .groupBy((kcols :+ v): _*)
       .agg(count(lit(1)).as("__c"))
       // NaN sorts ABOVE every double in Spark's ordering (exact's rank
@@ -141,7 +144,7 @@ object Quantiles {
       // misplace it first — pin NaN to the top band instead so banded
       // and unbanded agree on domains where NaN arises (0/0 cosines)
       .withColumn("__band", when(isnan(v), lit(Long.MaxValue))
-        .otherwise(floor(v / lit(bandWidth))))
+        .otherwise(floor(v / lit(bandWidth)))))
     val bands = hist.groupBy((kcols :+ col("__band")): _*)
       .agg(sum(col("__c")).as("__bc"))
     val wOrd = Window.partitionBy(kcols: _*).orderBy(col("__band"))
