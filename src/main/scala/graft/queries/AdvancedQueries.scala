@@ -511,6 +511,26 @@ object AdvancedQueries {
       Some(graft.ops.Quantiles.oracleSql("lineitem", Nil,
         "(l_extendedprice * l_discount)",
         Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))),
-      notes = "banded rank pass: ordered window over band totals only, refinement inside selected bands")
+      notes = "banded rank pass: ordered window over band totals only, refinement inside selected bands"),
+
+    // ---- q46: the GROUPED banded path under the same oracle — keyed
+    // band windows end to end (no group-wide window at all), the
+    // execution shape a per-key percentile over raw doubles takes at
+    // scale. Same exact result as the unbanded grouped form, so the
+    // shared oracle replay applies unchanged.
+    GraftQuery(
+      "q46_grouped_banded_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val v = t(s, dir, "lineitem")
+          .select($"l_returnflag",
+            ($"l_extendedprice" * $"l_discount").as("disc_value"))
+        graft.ops.Quantiles.exactBanded(v, Seq("l_returnflag"), "disc_value",
+          Seq("p25" -> 0.25, "p75" -> 0.75), bandWidth = 64.0)
+      },
+      Some(graft.ops.Quantiles.oracleSql("lineitem", Seq("l_returnflag"),
+        "(l_extendedprice * l_discount)",
+        Seq("p25" -> 0.25, "p75" -> 0.75))),
+      notes = "keyed banded quantiles: every window partitioned by (key, band) or key over band totals")
   )
 }
