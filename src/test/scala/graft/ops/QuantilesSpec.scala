@@ -169,6 +169,40 @@ class QuantilesSpec extends SparkSpec {
     assert(got.getDouble(0) == want.getDouble(0) && got.getLong(1) == want.getLong(1))
   }
 
+  test("property: banded ≡ unbanded bit-for-bit over generated datasets") {
+    // generated trials mix raw doubles, integer ties, EXACT band
+    // boundaries, negatives, near-zeros, NaN and ±Inf, across band
+    // widths from 0.1 to 1e8 — compared on raw IEEE bits (NaN-safe)
+    val seeded = new scala.util.Random(2024)
+    val fr = Seq("p01" -> 0.01, "p50" -> 0.5, "p99" -> 0.99)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        (((1 to 3).map(i => java.lang.Double.doubleToLongBits(r.getDouble(i)))),
+          r.getLong(4))).toMap
+    (1 to 8).foreach { trial =>
+      val nGroups = 1 + seeded.nextInt(4)
+      val nRows = 1 + seeded.nextInt(400)
+      val bandWidth = Seq(0.1, 3.7, 64.0, 1e4, 1e8)(seeded.nextInt(5))
+      def value(): Double = seeded.nextInt(7) match {
+        case 0 => seeded.nextDouble() * 2e4 - 1e4
+        case 1 => seeded.nextInt(100).toDouble
+        case 2 => (seeded.nextInt(200) - 100) * bandWidth
+        case 3 => -seeded.nextDouble() * 1e6
+        case 4 => Double.NaN
+        case 5 => seeded.nextDouble() * 1e-6
+        case 6 => if (seeded.nextBoolean()) Double.PositiveInfinity
+                  else Double.NegativeInfinity
+      }
+      val df = Seq.fill(nRows)((s"g${seeded.nextInt(nGroups)}", value()))
+        .toDF("k", "v")
+      val a = canon(Quantiles.exact(df, Seq("k"), "v", fr))
+      val b = canon(Quantiles.exactBanded(df, Seq("k"), "v", fr, bandWidth))
+      assert(a == b,
+        s"trial $trial (bandWidth=$bandWidth, rows=$nRows) diverged")
+      graft.ops.Staged.release()
+    }
+  }
+
   test("quantile plans stay bounded: no ObjectHashAggregate, histogram is partial+final") {
     val li = spark.read.parquet(s"$sf/orders.parquet")
     val p = Quantiles.exact(li, Seq("o_orderstatus"), "o_totalprice",
