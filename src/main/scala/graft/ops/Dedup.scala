@@ -627,10 +627,27 @@ object Dedup {
     */
   def passageDedup(df: DataFrame, idCol: String, textCol: String,
       window: Int): DataFrame = {
-    val p = stage(Chunking.slidingChunks(df, idCol, textCol,
-        size = window, stride = window)
-      .select(col(idCol), col("chunk_idx"), col("chunk_text")))
-    val perDoc = p.groupBy(col("chunk_text"), col(idCol))
+    val p = stage(passages(df, idCol, textCol, window))
+    firstOccurrenceClean(p, p, idCol)
+  }
+
+  /** The non-overlapping `window`-token passage frame of a corpus:
+    * (idCol, chunk_idx, chunk_text).
+    */
+  private def passages(df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame =
+    Chunking.slidingChunks(df, idCol, textCol, size = window, stride = window)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"))
+
+  /** Shared tail of [[passageDedup]] and [[incrementalPassageDedup]]:
+    * elect first-occurrence winners among `candidates` (two partial
+    * aggs + equi-joins) and reconstruct each doc from its surviving
+    * passages; `n_dropped` counts against ALL of the doc's passages in
+    * `all` (so index-suppressed passages count as dropped too).
+    */
+  private def firstOccurrenceClean(all: DataFrame, candidates: DataFrame,
+      idCol: String): DataFrame = {
+    val perDoc = candidates.groupBy(col("chunk_text"), col(idCol))
       .agg(min(col("chunk_idx")).as("__midx"))
     val wins = perDoc.groupBy(col("chunk_text"))
       .agg(min(col(idCol)).as("__wdoc"))
@@ -638,8 +655,8 @@ object Dedup {
       .where(col(idCol) === col("__wdoc"))
       .select(col("chunk_text"), col(idCol),
         col("__midx").as("chunk_idx"))
-    val kept = p.join(winner, Seq("chunk_text", idCol, "chunk_idx"))
-    val totals = p.groupBy(col(idCol)).agg(count(lit(1)).as("__nall"))
+    val kept = candidates.join(winner, Seq("chunk_text", idCol, "chunk_idx"))
+    val totals = all.groupBy(col(idCol)).agg(count(lit(1)).as("__nall"))
     kept.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(
           col("chunk_idx").as("i"), col("chunk_text").as("t")))).as("__ps"),
@@ -650,5 +667,47 @@ object Dedup {
           .as("clean_text"),
         col("__nkept").cast("int").as("n_kept"),
         (col("__nall") - col("__nkept")).cast("int").as("n_dropped"))
+  }
+
+  /** Persist the passage index of a corpus — its distinct passages —
+    * for [[incrementalPassageDedup]] batches to suppress against (the
+    * continuous-ingest shape: the corpus text is chunked once at index
+    * time and never re-read per batch).
+    */
+  def writePassageIndex(df: DataFrame, idCol: String, textCol: String,
+      window: Int, path: String): Unit =
+    passages(df, idCol, textCol, window)
+      .select(col("chunk_text")).distinct()
+      .write.mode("overwrite").parquet(s"$path/passages")
+
+  /** Register a batch's NEW passages into the index (append-only; the
+    * anti-join keeps the table distinct). Run after the batch has been
+    * cleaned so subsequent batches dedup against it.
+    */
+  def appendToPassageIndex(newDocs: DataFrame, path: String, idCol: String,
+      textCol: String, window: Int): Unit = {
+    val spark = newDocs.sparkSession
+    passages(newDocs, idCol, textCol, window)
+      .select(col("chunk_text")).distinct()
+      .join(spark.read.parquet(s"$path/passages"), Seq("chunk_text"), "left_anti")
+      .write.mode("append").parquet(s"$path/passages")
+  }
+
+  /** [[passageDedup]] for a NEW batch against a persisted
+    * [[writePassageIndex]] corpus: passages already in the index always
+    * lose (one equi anti-join on the passage key — the corpus text is
+    * never re-chunked), then first occurrence wins within the batch.
+    * When every corpus id precedes every batch id, the result equals
+    * `passageDedup(corpus ∪ batch)` restricted to batch docs (the
+    * differential spec pins this identity). Returns the [[passageDedup]]
+    * shape; `n_dropped` includes index-suppressed passages.
+    */
+  def incrementalPassageDedup(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, window: Int): DataFrame = {
+    val spark = newDocs.sparkSession
+    val p = stage(passages(newDocs, idCol, textCol, window))
+    val fresh = p.join(spark.read.parquet(s"$indexPath/passages"),
+      Seq("chunk_text"), "left_anti")
+    firstOccurrenceClean(p, fresh, idCol)
   }
 }

@@ -957,6 +957,60 @@ object ExtensionQueries {
         SELECT ka.doc_id, ka.clean_text, CAST(ka.nkept AS INT) AS n_kept,
           CAST(tot.nall - ka.nkept AS INT) AS n_dropped
         FROM ka JOIN tot ON ka.doc_id = tot.doc_id"""),
-      notes = "first-occurrence winners via two partial aggs + equi-joins; no content-partitioned window")
+      notes = "first-occurrence winners via two partial aggs + equi-joins; no content-partitioned window"),
+
+    // ---- incremental passage dedup against a persisted passage index
+    // (the continuous-ingest form of x32, mirroring x25's incremental
+    // LSH shape): the corpus (doc_id < 250) is chunked ONCE at index
+    // time; each new batch pays one anti-join on the passage key plus
+    // its own within-batch winner election. Corpus ids all precede
+    // batch ids, so the result equals full passageDedup restricted to
+    // the batch (differential spec).
+    GraftQuery(
+      "x33_incremental_passage_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val path = s"${sys.props("java.io.tmpdir")}/graft-passidx-${OracleDump.sfTag(dir)}"
+        val marker = new java.io.File(s"$path/_INDEX_OK_v1")
+        if (!marker.exists()) {
+          graft.ops.Dedup.writePassageIndex(docs.filter($"doc_id" < 250),
+            "doc_id", "text", window = 3, path)
+          marker.createNewFile(): Unit
+        }
+        graft.ops.Dedup.incrementalPassageDedup(docs.filter($"doc_id" >= 250),
+          path, "doc_id", "text", window = 3)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        c AS (SELECT doc_id, t, n,
+            unnest(range(0, 1 + (greatest(n - 3, 0) + 2) // 3)) AS ci
+          FROM nz),
+        p AS (SELECT doc_id, CAST(ci AS INT) AS ci,
+            array_to_string(t[ci * 3 + 1 : ci * 3 + 3], ' ') AS pass
+          FROM c),
+        idxp AS (SELECT DISTINCT pass FROM p WHERE doc_id < 250),
+        b AS (SELECT * FROM p WHERE doc_id >= 250),
+        fresh AS (SELECT * FROM b
+          WHERE pass NOT IN (SELECT pass FROM idxp)),
+        perdoc AS (SELECT pass, doc_id, min(ci) AS midx
+          FROM fresh GROUP BY pass, doc_id),
+        wins AS (SELECT pass, min(doc_id) AS wdoc FROM perdoc GROUP BY pass),
+        winner AS (SELECT pd.pass, pd.doc_id, pd.midx
+          FROM perdoc pd JOIN wins w ON pd.pass = w.pass AND pd.doc_id = w.wdoc),
+        kept AS (SELECT f.doc_id, f.ci, f.pass
+          FROM fresh f JOIN winner x
+            ON f.pass = x.pass AND f.doc_id = x.doc_id AND f.ci = x.midx),
+        tot AS (SELECT doc_id, count(*) AS nall FROM b GROUP BY doc_id),
+        ka AS (SELECT doc_id,
+            string_agg(pass, ' ' ORDER BY ci) AS clean_text,
+            count(*) AS nkept
+          FROM kept GROUP BY doc_id)
+        SELECT ka.doc_id, ka.clean_text, CAST(ka.nkept AS INT) AS n_kept,
+          CAST(tot.nall - ka.nkept AS INT) AS n_dropped
+        FROM ka JOIN tot ON ka.doc_id = tot.doc_id"""),
+      notes = "one anti-join against the persisted passage index; corpus text never re-chunked per batch")
   )
 }

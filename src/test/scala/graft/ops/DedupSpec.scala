@@ -260,6 +260,36 @@ class DedupSpec extends SparkSpec {
     Staged.releaseAll()
   }
 
+  test("incremental passage dedup equals the full run restricted to the batch") {
+    // corpus ids all precede batch ids → first-occurrence winners agree
+    val real = graft.sources.Tables(spark, sf, "documents")
+    val split = 250L
+    val dir = java.nio.file.Files.createTempDirectory("graft-passidx").toString
+    Dedup.writePassageIndex(real.where($"doc_id" < split),
+      "doc_id", "text", window = 3, path = dir)
+    val inc = Dedup.incrementalPassageDedup(real.where($"doc_id" >= split),
+        dir, "doc_id", "text", window = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    Staged.releaseAll()
+    val full = Dedup.passageDedup(real, "doc_id", "text", window = 3)
+      .where($"doc_id" >= split)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    Staged.releaseAll()
+    assert(inc == full,
+      s"batch-vs-index must equal the full run on batch docs " +
+        s"(${inc.size} vs ${full.size} docs)")
+    // append registers only NEW passages; a re-ingested batch then
+    // dedups to nothing
+    Dedup.appendToPassageIndex(real.where($"doc_id" >= split),
+      dir, "doc_id", "text", window = 3)
+    val replay = Dedup.incrementalPassageDedup(real.where($"doc_id" >= split),
+      dir, "doc_id", "text", window = 3).count()
+    Staged.releaseAll()
+    assert(replay == 0, "a re-ingested batch must dedup to nothing")
+  }
+
   test("passage dedup: repeats INSIDE one doc collapse to the first index") {
     val docs = Seq((7L, "p q r s p q")).toDF("doc_id", "text")
     val out = Dedup.passageDedup(docs, "doc_id", "text", window = 2).head()
