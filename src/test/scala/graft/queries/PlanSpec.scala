@@ -132,6 +132,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__band"), s"band key must appear in the plan:\n$p")
   }
 
+  test("x33: batch split pushes to the scan; the persisted index rides a plain parquet scan") {
+    val p = plan("x33_incremental_passage_dedup")
+    assert(p.contains("GreaterThanOrEqual(doc_id,250)"),
+      s"the batch split must push down to the documents scan:\n$p")
+    assert(p.contains("graft-passidx"),
+      "the index side must be the persisted passages table, not re-chunked corpus text")
+  }
+
   test("dsum sums plain longs, not wide decimals, per row") {
     val p = plan("q27_stat_moments")
     assert(p.contains("sum("), "aggregation present")
