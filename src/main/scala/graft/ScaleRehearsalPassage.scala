@@ -40,6 +40,11 @@ object ScaleRehearsalPassage {
 
     val base = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
     val nDocs = base.count()
+    require(nDocs > 0, s"no documents under $sfDir — nothing to rehearse")
+    // replica id stride derives from the corpus (a fixed constant would
+    // silently collide ids on a corpus with large doc_ids — the exact
+    // unguarded-offset defect class CurateMain was cited for)
+    val stride = base.agg(max($"doc_id")).head().getLong(0) + 1L
     val w = 3
     var baseKept = -1L
 
@@ -50,7 +55,7 @@ object ScaleRehearsalPassage {
             array_join(transform(TextAnalysis.tokens($"text"),
               x => concat(x, lit("x" + r))), " ")
           else $"text"
-        base.select(($"doc_id" + lit(r * 10000000L)).as("doc_id"),
+        base.select(($"doc_id" + lit(r * stride)).as("doc_id"),
           text.as("text"))
       }.reduce(_ unionByName _)
 

@@ -706,8 +706,10 @@ object Dedup {
       idCol: String, textCol: String, window: Int): DataFrame = {
     val spark = newDocs.sparkSession
     val p = stage(passages(newDocs, idCol, textCol, window))
-    val fresh = p.join(spark.read.parquet(s"$indexPath/passages"),
-      Seq("chunk_text"), "left_anti")
+    // staged: fresh feeds three consumers (both winner aggs + the kept
+    // join) — without it the index anti-join would execute per consumer
+    val fresh = stage(p.join(spark.read.parquet(s"$indexPath/passages"),
+      Seq("chunk_text"), "left_anti"))
     firstOccurrenceClean(p, fresh, idCol)
   }
 }

@@ -58,6 +58,30 @@ object OracleDump {
     */
   def ivfPath(dir: String, k: Int): String =
     s"${sys.props("java.io.tmpdir")}/graft-ivf-${sfTag(dir)}-k$k"
+
+  /** Filesystem-metadata fingerprint of a source table (file names +
+    * lengths + mtimes — NO Spark job). Goes into persisted-index
+    * marker names so a regenerated fixture invalidates the cached
+    * index instead of silently serving stale data: a marker that only
+    * versions the index FORMAT survives a testdata refresh and makes
+    * the oracle (which reads the live table) hash-mismatch in a way
+    * that looks like a code bug.
+    */
+  def tableFingerprint(dir: String, table: String): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val files =
+      if (src.isDirectory)
+        Option(src.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      else Seq(src)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.lang.Long.toHexString(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        sig.getBytes("UTF-8"),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        sig.length, 42).toLong & 0xffffffffL)
+  }
 }
 
 /** Shared helpers for oracle-deterministic aggregation. */
