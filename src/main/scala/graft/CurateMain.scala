@@ -11,9 +11,10 @@ import graft.sources.Tables
   *   paginated HTTP extract (auth/pagination/rate-limit/retry via the
   *   deterministic offline transport, with a planted 429) → union into
   *   the parquet corpus → scrub PII → quality filter → benchmark
-  *   decontamination → exact dedup → near-dup clustering (keep cluster
-  *   reps) → domain resampling to a target language mix → sequence
-  *   packing → write curated parquet + one JSON summary line.
+  *   decontamination → exact dedup → passage-level dedup (cross-doc
+  *   boilerplate passages stripped, text rebuilt) → near-dup clustering
+  *   (keep cluster reps) → domain resampling to a target language mix →
+  *   sequence packing → write curated parquet + one JSON summary line.
   *
   * Each stage is the same operator the query registry verifies against
   * the DuckDB oracle; this main exists to show (and smoke-test) the
@@ -34,13 +35,14 @@ object CurateMain {
     */
   final case class CurateSummary(httpIngested: Long, input: Long,
       piiFlagged: Long, quality: Long, decontaminated: Long, exact: Long,
-      nearDedup: Long, mixed: Long, packs: Long, out: String) {
+      passage: Long, nearDedup: Long, mixed: Long, packs: Long,
+      out: String) {
     def json: String =
       s"""{"stage_counts":{"http_ingested":$httpIngested,"input":$input,""" +
         s""""pii_flagged":$piiFlagged,"quality":$quality,""" +
         s""""decontaminated":$decontaminated,"exact":$exact,""" +
-        s""""near_dedup":$nearDedup,"mixed":$mixed,"packs":$packs},""" +
-        s""""out":"$out"}"""
+        s""""passage":$passage,"near_dedup":$nearDedup,""" +
+        s""""mixed":$mixed,"packs":$packs},"out":"$out"}"""
   }
 
   /** The page payload the connector stage parses (the mock provider's
@@ -158,10 +160,20 @@ object CurateMain {
       .where($"__rk" === 1).drop("__rk"))
     val nExact = exact.count()
 
+    // 4b. passage-level dedup: strip cross-doc boilerplate PASSAGES
+    // (whole-doc dedup can't see boilerplate inside otherwise-distinct
+    // docs); first occurrence survives, text is rebuilt from surviving
+    // passages, docs reduced to nothing drop out entirely
+    val passaged = Staged(
+      Dedup.passageDedup(exact, "doc_id", "text", window = 3)
+        .select($"doc_id", $"clean_text".as("text"))
+        .join(exact.drop("text"), Seq("doc_id")))
+    val nPassage = passaged.count()
+
     // 5. near-dup clustering; keep each cluster's representative
-    val pairs = Dedup.minHashLsh(exact, "doc_id", "text", threshold = 0.8)
+    val pairs = Dedup.minHashLsh(passaged, "doc_id", "text", threshold = 0.8)
     val clusters = Dedup.connectedComponents(pairs)
-    val kept = Staged(exact.join(
+    val kept = Staged(passaged.join(
       broadcast(clusters.where($"doc_id" =!= $"cluster_rep")
         .select($"doc_id")),
       Seq("doc_id"), "left_anti"))
@@ -182,7 +194,7 @@ object CurateMain {
       .write.mode("overwrite").parquet(s"$outDir/curated")
     Staged.releaseAll()
 
-    CurateSummary(nHttp, nTotal, nPii, nQuality, nClean, nExact, nKept,
-      nMixed, nPacks, s"$outDir/curated")
+    CurateSummary(nHttp, nTotal, nPii, nQuality, nClean, nExact, nPassage,
+      nKept, nMixed, nPacks, s"$outDir/curated")
   }
 }

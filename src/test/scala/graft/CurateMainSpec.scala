@@ -43,16 +43,21 @@ class CurateMainSpec extends SparkSpec {
   // ScrubSpec/TextAnalysisSpec; this spec pins the composition.
   // http_ingested=50 joins the corpus; decontaminated = 541 is
   // 492 (parquet survivors) + 50 − 1 (the one api doc whose id lands
-  // in the held-out benchmark slice).
+  // in the held-out benchmark slice). passage dedup (round 8) strips
+  // the cross-doc boilerplate windows that previously made docs pair
+  // at jaccard 0.8 — so near_dedup now equals passage: the 3-gram
+  // near-dup mass WAS the shared-passage mass, removed one stage
+  // earlier at finer grain.
   test("curation pipeline is pinned end-to-end at sf0.001") {
     MockTransport.reset()
     val out = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString
     val s = CurateMain.run(spark, "/root/testdata/sf0.001", out)
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
-      decontaminated = 541, exact = 541, nearDedup = 520, mixed = 344,
-      packs = 10, out = s"$out/curated"), s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "-6645696203127003400",
+      decontaminated = 541, exact = 541, passage = 527, nearDedup = 527,
+      mixed = 343, packs = 10, out = s"$out/curated"),
+      s"stage counts drifted: $s")
+    assert(contentHash(s.out) == "-4660844298463612545",
       s"curated content drifted: ${contentHash(s.out)}")
     assertRetriedOnce()
   }
@@ -105,9 +110,10 @@ class CurateMainSpec extends SparkSpec {
     val s = CurateMain.run(spark, "/root/testdata/sf0.01", out)
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
-      decontaminated = 544, exact = 544, nearDedup = 520, mixed = 312,
-      packs = 10, out = s"$out/curated"), s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "-110874439820715081669",
+      decontaminated = 544, exact = 544, passage = 531, nearDedup = 531,
+      mixed = 317, packs = 10, out = s"$out/curated"),
+      s"stage counts drifted: $s")
+    assert(contentHash(s.out) == "102582310613245286",
       s"curated content drifted: ${contentHash(s.out)}")
     assertRetriedOnce()
   }
