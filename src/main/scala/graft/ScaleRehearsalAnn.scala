@@ -103,6 +103,16 @@ object ScaleRehearsalAnn {
         Similarity.lshTopK(vecs, query, "vec_id", "embedding", k = 50).count()
       }
       Staged.releaseAll()
+      // corpus-wide kNN graph (x34): the near-dup candidate join read
+      // directedly + per-source WindowGroupLimit top-k. nBits from the
+      // occupancy policy — candidate volume ~n·(nBits+1)·occupancy,
+      // linear in n where a fixed width would grow n²/2^nBits
+      val knnBits = Similarity.nBitsForCorpus(n)
+      val (tKnn, nKnn) = time {
+        Similarity.lshKnnGraph(vecs, "vec_id", "embedding",
+          k = 5, nBits = knnBits).count()
+      }
+      Staged.releaseAll()
       // IVF build (a04): KMeans fit + cluster-partitioned write —
       // forced fresh so the fit is measured, not the marker shortcut
       val idxPath = s"/tmp/graft-scale-ivf-${k}x"
@@ -122,7 +132,8 @@ object ScaleRehearsalAnn {
       }
       println(s"""{"mult":$k,"vecs":$n,"lsh_bucket_sec":$tBucket,"rows":$nBucket,""" +
         s""""lsh_pairs_sec":$tPairs,"pairs":$nPairs,"lsh_topk_sec":$tTopk,""" +
-        s""""topk_rows":$nTopk,"ivf_build_sec":$tBuild,"ivf_probe_sec":$tProbe,""" +
+        s""""topk_rows":$nTopk,"knn_bits":$knnBits,"knn_graph_sec":$tKnn,""" +
+        s""""knn_rows":$nKnn,"ivf_build_sec":$tBuild,"ivf_probe_sec":$tProbe,""" +
         s""""probe_rows":$nProbe}""")
     }
     spark.stop()

@@ -33,6 +33,37 @@ object Decontam {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Graded contamination: for every training doc, the fraction of its
+    * DISTINCT token n-grams that appear in the benchmark set (0 =
+    * clean, 1 = fully contained in the benchmark). [[overlaps]]'
+    * binary any-overlap gate generalized to a tunable threshold — the
+    * usual knob when n-gram collisions on common phrases make "remove
+    * on any overlap" too aggressive.
+    *
+    * Same 100 TB shape as [[overlaps]], but ONE corpus scan total: the
+    * benchmark hash set broadcasts into a LEFT join over the exploded
+    * doc n-grams, and numerator + denominator come from the same
+    * map-side-combining aggregation on doc id — shuffle volume is
+    * O(#docs) count rows, never the n-grams. Docs with fewer than n
+    * tokens have no n-grams, hence no denominator and no output row
+    * (same convention both here and in the oracle replay).
+    */
+  def contaminationScore(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val dHash = docs.select(col(idCol),
+      explode(Dedup.shingleHashSet(col(textCol), n)).as("h"))
+    val bHash = bench
+      .select(explode(Dedup.shingleHashSet(col(textCol), n)).as("h"))
+      .distinct().withColumn("__b", lit(1))
+    dHash.join(broadcast(bHash), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct"), count(col("__b")).as("n_overlap"))
+      .select(col(idCol), col("n_distinct"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_distinct"), roundTo)
+          .as("contamination"))
+  }
+
   /** The clean corpus: training docs with NO n-gram overlap with
     * `bench` (broadcast anti-join through [[overlaps]]'s hash set).
     */

@@ -89,6 +89,22 @@ object Similarity {
     if (dim > 0) dim
     else df.select(size(col(vecCol))).head().getInt(0)
 
+  /** Bucket-width policy for corpus-scale sign-LSH: size nBits so the
+    * EXPECTED bucket occupancy n/2^nBits stays ~targetOccupancy as the
+    * corpus grows. The Hamming≤1 candidate join produces
+    * ~n·(nBits+1)·occupancy rows — under this policy that is linear in
+    * n with a log factor, where any FIXED nBits makes it quadratic
+    * (the [[Ivf.kForCells]] governance pattern applied to Hamming
+    * bucketing; the hot-bucket cap still bounds residual skew).
+    */
+  def nBitsForCorpus(n: Long, targetOccupancy: Int = 4,
+      nBitsMin: Int = 8, nBitsMax: Int = 32): Int = {
+    require(targetOccupancy > 0 && nBitsMin > 0 && nBitsMax >= nBitsMin)
+    val ideal = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0))
+    math.max(nBitsMin.toDouble, math.min(nBitsMax.toDouble, ideal)).toInt
+  }
+
   /** Deterministic random hyperplanes: nBits × dim doubles from a seeded
     * generator, shipped as one literal (broadcast with the plan).
     */
@@ -124,8 +140,10 @@ object Similarity {
       seed: Long = 42L,
       maxBucket: Int = 10000,
       roundTo: Int = 6): DataFrame =
+    // staged: the signature table feeds BOTH sides of the candidate
+    // join — unstaged, the corpus scan + hot-bucket cut would run twice
     lshNearDupPairsFrom(
-      lshNearDupBuckets(df, idCol, vecCol, nBits, dim, seed, maxBucket),
+      Staged(lshNearDupBuckets(df, idCol, vecCol, nBits, dim, seed, maxBucket)),
       threshold, nBits, roundTo)
 
   /** [[lshNearDupPairs]] from an already-computed bucket table (the
@@ -187,6 +205,72 @@ object Similarity {
     val hot = base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucket).select(col("bucket"))
     base.join(broadcast(hot), Seq("bucket"), "left_anti")
+  }
+
+  /** Directed kNN graph over the WHOLE corpus: for every vector, its k
+    * most-cosine-similar neighbors among the sign-LSH candidates (home
+    * bucket + all Hamming-1 buckets), exact re-rank per source. The
+    * corpus-curation primitive behind diversity sampling and
+    * SemDeDup-style pruning when per-document neighborhoods (not just
+    * near-dup pairs) are needed.
+    *
+    * Scale shape: candidates come from the same bucket equi-join as
+    * [[lshNearDupPairs]] — shuffle volume O(corpus × (nBits+1)) bucket
+    * keys, never corpus × corpus. Size nBits with [[nBitsForCorpus]]
+    * (the registered query does): candidate volume is then
+    * ~n·(nBits+1)·occupancy, linear in the corpus, where a fixed width
+    * grows n²/2^nBits. The per-source top-k is a rank window over the
+    * candidate set; per-source candidates are bounded by
+    * (nBits+1) × maxBucket (the hot-bucket cap), so no window partition
+    * is ever O(corpus), and the rank filter plans as WindowGroupLimit
+    * (per-partition k-heap before the final sort).
+    *
+    * Ranking is on the ROUNDED cosine with a neighbor-id tie-break — a
+    * total, replayable order (oracle-parity rule in [[graft.queries.GraftQuery]]).
+    */
+  def lshKnnGraph(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 8,
+      dim: Int = -1, // <=0: read from the first row
+      seed: Long = 42L,
+      maxBucket: Int = 10000,
+      roundTo: Int = 6): DataFrame =
+    // staged for the same two-consumer reason as [[lshNearDupPairs]]
+    lshKnnGraphFrom(
+      Staged(lshNearDupBuckets(df, idCol, vecCol, nBits, dim, seed, maxBucket)),
+      k, nBits, roundTo)
+
+  /** [[lshKnnGraph]] from an already-computed signature table (the
+    * output of [[lshNearDupBuckets]]) — same compute-once rationale as
+    * [[lshNearDupPairsFrom]]. Each DIRECTED candidate (a → b, a ≠ b,
+    * Hamming(bucket_a, bucket_b) ≤ 1) matches the probe join in exactly
+    * one (probe, anchor) orientation — a's probe list holds each bucket
+    * within Hamming 1 of a's home exactly once — so no distinct is
+    * needed and the oracle can replay the candidate set as a plain
+    * Hamming predicate over the dumped signatures.
+    */
+  def lshKnnGraphFrom(
+      kept: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      roundTo: Int = 6): DataFrame = {
+    val probed = kept.select(col("id"), col("v"), col("nrm"),
+      explode(hamming1Probes(col("bucket"), nBits)).as("probe"))
+    val anchors = kept.select(col("bucket").as("probe"),
+      col("id").as("nbr_id"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val cand = probed.join(anchors, Seq("probe"))
+      .where(col("id") =!= col("nbr_id"))
+      .select(col("id").as("src_id"), col("nbr_id"),
+        round(dot(col("v"), col("v_b")) / (col("nrm") * col("nrm_b")), roundTo)
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
   }
 
   /** Approximate top-k: LSH-bucket the corpus, probe the query's bucket

@@ -298,7 +298,10 @@ object ExtensionQueries {
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
         if (OracleDump.enabled) {
-          val kept = Similarity.lshNearDupBuckets(e, "vec_id", "embedding")
+          // staged: the dump write + both sides of the candidate join
+          // consume the signatures — unstaged that is three corpus scans
+          val kept = graft.ops.Staged(
+            Similarity.lshNearDupBuckets(e, "vec_id", "embedding"))
           OracleDump.dump(kept.select(col("id"), col("bucket")), dir, "x15_buckets")
           Similarity.lshNearDupPairsFrom(kept, threshold = 0.3)
         } else Similarity.lshNearDupPairs(e, "vec_id", "embedding", threshold = 0.3)
@@ -319,6 +322,49 @@ object ExtensionQueries {
         JOIN e eb ON b.id = eb.vec_id
         WHERE round(list_cosine_similarity(ea.v, eb.v), 6) > 0.3"""),
       notes = "oracle = Hamming<=1 candidate predicate + exact cosine over dumped signatures"),
+
+    // ---- directed kNN graph over the whole corpus: every vector's
+    // top-k cosine neighbors among sign-LSH candidates (home +
+    // Hamming-1 buckets), exact re-rank per source. nBits comes from
+    // the occupancy policy (x31's kForCells pattern): constant
+    // expected bucket population as the corpus grows keeps candidate
+    // volume linear — at the fixture's 500 vectors it resolves to the
+    // 8-bit floor (~2 vectors/bucket). Recall vs brute force measured
+    // in SimilaritySpec.
+    GraftQuery(
+      "x34_knn_graph",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val bits = Similarity.nBitsForCorpus(embeddingsCount(s, dir))
+        if (OracleDump.enabled) {
+          // staged for the same three-consumer reason as x15
+          val kept = graft.ops.Staged(Similarity.lshNearDupBuckets(
+            e, "vec_id", "embedding", nBits = bits))
+          OracleDump.dump(kept.select(col("id"), col("bucket")), dir, "x34_buckets")
+          Similarity.lshKnnGraphFrom(kept, k = 5, nBits = bits)
+        } else Similarity.lshKnnGraph(e, "vec_id", "embedding", k = 5, nBits = bits)
+      },
+      // candidate predicate over the dumped signatures is the DIRECTED
+      // Hamming<=1 relation (both orientations, no self), then the
+      // exact cosine re-rank and per-source rank window — rank on the
+      // rounded cosine with a neighbor-id tie-break, a total order
+      Some("""WITH kb AS (SELECT id, bucket
+          FROM read_parquet('__SCRATCH__/x34_buckets/*.parquet')),
+        e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cand AS (SELECT a.id AS src_id, b.id AS nbr_id,
+            round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+          FROM kb a
+          JOIN kb b ON a.id <> b.id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+          JOIN e ea ON a.id = ea.vec_id
+          JOIN e eb ON b.id = eb.vec_id)
+        SELECT src_id, nbr_id, cos_sim, rk FROM (
+          SELECT src_id, nbr_id, cos_sim,
+            row_number() OVER (PARTITION BY src_id
+              ORDER BY cos_sim DESC, nbr_id) AS rk
+          FROM cand) WHERE rk <= 5"""),
+      notes = "oracle replays directed Hamming<=1 candidates + per-source rank over dumped signatures"),
 
     // ---- capstone: the full training-corpus cleaning pipeline —
     // quality filter → exact dedup (min id per text) → near-dup removal
@@ -579,6 +625,55 @@ object ExtensionQueries {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
         FROM dn JOIN bn USING (g) GROUP BY doc_id""")
     ),
+
+    // ---- graded contamination score: x21's binary any-overlap gate
+    // generalized to the fraction of each doc's distinct 5-grams found
+    // in the benchmark — the tunable-threshold form used when common-
+    // phrase collisions make any-overlap removal too aggressive. One
+    // corpus scan; numerator and denominator ride the same broadcast
+    // LEFT join + map-side-combining agg.
+    GraftQuery(
+      "x35_contamination_score",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Decontam.contaminationScore(
+          docs.filter($"doc_id" % 11 =!= 0),
+          docs.filter($"doc_id" % 11 === 0),
+          "doc_id", "text", n = 5)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' ||
+                 t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                 FOR i IN range(1, greatest(len(t) - 3, 1))]) AS s FROM toks),
+          bn AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 11 = 0),
+          dn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 11 <> 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(count(bn.g) AS BIGINT) AS n_overlap,
+          round(CAST(count(bn.g) AS DOUBLE) / count(*), 6) AS contamination
+        FROM dn LEFT JOIN bn ON dn.g = bn.g GROUP BY doc_id"""),
+      notes = "graded decontam: per-doc fraction of distinct n-grams present in the benchmark"),
+
+    // ---- deterministic balanced shard export layout: every doc's
+    // (shard, in-shard position) under content-stable md5 assignment —
+    // the reproducible-training-export contract (re-runs give
+    // bit-identical shards regardless of partitioning). Assignment is
+    // row-local; the position window partitions by OUTPUT shard, the
+    // irreducible unit of a sorted shard file.
+    GraftQuery(
+      "x36_shard_layout",
+      (s, dir) => graft.ops.Sharding.assign(
+        Tables(s, dir, "documents").select(col("doc_id")),
+        "doc_id", nShards = 8),
+      Some("""SELECT doc_id, shard,
+          CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+               AS INTEGER) AS pos
+        FROM (SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 8 AS shard
+          FROM documents)"""),
+      notes = "md5 shard assignment + in-shard order, replayed verbatim by the oracle"),
 
     // ---- intra-document repetition score (Gopher-style repetition
     // filter): fraction of a doc's token trigrams that are repeats.

@@ -46,4 +46,17 @@ class DecontamSpec extends SparkSpec {
       docs, bench.limit(0), "doc_id", "text", n = 5)
     assert(clean.count() == 4)
   }
+
+  test("contaminationScore: graded fraction; clean docs score 0; short docs absent") {
+    val withShort = docs.union(Seq((5L, "too short text")).toDF("doc_id", "text"))
+    val out = Decontam.contaminationScore(withShort, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(4L)._4 == 1.0, "the full benchmark copy is fully contained")
+    // doc 1: 11 tokens -> 7 windows, 2 of them inside the leaked span
+    assert(out(1L)._2 == 7L && out(1L)._3 == 2L)
+    assert(math.abs(out(1L)._4 - 2.0 / 7) < 1e-6)
+    // unlike overlaps (inner join), the graded score KEEPS clean docs
+    assert(out(2L)._4 == 0.0 && out(3L)._4 == 0.0)
+    assert(!out.contains(5L), "fewer than n tokens: no denominator, no row")
+  }
 }

@@ -35,6 +35,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q09_topk_per_customer").contains("WindowGroupLimit"))
   }
 
+  test("x34: kNN graph pushes the per-source rank filter (WindowGroupLimit)") {
+    // the per-source top-k must keep only k rows per partition in the
+    // rank sort — at 100 TB the candidate set is the big intermediate
+    assert(plan("x34_knn_graph").contains("WindowGroupLimit"))
+  }
+
   test("t03: as-of join plans the custom sort-merge operator, not a join") {
     val p = plan("t03_asof_join")
     assert(p.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$p")
