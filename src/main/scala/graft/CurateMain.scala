@@ -10,11 +10,14 @@ import graft.sources.Tables
   *
   *   paginated HTTP extract (auth/pagination/rate-limit/retry via the
   *   deterministic offline transport, with a planted 429) → union into
-  *   the parquet corpus → scrub PII → quality filter → benchmark
-  *   decontamination → exact dedup → passage-level dedup (cross-doc
-  *   boilerplate passages stripped, text rebuilt) → near-dup clustering
-  *   (keep cluster reps) → domain resampling to a target language mix →
-  *   sequence packing → write curated parquet + one JSON summary line.
+  *   the parquet corpus → scrub PII → quality filter → exact dedup →
+  *   passage-level dedup (cross-doc boilerplate passages stripped;
+  *   only docs that lost a passage take the rebuilt text) → benchmark
+  *   decontamination (last text-modifying stage, so the no-shared-
+  *   n-gram guarantee holds for the shipped text) → near-dup
+  *   clustering (keep cluster reps) → domain resampling to a target
+  *   language mix → sequence packing → write curated parquet + one
+  *   JSON summary line.
   *
   * Each stage is the same operator the query registry verifies against
   * the DuckDB oracle; this main exists to show (and smoke-test) the
@@ -34,14 +37,14 @@ object CurateMain {
     * can't ship silently).
     */
   final case class CurateSummary(httpIngested: Long, input: Long,
-      piiFlagged: Long, quality: Long, decontaminated: Long, exact: Long,
-      passage: Long, nearDedup: Long, mixed: Long, packs: Long,
+      piiFlagged: Long, quality: Long, exact: Long, passage: Long,
+      decontaminated: Long, nearDedup: Long, mixed: Long, packs: Long,
       out: String) {
     def json: String =
       s"""{"stage_counts":{"http_ingested":$httpIngested,"input":$input,""" +
         s""""pii_flagged":$piiFlagged,"quality":$quality,""" +
-        s""""decontaminated":$decontaminated,"exact":$exact,""" +
-        s""""passage":$passage,"near_dedup":$nearDedup,""" +
+        s""""exact":$exact,"passage":$passage,""" +
+        s""""decontaminated":$decontaminated,"near_dedup":$nearDedup,""" +
         s""""mixed":$mixed,"packs":$packs},"out":"$out"}"""
   }
 
@@ -145,35 +148,49 @@ object CurateMain {
       .where($"quality" >= 0.5))
     val nQuality = quality.count()
 
-    // 3. decontamination against the held-out benchmark slice
-    val bench = quality.where($"doc_id" % 101 === 0)
-    val train = quality.where($"doc_id" % 101 =!= 0)
-    val clean = Staged(Decontam.removeContaminated(
-      train, bench, "doc_id", "text", n = 5))
-    val nClean = clean.count()
-
-    // 4. exact dedup (min id per identical text)
-    val exact = Staged(clean
+    // 3. exact dedup (min id per identical text)
+    val exact = Staged(quality
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"text").orderBy($"doc_id")))
       .where($"__rk" === 1).drop("__rk"))
     val nExact = exact.count()
 
-    // 4b. passage-level dedup: strip cross-doc boilerplate PASSAGES
+    // 3b. passage-level dedup: strip cross-doc boilerplate PASSAGES
     // (whole-doc dedup can't see boilerplate inside otherwise-distinct
-    // docs); first occurrence survives, text is rebuilt from surviving
-    // passages, docs reduced to nothing drop out entirely
+    // docs). Only docs that actually LOST a passage take the rebuilt
+    // text — the rebuild is the normalized token join, and rewriting
+    // untouched docs would destroy casing/punctuation corpus-wide.
+    // Docs with no [a-z0-9] tokens have no passages at all (absent
+    // from the dedup output) and keep their original text; docs whose
+    // every passage was a repeat drop out entirely. The 8-token grain
+    // keeps chance common-phrase alignments from deleting text the
+    // way a trigram grain would.
+    val pd = Dedup.passageDedup(exact, "doc_id", "text", window = 8)
     val passaged = Staged(
-      Dedup.passageDedup(exact, "doc_id", "text", window = 3)
-        .select($"doc_id", $"clean_text".as("text"))
-        .join(exact.drop("text"), Seq("doc_id")))
+      exact.join(pd, Seq("doc_id"), "left")
+        .where($"n_kept".isNotNull ||
+          size(TextAnalysis.tokens($"text")) === 0)
+        .withColumn("text",
+          when($"n_dropped" > 0, $"clean_text").otherwise($"text"))
+        .drop("clean_text", "n_kept", "n_dropped"))
     val nPassage = passaged.count()
 
+    // 4. decontamination against the held-out benchmark slice — AFTER
+    // the passage rebuild, so the no-shared-5-gram guarantee holds for
+    // the text that actually ships: a rebuild that splices out a
+    // passage joins its neighbors and can fabricate n-grams that never
+    // existed when an earlier check ran
+    val bench = passaged.where($"doc_id" % 101 === 0)
+    val train = passaged.where($"doc_id" % 101 =!= 0)
+    val clean = Staged(Decontam.removeContaminated(
+      train, bench, "doc_id", "text", n = 5))
+    val nClean = clean.count()
+
     // 5. near-dup clustering; keep each cluster's representative
-    val pairs = Dedup.minHashLsh(passaged, "doc_id", "text", threshold = 0.8)
+    val pairs = Dedup.minHashLsh(clean, "doc_id", "text", threshold = 0.8)
     val clusters = Dedup.connectedComponents(pairs)
-    val kept = Staged(passaged.join(
+    val kept = Staged(clean.join(
       broadcast(clusters.where($"doc_id" =!= $"cluster_rep")
         .select($"doc_id")),
       Seq("doc_id"), "left_anti"))
@@ -194,7 +211,7 @@ object CurateMain {
       .write.mode("overwrite").parquet(s"$outDir/curated")
     Staged.releaseAll()
 
-    CurateSummary(nHttp, nTotal, nPii, nQuality, nClean, nExact, nPassage,
+    CurateSummary(nHttp, nTotal, nPii, nQuality, nExact, nPassage, nClean,
       nKept, nMixed, nPacks, s"$outDir/curated")
   }
 }

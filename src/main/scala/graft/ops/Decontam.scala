@@ -17,21 +17,34 @@ import graft.functions.GraftFunctions
   */
 object Decontam {
 
+  /** The exploded (id, n-gram hash) frame of the training corpus — one
+    * row per DISTINCT n-gram per doc. The single tokenization/hashing
+    * convention every decontamination entry point shares.
+    */
+  private def docHashes(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+      explode(Dedup.shingleHashSet(col(textCol), n)).as("h"))
+  }
+
+  /** The benchmark's distinct n-gram hash set (the broadcast side). */
+  private def benchHashes(bench: DataFrame, textCol: String,
+      n: Int): DataFrame = {
+    GraftFunctions.register(bench.sparkSession)
+    bench.select(explode(Dedup.shingleHashSet(col(textCol), n)).as("h"))
+      .distinct()
+  }
+
   /** Per-document overlap report: (id, n_overlap) for every training
     * doc sharing at least one distinct token n-gram with `bench`.
     */
   def overlaps(docs: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int = 5): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
-    val dHash = docs.select(col(idCol),
-      explode(Dedup.shingleHashSet(col(textCol), n)).as("h"))
-    val bHash = bench
-      .select(explode(Dedup.shingleHashSet(col(textCol), n)).as("h"))
-      .distinct()
-    dHash.join(broadcast(bHash), "h")
+      textCol: String, n: Int = 5): DataFrame =
+    docHashes(docs, idCol, textCol, n)
+      .join(broadcast(benchHashes(bench, textCol, n)), "h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
-  }
 
   /** Graded contamination: for every training doc, the fraction of its
     * DISTINCT token n-grams that appear in the benchmark set (0 =
@@ -49,20 +62,15 @@ object Decontam {
     * (same convention both here and in the oracle replay).
     */
   def contaminationScore(docs: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int = 5, roundTo: Int = 6): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
-    val dHash = docs.select(col(idCol),
-      explode(Dedup.shingleHashSet(col(textCol), n)).as("h"))
-    val bHash = bench
-      .select(explode(Dedup.shingleHashSet(col(textCol), n)).as("h"))
-      .distinct().withColumn("__b", lit(1))
-    dHash.join(broadcast(bHash), Seq("h"), "left")
+      textCol: String, n: Int = 5, roundTo: Int = 6): DataFrame =
+    docHashes(docs, idCol, textCol, n)
+      .join(broadcast(benchHashes(bench, textCol, n).withColumn("__b", lit(1))),
+        Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_distinct"), count(col("__b")).as("n_overlap"))
       .select(col(idCol), col("n_distinct"), col("n_overlap"),
         round(col("n_overlap").cast("double") / col("n_distinct"), roundTo)
           .as("contamination"))
-  }
 
   /** The clean corpus: training docs with NO n-gram overlap with
     * `bench` (broadcast anti-join through [[overlaps]]'s hash set).

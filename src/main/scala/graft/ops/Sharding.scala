@@ -49,14 +49,19 @@ object Sharding {
         Window.partitionBy(col("shard")).orderBy(col(idCol))))
 
   /** Write the corpus as nShards sorted parquet shard directories
-    * (`$outDir/shard=<s>/`). One shuffle on the shard key; each shard
-    * sorts and writes independently. Deterministic: same corpus in →
-    * byte-identical shard membership and row order out.
+    * (`$outDir/shard=<s>/`). One range shuffle on the shard key — range
+    * (not hash) partitioning, because hash(shard) % nShards collides
+    * shard values onto shared tasks and leaves others empty, turning
+    * the terminal write into a straggler; range boundaries over the
+    * evenly-populated shard ids give ~one shard per task. Deterministic
+    * in what matters to a loader: shard MEMBERSHIP and in-file row
+    * order are pure functions of the corpus (part-file NAMES are not —
+    * they embed a per-job UUID).
     */
   def writeShards(df: DataFrame, idCol: String, nShards: Int,
       outDir: String): Unit =
     df.withColumn("shard", shardId(col(idCol), nShards))
-      .repartition(nShards, col("shard"))
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 }

@@ -41,23 +41,24 @@ class CurateMainSpec extends SparkSpec {
   // quality=input are CORRECT here, not missed detections — the
   // detection behaviors themselves are fixture-tested in
   // ScrubSpec/TextAnalysisSpec; this spec pins the composition.
-  // http_ingested=50 joins the corpus; decontaminated = 541 is
-  // 492 (parquet survivors) + 50 − 1 (the one api doc whose id lands
-  // in the held-out benchmark slice). passage dedup (round 8) strips
-  // the cross-doc boilerplate windows that previously made docs pair
-  // at jaccard 0.8 — so near_dedup now equals passage: the 3-gram
-  // near-dup mass WAS the shared-passage mass, removed one stage
-  // earlier at finer grain.
+  // http_ingested=50 joins the corpus. Round-8 order: exact → passage
+  // (8-token grain; only docs that LOST a passage take the rebuilt
+  // text; 3 docs whose every aligned window is a repeat drop out) →
+  // decontam (last text-modifying stage, so the no-shared-5-gram
+  // guarantee holds for shipped text). The fixture's jaccard-0.8
+  // near-dups ARE shared-boilerplate docs, so the passage stage
+  // absorbs them here (near_dedup removes 0 at this sf — the cluster
+  // stage is exercised at sf0.01 below, and in its own specs).
   test("curation pipeline is pinned end-to-end at sf0.001") {
     MockTransport.reset()
     val out = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString
     val s = CurateMain.run(spark, "/root/testdata/sf0.001", out)
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
-      decontaminated = 541, exact = 541, passage = 527, nearDedup = 527,
-      mixed = 343, packs = 10, out = s"$out/curated"),
+      exact = 550, passage = 547, decontaminated = 539, nearDedup = 539,
+      mixed = 356, packs = 11, out = s"$out/curated"),
       s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "-4660844298463612545",
+    assert(contentHash(s.out) == "-52760514439454724909",
       s"curated content drifted: ${contentHash(s.out)}")
     assertRetriedOnce()
   }
@@ -110,10 +111,10 @@ class CurateMainSpec extends SparkSpec {
     val s = CurateMain.run(spark, "/root/testdata/sf0.01", out)
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
-      decontaminated = 544, exact = 544, passage = 531, nearDedup = 531,
-      mixed = 317, packs = 10, out = s"$out/curated"),
+      exact = 550, passage = 547, decontaminated = 541, nearDedup = 540,
+      mixed = 315, packs = 10, out = s"$out/curated"),
       s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "102582310613245286",
+    assert(contentHash(s.out) == "-91297570910720536127",
       s"curated content drifted: ${contentHash(s.out)}")
     assertRetriedOnce()
   }
