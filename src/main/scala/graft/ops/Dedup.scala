@@ -632,9 +632,12 @@ object Dedup {
   }
 
   /** The non-overlapping `window`-token passage frame of a corpus:
-    * (idCol, chunk_idx, chunk_text).
+    * (idCol, chunk_idx, chunk_text). Public because index maintainers
+    * (e.g. the streaming ingest in [[graft.streaming.Streams]]) must
+    * chunk with EXACTLY the convention the dedup joins on — a second
+    * tokenizer would silently miss suppressions.
     */
-  private def passages(df: DataFrame, idCol: String, textCol: String,
+  def passages(df: DataFrame, idCol: String, textCol: String,
       window: Int): DataFrame =
     Chunking.slidingChunks(df, idCol, textCol, size = window, stride = window)
       .select(col(idCol), col("chunk_idx"), col("chunk_text"))
@@ -703,12 +706,22 @@ object Dedup {
     * shape; `n_dropped` includes index-suppressed passages.
     */
   def incrementalPassageDedup(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, window: Int): DataFrame =
+    incrementalPassageDedup(newDocs,
+      newDocs.sparkSession.read.parquet(s"$indexPath/passages"),
+      idCol, textCol, window)
+
+  /** [[incrementalPassageDedup]] against an index given as a DataFrame
+    * of (chunk_text) — for callers that assemble the index view
+    * themselves (the epoch-partitioned streaming index reads only the
+    * partitions committed BEFORE the current epoch).
+    */
+  def incrementalPassageDedup(newDocs: DataFrame, index: DataFrame,
       idCol: String, textCol: String, window: Int): DataFrame = {
-    val spark = newDocs.sparkSession
     val p = stage(passages(newDocs, idCol, textCol, window))
     // staged: fresh feeds three consumers (both winner aggs + the kept
     // join) — without it the index anti-join would execute per consumer
-    val fresh = stage(p.join(spark.read.parquet(s"$indexPath/passages"),
+    val fresh = stage(p.join(index.select(col("chunk_text")),
       Seq("chunk_text"), "left_anti"))
     firstOccurrenceClean(p, fresh, idCol)
   }

@@ -163,6 +163,62 @@ object Streams {
     * [[GraftSink]] — upsert semantics and consistency checks carry over
     * unchanged (exactly-once per sink idempotence).
     */
+  /** Continuous-ingest passage dedup against an EPOCH-PARTITIONED
+    * passage index. Each micro-batch e:
+    *   1. cleans against the index partitions committed strictly
+    *      before e ([[graft.ops.Dedup.incrementalPassageDedup]] — one
+    *      anti-join; earlier corpus text is never re-chunked),
+    *   2. overwrites its own output dir `outPath/epoch=<e>`,
+    *   3. overwrites its own index partition `indexPath/epoch=<e>`
+    *      with the batch's new-to-index distinct passages (chunked
+    *      from the ORIGINAL batch text — a rebuilt text would re-chunk
+    *      on shifted window boundaries).
+    *
+    * Exactly-once without a transactional sink: every step is a pure
+    * function of (batch contents, index partitions < e), and both
+    * writes target only epoch-e locations with overwrite — so a replay
+    * after a crash at ANY point rewrites identical bytes. A flat
+    * append-mode index would break this: a crash after the index
+    * append would make the replayed batch dedup against its own
+    * passages and overwrite its output with an empty epoch.
+    */
+  def passageDedupStream(docs: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, idCol: String, textCol: String,
+      window: Int = 8): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val idx = indexBefore(batch.sparkSession, indexPath, epoch)
+        graft.ops.Dedup
+          .incrementalPassageDedup(batch, idx, idCol, textCol, window)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        graft.ops.Dedup.passages(batch, idCol, textCol, window)
+          .select(col("chunk_text")).distinct()
+          .join(idx, Seq("chunk_text"), "left_anti")
+          .write.mode("overwrite").parquet(s"$indexPath/epoch=$epoch")
+        graft.ops.Staged.releaseAll()
+      }
+      .start()
+
+  /** The union of index partitions committed before `epoch` (empty
+    * 1-column frame when none exist — the first batch's view).
+    */
+  private[streaming] def indexBefore(spark: SparkSession,
+      indexPath: String, epoch: Long): DataFrame = {
+    val dirs = Option(new java.io.File(indexPath).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
+        f.getName.stripPrefix("epoch=").toLong < epoch)
+      .map(_.getPath)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("chunk_text",
+            org.apache.spark.sql.types.StringType))))
+    else spark.read.parquet(dirs: _*).select(col("chunk_text"))
+  }
+
   def sinkStream(df: DataFrame, sink: GraftSink, checkpoint: String): StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Update)

@@ -326,4 +326,45 @@ class StreamsSpec extends SparkSpec {
     val got = spark.table("ssjoin").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 10L)))
   }
+
+  test("streaming passage dedup: cross-batch suppression, epoch-replay idempotence") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pstream").toString
+    val (idxP, outP, cp) = (s"$root/index", s"$root/out", s"$root/cp")
+    val input = MemoryStream[DocEvent](spark)
+    val docs = input.toDF().select($"doc_id", $"text")
+    val q = Streams.passageDedupStream(docs, idxP, outP, cp,
+      "doc_id", "text", window = 3)
+    try {
+      input.addData(DocEvent(1L, ts(1), "a1 a2 a3 b1 b2 b3"))
+      q.processAllAvailable()
+      input.addData(
+        DocEvent(2L, ts(2), "a1 a2 a3 c1 c2 c3"), // first passage repeats doc 1's
+        DocEvent(3L, ts(3), "b1 b2 b3"))          // nothing new at all
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outP)
+      .select($"epoch".cast("long"), $"doc_id", $"clean_text", $"n_kept", $"n_dropped")
+      .as[(Long, Long, String, Int, Int)].collect().toSet
+    assert(out == Set(
+      (0L, 1L, "a1 a2 a3 b1 b2 b3", 2, 0),
+      (1L, 2L, "c1 c2 c3", 1, 1)), // doc 3: every passage suppressed -> gone
+      s"stream output drifted: $out")
+    // the index holds exactly the distinct passages, epoch-attributed
+    val idx = spark.read.parquet(idxP)
+      .select($"epoch".cast("long"), $"chunk_text")
+      .as[(Long, String)].collect().toSet
+    assert(idx == Set((0L, "a1 a2 a3"), (0L, "b1 b2 b3"), (1L, "c1 c2 c3")))
+    // replay idempotence: every epoch step is a pure function of
+    // (batch, index partitions < e) — recompute epoch 1 exactly as the
+    // foreachBatch body would after a crash at any point and compare
+    // to what the live run committed
+    val batch2 = Seq((2L, "a1 a2 a3 c1 c2 c3"), (3L, "b1 b2 b3"))
+      .toDF("doc_id", "text")
+    val replayed = graft.ops.Dedup.incrementalPassageDedup(
+      batch2, Streams.indexBefore(spark, idxP, 1L), "doc_id", "text", window = 3)
+      .as[(Long, String, Int, Int)].collect().toSet
+    val committed = spark.read.parquet(s"$outP/epoch=1")
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(replayed == committed, "replay must rewrite identical content")
+  }
 }
