@@ -202,14 +202,22 @@ object Streams {
       .start()
 
   /** The union of index partitions committed before `epoch` (empty
-    * 1-column frame when none exist — the first batch's view).
+    * 1-column frame when none exist — the first batch's view). Listed
+    * through the Hadoop FileSystem API, not java.io.File: at cluster
+    * scale the index lives on HDFS/S3, where a local listing would
+    * silently see nothing and every batch would dedup against an
+    * empty index.
     */
   private[streaming] def indexBefore(spark: SparkSession,
       indexPath: String, epoch: Long): DataFrame = {
-    val dirs = Option(new java.io.File(indexPath).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch=") &&
-        f.getName.stripPrefix("epoch=").toLong < epoch)
-      .map(_.getPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
+          s.getPath.getName.stripPrefix("epoch=").toLong < epoch)
+        .map(_.getPath.toString)
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
