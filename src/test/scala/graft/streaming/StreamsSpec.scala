@@ -367,4 +367,35 @@ class StreamsSpec extends SparkSpec {
       .as[(Long, String, Int, Int)].collect().toSet
     assert(replayed == committed, "replay must rewrite identical content")
   }
+
+  test("generative: epoch-sequential stream equals one-shot batch passage dedup") {
+    // when ids are epoch-ordered (every earlier epoch's ids precede
+    // every later one's), the streamed per-epoch results must union to
+    // EXACTLY passageDedup over the whole corpus — the multi-batch
+    // generalization of the x33 differential identity, here exercised
+    // through the real stream (index partitioning, epoch writes, all
+    // of it). Tiny vocab + short docs force heavy passage collisions.
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("v0", "v1", "v2", "v3", "v4")
+    def doc(): String =
+      Seq.fill(2 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val batches = (0 until 3).map { e =>
+      (0 until 40).map(i => DocEvent(e * 1000L + i, ts(e), doc()))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-pstream-gen").toString
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.passageDedupStream(
+      input.toDF().select($"doc_id", $"text"),
+      s"$root/index", s"$root/out", s"$root/cp", "doc_id", "text", window = 2)
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .select($"doc_id", $"clean_text", $"n_kept", $"n_dropped")
+      .as[(Long, String, Int, Int)].collect().toSet
+    val all = batches.flatten.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val oneShot = graft.ops.Dedup.passageDedup(all, "doc_id", "text", window = 2)
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(streamed == oneShot,
+      s"stream/batch diverged: ${(streamed diff oneShot).take(3)} vs ${(oneShot diff streamed).take(3)}")
+  }
 }
