@@ -201,6 +201,48 @@ object Streams {
       }
       .start()
 
+  /** Offline compaction for the epoch-partitioned passage index:
+    * merge every partition with epoch ≤ `upToEpoch` into the single
+    * partition `epoch=<upToEpoch>`. Semantics-preserving because the
+    * merged dir keeps the HIGHEST label it absorbed, so [[indexBefore]]
+    * for any later epoch sees exactly the same passage set — and the
+    * streaming runtime only ever replays the last uncommitted epoch,
+    * never one the checkpoint already passed, so per-epoch attribution
+    * below the compaction point is dead state. Run it with the stream
+    * DOWN (or past `upToEpoch`+1) when small per-batch partitions
+    * accumulate (the classic streaming small-files debt).
+    *
+    * Crash-RECOVERABLE, x25's versioned-publish spirit: the merged set
+    * is first written to a tmp dir whose parquet `_SUCCESS` is the
+    * commit point. A re-run after a crash at any step completes the
+    * swap — before the commit point the victims are untouched and the
+    * merge recomputes; after it, the full merged set lives in tmp and
+    * the re-run only finishes deleting victims and renaming. (The tmp
+    * dir does not match the `epoch=` prefix, so a mid-swap index is
+    * only ever read by [[indexBefore]] during an offline window.)
+    */
+  def compactPassageIndex(spark: SparkSession, indexPath: String,
+      upToEpoch: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    def victims = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
+        s.getPath.getName.stripPrefix("epoch=").toLong <= upToEpoch)
+      .map(_.getPath)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"__compact_tmp_$upToEpoch")
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (!committed) {
+      val v = victims
+      if (v.size < 2) return // nothing to merge, no recovery pending
+      spark.read.parquet(v.map(_.toString): _*)
+        .select(col("chunk_text")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    }
+    victims.foreach(p => fs.delete(p, true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"epoch=$upToEpoch")): Unit
+  }
+
   /** The union of index partitions committed before `epoch` (empty
     * 1-column frame when none exist — the first batch's view). Listed
     * through the Hadoop FileSystem API, not java.io.File: at cluster

@@ -398,4 +398,36 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == oneShot,
       s"stream/batch diverged: ${(streamed diff oneShot).take(3)} vs ${(oneShot diff streamed).take(3)}")
   }
+
+  test("passage index compaction preserves the view and recovers mid-swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pcompact").toString
+    val idxP = s"$root/index"
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.passageDedupStream(
+      input.toDF().select($"doc_id", $"text"),
+      idxP, s"$root/out", s"$root/cp", "doc_id", "text", window = 2)
+    try (0 until 3).foreach { e =>
+      input.addData(DocEvent(e.toLong, ts(e), s"w${e}a w${e}b w${e}c w${e}d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def epochDirs = Option(new java.io.File(idxP).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    def view(e: Long) =
+      Streams.indexBefore(spark, idxP, e).as[String].collect().toSet
+    assert(epochDirs == Set("epoch=0", "epoch=1", "epoch=2"))
+    val full = view(99L)
+    val upTo1 = view(2L)
+    Streams.compactPassageIndex(spark, idxP, upToEpoch = 1L)
+    // merged into the highest absorbed label; later-epoch views identical
+    assert(epochDirs == Set("epoch=1", "epoch=2"), s"got $epochDirs")
+    assert(view(99L) == full && view(2L) == upTo1,
+      "compaction must not change what any later epoch dedups against")
+    // fabricate a crash after the commit point but before the rename:
+    // the merged dir (which WAS the tmp, _SUCCESS included) back to tmp
+    assert(new java.io.File(s"$idxP/epoch=1")
+      .renameTo(new java.io.File(s"$idxP/__compact_tmp_1")))
+    Streams.compactPassageIndex(spark, idxP, upToEpoch = 1L)
+    assert(epochDirs == Set("epoch=1", "epoch=2"))
+    assert(view(99L) == full, "recovery must restore the full passage set")
+  }
 }
