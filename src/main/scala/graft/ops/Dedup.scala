@@ -717,12 +717,24 @@ object Dedup {
     * partitions committed BEFORE the current epoch).
     */
   def incrementalPassageDedup(newDocs: DataFrame, index: DataFrame,
-      idCol: String, textCol: String, window: Int): DataFrame = {
+      idCol: String, textCol: String, window: Int): DataFrame =
+    incrementalPassageDedupStaged(newDocs, index, idCol, textCol, window)._1
+
+  /** [[incrementalPassageDedup]] exposing its staged intermediate:
+    * returns (cleaned docs, `fresh` = the batch's passage rows NOT in
+    * the index). Callers that must also REGISTER the batch's new
+    * passages (the streaming ingest) read `fresh` instead of
+    * re-chunking the batch and anti-joining the index a second time —
+    * the per-batch index scan happens exactly once.
+    */
+  def incrementalPassageDedupStaged(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      window: Int): (DataFrame, DataFrame) = {
     val p = stage(passages(newDocs, idCol, textCol, window))
     // staged: fresh feeds three consumers (both winner aggs + the kept
     // join) — without it the index anti-join would execute per consumer
     val fresh = stage(p.join(index.select(col("chunk_text")),
       Seq("chunk_text"), "left_anti"))
-    firstOccurrenceClean(p, fresh, idCol)
+    (firstOccurrenceClean(p, fresh, idCol), fresh)
   }
 }

@@ -190,57 +190,83 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val idx = indexBefore(batch.sparkSession, indexPath, epoch)
-        graft.ops.Dedup
-          .incrementalPassageDedup(batch, idx, idCol, textCol, window)
-          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
-        graft.ops.Dedup.passages(batch, idCol, textCol, window)
-          .select(col("chunk_text")).distinct()
-          .join(idx, Seq("chunk_text"), "left_anti")
+        // the staged pair shares ONE batch-chunking + index anti-join
+        // between the clean output and the index registration
+        val (cleaned, fresh) = graft.ops.Dedup
+          .incrementalPassageDedupStaged(batch, idx, idCol, textCol, window)
+        cleaned.write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        fresh.select(col("chunk_text")).distinct()
           .write.mode("overwrite").parquet(s"$indexPath/epoch=$epoch")
-        graft.ops.Staged.releaseAll()
+        // release(), NOT releaseAll(): the stream stages only persisted
+        // frames; releaseAll would also destroy checkpointed result
+        // leaves owned by concurrent pipelines in this session
+        // (truncated lineage cannot recompute — Staged's own contract)
+        graft.ops.Staged.release()
       }
       .start()
 
-  /** Offline compaction for the epoch-partitioned passage index:
-    * merge every partition with epoch ≤ `upToEpoch` into the single
-    * partition `epoch=<upToEpoch>`. Semantics-preserving because the
-    * merged dir keeps the HIGHEST label it absorbed, so [[indexBefore]]
-    * for any later epoch sees exactly the same passage set — and the
-    * streaming runtime only ever replays the last uncommitted epoch,
-    * never one the checkpoint already passed, so per-epoch attribution
-    * below the compaction point is dead state. Run it with the stream
-    * DOWN (or past `upToEpoch`+1) when small per-batch partitions
-    * accumulate (the classic streaming small-files debt).
+  /** Offline compaction for the epoch-partitioned passage index: merge
+    * the partitions with epoch ≤ `upToEpoch` — EXCLUDING the newest
+    * partition, see below — into one partition carrying the HIGHEST
+    * label it absorbed. Keeping the max absorbed label (never the
+    * caller's argument) means [[indexBefore]] for any later epoch sees
+    * exactly the same passage set; a caller-supplied label above the
+    * max would hide the merged passages from the epochs between (they
+    * read `< e`) and eventually be OVERWRITTEN by the stream when it
+    * reaches that epoch. The newest partition is never absorbed: it
+    * may belong to the one epoch the restarted stream can replay (its
+    * checkpoint commit may not have landed), and replay must find the
+    * partitions strictly below it intact. Run with the stream down
+    * when small per-batch partitions accumulate (the classic
+    * streaming small-files debt).
     *
     * Crash-RECOVERABLE, x25's versioned-publish spirit: the merged set
-    * is first written to a tmp dir whose parquet `_SUCCESS` is the
-    * commit point. A re-run after a crash at any step completes the
-    * swap — before the commit point the victims are untouched and the
-    * merge recomputes; after it, the full merged set lives in tmp and
-    * the re-run only finishes deleting victims and renaming. (The tmp
-    * dir does not match the `epoch=` prefix, so a mid-swap index is
-    * only ever read by [[indexBefore]] during an offline window.)
+    * is first written to `__compact_tmp_<label>`, whose parquet
+    * `_SUCCESS` is the commit point. Every invocation FIRST finishes
+    * any tmp dir found on disk regardless of its own argument (a
+    * committed tmp holds passages that may exist nowhere else; an
+    * uncommitted one is discarded — its victims are untouched), so a
+    * crashed swap completes on the next run instead of stranding data.
+    * All delete/rename results are checked: Hadoop FileSystems report
+    * most failures by returning false, not throwing.
     */
   def compactPassageIndex(spark: SparkSession, indexPath: String,
       upToEpoch: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
-    def victims = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
-        s.getPath.getName.stripPrefix("epoch=").toLong <= upToEpoch)
-      .map(_.getPath)
-    val tmp = new org.apache.hadoop.fs.Path(root, s"__compact_tmp_$upToEpoch")
-    val committed = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
-    if (!committed) {
-      val v = victims
-      if (v.size < 2) return // nothing to merge, no recovery pending
-      spark.read.parquet(v.map(_.toString): _*)
-        .select(col("chunk_text")).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    def mustDelete(p: org.apache.hadoop.fs.Path): Unit =
+      require(fs.delete(p, true), s"compaction: delete failed for $p")
+    def promote(tmp: org.apache.hadoop.fs.Path, label: Long): Unit = {
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
+          s.getPath.getName.stripPrefix("epoch=").toLong <= label)
+        .foreach(s => mustDelete(s.getPath))
+      val dest = new org.apache.hadoop.fs.Path(root, s"epoch=$label")
+      require(fs.rename(tmp, dest), s"compaction: rename $tmp -> $dest failed")
     }
-    victims.foreach(p => fs.delete(p, true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"epoch=$upToEpoch")): Unit
+    // recovery: finish (or discard) any swap a previous run left behind
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__compact_tmp_"))
+      .foreach { s =>
+        val label = s.getPath.getName.stripPrefix("__compact_tmp_").toLong
+        if (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          promote(s.getPath, label)
+        else mustDelete(s.getPath) // victims intact; clean slate
+      }
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(s => (s.getPath.getName.stripPrefix("epoch=").toLong, s.getPath))
+    if (dirs.isEmpty) return
+    val newest = dirs.map(_._1).max
+    val victims = dirs.filter { case (l, _) => l <= upToEpoch && l < newest }
+    if (victims.size < 2) return // nothing worth merging
+    val label = victims.map(_._1).max
+    val tmp = new org.apache.hadoop.fs.Path(root, s"__compact_tmp_$label")
+    spark.read.parquet(victims.map(_._2.toString): _*)
+      .select(col("chunk_text")).distinct()
+      .write.mode("overwrite").parquet(tmp.toString)
+    promote(tmp, label)
   }
 
   /** The union of index partitions committed before `epoch` (empty

@@ -417,8 +417,10 @@ class StreamsSpec extends SparkSpec {
     assert(epochDirs == Set("epoch=0", "epoch=1", "epoch=2"))
     val full = view(99L)
     val upTo1 = view(2L)
-    Streams.compactPassageIndex(spark, idxP, upToEpoch = 1L)
-    // merged into the highest absorbed label; later-epoch views identical
+    // upToEpoch beyond everything: the NEWEST partition must never be
+    // absorbed (it may be the restarted stream's replay target), and
+    // the merged dir takes the max ABSORBED label, not the argument
+    Streams.compactPassageIndex(spark, idxP, upToEpoch = 99L)
     assert(epochDirs == Set("epoch=1", "epoch=2"), s"got $epochDirs")
     assert(view(99L) == full && view(2L) == upTo1,
       "compaction must not change what any later epoch dedups against")
@@ -426,8 +428,15 @@ class StreamsSpec extends SparkSpec {
     // the merged dir (which WAS the tmp, _SUCCESS included) back to tmp
     assert(new java.io.File(s"$idxP/epoch=1")
       .renameTo(new java.io.File(s"$idxP/__compact_tmp_1")))
-    Streams.compactPassageIndex(spark, idxP, upToEpoch = 1L)
-    assert(epochDirs == Set("epoch=1", "epoch=2"))
+    // recovery must trigger regardless of the CURRENT call's argument
+    Streams.compactPassageIndex(spark, idxP, upToEpoch = 0L)
+    assert(epochDirs == Set("epoch=1", "epoch=2"), s"got $epochDirs")
     assert(view(99L) == full, "recovery must restore the full passage set")
+    // an UNCOMMITTED tmp (no _SUCCESS — crash before the commit point)
+    // is discarded: its victims were never touched
+    assert(new java.io.File(s"$idxP/__compact_tmp_0").mkdir())
+    Streams.compactPassageIndex(spark, idxP, upToEpoch = 99L)
+    assert(!new java.io.File(s"$idxP/__compact_tmp_0").exists())
+    assert(epochDirs == Set("epoch=1", "epoch=2") && view(99L) == full)
   }
 }
