@@ -77,4 +77,33 @@ object Sampling {
   def resampleToMix(df: DataFrame, idCol: String, strataCol: String,
       weights: Map[String, Double]): DataFrame =
     stratifiedHashSample(df, idCol, strataCol, mixRates(df, strataCol, weights))
+
+  /** Leakage-safe train/test split: every near-dup CLUSTER lands
+    * wholly on one side. Splitting docs independently leaks — a
+    * training doc's near-duplicate sitting in the eval slice inflates
+    * scores — so the deterministic md5 gate is applied to each doc's
+    * cluster REPRESENTATIVE (its own id for singletons): the whole
+    * family moves together, and the assignment stays a pure function
+    * of corpus content (re-runs, re-partitions, and engines agree).
+    *
+    * Output: (idCol, rep, split∈{train,test}).
+    *
+    * Scale shape: clusters come from the verified MinHash-LSH +
+    * connected-components path (bucketed candidate joins, never
+    * all-pairs); the rep lookup is one equi-join against the clustered
+    * docs only — typically a small fraction of the corpus — and the
+    * gate itself is a row-local expression.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, testRate: Double): DataFrame = {
+    val clusters = Dedup.connectedComponents(
+      Dedup.minHashLsh(docs, idCol, textCol, threshold))
+      .withColumnRenamed("doc_id", idCol)
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col(idCol)))
+      .select(col(idCol), col("rep"),
+        when(hashGate(col("rep"), testRate), lit("test"))
+          .otherwise(lit("train")).as("split"))
+  }
 }

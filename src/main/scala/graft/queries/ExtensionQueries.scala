@@ -600,6 +600,45 @@ object ExtensionQueries {
         FROM reach GROUP BY id""")
     ),
 
+    // ---- leakage-safe train/test split: the md5 gate is applied to
+    // each doc's near-dup cluster REPRESENTATIVE (own id for
+    // singletons), so a whole near-dup family lands on one side — the
+    // standard guard against eval leakage. Composes the verified
+    // LSH+CC path with the x18 gate; oracle = x20's recursive-CTE
+    // clusters + the identical gate arithmetic.
+    GraftQuery(
+      "x37_leakage_safe_split",
+      (s, dir) => graft.ops.Sampling.leakageSafeSplit(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, testRate = 0.1),
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s FROM toks),
+          nz AS (SELECT * FROM sh WHERE len(s) > 0),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT u AS id FROM edges),
+          reach AS (
+            WITH RECURSIVE r(id, lab) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.v, r.lab FROM r JOIN edges e ON e.u = r.id
+            ) SELECT * FROM r),
+          cl AS (SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_rep
+                 FROM reach GROUP BY id)
+        SELECT d.doc_id, COALESCE(cl.cluster_rep, d.doc_id) AS rep,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(
+                 COALESCE(cl.cluster_rep, d.doc_id) AS VARCHAR)), 1, 4)) AS INT)
+               < 6554
+            THEN 'test' ELSE 'train' END AS split
+        FROM documents d LEFT JOIN cl USING (doc_id)"""),
+      notes = "cluster-rep-gated split: near-dup families move together; oracle replays CC + gate"),
+
     // ---- benchmark decontamination: training docs sharing any token
     // 5-gram with the benchmark subset (doc_id % 11 == 0 stands in for
     // an eval suite). The op joins on 64-bit n-gram hashes against a

@@ -77,4 +77,32 @@ class SamplingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("klingon"))
   }
+
+  test("leakageSafeSplit keeps every near-dup family on one side") {
+    // planted family: 10, 11, 12 are jaccard-identical near-dups; 20,
+    // 21 are unrelated singletons. The family must share ONE split —
+    // and it must be the split of its representative's gate, so the
+    // whole assignment stays a pure function of content.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val planted = Seq(
+      (10L, s"$boiler variant one"), (11L, s"$boiler variant two"),
+      (12L, s"$boiler variant three"),
+      (20L, "the quick brown fox jumps over the lazy dog today"),
+      (21L, "completely different content about spark shuffles and joins")
+    ).toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(planted, "doc_id", "text",
+      threshold = 0.5, testRate = 0.5)
+      .as[(Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length == 5)
+    val family = Seq(10L, 11L, 12L).map(byId)
+    assert(family.map(_._2).toSet == Set(10L), "family rep must be min id")
+    assert(family.map(_._3).toSet.size == 1, "family must not straddle the split")
+    assert(byId(20L)._2 == 20L && byId(21L)._2 == 21L, "singletons rep themselves")
+    // partitioning invariance (the property plain df.sample lacks)
+    val again = Sampling.leakageSafeSplit(planted.repartition(7), "doc_id",
+      "text", threshold = 0.5, testRate = 0.5)
+      .as[(Long, Long, String)].collect().toSet
+    assert(again == out.toSet)
+  }
 }
