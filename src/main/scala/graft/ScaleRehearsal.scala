@@ -82,19 +82,50 @@ object ScaleRehearsal {
       // cost with the batch (+ one index equi-join)
       val batch = docs.where(col("doc_id") % 10 === 0)
       val corpus90 = docs.where(col("doc_id") % 10 =!= 0)
+      // marker versioned: v2 = bucketed+sorted index layout (a cached
+      // plain-parquet index would silently measure the old shape)
       val idxPath = s"/tmp/graft-scale-lshidx-${k}x"
-      if (!new java.io.File(s"$idxPath/_OK").exists()) {
+      if (!new java.io.File(s"$idxPath/_OK_v2").exists()) {
         Dedup.writeLshIndex(corpus90, "doc_id", "text", idxPath, threshold = 0.8)
-        new java.io.File(s"$idxPath/_OK").createNewFile()
+        new java.io.File(s"$idxPath/_OK_v2").createNewFile()
       }
       val (tIncr, nIncr) = time {
         Dedup.incrementalNearDup(batch, idxPath, "doc_id", "text",
           threshold = 0.8).count()
       }
       Staged.releaseAll()
+      // FIXED batch vs GROWING index — the incremental contract at
+      // 100 TB: per-batch cost tracks the batch, not the corpus. With
+      // the bucketed layout the index never crosses an Exchange; what
+      // remains per batch is its (shuffle-free) scan, so this curve
+      // must grow far slower than the index. The replica-0 batch
+      // only near-dups replica-0 docs (letter-rotated replicas share
+      // no shingles), so the pair count is invariant across k — a
+      // built-in correctness face.
+      val fixedBatch = docs
+        .where(col("doc_id") % 10 === 0 && col("doc_id") < 10000000L)
+      val (tFix, nFix) = time {
+        Dedup.incrementalNearDup(fixedBatch, idxPath, "doc_id", "text",
+          threshold = 0.8).count()
+      }
+      Staged.releaseAll()
+      // same fixed-batch face for the passage index (x33's layout)
+      val pIdxPath = s"/tmp/graft-scale-passidx-${k}x"
+      if (!new java.io.File(s"$pIdxPath/_OK_v2").exists()) {
+        Dedup.writePassageIndex(corpus90, "doc_id", "text", window = 8,
+          path = pIdxPath)
+        new java.io.File(s"$pIdxPath/_OK_v2").createNewFile()
+      }
+      val (tPFix, nPFix) = time {
+        Dedup.incrementalPassageDedup(fixedBatch, pIdxPath, "doc_id", "text",
+          window = 8).count()
+      }
+      Staged.releaseAll()
       println(s"""{"mult":$k,"docs":$n,"lsh_sec":$tPairs,"lsh_pairs":$nPairs,""" +
         s""""ngram_sec":$tNgram,"ngram_pairs":$nNgram,"cc_sec":$tCc,"cc_rows":$nCc,""" +
-        s""""incr_sec":$tIncr,"incr_pairs":$nIncr}""")
+        s""""incr_sec":$tIncr,"incr_pairs":$nIncr,""" +
+        s""""incr_fixed_sec":$tFix,"incr_fixed_pairs":$nFix,""" +
+        s""""pass_fixed_sec":$tPFix,"pass_fixed_docs":$nPFix}""")
     }
     spark.stop()
   }

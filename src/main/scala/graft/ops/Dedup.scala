@@ -354,34 +354,157 @@ object Dedup {
     }: Unit
   }
 
+  // ---- bucketed index layout ------------------------------------------
+  // The persisted index tables (LSH band table, shingle table, passage
+  // table) are written as BUCKETED + SORTED external parquet tables on
+  // their probe-join keys, so every per-batch probe join leaves the
+  // index side Exchange-free: the index scan's HashPartitioning on the
+  // bucket columns already satisfies the join's required distribution,
+  // and only the (small) batch side shuffles — into the index's bucket
+  // layout. The previous plain-parquet layout put the FULL index on the
+  // shuffle path of every batch (sort-merge re-shuffles both sides), a
+  // per-batch O(corpus) network cost that defeats the point of an
+  // incremental operator at 100 TB.
+  //
+  // The bucket spec (columns + count) is recorded in a `_graft_buckets`
+  // marker inside the table dir (underscore-prefixed: parquet listings
+  // ignore it), so a FRESH session — whose catalog has no entry — can
+  // re-register the external table over the existing files. Dirs
+  // without the marker (pre-bucketing indexes) fall back to a plain
+  // parquet read: older indexes stay readable, just without the
+  // shuffle-free probe.
+
+  private val BucketMarkerFile = "_graft_buckets"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Catalog name for the external table over `dir` — a pure function
+    * of the path, so every session that touches the same index dir
+    * lands on the same (idempotently re-creatable) entry.
+    */
+  private[ops] def indexTableName(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"graft_idx_$h"
+  }
+
+  private def writeBucketSpec(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bucketCols: Seq[String], nBuckets: Int): Unit = {
+    val out = fsOf(spark, dir).create(
+      new org.apache.hadoop.fs.Path(dir, BucketMarkerFile), true)
+    try out.write(s"${bucketCols.mkString(",")}|$nBuckets".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readBucketSpec(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(Seq[String], Int)] = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, BucketMarkerFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val Array(cols, n) = txt.trim.split('|')
+      Some((cols.split(',').toSeq, n.toInt))
+    }
+  }
+
+  private def ensureIndexTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bucketCols: Seq[String], nBuckets: Int): Unit =
+    if (!spark.catalog.tableExists(indexTableName(dir))) {
+      val schema = spark.read.parquet(dir).schema
+      spark.sql(s"CREATE TABLE ${indexTableName(dir)} (${schema.toDDL}) " +
+        s"USING PARQUET CLUSTERED BY (${bucketCols.mkString(", ")}) " +
+        s"SORTED BY (${bucketCols.mkString(", ")}) INTO $nBuckets BUCKETS " +
+        s"LOCATION '$dir'"): Unit
+    }
+
+  /** Fresh build of one bucketed index table: drop any previous catalog
+    * entry and data (the dir delete is explicit — DROP TABLE leaves
+    * external data in place), write bucketed+sorted, then commit the
+    * bucket-spec marker LAST so a crashed write is read as absent, not
+    * as a half-bucketed table.
+    */
+  private def writeBucketedIndex(df: DataFrame, dir: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dir)
+    spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(dir)}")
+    if (fs.exists(path))
+      require(fs.delete(path, true), s"index build: delete failed for $dir")
+    df.write.mode("overwrite").format("parquet").option("path", dir)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(indexTableName(dir))
+    writeBucketSpec(spark, dir, bucketCols, nBuckets)
+  }
+
+  /** Append into an existing index table under ITS recorded bucket
+    * spec (appends add files per bucket; reads group them, so the
+    * Exchange-free probe survives appends). Pre-bucketing dirs append
+    * plain parquet — same format they were built with.
+    */
+  private def appendBucketedIndex(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    readBucketSpec(spark, dir) match {
+      case None => df.write.mode("append").parquet(dir)
+      case Some((cols, n)) =>
+        ensureIndexTable(spark, dir, cols, n)
+        df.write.mode("append").format("parquet")
+          .bucketBy(n, cols.head, cols.tail: _*)
+          .sortBy(cols.head, cols.tail: _*)
+          .saveAsTable(indexTableName(dir))
+    }
+  }
+
+  /** Read one index table back with its bucket layout (plain parquet
+    * when the dir predates bucketing).
+    */
+  private[ops] def readIndexTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    readBucketSpec(spark, dir) match {
+      case None => spark.read.parquet(dir)
+      case Some((cols, n)) =>
+        ensureIndexTable(spark, dir, cols, n)
+        spark.table(indexTableName(dir))
+    }
+
   /** Persist the MinHash-LSH state of a corpus as an incremental dedup
-    * index: `bands/` — (id, band_idx, band_key) partitioned by
-    * band_idx — and `shingles/` — (id, h) for exact verification. A
-    * later batch then dedups against the corpus WITHOUT recomputing
-    * corpus signatures (the operation a daily-ingest pipeline actually
-    * runs at 100 TB: the index is touched by one equi-join, the corpus
-    * text never again).
+    * index: `bands/` — (id, band_idx, band_key) bucketed+sorted on
+    * (band_idx, band_key) — and `shingles/` — (id, h) bucketed+sorted
+    * on id for exact verification. A later batch then dedups against
+    * the corpus WITHOUT recomputing corpus signatures (the operation a
+    * daily-ingest pipeline actually runs at 100 TB: the index is
+    * touched by one equi-join that shuffles ONLY the batch side — the
+    * bucket layout keeps the index off the shuffle path — and the
+    * corpus text never again).
     */
   def writeLshIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, threshold: Double = 0.8, bands: Int = 32,
-      rowsPerBand: Int = 4, shingleSize: Int = 3): Unit = {
-    GraftFunctions.register(df.sparkSession)
+      rowsPerBand: Int = 4, shingleSize: Int = 3,
+      nBuckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
     val docs = df
       .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
       .where(size(col("h")) > 0)
-    docs.write.mode("overwrite").parquet(s"$path/shingles")
-    val reloaded = df.sparkSession.read.parquet(s"$path/shingles")
-    reloaded
+    writeBucketedIndex(docs, s"$path/shingles", Seq("id"), nBuckets)
+    val reloaded = readIndexTable(spark, s"$path/shingles")
+    writeBucketedIndex(reloaded
       .withColumn("sig", minHashSignatureFromHashes(col("h"), bands * rowsPerBand))
       .select(col("id"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
-      .write.mode("overwrite").partitionBy("band_idx").parquet(s"$path/bands")
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key"))),
+      s"$path/bands", Seq("band_idx", "band_key"), nBuckets)
     // fresh build: drop any stale stats before seeding from the new bands
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
     listStatsDirs(fs, path).foreach { case (p, _) => fs.delete(p, true) }
-    mergeBucketCounts(df.sparkSession, path,
-      bandCountsOf(df.sparkSession.read.parquet(s"$path/bands")))
+    mergeBucketCounts(spark, path,
+      bandCountsOf(readIndexTable(spark, s"$path/bands")))
   }
 
   /** All stats dirs under the index with their version numbers: the
@@ -493,7 +616,7 @@ object Dedup {
       .withColumn("sig", minHashSignatureFromHashes(col("h"), bands * rowsPerBand))
       .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key"))))
-    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    val idxBands = readIndexTable(spark, s"$indexPath/bands")
       .select(col("id").as("id_x"), col("band_idx"), col("band_key"))
     // hot-bucket cap over the COMBINED population: a bucket the corpus
     // already saturates must not join every new doc that lands in it
@@ -516,13 +639,24 @@ object Dedup {
       .select(col("band_idx"), col("band_key"))
     val cappedNew = newBands.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
     val cappedIdx = idxBands.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
-    val candidates = cappedNew
+    // staged: feeds the candidate-id projection and the verify join
+    val candidates = stage(cappedNew
       .join(cappedIdx, Seq("band_idx", "band_key"))
       .select(least(col("id"), col("id_x")).as("id_a"),
         greatest(col("id"), col("id_x")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
-      .distinct()
-    val idxShingles = spark.read.parquet(s"$indexPath/shingles")
+      .distinct())
+    // The exact-verify pass touches ONLY the docs candidates name:
+    // candidate ids are O(batch), so the semi-join below reduces the
+    // index shingle table to O(batch) rows BEFORE any aggregation.
+    // (The previous union+groupBy over the full corpus shingle table
+    // re-aggregated every indexed doc per batch — O(corpus).) The
+    // shingle table is bucketed on id, so the semi-join shuffles only
+    // the candidate-id side.
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val idxShingles = readIndexTable(spark, s"$indexPath/shingles")
+      .join(candIds, Seq("id"), "left_semi")
     val allShingles = newShingles.unionByName(idxShingles)
       .groupBy("id").agg(first("h").as("h")) // a doc present in both sides resolves once
     val cross = verifyJaccard(candidates, allShingles, threshold)
@@ -548,15 +682,17 @@ object Dedup {
       textCol: String, bands: Int = 32, rowsPerBand: Int = 4,
       shingleSize: Int = 3): Unit = {
     GraftFunctions.register(newDocs.sparkSession)
-    val docs = newDocs
+    // staged: the shingle append, the band derivation, and the stats
+    // delta all read this batch-sized frame
+    val docs = stage(newDocs
       .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
-      .where(size(col("h")) > 0)
-    docs.write.mode("append").parquet(s"$indexPath/shingles")
-    val newBands = docs
+      .where(size(col("h")) > 0))
+    appendBucketedIndex(docs, s"$indexPath/shingles")
+    val newBands = stage(docs
       .withColumn("sig", minHashSignatureFromHashes(col("h"), bands * rowsPerBand))
       .select(col("id"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
-    newBands.write.mode("append").partitionBy("band_idx").parquet(s"$indexPath/bands")
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key"))))
+    appendBucketedIndex(newBands, s"$indexPath/bands")
     mergeBucketCounts(newDocs.sparkSession, indexPath, bandCountsOf(newBands))
   }
 
@@ -675,13 +811,14 @@ object Dedup {
   /** Persist the passage index of a corpus — its distinct passages —
     * for [[incrementalPassageDedup]] batches to suppress against (the
     * continuous-ingest shape: the corpus text is chunked once at index
-    * time and never re-read per batch).
+    * time and never re-read per batch). Bucketed+sorted on the passage
+    * key, so the per-batch anti-join shuffles only the batch side.
     */
   def writePassageIndex(df: DataFrame, idCol: String, textCol: String,
-      window: Int, path: String): Unit =
-    passages(df, idCol, textCol, window)
-      .select(col("chunk_text")).distinct()
-      .write.mode("overwrite").parquet(s"$path/passages")
+      window: Int, path: String, nBuckets: Int = 32): Unit =
+    writeBucketedIndex(passages(df, idCol, textCol, window)
+      .select(col("chunk_text")).distinct(),
+      s"$path/passages", Seq("chunk_text"), nBuckets)
 
   /** Register a batch's NEW passages into the index (append-only; the
     * anti-join keeps the table distinct). Run after the batch has been
@@ -690,16 +827,18 @@ object Dedup {
   def appendToPassageIndex(newDocs: DataFrame, path: String, idCol: String,
       textCol: String, window: Int): Unit = {
     val spark = newDocs.sparkSession
-    passages(newDocs, idCol, textCol, window)
+    appendBucketedIndex(passages(newDocs, idCol, textCol, window)
       .select(col("chunk_text")).distinct()
-      .join(spark.read.parquet(s"$path/passages"), Seq("chunk_text"), "left_anti")
-      .write.mode("append").parquet(s"$path/passages")
+      .join(readIndexTable(spark, s"$path/passages"),
+        Seq("chunk_text"), "left_anti"),
+      s"$path/passages")
   }
 
   /** [[passageDedup]] for a NEW batch against a persisted
     * [[writePassageIndex]] corpus: passages already in the index always
     * lose (one equi anti-join on the passage key — the corpus text is
-    * never re-chunked), then first occurrence wins within the batch.
+    * never re-chunked, and the index's bucket layout keeps it off the
+    * shuffle path), then first occurrence wins within the batch.
     * When every corpus id precedes every batch id, the result equals
     * `passageDedup(corpus ∪ batch)` restricted to batch docs (the
     * differential spec pins this identity). Returns the [[passageDedup]]
@@ -708,7 +847,7 @@ object Dedup {
   def incrementalPassageDedup(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String, window: Int): DataFrame =
     incrementalPassageDedup(newDocs,
-      newDocs.sparkSession.read.parquet(s"$indexPath/passages"),
+      readIndexTable(newDocs.sparkSession, s"$indexPath/passages"),
       idCol, textCol, window)
 
   /** [[incrementalPassageDedup]] against an index given as a DataFrame

@@ -49,19 +49,46 @@ object Sharding {
         Window.partitionBy(col("shard")).orderBy(col(idCol))))
 
   /** Write the corpus as nShards sorted parquet shard directories
-    * (`$outDir/shard=<s>/`). One range shuffle on the shard key — range
-    * (not hash) partitioning, because hash(shard) % nShards collides
-    * shard values onto shared tasks and leaves others empty, turning
-    * the terminal write into a straggler; range boundaries over the
-    * evenly-populated shard ids give ~one shard per task. Deterministic
-    * in what matters to a loader: shard MEMBERSHIP and in-file row
-    * order are pure functions of the corpus (part-file NAMES are not —
-    * they embed a per-job UUID).
+    * (`$outDir/shard=<s>/`). One shuffle with an EXACT one-shard-per-
+    * task mapping: plain hash(shard) % nShards collides shard values
+    * onto shared tasks and leaves others empty, and repartitionByRange
+    * SAMPLES its boundaries — with exactly nShards distinct keys the
+    * sample can merge adjacent shards onto one task and re-create the
+    * straggler. Instead each shard id is mapped through a probe value
+    * precomputed (driver-side, O(nShards) work) to murmur3-hash onto
+    * exactly its own partition — deterministic, no sampling.
+    * Deterministic in what matters to a loader: shard MEMBERSHIP and
+    * in-file row order are pure functions of the corpus (part-file
+    * NAMES are not — they embed a per-job UUID).
     */
   def writeShards(df: DataFrame, idCol: String, nShards: Int,
-      outDir: String): Unit =
+      outDir: String): Unit = {
+    val probes = partitionProbes(nShards)
     df.withColumn("shard", shardId(col(idCol), nShards))
-      .repartitionByRange(nShards, col("shard"))
+      .withColumn("__probe",
+        element_at(typedLit(probes.toSeq), col("shard").cast("int") + 1))
+      .repartition(nShards, col("__probe"))
+      .drop("__probe")
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
+  /** probes(s) = the smallest non-negative long that HashPartitioning
+    * (murmur3 seed 42, pmod nShards — exactly Spark's repartition
+    * layout) places in partition s. Shuffling by `probes(shard)` gives
+    * every shard its own task without trusting a sampler. Coupon-
+    * collector expectation: O(nShards · ln nShards) hash evaluations.
+    */
+  private[ops] def partitionProbes(nShards: Int): Array[Long] = {
+    val probes = Array.fill(nShards)(-1L)
+    var found = 0
+    var v = 0L
+    while (found < nShards) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+      val p = ((h % nShards) + nShards) % nShards
+      if (probes(p) < 0) { probes(p) = v; found += 1 }
+      v += 1
+    }
+    probes
+  }
 }

@@ -788,11 +788,11 @@ object ExtensionQueries {
         val docs = Tables(s, dir, "documents")
         val path = s"${sys.props("java.io.tmpdir")}/graft-lsh-${OracleDump.sfTag(dir)}"
         // versioned marker: an index written by an older format (e.g.
-        // before bucket_counts existed) must rebuild, not half-load;
+        // before the bucketed-table layout) must rebuild, not half-load;
         // the corpus fingerprint additionally invalidates it when the
         // fixture itself is regenerated (stale-index hazard)
         val marker = new java.io.File(
-          s"$path/_INDEX_OK_v2_${OracleDump.tableFingerprint(dir, "documents")}")
+          s"$path/_INDEX_OK_v3_${OracleDump.tableFingerprint(dir, "documents")}")
         if (!marker.exists()) {
           Dedup.writeLshIndex(docs.filter($"doc_id" % 2 === 0),
             "doc_id", "text", path, threshold = 0.8)
@@ -1113,7 +1113,7 @@ object ExtensionQueries {
         // format version: a regenerated fixture rebuilds the index
         // instead of silently serving stale passages
         val marker = new java.io.File(
-          s"$path/_INDEX_OK_v1_${OracleDump.tableFingerprint(dir, "documents")}")
+          s"$path/_INDEX_OK_v2_${OracleDump.tableFingerprint(dir, "documents")}")
         if (!marker.exists()) {
           graft.ops.Dedup.writePassageIndex(docs.filter($"doc_id" < 250),
             "doc_id", "text", window = 3, path)

@@ -76,11 +76,15 @@ object OracleDump {
       else Seq(src)
     val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString("|")
+    // hash over the BYTE length, not the char count: for non-ASCII file
+    // names the UTF-8 encoding is longer than the string, and a char
+    // count would hash a truncated prefix (a tail-only change — e.g.
+    // the last file's mtime — would not invalidate the index)
+    val bytes = sig.getBytes("UTF-8")
     java.lang.Long.toHexString(
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        sig.getBytes("UTF-8"),
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        sig.length, 42).toLong & 0xffffffffL)
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42).toLong & 0xffffffffL)
   }
 }
 

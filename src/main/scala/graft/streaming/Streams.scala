@@ -181,6 +181,13 @@ object Streams {
     * append-mode index would break this: a crash after the index
     * append would make the replayed batch dedup against its own
     * passages and overwrite its output with an empty epoch.
+    *
+    * Documents with no `[a-z0-9]` tokens (e.g. non-Latin text) have no
+    * passages and are absent from the dedup output — but they are NOT
+    * duplicates, so they pass through with their original text
+    * (`n_kept = n_dropped = 0`), mirroring CurateMain's batch guard.
+    * Documents whose EVERY passage was index-suppressed drop BY DESIGN:
+    * they are entirely repeated content.
     */
   def passageDedupStream(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, idCol: String, textCol: String,
@@ -194,13 +201,22 @@ object Streams {
         // between the clean output and the index registration
         val (cleaned, fresh) = graft.ops.Dedup
           .incrementalPassageDedupStaged(batch, idx, idCol, textCol, window)
-        cleaned.write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        // token-less docs: pure function of the batch → replay-idempotent
+        val tokenless = batch
+          .where(size(graft.ops.TextAnalysis.tokens(col(textCol))) === 0)
+          .select(col(idCol), col(textCol).as("clean_text"),
+            lit(0).as("n_kept"), lit(0).as("n_dropped"))
+        cleaned.unionByName(tokenless)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
         fresh.select(col("chunk_text")).distinct()
           .write.mode("overwrite").parquet(s"$indexPath/epoch=$epoch")
-        // release(), NOT releaseAll(): the stream stages only persisted
-        // frames; releaseAll would also destroy checkpointed result
-        // leaves owned by concurrent pipelines in this session
-        // (truncated lineage cannot recompute — Staged's own contract)
+        // release(), NOT releaseAll(): releaseAll would also destroy
+        // checkpointed result leaves owned by concurrent pipelines in
+        // this session (truncated lineage cannot recompute — Staged's
+        // own contract). Note release() itself is process-GLOBAL: it
+        // drains every tracked persisted frame, including ones staged
+        // by concurrently running pipelines — safe (persisted frames
+        // recompute) but a shared-session perf cliff to be aware of.
         graft.ops.Staged.release()
       }
       .start()

@@ -342,4 +342,83 @@ class DedupSpec extends SparkSpec {
     assert(cc.length == 30)
     assert(cc.forall(_._2 == 0L), "all nodes must take the chain-min label")
   }
+
+  test("incremental probes leave the persisted index off the shuffle path") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // Worst-case shape on purpose: AQE off so the static plan is
+    // assertable, broadcast off so the sort-merge path — the one that
+    // re-shuffled a plain-parquet index every batch — is the one
+    // pinned. (AQE can only improve on this by broadcasting the batch.)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val lshDir = java.nio.file.Files.createTempDirectory("graft-lsh-plan").toString
+      Dedup.writeLshIndex(corpus.where($"doc_id".isin(0L, 1L, 4L)),
+        "doc_id", "text", lshDir, threshold = 0.5)
+      val passDir = java.nio.file.Files.createTempDirectory("graft-pass-plan").toString
+      Dedup.writePassageIndex(corpus.where($"doc_id" < 3),
+        "doc_id", "text", window = 3, path = passDir)
+
+      // staged intermediates hide their subplan inside InMemoryRelation;
+      // the index scans must be found (and judged) wherever they live
+      def deepPlans(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+          .flatMap(deepPlans)
+      // only the probe-joined index tables — the bucket_counts stats
+      // table lives in the same dir but is a (tiny) plain-parquet read
+      val indexTables = Set("bands", "shingles", "passages")
+      def isIndexScan(f: FileSourceScanExec, dir: String): Boolean =
+        f.relation.location.rootPaths.exists(rp =>
+          rp.toString.contains(new java.io.File(dir).getName) &&
+            indexTables(rp.getName))
+      // Every root→scan path for the index tables, ancestors nearest-
+      // first. The invariant is NOT "no Exchange anywhere above the
+      // scan" — joins DERIVE small frames (candidate pairs, semi-join
+      // survivors) whose later shuffles are O(batch) and fine. It is:
+      // between the index scan and the FIRST join it feeds there is no
+      // ShuffleExchange — the full-size index never crosses the wire.
+      def pathsToIndexScans(p: SparkPlan, dir: String,
+          anc: List[SparkPlan]): Seq[(FileSourceScanExec, List[SparkPlan])] =
+        p match {
+          case f: FileSourceScanExec if isIndexScan(f, dir) => Seq((f, anc))
+          case other =>
+            other.children.flatMap(pathsToIndexScans(_, dir, other :: anc))
+        }
+      def assertIndexOffShufflePath(df: org.apache.spark.sql.DataFrame,
+          dir: String): Unit = {
+        val paths = deepPlans(df.queryExecution.executedPlan)
+          .flatMap(pathsToIndexScans(_, dir, Nil))
+        assert(paths.nonEmpty, "expected the probe plan to scan the index")
+        paths.foreach { case (scan, ancestors) =>
+          assert(scan.bucketedScan,
+            s"index scan must be bucketed:\n$scan")
+          val preJoin = ancestors.takeWhile {
+            case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+            case _ => true
+          }
+          assert(!preJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+            s"Exchange between the index scan and its probe join:\n" +
+              s"${df.queryExecution.executedPlan}")
+        }
+      }
+
+      val probe = Dedup.incrementalNearDup(corpus.where($"doc_id".isin(2L, 3L, 5L)),
+        lshDir, "doc_id", "text", threshold = 0.5)
+      probe.collect() // materialize so staged subplans exist
+      assertIndexOffShufflePath(probe, lshDir)
+
+      val pprobe = Dedup.incrementalPassageDedup(corpus.where($"doc_id" >= 3),
+        passDir, "doc_id", "text", window = 3)
+      pprobe.collect()
+      assertIndexOffShufflePath(pprobe, passDir)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      Staged.releaseAll()
+    }
+  }
 }

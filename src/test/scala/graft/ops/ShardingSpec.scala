@@ -48,4 +48,32 @@ class ShardingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(again == expected)
   }
+
+  test("writeShards puts exactly one task behind every shard") {
+    // the probe mapping is an exact exchange: no sampler to merge
+    // adjacent shards onto one task (straggler) or strand empty tasks —
+    // so every shard dir holds exactly ONE data file
+    val out = java.nio.file.Files.createTempDirectory("graft-shards-exact").toString
+    Sharding.writeShards(docs, "doc_id", nShards = 8, out)
+    (0 until 8).foreach { s =>
+      val dir = new java.io.File(s"$out/shard=$s")
+      assert(dir.isDirectory, s"missing shard dir $s")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"shard $s must be written by exactly one task, got ${files.length} files")
+    }
+  }
+
+  test("partition probes land each shard on its own partition") {
+    // pin the contract the probe search relies on: pmod(murmur3(probe,
+    // seed 42), n) — Spark's HashPartitioning layout for a long column
+    for (n <- Seq(1, 3, 8, 32)) {
+      val probes = Sharding.partitionProbes(n)
+      assert(probes.length == n)
+      probes.zipWithIndex.foreach { case (v, s) =>
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+        assert(((h % n) + n) % n == s, s"probe $v must land partition $s of $n")
+      }
+    }
+  }
 }

@@ -368,6 +368,37 @@ class StreamsSpec extends SparkSpec {
     assert(replayed == committed, "replay must rewrite identical content")
   }
 
+  test("streaming passage dedup passes token-less docs through unchanged") {
+    // docs with no [a-z0-9] tokens have no passages — they must NOT be
+    // silently dropped from the cleaned epoch output (they aren't
+    // duplicates); they ride through with original text and 0/0 counts
+    val root = java.nio.file.Files.createTempDirectory("graft-pstream-tok").toString
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.passageDedupStream(
+      input.toDF().select($"doc_id", $"text"),
+      s"$root/index", s"$root/out", s"$root/cp", "doc_id", "text", window = 3)
+    try {
+      input.addData(
+        DocEvent(1L, ts(1), "a1 a2 a3"),
+        DocEvent(2L, ts(1), "漢字の文書、非ラテン!"),
+        DocEvent(3L, ts(1), "!!! ???"))
+      q.processAllAvailable()
+      // token-less docs never enter the passage index, so a later
+      // token-less repeat also passes through (no false dedup)
+      input.addData(DocEvent(4L, ts(2), "漢字の文書、非ラテン!"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$root/out")
+      .select($"doc_id", $"clean_text", $"n_kept", $"n_dropped")
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(out == Set(
+      (1L, "a1 a2 a3", 1, 0),
+      (2L, "漢字の文書、非ラテン!", 0, 0),
+      (3L, "!!! ???", 0, 0),
+      (4L, "漢字の文書、非ラテン!", 0, 0)),
+      s"token-less docs must pass through: $out")
+  }
+
   test("generative: epoch-sequential stream equals one-shot batch passage dedup") {
     // when ids are epoch-ordered (every earlier epoch's ids precede
     // every later one's), the streamed per-epoch results must union to
