@@ -46,23 +46,38 @@ object Bench {
     // a hand-edited or older-schema file degrades to "no history".
     val histMed: Map[String, Double] = try {
       val txt = scala.io.Source.fromFile("BENCH_FULL.json").mkString
-      val re = """"([A-Za-z0-9_]+)":\{"min":[-0-9.Ee]+,"med":([-0-9.Ee]+)""".r
-      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // the 2x-median threshold is only meaningful against a sweep at the
+      // SAME scale factor; a history from another sf degrades to "none"
+      val histSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!histSf.contains(sfDir)) Map.empty
+      else {
+        val re = """"([A-Za-z0-9_]+)":\{"min":[-0-9.Ee]+,"med":([-0-9.Ee]+)""".r
+        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case _: Throwable => Map.empty }
+    // A query that throws must surface as an ERROR, never as the (tiny)
+    // time-to-throw: round 9's three analysis-broken queries showed up as
+    // bogus ~50 ms "timings" and flattered the total. Each entry carries
+    // its successful-run times plus the first error message, if any.
     val results = selected.map { case (name, fn) =>
       // one untimed warm-up so codegen/JIT compilation and staged-persist
       // materialization aren't billed to the first timed run
       try { run1(fn) } catch { case _: Throwable => () }
-      val times = (1 to runs).map { _ =>
+      var err: Option[String] = None
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { run1(fn) } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { run1(fn); true } catch { case e: Throwable =>
+          if (err.isEmpty)
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          false
+        }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       val load = loadAvg()
       // unpersist this query's staged intermediates before the next query
       // runs, so the 80-query sweep doesn't accumulate block-manager state
       graft.ops.Staged.releaseAll()
-      name -> (times.sorted, load)
+      name -> (times.sorted, load, err)
     }
     // Self-defense pass: a query whose best-of-N still exceeds 2x its
     // previous-sweep median hit either a real regression or a box-state
@@ -72,16 +87,18 @@ object Bench {
     // usually passed. Both numbers are recorded; the rerun participates
     // in the reported best so a cleared outlier stops poisoning the
     // headline, while a confirmed one stays visible (rerun ~= sweep min).
-    val reruns: Map[String, Double] = results.flatMap { case (name, (ts, _)) =>
+    val reruns: Map[String, Double] = results.flatMap { case (name, (ts, _, _)) =>
       histMed.get(name) match {
-        case Some(h) if h > 0 && ts.head > 2 * h =>
+        case Some(h) if h > 0 && ts.nonEmpty && ts.head > 2 * h =>
           val fn = selected(name)
           try { run1(fn) } catch { case _: Throwable => () } // re-warm
           val t0 = System.nanoTime()
-          try { run1(fn) } catch { case _: Throwable => () }
+          // record the rerun ONLY if it completed — a rerun that fails
+          // fast would otherwise feed a bogus tiny time into best()
+          val ok = try { run1(fn); true } catch { case _: Throwable => false }
           val t = (System.nanoTime() - t0) / 1e9
           graft.ops.Staged.releaseAll()
-          Some(name -> t)
+          if (ok) Some(name -> t) else None
         case _ => None
       }
     }
@@ -99,31 +116,52 @@ object Bench {
     // regression reproduces in the rerun and stays
     def best(k: String, ts: Seq[Double]): Double =
       reruns.get(k).fold(ts.head)(r => math.min(ts.head, r))
-    val qs = results.map { case (k, (ts, _)) => "\"" + keyOf(k) + "\":" + fmt(best(k, ts)) }
+    // an entry with zero successful runs is an ERROR: it gets no timing
+    // in "queries", is excluded from the total, and is named loudly in a
+    // top-level "errors" list
+    val (okResults, errResults) = results.partition { case (_, (ts, _, _)) => ts.nonEmpty }
+    val qs = okResults.map { case (k, (ts, _, _)) => "\"" + keyOf(k) + "\":" + fmt(best(k, ts)) }
       .mkString("{", ",", "}")
+    val errList = errResults.map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     // BENCH_FULL.json records the per-query SPREAD (min/median/max over
     // the timed runs): a best-of number whose siblings are 5× larger is
     // external load, not a regression — the spread is what tells a
     // reader which it was. "load" is /proc/loadavg's 1-min column at
     // measurement time; "rerun" appears only when the self-defense pass
     // fired (sweep min > 2x previous sweep's median).
-    val qsFull = results.map { case (k, (ts, load)) =>
-      // conventional median: average the two middle elements when the
-      // timed-run count is even (ts is already sorted)
-      val med = if (ts.size % 2 == 1) ts(ts.size / 2)
-                else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qsFull = results.map { case (k, (ts, load, err)) =>
       val rerun = reruns.get(k).map(r => s""","rerun":$r""").getOrElse("")
-      "\"" + k + s"""\":{"min":${ts.head},"med":$med,"max":${ts.last},"load":$load$rerun}"""
+      val errF = err.map(m => s""","err":${jstr(m)}""").getOrElse("")
+      if (ts.isEmpty)
+        "\"" + k + s"""\":{"load":$load$errF}"""
+      else {
+        // conventional median: average the two middle elements when the
+        // timed-run count is even (ts is already sorted)
+        val med = if (ts.size % 2 == 1) ts(ts.size / 2)
+                  else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+        "\"" + k + s"""\":{"min":${ts.head},"med":$med,"max":${ts.last},"load":$load$rerun$errF}"""
+      }
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map { case (k, (ts, _)) => best(k, ts) }.sum else 0.0
+    val total = if (okResults.nonEmpty) okResults.map { case (k, (ts, _, _)) => best(k, ts) }.sum else 0.0
+    val errField = if (errResults.nonEmpty) s""","errors":$errList""" else ""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
-    try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(full) finally w.close()
-    } catch { case _: Throwable => () } // best-effort; the stdout line is the contract
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull$errField,"sf":"$sfDir"}"""
+    // a FILTERED run must not clobber the full-sweep median history —
+    // overwriting would silently disable the self-defense pass for every
+    // query outside the filter on the next full sweep
+    if (filter.isEmpty) {
+      try {
+        val w = new java.io.PrintWriter("BENCH_FULL.json")
+        try w.println(full) finally w.close()
+      } catch { case _: Throwable => () } // best-effort; the stdout line is the contract
+    }
     println(line)
     spark.stop()
   }

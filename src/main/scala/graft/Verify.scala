@@ -35,11 +35,18 @@ object Verify {
         sel
       case None => SparkEntry.queries
     }
+    // fail CLOSED: a query that throws must surface as (a) a recorded
+    // error the driver can turn into a red CORRECTNESS row and (b) a
+    // nonzero exit — round 9 proved that "skip and continue" lets a
+    // broken query silently vanish from the correctness file.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) =
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
       // bound cache footprint across the 70+ sequential pipelines
       finally graft.ops.Staged.releaseAll()
@@ -61,6 +68,22 @@ object Verify {
         s"${q(k)}: ${q(graft.queries.OracleDump.substitute(v, sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // dump-failure manifest: lets the driver emit explicit `err` rows for
+    // queries with no parquet dir instead of a silently shorter file
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // sanity: an unfiltered run must have dumped exactly the registry
+    if (filter.isEmpty) {
+      val dumped = Option(new java.io.File(outDir).listFiles()).getOrElse(Array())
+        .filter(_.isDirectory).map(_.getName).toSet
+      val missing = SparkEntry.queries.keySet -- dumped
+      if (missing.nonEmpty)
+        System.err.println(s"[verify] missing dumps: ${missing.toSeq.sorted.mkString(",")}")
+    }
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

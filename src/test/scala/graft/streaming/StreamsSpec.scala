@@ -53,19 +53,15 @@ class StreamsSpec extends SparkSpec {
     // once as a file stream and once as a batch DataFrame, must produce
     // identical windows — the engine's batch/streaming unification claim
     // on real data rather than synthetic MemoryStream rows
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // the on-disk ts layout drifts across fixture generations; declare the
+    // file's own schema and canonicalize exactly as the batch loader does
+    val sch = graft.sources.Tables.rawSchema(spark, sf, "events")
     // the file stream source wants a directory; stage the fixture file
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-events")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val streamIn = spark.readStream.schema(sch)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamIn = graft.sources.Tables.canonicalTs(
+      spark.readStream.schema(sch).parquet(dir.toString))
     val agg = Streams.tumblingStats(streamIn)
     val q = agg.writeStream.format("memory").queryName("tumbling_real")
       .outputMode("complete").start()
@@ -163,16 +159,13 @@ class StreamsSpec extends SparkSpec {
 
   test("streaming as-of over the real fixture equals the batch tolerance as-of") {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // declare the file's own (drift-prone) schema, canonicalize like batch
+    val sch = graft.sources.Tables.rawSchema(spark, sf, "events")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-asof")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    def streamIn = spark.readStream.schema(sch).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def streamIn = graft.sources.Tables.canonicalTs(
+      spark.readStream.schema(sch).parquet(dir.toString))
     val leftS = streamIn.select($"event_id", $"user_id", $"ts")
     val rightS = streamIn.filter($"event_type" === "error")
       .select($"user_id", $"ts", $"event_id".as("err_id"))
@@ -186,7 +179,7 @@ class StreamsSpec extends SparkSpec {
       // append mode only emits left rows the watermark has closed; a
       // far-future dummy event advances it past the whole fixture
       val batchEv = graft.sources.Tables(spark, sf, "events")
-      val maxNs = batchEv.select(max(unix_micros($"ts"))).head().getLong(0) * 1000L
+      val maxUs = batchEv.select(max(unix_micros($"ts"))).head().getLong(0)
       // watermarks propagate one batch late through the chained join +
       // agg operators, so two successive dummies (each its own batch)
       // are needed to close every fixture group. They must be "error"
@@ -196,8 +189,16 @@ class StreamsSpec extends SparkSpec {
       // the last fixture error.
       for (h <- Seq(2L, 4L)) {
         val tmpOut = java.nio.file.Files.createTempDirectory("graft-asof-dummy")
-        Seq((999999990L + h, maxNs + 3600L * h * 1000000000L, 1L, "error", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        // the dummy file must carry ts in the SAME on-disk layout the
+        // fixture (and thus the stream's declared schema) uses
+        val dummyUs = maxUs + 3600L * h * 1000000L
+        Seq((999999990L + h, dummyUs, 1L, "error", 0.0, "{}"))
+          .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+          .withColumn("ts", sch("ts").dataType match {
+            case LongType => $"ts_us" * 1000L // nanos-as-long layout
+            case t        => timestamp_micros($"ts_us").cast(t)
+          })
+          .select(sch.fieldNames.map(col).toSeq: _*)
           .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
         // the file source watches dir non-recursively: drop the part file in
         val part = java.nio.file.Files.list(tmpOut)
