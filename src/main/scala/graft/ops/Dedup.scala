@@ -385,7 +385,7 @@ object Dedup {
     * of the path, so every session that touches the same index dir
     * lands on the same (idempotently re-creatable) entry.
     */
-  private[ops] def indexTableName(dir: String): String = {
+  private[graft] def indexTableName(dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     s"graft_idx_$h"
@@ -429,7 +429,7 @@ object Dedup {
     * bucket-spec marker LAST so a crashed write is read as absent, not
     * as a half-bucketed table.
     */
-  private def writeBucketedIndex(df: DataFrame, dir: String,
+  private[graft] def writeBucketedIndex(df: DataFrame, dir: String,
       bucketCols: Seq[String], nBuckets: Int): Unit = {
     val spark = df.sparkSession
     val path = new org.apache.hadoop.fs.Path(dir)
@@ -465,7 +465,7 @@ object Dedup {
   /** Read one index table back with its bucket layout (plain parquet
     * when the dir predates bucketing).
     */
-  private[ops] def readIndexTable(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readIndexTable(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     readBucketSpec(spark, dir) match {
       case None => spark.read.parquet(dir)
@@ -859,6 +859,13 @@ object Dedup {
       idCol: String, textCol: String, window: Int): DataFrame =
     incrementalPassageDedupStaged(newDocs, index, idCol, textCol, window)._1
 
+  /** [[incrementalPassageDedup]] against several per-epoch index frames
+    * (chained Exchange-free anti-joins — see the staged multi variant).
+    */
+  def incrementalPassageDedup(newDocs: DataFrame, indexes: Seq[DataFrame],
+      idCol: String, textCol: String, window: Int): DataFrame =
+    incrementalPassageDedupStaged(newDocs, indexes, idCol, textCol, window)._1
+
   /** [[incrementalPassageDedup]] exposing its staged intermediate:
     * returns (cleaned docs, `fresh` = the batch's passage rows NOT in
     * the index). Callers that must also REGISTER the batch's new
@@ -868,12 +875,33 @@ object Dedup {
     */
   def incrementalPassageDedupStaged(newDocs: DataFrame, index: DataFrame,
       idCol: String, textCol: String,
+      window: Int): (DataFrame, DataFrame) =
+    incrementalPassageDedupStaged(newDocs, Seq(index), idCol, textCol, window)
+
+  /** [[incrementalPassageDedupStaged]] against SEVERAL index frames
+    * (the epoch-partitioned streaming index) as CHAINED anti-joins
+    * rather than one union: a Union node discards its children's
+    * output partitioning, so a unioned index would re-shuffle every
+    * accumulated epoch on every batch. Chained, the batch side
+    * shuffles into the shared bucket layout once (all epoch partitions
+    * are bucketed on the same key with the same count) and each epoch
+    * scan joins Exchange-free; per-batch network cost stays O(batch),
+    * independent of index size. The chain's length is the live epoch
+    * count — [[graft.streaming.Streams.compactPassageIndex]] exists
+    * precisely to keep that small.
+    */
+  def incrementalPassageDedupStaged(newDocs: DataFrame,
+      indexes: Seq[DataFrame], idCol: String, textCol: String,
       window: Int): (DataFrame, DataFrame) = {
     val p = stage(passages(newDocs, idCol, textCol, window))
     // staged: fresh feeds three consumers (both winner aggs + the kept
-    // join) — without it the index anti-join would execute per consumer
-    val fresh = stage(p.join(index.select(col("chunk_text")),
-      Seq("chunk_text"), "left_anti"))
+    // join) — without it the index anti-joins would execute per consumer.
+    // (No epochs yet — the stream's first batch — means fresh IS p,
+    // already staged above.)
+    val fresh =
+      if (indexes.isEmpty) p
+      else stage(indexes.foldLeft(p)((acc, idx) =>
+        acc.join(idx.select(col("chunk_text")), Seq("chunk_text"), "left_anti")))
     (firstOccurrenceClean(p, fresh, idCol), fresh)
   }
 }

@@ -191,16 +191,20 @@ object Streams {
     */
   def passageDedupStream(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, idCol: String, textCol: String,
-      window: Int = 8): StreamingQuery =
+      window: Int = 8, nBuckets: Int = 32): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val idx = indexBefore(batch.sparkSession, indexPath, epoch)
+        // one frame PER committed epoch partition, each a bucketed table:
+        // chained anti-joins keep every index scan Exchange-free (a
+        // unioned read would re-shuffle the whole accumulated index
+        // every batch — the posture round 9 fixed for the batch indexes)
+        val idxParts = indexPartsBefore(batch.sparkSession, indexPath, epoch)
         // the staged pair shares ONE batch-chunking + index anti-join
         // between the clean output and the index registration
         val (cleaned, fresh) = graft.ops.Dedup
-          .incrementalPassageDedupStaged(batch, idx, idCol, textCol, window)
+          .incrementalPassageDedupStaged(batch, idxParts, idCol, textCol, window)
         // token-less docs: pure function of the batch → replay-idempotent
         val tokenless = batch
           .where(size(graft.ops.TextAnalysis.tokens(col(textCol))) === 0)
@@ -208,8 +212,16 @@ object Streams {
             lit(0).as("n_kept"), lit(0).as("n_dropped"))
         cleaned.unionByName(tokenless)
           .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
-        fresh.select(col("chunk_text")).distinct()
-          .write.mode("overwrite").parquet(s"$indexPath/epoch=$epoch")
+        // the epoch partition is itself a bucketed+sorted table on the
+        // probe key, so FUTURE batches join it Exchange-free; the
+        // drop-and-rewrite inside writeBucketedIndex preserves the
+        // replay-idempotence contract above. With
+        // spark.sql.shuffle.partitions == nBuckets the distinct's hash
+        // layout already matches the bucket layout, so each task writes
+        // exactly its own bucket file.
+        graft.ops.Dedup.writeBucketedIndex(
+          fresh.select(col("chunk_text")).distinct(),
+          s"$indexPath/epoch=$epoch", Seq("chunk_text"), nBuckets)
         // release(), NOT releaseAll(): releaseAll would also destroy
         // checkpointed result leaves owned by concurrent pipelines in
         // this session (truncated lineage cannot recompute — Staged's
@@ -247,7 +259,7 @@ object Streams {
     * most failures by returning false, not throwing.
     */
   def compactPassageIndex(spark: SparkSession, indexPath: String,
-      upToEpoch: Long): Unit = {
+      upToEpoch: Long, nBuckets: Int = 32): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
@@ -257,9 +269,20 @@ object Streams {
       fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
           s.getPath.getName.stripPrefix("epoch=").toLong <= label)
-        .foreach(s => mustDelete(s.getPath))
+        .foreach { s =>
+          mustDelete(s.getPath)
+          // a bucketed victim's catalog entry now points at a deleted
+          // location; drop it by its stable raw-path-derived name so a
+          // later partition at the same path re-registers cleanly
+          spark.sql("DROP TABLE IF EXISTS " +
+            graft.ops.Dedup.indexTableName(s"$indexPath/${s.getPath.getName}")): Unit
+        }
       val dest = new org.apache.hadoop.fs.Path(root, s"epoch=$label")
       require(fs.rename(tmp, dest), s"compaction: rename $tmp -> $dest failed")
+      // the tmp-path entry points at the renamed dir; the merged
+      // partition re-registers under its final path on first probe
+      spark.sql("DROP TABLE IF EXISTS " +
+        graft.ops.Dedup.indexTableName(s"$indexPath/${tmp.getName}")): Unit
     }
     // recovery: finish (or discard) any swap a previous run left behind
     fs.listStatus(root).toSeq
@@ -278,11 +301,17 @@ object Streams {
     val victims = dirs.filter { case (l, _) => l <= upToEpoch && l < newest }
     if (victims.size < 2) return // nothing worth merging
     val label = victims.map(_._1).max
-    val tmp = new org.apache.hadoop.fs.Path(root, s"__compact_tmp_$label")
-    spark.read.parquet(victims.map(_._2.toString): _*)
-      .select(col("chunk_text")).distinct()
-      .write.mode("overwrite").parquet(tmp.toString)
-    promote(tmp, label)
+    // the merged partition is itself a bucketed table, so post-compaction
+    // probes keep the Exchange-free layout. Commit-point nuance: parquet's
+    // _SUCCESS (written inside saveAsTable) is still the promote gate; the
+    // bucket-spec marker lands just after it, so a crash in that tiny
+    // window promotes a partition that reads as PLAIN parquet — correct,
+    // merely un-bucketed until the next compaction rebuilds it.
+    graft.ops.Dedup.writeBucketedIndex(
+      spark.read.parquet(victims.map(_._2.toString): _*)
+        .select(col("chunk_text")).distinct(),
+      s"$indexPath/__compact_tmp_$label", Seq("chunk_text"), nBuckets)
+    promote(new org.apache.hadoop.fs.Path(root, s"__compact_tmp_$label"), label)
   }
 
   /** The union of index partitions committed before `epoch` (empty
@@ -292,24 +321,52 @@ object Streams {
     * silently see nothing and every batch would dedup against an
     * empty index.
     */
-  private[streaming] def indexBefore(spark: SparkSession,
-      indexPath: String, epoch: Long): DataFrame = {
+  /** Epoch labels of the index partitions committed before `epoch`,
+    * ascending. Listed through the Hadoop FileSystem API, not
+    * java.io.File: at cluster scale the index lives on HDFS/S3, where
+    * a local listing would silently see nothing and every batch would
+    * dedup against an empty index.
+    */
+  private def epochsBefore(spark: SparkSession, indexPath: String,
+      epoch: Long): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val dirs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
-          s.getPath.getName.stripPrefix("epoch=").toLong < epoch)
-        .map(_.getPath.toString)
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("chunk_text",
-            org.apache.spark.sql.types.StringType))))
-    else spark.read.parquet(dirs: _*).select(col("chunk_text"))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .filter(_ < epoch).sorted
   }
+
+  /** One frame per index partition committed before `epoch`, each read
+    * WITH its bucket layout (plain parquet for pre-bucketing epochs) —
+    * the shape [[graft.ops.Dedup.incrementalPassageDedupStaged]] chains
+    * Exchange-free. Paths are built from the caller's `indexPath`
+    * string (not the qualified listing) so the catalog entry names stay
+    * stable across sessions.
+    */
+  private[streaming] def indexPartsBefore(spark: SparkSession,
+      indexPath: String, epoch: Long): Seq[DataFrame] =
+    epochsBefore(spark, indexPath, epoch).map(e =>
+      graft.ops.Dedup.readIndexTable(spark, s"$indexPath/epoch=$e")
+        .select(col("chunk_text")))
+
+  /** The union of index partitions committed before `epoch` (empty
+    * 1-column frame when none exist — the first batch's view). For
+    * whole-index consumers (tests, audits); the per-batch probe uses
+    * [[indexPartsBefore]] to keep the bucket layouts visible.
+    */
+  private[streaming] def indexBefore(spark: SparkSession,
+      indexPath: String, epoch: Long): DataFrame =
+    indexPartsBefore(spark, indexPath, epoch) match {
+      case Seq() =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("chunk_text",
+              org.apache.spark.sql.types.StringType))))
+      case parts => parts.reduce(_.unionByName(_))
+    }
 
   def sinkStream(df: DataFrame, sink: GraftSink, checkpoint: String): StreamingQuery =
     df.writeStream

@@ -105,6 +105,39 @@ class CurateMainSpec extends SparkSpec {
     assert(spark.read.parquet(s.out).count() > 0)
   }
 
+  test("incremental day-2 face: survivors ≡ full re-dedup restricted to the batch") {
+    // The daily-ingest shape (VERDICT r9 item 8): day 1 persists the
+    // corpus LSH index, day 2 dedups a fresh batch (connector feed +
+    // re-crawled corpus slice under new ids) via ONE bucketed index
+    // probe. The pin is the differential identity runIncremental's
+    // Scaladoc claims: its survivors equal minHashLsh(corpus ∪ batch) +
+    // CC + keep-reps restricted to the batch ids.
+    import spark.implicits._
+    MockTransport.reset()
+    val work = java.nio.file.Files.createTempDirectory("graft-curate-incr").toString
+    val s = CurateMain.runIncremental(spark, "/root/testdata/sf0.001", work)
+    // the re-crawled slice must actually die against the index: cross
+    // pairs exist and the batch shrank
+    assert(s.crossPairs > 0 && s.survivors < s.batch, s"no suppression: $s")
+    val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val batch = spark.read.parquet(s"$work/day2_batch")
+      .select(col("doc_id"), col("text"))
+    val batchIds = batch.select(col("doc_id")).as[Long].collect().toSet
+    val pairs = graft.ops.Dedup.minHashLsh(
+      corpus.unionByName(batch), "doc_id", "text", threshold = 0.8)
+    val nonRep = graft.ops.Dedup.connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val fullKept = batchIds -- nonRep
+    val incrKept = spark.read.parquet(s.out)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(incrKept == fullKept,
+      s"diverged: only-incr=${(incrKept -- fullKept).take(5)} " +
+        s"only-full=${(fullKept -- incrKept).take(5)}")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("curation pipeline is pinned end-to-end at sf0.01") {
     MockTransport.reset()
     val out = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString

@@ -471,4 +471,70 @@ class StreamsSpec extends SparkSpec {
     assert(!new java.io.File(s"$idxP/__compact_tmp_0").exists())
     assert(epochDirs == Set("epoch=1", "epoch=2") && view(99L) == full)
   }
+
+  test("streaming epoch index stays off the shuffle path of the per-batch probe") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // The exact plan a micro-batch at epoch e executes: the accumulated
+    // epoch partitions (including a compacted one) probed via chained
+    // anti-joins. Same invariant DedupSpec pins for the batch indexes —
+    // each epoch scan is bucketed and meets its first join with no
+    // ShuffleExchange in between — asserted on the worst-case static
+    // plan (AQE off, broadcast off).
+    val root = java.nio.file.Files.createTempDirectory("graft-pstream-plan").toString
+    val (idxP, outP, cp) = (s"$root/index", s"$root/out", s"$root/cp")
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.passageDedupStream(
+      input.toDF().select($"doc_id", $"text"),
+      idxP, outP, cp, "doc_id", "text", window = 2)
+    try (0 until 3).foreach { e =>
+      input.addData(DocEvent(e.toLong, ts(e), s"w${e}a w${e}b w${e}c w${e}d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // compact epochs 0-1 so the probe also crosses a POST-compaction
+    // merged partition — the layout must survive the merge
+    Streams.compactPassageIndex(spark, idxP, upToEpoch = 99L)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = Seq((100L, "w1a w1b fresh stuff")).toDF("doc_id", "text")
+      val probe = graft.ops.Dedup.incrementalPassageDedup(
+        batch, Streams.indexPartsBefore(spark, idxP, 99L),
+        "doc_id", "text", window = 2)
+      probe.collect() // materialize so staged subplans exist
+      def deepPlans(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.collect { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+          .flatMap(deepPlans)
+      def isEpochScan(f: FileSourceScanExec): Boolean =
+        f.relation.location.rootPaths.exists(rp =>
+          rp.toString.contains(new java.io.File(idxP).getName) &&
+            rp.getName.startsWith("epoch="))
+      def pathsToEpochScans(p: SparkPlan,
+          anc: List[SparkPlan]): Seq[(FileSourceScanExec, List[SparkPlan])] =
+        p match {
+          case f: FileSourceScanExec if isEpochScan(f) => Seq((f, anc))
+          case other => other.children.flatMap(pathsToEpochScans(_, other :: anc))
+        }
+      val paths = deepPlans(probe.queryExecution.executedPlan)
+        .flatMap(pathsToEpochScans(_, Nil))
+      assert(paths.size >= 2, s"expected scans of both live epoch partitions, got ${paths.size}")
+      paths.foreach { case (scan, ancestors) =>
+        assert(scan.bucketedScan, s"epoch index scan must be bucketed:\n$scan")
+        val preJoin = ancestors.takeWhile {
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case _ => true
+        }
+        assert(!preJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"Exchange between an epoch index scan and its probe join:\n" +
+            s"${probe.queryExecution.executedPlan}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      graft.ops.Staged.releaseAll()
+    }
+  }
 }
