@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Staged, TextAnalysis}
+import graft.sources.Tables
+
+/** Scale rehearsal for the STREAMING passage-dedup epoch index (round
+  * 10): hold the probe batch FIXED while the number of committed epoch
+  * partitions grows — the curve that must stay flat for the
+  * continuous-ingest face to mean anything at 100 TB, now that each
+  * epoch partition is a bucketed table probed via chained
+  * Exchange-free anti-joins (see [[Streams.passageDedupStream]]).
+  *
+  * Epoch content is DECORRELATED (per-epoch token suffix): each day
+  * contributes fresh passages, so the index grows E× while the batch's
+  * true suppressions stay those against epoch 0 — constant across E, a
+  * built-in correctness face. Each epoch count is measured twice: with
+  * the live per-epoch partitions (chain length = E), then after
+  * [[Streams.compactPassageIndex]] (chain length ≤ 2) — the pair shows
+  * both that the chained probe does not degrade with E and what
+  * compaction buys back when E gets long.
+  *
+  * Usage: runMain graft.streaming.ScaleRehearsalStream [epochCounts...]
+  * (default 1 4 8 16)
+  */
+object ScaleRehearsalStream {
+
+  def main(args: Array[String]): Unit = {
+    val epochCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8, 16)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val nDocs = base.count()
+    require(nDocs > 0, s"no documents under $sfDir — nothing to rehearse")
+    val stride = base.agg(max($"doc_id")).head().getLong(0) + 1L
+    val w = 8
+
+    // epoch e's corpus: replica of the base with an e-suffix on every
+    // token (e > 0), so passage universes are disjoint across epochs
+    def epochDocs(e: Int) = {
+      val text =
+        if (e == 0) $"text"
+        else array_join(transform(TextAnalysis.tokens($"text"),
+          x => concat(x, lit("e" + e))), " ")
+      base.select(($"doc_id" + lit(e * stride)).as("doc_id"), text.as("text"))
+    }
+    // fixed probe batch: a re-crawled 10% slice of epoch 0's content
+    // (every passage must die against epoch 0, whatever E is) plus a
+    // 10% slice of genuinely fresh content (must survive) — so the
+    // E-invariance check covers both fates
+    val batch = base.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + lit(1000L * stride)).as("doc_id"), $"text")
+      .unionByName(base.where($"doc_id" % 10 === 5)
+        .select(($"doc_id" + lit(1001L * stride)).as("doc_id"),
+          array_join(transform(TextAnalysis.tokens($"text"),
+            x => concat(x, lit("fresh"))), " ").as("text")))
+
+    var expect = (-1L, -1L)
+    epochCounts.foreach { ec =>
+      val idxPath = s"/tmp/graft-scale-streamidx-$ec"
+      if (!new java.io.File(s"$idxPath/_OK").exists()) {
+        (0 until ec).foreach { e =>
+          Dedup.writeBucketedIndex(
+            Dedup.passages(epochDocs(e), "doc_id", "text", w)
+              .select($"chunk_text").distinct(),
+            s"$idxPath/epoch=$e", Seq("chunk_text"), 32)
+        }
+        new java.io.File(s"$idxPath/_OK").createNewFile(): Unit
+      }
+      def probe(): (Double, Long, Long) = {
+        val parts = Streams.indexPartsBefore(spark, idxPath, Long.MaxValue)
+        val t0 = System.nanoTime()
+        val r = Dedup.incrementalPassageDedup(batch, parts, "doc_id", "text", w)
+          .agg(coalesce(sum($"n_kept"), lit(0L)),
+            coalesce(sum($"n_dropped"), lit(0L))).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Staged.releaseAll()
+        (sec, r.getLong(0), r.getLong(1))
+      }
+      val (liveSec, liveKept, liveDropped) = probe()
+      // correctness face: suppression is E-invariant by construction
+      if (expect._1 < 0) expect = (liveKept, liveDropped)
+      require((liveKept, liveDropped) == expect,
+        s"suppression drifted with epoch count $ec: ($liveKept,$liveDropped) != $expect")
+      Streams.compactPassageIndex(spark, idxPath, upToEpoch = Long.MaxValue)
+      val (compactSec, cKept, cDropped) = probe()
+      require((cKept, cDropped) == expect,
+        s"compaction changed the probe result at $ec: ($cKept,$cDropped) != $expect")
+      val nLive = Streams.indexPartsBefore(spark, idxPath, Long.MaxValue).size
+      println(f"""{"epochs":$ec,"docs_indexed":${nDocs * ec},""" +
+        f""""probe_sec":$liveSec%.2f,"post_compact_sec":$compactSec%.2f,""" +
+        f""""post_compact_parts":$nLive,"kept":$liveKept,"dropped":$liveDropped}""")
+    }
+    spark.stop()
+  }
+}
