@@ -429,6 +429,21 @@ object Dedup {
     * bucket-spec marker LAST so a crashed write is read as absent, not
     * as a half-bucketed table.
     */
+  /** Align write tasks with buckets: a bucketed WRITE has no required
+    * distribution, so an unaligned upstream (N tasks × up to nBuckets
+    * buckets each) sprays one file per (task, bucket) pair. Hash
+    * repartitioning on the bucket columns (same murmur3 as bucket-id
+    * assignment) makes each task exactly one bucket → exactly one file.
+    * Caveat a debug session earned: when df scans the SAME bucketed
+    * table, the scan advertises HashPartitioning, this exchange is
+    * elided as redundant, and the bucketed scan is then disabled as
+    * unnecessary — callers rewriting a bucketed table must feed a PLAIN
+    * parquet read (see [[compactIndexTable]]).
+    */
+  private def bucketAligned(df: DataFrame, bucketCols: Seq[String],
+      nBuckets: Int): DataFrame =
+    df.repartition(nBuckets, bucketCols.map(col): _*)
+
   private[graft] def writeBucketedIndex(df: DataFrame, dir: String,
       bucketCols: Seq[String], nBuckets: Int): Unit = {
     val spark = df.sparkSession
@@ -437,7 +452,8 @@ object Dedup {
     spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(dir)}")
     if (fs.exists(path))
       require(fs.delete(path, true), s"index build: delete failed for $dir")
-    df.write.mode("overwrite").format("parquet").option("path", dir)
+    bucketAligned(df, bucketCols, nBuckets)
+      .write.mode("overwrite").format("parquet").option("path", dir)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(indexTableName(dir))
@@ -455,7 +471,11 @@ object Dedup {
       case None => df.write.mode("append").parquet(dir)
       case Some((cols, n)) =>
         ensureIndexTable(spark, dir, cols, n)
-        df.write.mode("append").format("parquet")
+        // aligned → each append adds AT MOST one file per bucket (vs
+        // one per task×bucket), bounding small-file growth to the
+        // append count until [[compactIndexTable]] folds the tail
+        bucketAligned(df, cols, n)
+          .write.mode("append").format("parquet")
           .bucketBy(n, cols.head, cols.tail: _*)
           .sortBy(cols.head, cols.tail: _*)
           .saveAsTable(indexTableName(dir))
@@ -473,6 +493,88 @@ object Dedup {
         ensureIndexTable(spark, dir, cols, n)
         spark.table(indexTableName(dir))
     }
+
+  /** Offline small-files compaction for ONE bucketed index table dir.
+    * Appends add one file per bucket per append: the probe PLAN never
+    * changes (bucketed reads group a bucket's files), but open-file
+    * overhead grows linearly with the append count — the classic
+    * streaming/daily-ingest small-files debt. This rewrites the table
+    * into one file per bucket under its own recorded bucket spec.
+    *
+    * Crash-RECOVERABLE sibling swap (the passage-index compaction's
+    * discipline adapted to a single-table dir): the rewrite lands in
+    * `<dir>__compact_tmp`, whose commit point is the bucket-spec
+    * marker (written last, after parquet's _SUCCESS). Only AFTER the
+    * commit is `dir` deleted and tmp renamed over it, so tmp holds the
+    * COMPLETE table whenever `dir` is missing; every invocation first
+    * finishes such a half-done swap (or discards an uncommitted tmp —
+    * its source dir is still intact). Markerless (pre-bucketing) dirs
+    * are left untouched: plain parquet has no bucket layout to restore.
+    */
+  def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val tmpRaw = s"${dir}__compact_tmp"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpRaw)
+    def dropTables(): Unit = {
+      // both entries' cached file listings are stale after a swap; the
+      // next readIndexTable re-registers over the fresh files
+      spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(dir)}"): Unit
+      spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(tmpRaw)}"): Unit
+    }
+    if (fs.exists(tmpPath)) {
+      val committed =
+        fs.exists(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(tmpPath, BucketMarkerFile))
+      if (!fs.exists(dirPath)) {
+        // dir is only deleted after tmp commits, so tmp is authoritative
+        require(committed, s"compaction: $dir missing and $tmpRaw uncommitted")
+        require(fs.rename(tmpPath, dirPath),
+          s"compaction: recovery rename $tmpRaw -> $dir failed")
+        dropTables()
+      } else {
+        // live dir intact → the tmp is debris from a crash before the
+        // delete; the table may have been appended since, so discard it
+        require(fs.delete(tmpPath, true),
+          s"compaction: delete failed for $tmpRaw")
+        spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(tmpRaw)}"): Unit
+      }
+    }
+    if (!fs.exists(dirPath)) return
+    readBucketSpec(spark, dir) match {
+      case None => () // plain parquet dir: nothing bucketed to compact
+      case Some((cols, n)) =>
+        // Read PLAIN parquet here, NOT the catalog table: the bucketed
+        // scan advertises HashPartitioning, EnsureRequirements then
+        // elides the write helper's aligning repartition as redundant,
+        // and with no operator left needing the distribution the
+        // bucketed scan itself is disabled — file-based tasks each
+        // rewrite every bucket they touch and the file count barely
+        // drops (observed: 100 → 89). A plain scan claims no
+        // partitioning, so the exchange stays and the rewrite is
+        // exactly one file per nonempty bucket; that one full-index
+        // shuffle is the price of offline compaction, paid off the
+        // probe path.
+        writeBucketedIndex(spark.read.parquet(dir), tmpRaw, cols, n)
+        require(fs.delete(dirPath, true), s"compaction: delete failed for $dir")
+        require(fs.rename(tmpPath, dirPath),
+          s"compaction: rename $tmpRaw -> $dir failed")
+        dropTables()
+        spark.catalog.refreshByPath(dir)
+    }
+  }
+
+  /** [[compactIndexTable]] over both probe tables of a
+    * [[writeLshIndex]]/[[appendToLshIndex]] index. Run offline when
+    * appends accumulate (the bucket-stats table is O(buckets) rows of
+    * plain parquet and versioned separately — no compaction needed).
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    compactIndexTable(spark, s"$path/shingles")
+    compactIndexTable(spark, s"$path/bands")
+  }
 
   /** Persist the MinHash-LSH state of a corpus as an incremental dedup
     * index: `bands/` — (id, band_idx, band_key) bucketed+sorted on

@@ -215,10 +215,8 @@ object Streams {
         // the epoch partition is itself a bucketed+sorted table on the
         // probe key, so FUTURE batches join it Exchange-free; the
         // drop-and-rewrite inside writeBucketedIndex preserves the
-        // replay-idempotence contract above. With
-        // spark.sql.shuffle.partitions == nBuckets the distinct's hash
-        // layout already matches the bucket layout, so each task writes
-        // exactly its own bucket file.
+        // replay-idempotence contract above, and its bucket-aligned
+        // repartition writes exactly one file per nonempty bucket.
         graft.ops.Dedup.writeBucketedIndex(
           fresh.select(col("chunk_text")).distinct(),
           s"$indexPath/epoch=$epoch", Seq("chunk_text"), nBuckets)

@@ -165,6 +165,51 @@ class DedupSpec extends SparkSpec {
       "copy must also pair with the batch1 cluster via the index")
   }
 
+  test("appended index tails compact to one file per bucket; the probe is unchanged") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-compact").toString
+    Dedup.writeLshIndex(corpus.where(col("doc_id") < 2), "doc_id", "text", dir,
+      threshold = 0.5)
+    // three single-doc appends: each adds a file per touched bucket
+    (2L to 4L).foreach { id =>
+      Dedup.appendToLshIndex(corpus.where(col("doc_id") === id), dir,
+        "doc_id", "text")
+    }
+    def dataFiles(sub: String): Int =
+      Option(new java.io.File(s"$dir/$sub").listFiles()).toSeq.flatten
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    def pairSet() = Dedup.incrementalNearDup(
+      corpus.where(col("doc_id") === 5L).unionByName(
+        Seq((99L, base.replace("quick", "fast"))).toDF("doc_id", "text")),
+      dir, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val before = (dataFiles("bands"), dataFiles("shingles"))
+    val probeBefore = pairSet()
+    assert(probeBefore.nonEmpty, "probe must find the planted near-dups")
+    Dedup.compactLshIndex(spark, dir)
+    val after = (dataFiles("bands"), dataFiles("shingles"))
+    // bands carried the real append tail (~3 appends x ~32 touched
+    // buckets); shingles is tiny (5 docs -> <= 5 nonempty buckets), so
+    // its floor IS its pre-compaction count
+    assert(after._1 < before._1,
+      s"compaction must shrink the appended table: $before -> $after")
+    assert(after._1 <= 32 && after._2 <= 32, // one file per bucket at most
+      s"expected <= nBuckets files per table, got $after")
+    // the bucket marker survives the swap (probe stays Exchange-free)
+    assert(new java.io.File(s"$dir/bands/_graft_buckets").exists())
+    assert(new java.io.File(s"$dir/shingles/_graft_buckets").exists())
+    assert(pairSet() == probeBefore, "compaction must not change the probe")
+    // crash recovery: a committed tmp with the live dir MISSING (crash
+    // between delete and rename) is promoted by the next invocation
+    assert(new java.io.File(s"$dir/bands").renameTo(
+      new java.io.File(s"${dir}/bands__compact_tmp")))
+    Dedup.compactIndexTable(spark, s"$dir/bands")
+    assert(new java.io.File(s"$dir/bands").exists() &&
+      !new java.io.File(s"${dir}/bands__compact_tmp").exists())
+    assert(pairSet() == probeBefore, "recovery must restore the full index")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("incremental dedup caps buckets the index side already saturates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-hot").toString
     // 4 identical corpus docs saturate every band bucket they occupy
