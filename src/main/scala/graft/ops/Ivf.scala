@@ -214,7 +214,13 @@ object Ivf {
           r.toSeq :+ nearestCells(vec, centroids, 1)(0))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    assigned.write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+    // hash-repartition on the cell id so each cell's batch rows land in
+    // ONE task → one file per touched cell per append, not one per
+    // (task, cell) — bounds small-file growth to the append count (the
+    // same debt the bucketed dedup indexes retire with bucketAligned;
+    // partition pruning itself never cared, only open-file overhead)
+    assigned.repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
     // this session's cached plans/indexes snapshotted the PRE-append
     // file listing: refresh the path and drop memoized entries so the
     // next buildPersistentCached/readIndex sees the appended files
