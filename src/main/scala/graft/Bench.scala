@@ -1,10 +1,59 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query history parsed from the previous sweep's
+    * BENCH_FULL.json: that sweep's median plus the ratcheting
+    * cross-sweep best at the same sf.
+    */
+  final case class Hist(med: Option[Double], best: Option[Double])
+
+  /** Lenient regex parse (deliberately not a JSON lib) so a
+    * hand-edited or older-schema file degrades to "no history", and a
+    * history from a different sf degrades to empty — a 2x threshold is
+    * only meaningful against a sweep at the SAME scale factor.
+    */
+  def parseHistory(txt: String, sfDir: String): Map[String, Hist] = try {
+    val histSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    if (!histSf.contains(sfDir)) Map.empty
+    else {
+      def num(body: String, field: String): Option[Double] =
+        ("\"" + field + "\":([-0-9.Ee]+)").r
+          .findFirstMatchIn(body).map(_.group(1).toDouble)
+      // entry bodies always open with "min" (timed) or "load" (error):
+      // anchoring on that keeps the outer "queries":{ wrapper — whose
+      // brace is followed by a query NAME — from matching and eating
+      // the first real entry (non-overlapping matches)
+      """"([A-Za-z0-9_]+)":\{((?:"min"|"load")[^}]*)""".r.findAllMatchIn(txt).flatMap { m =>
+        val h = Hist(num(m.group(2), "med"), num(m.group(2), "best"))
+        if (h.med.isEmpty && h.best.isEmpty) None else Some(m.group(1) -> h)
+      }.toMap
+    }
+  } catch { case _: Throwable => Map.empty }
+
+  /** The self-defense trigger: rerun when the sweep's best-of-N exceeds
+    * 2x the previous sweep's median OR 2x the ratcheting cross-sweep
+    * best. The second clause is the round-10 lesson: when the previous
+    * sweep itself ran hot its median inflates the first threshold and
+    * genuine outliers skate (x20/t05/x07 did exactly that) — the
+    * historical BEST can't be inflated by a hot sweep, only lowered by
+    * a good one, so it survives any run of contaminated history.
+    */
+  def shouldRerun(sweepMin: Double, h: Hist): Boolean =
+    h.med.exists(m => m > 0 && sweepMin > 2 * m) ||
+      h.best.exists(b => b > 0 && sweepMin > 2 * b)
+
+  /** Fold this sweep's reportable best into the historical cross-sweep
+    * best: the ratchet never rises, and an absent history starts at
+    * this sweep's number.
+    */
+  def ratchet(prev: Option[Double], sweep: Option[Double]): Option[Double] =
+    (prev.toSeq ++ sweep.toSeq).reduceOption((a: Double, b: Double) => math.min(a, b))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -41,19 +90,10 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").head.toDouble
       catch { case _: Throwable => -1.0 }
-    // median-history from the previous sweep's BENCH_FULL.json: the
-    // self-defense reference. Parsed leniently (regex, not a JSON lib) so
-    // a hand-edited or older-schema file degrades to "no history".
-    val histMed: Map[String, Double] = try {
-      val txt = scala.io.Source.fromFile("BENCH_FULL.json").mkString
-      // the 2x-median threshold is only meaningful against a sweep at the
-      // SAME scale factor; a history from another sf degrades to "none"
-      val histSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      if (!histSf.contains(sfDir)) Map.empty
-      else {
-        val re = """"([A-Za-z0-9_]+)":\{"min":[-0-9.Ee]+,"med":([-0-9.Ee]+)""".r
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+    // history from the previous sweep's BENCH_FULL.json (median +
+    // ratcheting cross-sweep best): the self-defense reference
+    val hist: Map[String, Hist] = try {
+      parseHistory(scala.io.Source.fromFile("BENCH_FULL.json").mkString, sfDir)
     } catch { case _: Throwable => Map.empty }
     // A query that throws must surface as an ERROR, never as the (tiny)
     // time-to-throw: round 9's three analysis-broken queries showed up as
@@ -88,8 +128,8 @@ object Bench {
     // in the reported best so a cleared outlier stops poisoning the
     // headline, while a confirmed one stays visible (rerun ~= sweep min).
     val reruns: Map[String, Double] = results.flatMap { case (name, (ts, _, _)) =>
-      histMed.get(name) match {
-        case Some(h) if h > 0 && ts.nonEmpty && ts.head > 2 * h =>
+      hist.get(name) match {
+        case Some(h) if ts.nonEmpty && shouldRerun(ts.head, h) =>
           val fn = selected(name)
           try { run1(fn) } catch { case _: Throwable => () } // re-warm
           val t0 = System.nanoTime()
@@ -122,7 +162,11 @@ object Bench {
     val (okResults, errResults) = results.partition { case (_, (ts, _, _)) => ts.nonEmpty }
     val qs = okResults.map { case (k, (ts, _, _)) => "\"" + keyOf(k) + "\":" + fmt(best(k, ts)) }
       .mkString("{", ",", "}")
-    val errList = errResults.map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // the compact line's error keys must match its "queries" keys
+    // (keyOf-shortened) so a consumer can cross-reference them; the
+    // full-name list lives in BENCH_FULL.json
+    val errList = errResults.map { case (k, _) => "\"" + keyOf(k) + "\"" }.mkString("[", ",", "]")
+    val errListFull = errResults.map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     // BENCH_FULL.json records the per-query SPREAD (min/median/max over
     // the timed runs): a best-of number whose siblings are 5× larger is
     // external load, not a regression — the spread is what tells a
@@ -137,22 +181,30 @@ object Bench {
     val qsFull = results.map { case (k, (ts, load, err)) =>
       val rerun = reruns.get(k).map(r => s""","rerun":$r""").getOrElse("")
       val errF = err.map(m => s""","err":${jstr(m)}""").getOrElse("")
+      // "best" is the ratcheting cross-sweep minimum at this sf: this
+      // sweep's reportable best folded into the history's best. An
+      // error entry carries the history's best forward unchanged so a
+      // one-round breakage doesn't erase the regression floor.
+      val hb = ratchet(hist.get(k).flatMap(_.best),
+        if (ts.isEmpty) None else Some(best(k, ts)))
+      val bestF = hb.map(b => s""","best":$b""").getOrElse("")
       if (ts.isEmpty)
-        "\"" + k + s"""\":{"load":$load$errF}"""
+        "\"" + k + s"""\":{"load":$load$bestF$errF}"""
       else {
         // conventional median: average the two middle elements when the
         // timed-run count is even (ts is already sorted)
         val med = if (ts.size % 2 == 1) ts(ts.size / 2)
                   else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
-        "\"" + k + s"""\":{"min":${ts.head},"med":$med,"max":${ts.last},"load":$load$rerun$errF}"""
+        "\"" + k + s"""\":{"min":${ts.head},"med":$med,"max":${ts.last},"load":$load$bestF$rerun$errF}"""
       }
     }.mkString("{", ",", "}")
     val total = if (okResults.nonEmpty) okResults.map { case (k, (ts, _, _)) => best(k, ts) }.sum else 0.0
     val errField = if (errResults.nonEmpty) s""","errors":$errList""" else ""
+    val errFieldFull = if (errResults.nonEmpty) s""","errors":$errListFull""" else ""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull$errFieldFull,"sf":"$sfDir"}"""
     // a FILTERED run must not clobber the full-sweep median history —
     // overwriting would silently disable the self-defense pass for every
     // query outside the filter on the next full sweep

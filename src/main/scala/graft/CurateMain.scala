@@ -106,6 +106,7 @@ object CurateMain {
     val outDir = rest.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-curate").toString)
     val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

@@ -33,6 +33,7 @@ object ScaleRehearsalCc {
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

@@ -111,6 +111,7 @@ object ScaleRehearsalSem {
     val sfDirEarly = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("recall")) {
       val spark = SparkSession.builder()
+        .config("spark.sql.session.timeZone", "UTC")
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
@@ -125,6 +126,7 @@ object ScaleRehearsalSem {
     val multipliers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10, 20)
     val sfDir = sfDirEarly
     val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
