@@ -501,15 +501,18 @@ object Dedup {
     * streaming/daily-ingest small-files debt. This rewrites the table
     * into one file per bucket under its own recorded bucket spec.
     *
-    * Crash-RECOVERABLE sibling swap (the passage-index compaction's
-    * discipline adapted to a single-table dir): the rewrite lands in
-    * `<dir>__compact_tmp`, whose commit point is the bucket-spec
-    * marker (written last, after parquet's _SUCCESS). Only AFTER the
-    * commit is `dir` deleted and tmp renamed over it, so tmp holds the
-    * COMPLETE table whenever `dir` is missing; every invocation first
-    * finishes such a half-done swap (or discards an uncommitted tmp —
-    * its source dir is still intact). Markerless (pre-bucketing) dirs
-    * are left untouched: plain parquet has no bucket layout to restore.
+    * Crash-RECOVERABLE via an atomic-RENAME swap (renames are atomic
+    * on HDFS and local fs — the live dir is never deleted in place, so
+    * no crash point leaves a PARTIAL dir masquerading as the source of
+    * truth). The rewrite lands in `<dir>__compact_tmp`, whose commit
+    * point is the bucket-spec marker (written last, after parquet's
+    * _SUCCESS); the swap is then rename dir -> `<dir>__compact_old`,
+    * rename tmp -> dir, delete old. `__compact_old` only ever exists
+    * AFTER tmp committed, so recovery can tell a half-done swap
+    * (old present → finish it) from stale debris (dir present, no old
+    * → tmp may predate later appends; discard it, its source is
+    * intact). Markerless (pre-bucketing) dirs are left untouched:
+    * plain parquet has no bucket layout to restore.
     */
   def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
@@ -517,25 +520,45 @@ object Dedup {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val tmpRaw = s"${dir}__compact_tmp"
     val tmpPath = new org.apache.hadoop.fs.Path(tmpRaw)
+    val oldPath = new org.apache.hadoop.fs.Path(s"${dir}__compact_old")
+    def committed(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, BucketMarkerFile))
     def dropTables(): Unit = {
       // both entries' cached file listings are stale after a swap; the
       // next readIndexTable re-registers over the fresh files
       spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(dir)}"): Unit
       spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(tmpRaw)}"): Unit
     }
-    if (fs.exists(tmpPath)) {
-      val committed =
-        fs.exists(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS")) &&
-          fs.exists(new org.apache.hadoop.fs.Path(tmpPath, BucketMarkerFile))
+    if (fs.exists(oldPath)) {
+      // __compact_old is created only after tmp commits, so this is a
+      // crash inside a swap; finish it in order
       if (!fs.exists(dirPath)) {
-        // dir is only deleted after tmp commits, so tmp is authoritative
-        require(committed, s"compaction: $dir missing and $tmpRaw uncommitted")
+        // crashed between rename(dir -> old) and rename(tmp -> dir)
+        require(fs.exists(tmpPath) && committed(tmpPath),
+          s"compaction: $dir missing mid-swap and $tmpRaw not committed")
+        require(fs.rename(tmpPath, dirPath),
+          s"compaction: recovery rename $tmpRaw -> $dir failed")
+      }
+      // crashed between rename(tmp -> dir) and delete(old): dir is live
+      require(fs.delete(oldPath, true),
+        s"compaction: delete failed for $oldPath")
+      dropTables()
+    }
+    if (fs.exists(tmpPath)) {
+      if (!fs.exists(dirPath)) {
+        // legacy delete-then-rename crash state (or an external move):
+        // dir only disappeared after tmp committed, so tmp is
+        // authoritative
+        require(committed(tmpPath),
+          s"compaction: $dir missing and $tmpRaw uncommitted")
         require(fs.rename(tmpPath, dirPath),
           s"compaction: recovery rename $tmpRaw -> $dir failed")
         dropTables()
       } else {
-        // live dir intact → the tmp is debris from a crash before the
-        // delete; the table may have been appended since, so discard it
+        // live dir fully intact (the rename swap never mutates it in
+        // place) → the tmp is stale debris; the table may have been
+        // appended since the tmp was written, so discard it
         require(fs.delete(tmpPath, true),
           s"compaction: delete failed for $tmpRaw")
         spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(tmpRaw)}"): Unit
@@ -557,9 +580,15 @@ object Dedup {
         // shuffle is the price of offline compaction, paid off the
         // probe path.
         writeBucketedIndex(spark.read.parquet(dir), tmpRaw, cols, n)
-        require(fs.delete(dirPath, true), s"compaction: delete failed for $dir")
+        // atomic-rename swap: the live dir is moved aside, never
+        // deleted in place, so every crash point leaves either the old
+        // or the new COMPLETE copy reachable by the recovery above
+        require(fs.rename(dirPath, oldPath),
+          s"compaction: rename $dir -> $oldPath failed")
         require(fs.rename(tmpPath, dirPath),
           s"compaction: rename $tmpRaw -> $dir failed")
+        require(fs.delete(oldPath, true),
+          s"compaction: delete failed for $oldPath")
         dropTables()
         spark.catalog.refreshByPath(dir)
     }

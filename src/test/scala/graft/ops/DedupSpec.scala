@@ -199,14 +199,36 @@ class DedupSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/bands/_graft_buckets").exists())
     assert(new java.io.File(s"$dir/shingles/_graft_buckets").exists())
     assert(pairSet() == probeBefore, "compaction must not change the probe")
-    // crash recovery: a committed tmp with the live dir MISSING (crash
-    // between delete and rename) is promoted by the next invocation
+    // crash recovery (legacy state): a committed tmp with the live dir
+    // MISSING is promoted by the next invocation
     assert(new java.io.File(s"$dir/bands").renameTo(
       new java.io.File(s"${dir}/bands__compact_tmp")))
     Dedup.compactIndexTable(spark, s"$dir/bands")
     assert(new java.io.File(s"$dir/bands").exists() &&
       !new java.io.File(s"${dir}/bands__compact_tmp").exists())
     assert(pairSet() == probeBefore, "recovery must restore the full index")
+    // crash mid rename-swap, between rename(dir->old) and rename(tmp->dir):
+    // old holds the PRE-swap table, tmp the committed compacted one —
+    // recovery must promote tmp and drop old, never resurrect old over it
+    val oldDir = new java.io.File(s"${dir}/bands__compact_old")
+    assert(oldDir.mkdir())
+    val junk = new java.io.File(oldDir, "stale.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3)): Unit
+    assert(new java.io.File(s"$dir/bands").renameTo(
+      new java.io.File(s"${dir}/bands__compact_tmp")))
+    Dedup.compactIndexTable(spark, s"$dir/bands")
+    assert(new java.io.File(s"$dir/bands").exists() &&
+      !new java.io.File(s"${dir}/bands__compact_tmp").exists() &&
+      !oldDir.exists(), "mid-swap recovery must finish the swap")
+    assert(pairSet() == probeBefore, "mid-swap recovery must keep the index")
+    // crash between rename(tmp->dir) and delete(old): dir is live, old is
+    // the superseded copy — recovery deletes old and leaves dir untouched
+    assert(oldDir.mkdir())
+    java.nio.file.Files.write(junk.toPath, Array[Byte](4, 5, 6)): Unit
+    Dedup.compactIndexTable(spark, s"$dir/bands")
+    assert(new java.io.File(s"$dir/bands").exists() && !oldDir.exists(),
+      "post-commit recovery must drop the superseded copy")
+    assert(pairSet() == probeBefore, "post-commit recovery must keep the index")
     graft.ops.Staged.releaseAll()
   }
 
