@@ -229,6 +229,79 @@ object Ivf {
     readIndex(spark, path)
   }
 
+  /** Offline small-files compaction for a persisted index's `assigned`
+    * table. Aligned appends still add one file per touched cell per
+    * append ([[appendToIndex]]); partition pruning never cares, but
+    * open-file overhead grows with the append count — the same debt
+    * [[Dedup.compactIndexTable]] retires for the bucketed dedup
+    * indexes, here for a `cluster=`-partitioned table. One job
+    * rewrites the whole table hash-repartitioned on the cell id
+    * (each cell in ONE task → exactly one file per nonempty cell);
+    * that one full-table shuffle is the price of offline compaction,
+    * paid off the probe path.
+    *
+    * Crash-RECOVERABLE via the same atomic-rename swap as
+    * [[Dedup.compactIndexTable]]: the rewrite lands in
+    * `assigned__compact_tmp` (commit point = parquet's root
+    * `_SUCCESS`), then rename assigned -> `assigned__compact_old`,
+    * rename tmp -> assigned, delete old. The live table is never
+    * deleted in place; `__compact_old` only exists after the tmp
+    * committed, so recovery can tell a half-done swap (finish it)
+    * from stale debris (assigned intact, possibly appended since —
+    * discard the tmp). The centroids table and the `_INDEX_OK_*`
+    * marker are untouched: compaction changes the file layout, never
+    * the index contents or parameters.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    val dir = s"$path/assigned"
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpPath = new org.apache.hadoop.fs.Path(s"${dir}__compact_tmp")
+    val oldPath = new org.apache.hadoop.fs.Path(s"${dir}__compact_old")
+    def committed(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    def invalidate(): Unit = {
+      // memoized Index entries snapshotted the pre-swap file listing
+      spark.catalog.refreshByPath(dir)
+      cache.keySet.removeIf(_.contains(s"|disk|$path|")): Unit
+    }
+    if (fs.exists(oldPath)) {
+      if (!fs.exists(dirPath)) {
+        require(fs.exists(tmpPath) && committed(tmpPath),
+          s"ivf compaction: $dir missing mid-swap and tmp not committed")
+        require(fs.rename(tmpPath, dirPath),
+          s"ivf compaction: recovery rename $tmpPath -> $dir failed")
+      }
+      require(fs.delete(oldPath, true),
+        s"ivf compaction: delete failed for $oldPath")
+      invalidate()
+    }
+    if (fs.exists(tmpPath)) {
+      if (!fs.exists(dirPath)) {
+        require(committed(tmpPath),
+          s"ivf compaction: $dir missing and tmp uncommitted")
+        require(fs.rename(tmpPath, dirPath),
+          s"ivf compaction: recovery rename $tmpPath -> $dir failed")
+        invalidate()
+      } else {
+        require(fs.delete(tmpPath, true),
+          s"ivf compaction: delete failed for $tmpPath")
+      }
+    }
+    if (!fs.exists(dirPath)) return
+    spark.read.parquet(dir)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(tmpPath.toString)
+    require(fs.rename(dirPath, oldPath),
+      s"ivf compaction: rename $dir -> $oldPath failed")
+    require(fs.rename(tmpPath, dirPath),
+      s"ivf compaction: rename $tmpPath -> $dir failed")
+    require(fs.delete(oldPath, true),
+      s"ivf compaction: delete failed for $oldPath")
+    invalidate()
+  }
+
   /** Fit centroids and assign every row to its cell. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, seed: Long = 42L): Index = {

@@ -21,12 +21,24 @@ import graft.sources.Tables
   * both that the chained probe does not degrade with E and what
   * compaction buys back when E gets long.
   *
+  * `--live [nEpochs] [maxChain]` (default 32, 8) instead drives the
+  * REAL stream — MemoryStream → [[Streams.passageDedupStream]] with
+  * its auto-compaction policy — one decorrelated batch per epoch, and
+  * reports per-epoch wall time plus the on-disk chain length. This is
+  * the unattended-operation face: the chain must stay ≤ maxChain+1
+  * and per-epoch cost flat with ZERO manual compaction calls.
+  *
   * Usage: runMain graft.streaming.ScaleRehearsalStream [epochCounts...]
   * (default 1 4 8 16)
   */
 object ScaleRehearsalStream {
 
+  private case class Doc(doc_id: Long, text: String)
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--live")) return runLive(
+      args.lift(1).map(_.toInt).getOrElse(32),
+      args.lift(2).map(_.toInt).getOrElse(8))
     val epochCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8, 16)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -67,7 +79,18 @@ object ScaleRehearsalStream {
     var expect = (-1L, -1L)
     epochCounts.foreach { ec =>
       val idxPath = s"/tmp/graft-scale-streamidx-$ec"
-      if (!new java.io.File(s"$idxPath/_OK").exists()) {
+      // the cached dir is only valid if it still holds the LIVE
+      // E-epoch chain: the compaction below MUTATES it (merging down
+      // to <= 2 partitions), so a rerun that trusted the _OK marker
+      // alone would measure the "live chain" probe against an
+      // already-compacted index — rebuild whenever the partition
+      // count no longer matches the requested epoch count
+      val cachedParts = Option(new java.io.File(idxPath).listFiles()).toSeq
+        .flatten.count(_.getName.startsWith("epoch="))
+      if (!new java.io.File(s"$idxPath/_OK").exists() || cachedParts != ec) {
+        val root = new org.apache.hadoop.fs.Path(idxPath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true): Unit
         (0 until ec).foreach { e =>
           Dedup.writeBucketedIndex(
             Dedup.passages(epochDocs(e), "doc_id", "text", w)
@@ -100,6 +123,63 @@ object ScaleRehearsalStream {
         f""""probe_sec":$liveSec%.2f,"post_compact_sec":$compactSec%.2f,""" +
         f""""post_compact_parts":$nLive,"kept":$liveKept,"dropped":$liveDropped}""")
     }
+    spark.stop()
+  }
+
+  /** Drive the real stream `nEpochs` micro-batches under the
+    * auto-compaction policy. Each epoch ingests a decorrelated 10%
+    * slice of the corpus (fresh passages every epoch — worst case for
+    * index growth), so without the policy the chain would reach
+    * `nEpochs`; with it the on-disk partition count must never exceed
+    * `maxChain + 1`. Reported per epoch: batch wall time (probe +
+    * epoch writes + any auto-compaction) and the chain length the NEXT
+    * batch will probe.
+    */
+  private def runLive(nEpochs: Int, maxChain: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // explicit type: the implicit SQLContext below otherwise drags this
+    // definition into its own inference cycle via spark.implicits._
+    val spark: SparkSession = SparkSession.builder()
+      .appName("graft-scale-stream-live")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+      .where($"doc_id" % 10 === 0)
+    val stride = base.agg(max($"doc_id")).head().getLong(0) + 1L
+    def epochBatch(e: Int): Seq[Doc] =
+      base.select(($"doc_id" + lit(e.toLong * stride)).as("doc_id"),
+        array_join(transform(TextAnalysis.tokens($"text"),
+          x => concat(x, lit("e" + e))), " ").as("text"))
+        .as[Doc].collect().toSeq
+
+    val root = java.nio.file.Files.createTempDirectory("graft-live-stream").toString
+    val idxPath = s"$root/index"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Doc](spark)
+    val q = Streams.passageDedupStream(input.toDF(), idxPath, s"$root/out",
+      s"$root/cp", "doc_id", "text", window = 8, maxChain = maxChain)
+    def chain: Int = Option(new java.io.File(idxPath).listFiles()).toSeq
+      .flatten.count(_.getName.startsWith("epoch="))
+    try {
+      (0 until nEpochs).foreach { e =>
+        val batch = epochBatch(e)
+        val t0 = System.nanoTime()
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val c = chain
+        require(c <= maxChain + 1,
+          s"auto-compaction failed to bound the chain: $c at epoch $e")
+        println(f"""{"epoch":$e,"batch_docs":${batch.size},""" +
+          f""""batch_sec":$sec%.2f,"chain_parts":$c}""")
+      }
+    } finally q.stop()
     spark.stop()
   }
 }

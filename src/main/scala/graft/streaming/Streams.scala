@@ -188,10 +188,22 @@ object Streams {
     * (`n_kept = n_dropped = 0`), mirroring CurateMain's batch guard.
     * Documents whose EVERY passage was index-suppressed drop BY DESIGN:
     * they are entirely repeated content.
+    *
+    * `maxChain` bounds the epoch chain WITHOUT operator action: when
+    * the next batch would probe more than `maxChain` partitions, the
+    * batch tail-calls [[compactPassageIndex]] up to the previous
+    * epoch, folding everything below the current partition into one.
+    * The mid-stream call keeps the crash-replay contract: inside
+    * foreachBatch(e) every partition ≤ e-1 is committed (the engine
+    * logs batch e-1's commit before planning e), the only possible
+    * replay target is e itself — the newest partition, which the
+    * compaction never absorbs — and the merged partition preserves
+    * the exact passage set any epoch ≥ e dedups against. 0 disables
+    * (manual compaction only).
     */
   def passageDedupStream(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, idCol: String, textCol: String,
-      window: Int = 8, nBuckets: Int = 32): StreamingQuery =
+      window: Int = 8, nBuckets: Int = 32, maxChain: Int = 16): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
@@ -220,6 +232,14 @@ object Streams {
         graft.ops.Dedup.writeBucketedIndex(
           fresh.select(col("chunk_text")).distinct(),
           s"$indexPath/epoch=$epoch", Seq("chunk_text"), nBuckets)
+        // auto-compaction (see the maxChain scaladoc): fires when the
+        // NEXT batch's chain (the partitions just probed plus epoch e's
+        // fresh one) would exceed the bound; runs after this epoch's
+        // writes so a crash inside the compaction replays epoch e
+        // against the same — merged or unmerged — passage set
+        if (maxChain > 0 && idxParts.size + 1 > maxChain)
+          compactPassageIndex(batch.sparkSession, indexPath,
+            upToEpoch = epoch - 1, nBuckets = nBuckets)
         // release(), NOT releaseAll(): releaseAll would also destroy
         // checkpointed result leaves owned by concurrent pipelines in
         // this session (truncated lineage cannot recompute — Staged's

@@ -228,4 +228,58 @@ class IvfSpec extends SparkSpec {
     assert(top.take(2).toSet == Set(5L, 555555L),
       s"post-append probe must surface the appended copy, got ${top.toSeq}")
   }
+
+  test("assigned-table compaction shrinks append tails; probe invariant; recovers") {
+    import org.apache.spark.sql.functions.lit
+    val e = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    Ivf.buildPersistent(e, dir, "vec_id", "embedding", k = 8)
+    // three single-vector appends: each adds one file to its cell dir
+    (0 until 3).foreach { i =>
+      Ivf.appendToIndex(
+        e.filter($"vec_id" === 5L)
+          .select(lit(900000L + i).as("vec_id"), $"embedding"),
+        dir, "vec_id", "embedding")
+    }
+    def dataFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$dir/assigned"))
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    }
+    def probe() = Ivf.topK(Ivf.readIndex(spark, dir),
+      e.filter($"vec_id" === 5L), "vec_id", "embedding", k = 6, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val before = dataFiles
+    val probeBefore = probe()
+    assert(probeBefore.map(_._1).take(4).toSet ==
+      Set(5L, 900000L, 900001L, 900002L), "appended copies must rank first")
+    Ivf.compactIndex(spark, dir)
+    val after = dataFiles
+    assert(after < before, s"compaction must shrink the table: $before -> $after")
+    assert(after <= 8, s"expected <= one file per nonempty cell, got $after")
+    assert(probe() == probeBefore, "compaction must not change the probe")
+    // partition layout survives: cluster= dirs, so pruning still works
+    assert(Option(new java.io.File(s"$dir/assigned").listFiles()).toSeq.flatten
+      .exists(_.getName.startsWith("cluster=")))
+    // crash mid rename-swap (old present, dir gone, committed tmp):
+    // recovery must finish the swap, never resurrect old
+    val assigned = new java.io.File(s"$dir/assigned")
+    val oldDir = new java.io.File(s"$dir/assigned__compact_old")
+    assert(oldDir.mkdir())
+    java.nio.file.Files.write(new java.io.File(oldDir, "stale").toPath,
+      Array[Byte](1)): Unit
+    assert(assigned.renameTo(new java.io.File(s"$dir/assigned__compact_tmp")))
+    Ivf.compactIndex(spark, dir)
+    assert(assigned.exists() && !oldDir.exists() &&
+      !new java.io.File(s"$dir/assigned__compact_tmp").exists(),
+      "mid-swap recovery must finish the swap")
+    assert(probe() == probeBefore, "mid-swap recovery must keep the index")
+    // crash between rename(tmp->dir) and delete(old): old dropped, dir kept
+    assert(oldDir.mkdir())
+    Ivf.compactIndex(spark, dir)
+    assert(assigned.exists() && !oldDir.exists())
+    assert(probe() == probeBefore, "post-commit recovery must keep the index")
+  }
 }

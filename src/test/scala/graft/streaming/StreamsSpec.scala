@@ -472,6 +472,48 @@ class StreamsSpec extends SparkSpec {
     assert(epochDirs == Set("epoch=1", "epoch=2") && view(99L) == full)
   }
 
+  test("auto-compaction bounds the epoch chain with suppression unchanged") {
+    // maxChain=2 over 6 epochs: without the policy the index would
+    // accumulate 6 partitions; with it the chain any batch probes stays
+    // <= maxChain and the on-disk partition count stays <= maxChain+1
+    // (merged + at most maxChain fresh). Epoch-ordered ids make the
+    // stream comparable to the one-shot batch dedup — the same
+    // differential identity the generative spec pins, now across
+    // repeated mid-stream compactions.
+    val rnd = new scala.util.Random(1111)
+    val vocab = Vector("u0", "u1", "u2", "u3")
+    def doc(): String =
+      Seq.fill(2 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val batches = (0 until 6).map { e =>
+      (0 until 20).map(i => DocEvent(e * 1000L + i, ts(e), doc()))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-pstream-auto").toString
+    val idxP = s"$root/index"
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.passageDedupStream(
+      input.toDF().select($"doc_id", $"text"),
+      idxP, s"$root/out", s"$root/cp", "doc_id", "text", window = 2,
+      maxChain = 2)
+    def epochDirs = Option(new java.io.File(idxP).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    try batches.foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+      assert(epochDirs.size <= 3, // maxChain + 1
+        s"auto-compaction must bound the chain, got $epochDirs")
+    } finally q.stop()
+    // no tmp debris: every mid-stream compaction completed its swap
+    assert(Option(new java.io.File(idxP).listFiles()).toSeq.flatten
+      .forall(!_.getName.startsWith("__compact_tmp_")))
+    val streamed = spark.read.parquet(s"$root/out")
+      .select($"doc_id", $"clean_text", $"n_kept", $"n_dropped")
+      .as[(Long, String, Int, Int)].collect().toSet
+    val all = batches.flatten.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val oneShot = graft.ops.Dedup.passageDedup(all, "doc_id", "text", window = 2)
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(streamed == oneShot,
+      s"compacted stream diverged from batch: ${(streamed diff oneShot).take(3)} vs ${(oneShot diff streamed).take(3)}")
+  }
+
   test("streaming epoch index stays off the shuffle path of the per-batch probe") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
