@@ -221,40 +221,77 @@ object CurateMain {
 
   /** Day-2 survivor counts of the incremental face — the daily-ingest
     * contract CurateMainSpec pins against a full re-dedup restricted to
-    * the batch.
+    * the batch. `passageKept` is the batch after the passage-index
+    * probe (exact re-crawls die here); `appendedVecs`/`probeHit` cover
+    * the vector-index leg (day-2 embeddings appended, then found).
     */
   final case class IncrementalSummary(indexed: Long, batch: Long,
-      crossPairs: Long, internalPairs: Long, survivors: Long, out: String) {
+      passageKept: Long, crossPairs: Long, internalPairs: Long,
+      survivors: Long, appendedVecs: Long, probeHit: Boolean, out: String) {
     def json: String =
       s"""{"incremental":{"indexed":$indexed,"batch":$batch,""" +
+        s""""passage_kept":$passageKept,""" +
         s""""cross_pairs":$crossPairs,"internal_pairs":$internalPairs,""" +
-        s""""survivors":$survivors},"out":"$out"}"""
+        s""""survivors":$survivors,"appended_vecs":$appendedVecs,""" +
+        s""""probe_hit":$probeHit},"out":"$out"}"""
   }
+
+  /** Marker helpers through the Hadoop FileSystem of the path — a
+    * `java.io.File` check never sees an HDFS/S3 marker, so the day-1
+    * build would silently re-run (and the marker land on the wrong
+    * filesystem) every day at the 100 TB deployment shape.
+    */
+  private def markerFs(spark: SparkSession,
+      p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hasMarker(spark: SparkSession, p: String): Boolean =
+    markerFs(spark, p).exists(new org.apache.hadoop.fs.Path(p))
+  private def touchMarker(spark: SparkSession, p: String): Unit =
+    markerFs(spark, p).create(new org.apache.hadoop.fs.Path(p), true).close()
 
   /** The INCREMENTAL face of the capstone — the shape a daily pipeline
     * actually runs at 100 TB, where `run`'s one-shot `minHashLsh` over
     * the whole corpus would re-shingle yesterday's exabytes every day:
     *
-    *   day 1: persist the corpus's LSH index once
+    *   day 1: persist the corpus's indexes once — the LSH index
     *   ([[graft.ops.Dedup.writeLshIndex]] — bucketed+sorted band and
     *   shingle tables, the layout the DedupSpec plan pin keeps off the
-    *   shuffle path), then
-    *   day 2: ingest a fresh batch (the HTTP connector feed plus a
-    *   re-crawled slice of yesterday's corpus under new ids — the
-    *   repeat-content shape that makes dedup real) and suppress its
-    *   duplicates via ONE index probe
-    *   ([[graft.ops.Dedup.incrementalNearDup]]) whose network cost is
-    *   O(batch), independent of corpus size.
+    *   shuffle path), the passage index
+    *   ([[graft.ops.Dedup.writePassageIndex]] — the corpus's distinct
+    *   8-token windows, bucketed on the passage key), and the IVF
+    *   vector index over the corpus embeddings
+    *   ([[graft.ops.Ivf.buildPersistent]] — `cluster=`-partitioned, so
+    *   probes prune partitions); then
+    *   day 2: ingest a fresh batch (the HTTP connector feed plus TWO
+    *   re-crawled corpus slices under new ids: an EXACT re-crawl, the
+    *   repeat-content shape the passage index kills outright, and a
+    *   NEAR re-crawl — one prepended token, so no aligned 8-token
+    *   window matches the index but shingle Jaccard stays ≈ S/(S+1) —
+    *   which sails through the passage probe and dies at the LSH
+    *   probe) and suppress its duplicates via ONE probe per index
+    *   ([[graft.ops.Dedup.incrementalPassageDedup]] then
+    *   [[graft.ops.Dedup.incrementalNearDup]]), each with network cost
+    *   O(batch), independent of corpus size. Day-2 embeddings (the
+    *   exact re-crawl slice's vectors under their new ids) are
+    *   registered via [[graft.ops.Ivf.appendToIndex]] — assign to
+    *   nearest existing centroid, append to the pruned layout, no
+    *   refit — and a post-append probe must find an appended id.
     *
-    * Survivors follow the SAME rule as `run`'s stage 5: connected
-    * components over the verified pair graph, keep a doc iff it is its
-    * cluster's representative (min id). Every batch id exceeds every
-    * corpus id by construction, so a batch doc survives iff its cluster
-    * touches no corpus doc and it is the first batch doc in it — which
-    * is exactly `minHashLsh(corpus ∪ batch)` + CC + keep-reps restricted
-    * to the batch (corpus-internal pairs, the one edge class the probe
-    * graph omits, only link corpus nodes and cannot change any batch
-    * doc's rep-ness). CurateMainSpec pins that identity by running both.
+    * Stage order mirrors `run`: passage dedup BEFORE near-dup
+    * clustering, and only docs that LOST a passage take the rebuilt
+    * text. Survivors follow the SAME rule as `run`'s stage 5:
+    * connected components over the verified pair graph, keep a doc iff
+    * it is its cluster's representative (min id). Every batch id
+    * exceeds every corpus id by construction, so a batch doc survives
+    * iff its cluster touches no corpus doc and it is the first batch
+    * doc in it — which is exactly `minHashLsh(corpus ∪ passaged)` +
+    * CC + keep-reps restricted to the batch, where `passaged` is
+    * itself `passageDedup(corpus ∪ batch)` restricted to the batch
+    * (the x33 identity; corpus-internal pairs, the one edge class the
+    * probe graph omits, only link corpus nodes and cannot change any
+    * batch doc's rep-ness). CurateMainSpec pins both identities by
+    * running both sides.
     */
   def runIncremental(spark: SparkSession, sfDir: String,
       workDir: String): IncrementalSummary = {
@@ -265,36 +302,87 @@ object CurateMain {
     val maxDocId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     val off = math.max(1000000L, maxDocId + 1L)
     val nIndexed = corpus.count()
-    // day-1 build (idempotent per workDir: rebuilt only when absent, the
-    // once-then-amortize cost structure the incremental face exists for)
+    // day-1 build (idempotent per workDir: each index rebuilt only when
+    // its marker is absent — the once-then-amortize cost structure the
+    // incremental face exists for; one marker per index, so a crash
+    // between builds re-runs only the missing ones)
     val idxPath = s"$workDir/lsh_index"
-    if (!new java.io.File(s"$idxPath/_OK").exists()) {
+    if (!hasMarker(spark, s"$idxPath/_OK")) {
       Dedup.writeLshIndex(corpus, "doc_id", "text", idxPath, threshold = 0.8)
-      new java.io.File(s"$idxPath/_OK").createNewFile(): Unit
+      touchMarker(spark, s"$idxPath/_OK")
     }
-    // day-2 batch: connector feed + a re-crawled corpus slice (new ids,
-    // same text — these MUST die against the index)
+    val pasPath = s"$workDir/passage_index"
+    if (!hasMarker(spark, s"$pasPath/_OK")) {
+      Dedup.writePassageIndex(corpus, "doc_id", "text", window = 8, pasPath)
+      touchMarker(spark, s"$pasPath/_OK")
+    }
+    // IVF day-1: buildPersistent manages its own parameterized marker
+    val embeddings = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val ivfPath = s"$workDir/ivf_index"
+    Ivf.buildPersistent(embeddings, ivfPath, "vec_id", "embedding"): Unit
+    // day-2 batch: connector feed + the two re-crawled corpus slices
     val api = httpExtract(spark, off)
-    val recrawl = corpus.where($"doc_id" % 7 === 3)
+    val recrawlExact = corpus.where($"doc_id" % 7 === 3)
       .select(($"doc_id" + off + 1000L).as("doc_id"), $"text", $"lang",
         lit("recrawl").as("source"))
-    val batch = Staged(api.unionByName(recrawl))
+    val recrawlNear = corpus.where($"doc_id" % 7 === 5)
+      .select(($"doc_id" + off + 1000000L).as("doc_id"),
+        concat(lit("recrawlnear "), $"text").as("text"), $"lang",
+        lit("recrawl_near").as("source"))
+    val batch = Staged(api.unionByName(recrawlExact).unionByName(recrawlNear))
     val nBatch = batch.count()
     // audit artifact: the pre-dedup batch, so the differential spec can
     // replay the full-rerun identity against exactly this day-2 input
     batch.write.mode("overwrite").parquet(s"$workDir/day2_batch")
-    val pairs = Staged(Dedup.incrementalNearDup(batch, idxPath,
+    // passage probe (run's stage 3b, incremental form): passages already
+    // in the corpus index always lose, first occurrence wins within the
+    // batch; only docs that LOST a passage take the rebuilt text, docs
+    // whose every aligned window is a repeat drop out — the exact
+    // re-crawls die here, before any shingling happens
+    val pd = Dedup.incrementalPassageDedup(batch, pasPath,
+      "doc_id", "text", window = 8)
+    val passaged = Staged(
+      batch.join(pd, Seq("doc_id"), "left")
+        .where($"n_kept".isNotNull ||
+          size(TextAnalysis.tokens($"text")) === 0)
+        .withColumn("text",
+          when($"n_dropped" > 0, $"clean_text").otherwise($"text"))
+        .drop("clean_text", "n_kept", "n_dropped"))
+    val nPassaged = passaged.count()
+    // audit artifact: the post-passage batch the LSH identity is pinned on
+    passaged.write.mode("overwrite").parquet(s"$workDir/day2_passaged")
+    val pairs = Staged(Dedup.incrementalNearDup(passaged, idxPath,
       "doc_id", "text", threshold = 0.8))
     val nCross = pairs.where($"id_a" <= maxDocId).count()
     val nInternal = pairs.where($"id_a" > maxDocId).count()
     val clusters = Dedup.connectedComponents(pairs)
-    val kept = Staged(batch.join(
+    val kept = Staged(passaged.join(
       broadcast(clusters.where($"doc_id" =!= $"cluster_rep").select($"doc_id")),
       Seq("doc_id"), "left_anti"))
     val nKept = kept.count()
     kept.write.mode("overwrite").parquet(s"$workDir/day2_curated")
+    // vector-index leg: append the day-2 embeddings (exact-recrawl
+    // slice's vectors under their new ids — re-crawled content keeps
+    // its embedding), then prove an appended vector is findable. The
+    // append is marker-gated so a re-run of the same day-2 doesn't
+    // double-register the batch.
+    val day2Vecs = embeddings.where($"vec_id" % 7 === 3)
+      .select(($"vec_id" + off + 1000L).as("vec_id"), $"embedding")
+    val nVecs = day2Vecs.count()
+    val appendMarker = s"$ivfPath/_DAY2_APPENDED"
+    if (!hasMarker(spark, appendMarker)) {
+      Ivf.appendToIndex(day2Vecs, ivfPath, "vec_id", "embedding"): Unit
+      touchMarker(spark, appendMarker)
+    }
+    val probeId = day2Vecs.agg(min($"vec_id")).head().getLong(0)
+    val index = Ivf.readIndex(spark, ivfPath)
+    val hits = Ivf.topK(index, day2Vecs.where($"vec_id" === probeId),
+      "vec_id", "embedding", k = 5)
+      .select($"vec_id").as[Long].collect()
+    val probeHit = hits.contains(probeId)
     Staged.releaseAll()
-    IncrementalSummary(nIndexed, nBatch, nCross, nInternal, nKept,
-      s"$workDir/day2_curated")
+    IncrementalSummary(nIndexed, nBatch, nPassaged, nCross, nInternal,
+      nKept, nVecs, probeHit, s"$workDir/day2_curated")
   }
 }

@@ -105,31 +105,67 @@ class CurateMainSpec extends SparkSpec {
     assert(spark.read.parquet(s.out).count() > 0)
   }
 
-  test("incremental day-2 face: survivors ≡ full re-dedup restricted to the batch") {
-    // The daily-ingest shape (VERDICT r9 item 8): day 1 persists the
-    // corpus LSH index, day 2 dedups a fresh batch (connector feed +
-    // re-crawled corpus slice under new ids) via ONE bucketed index
-    // probe. The pin is the differential identity runIncremental's
-    // Scaladoc claims: its survivors equal minHashLsh(corpus ∪ batch) +
-    // CC + keep-reps restricted to the batch ids.
+  test("incremental day-2 face: composed probes ≡ full re-dedup restricted to the batch") {
+    // The daily-ingest shape (VERDICT r9 item 8, extended r11 to the
+    // whole incremental family): day 1 persists the corpus LSH index,
+    // the passage index, and the IVF vector index; day 2 dedups a
+    // fresh batch (connector feed + an EXACT re-crawled slice that
+    // must die at the passage probe + a NEAR re-crawled slice — one
+    // prepended token — that must survive the passage probe and die at
+    // the LSH probe), each via ONE O(batch) index probe, then appends
+    // the day-2 embeddings and proves an appended vector findable.
+    // The pins are the two differential identities runIncremental's
+    // Scaladoc claims: the passaged batch equals
+    // passageDedup(corpus ∪ batch) restricted to the batch (x33
+    // identity + run's stage-3b rebuild rule), and the survivors equal
+    // minHashLsh(corpus ∪ passaged) + CC + keep-reps restricted to it.
     import spark.implicits._
     MockTransport.reset()
     val work = java.nio.file.Files.createTempDirectory("graft-curate-incr").toString
     val s = CurateMain.runIncremental(spark, "/root/testdata/sf0.001", work)
-    // the re-crawled slice must actually die against the index: cross
-    // pairs exist and the batch shrank
-    assert(s.crossPairs > 0 && s.survivors < s.batch, s"no suppression: $s")
+    // stage kills land where designed: the passage probe shrank the
+    // batch (exact re-crawls), the LSH probe shrank it further (near
+    // re-crawls → cross pairs against corpus ids), and the appended
+    // day-2 vector was found by the post-append probe
+    assert(s.passageKept < s.batch, s"passage probe suppressed nothing: $s")
+    assert(s.crossPairs > 0 && s.survivors < s.passageKept,
+      s"LSH probe suppressed nothing: $s")
+    assert(s.appendedVecs > 0 && s.probeHit,
+      s"vector-index leg failed: $s")
     val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
     val batch = spark.read.parquet(s"$work/day2_batch")
       .select(col("doc_id"), col("text"))
-    val batchIds = batch.select(col("doc_id")).as[Long].collect().toSet
+    // identity 1: the passaged artifact ≡ one-shot passageDedup over
+    // corpus ∪ batch, restricted to the batch, with run's stage-3b
+    // join (docs that lost a passage take the rebuilt text; docs whose
+    // every aligned window is a repeat drop out)
+    val pdFull = graft.ops.Dedup.passageDedup(
+      corpus.unionByName(batch), "doc_id", "text", window = 8)
+    val passagedFull = batch.join(pdFull, Seq("doc_id"), "left")
+      .where(col("n_kept").isNotNull ||
+        size(graft.ops.TextAnalysis.tokens(col("text"))) === 0)
+      .withColumn("text",
+        when(col("n_dropped") > 0, col("clean_text")).otherwise(col("text")))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSet
+    val passagedIncr = spark.read.parquet(s"$work/day2_passaged")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSet
+    assert(passagedIncr == passagedFull,
+      s"passage identity diverged: only-incr=${(passagedIncr -- passagedFull).take(3)} " +
+        s"only-full=${(passagedFull -- passagedIncr).take(3)}")
+    // identity 2: survivors ≡ full minHashLsh over corpus ∪ passaged
+    // batch + CC + keep-reps, restricted to the batch ids
+    val passaged = spark.read.parquet(s"$work/day2_passaged")
+      .select(col("doc_id"), col("text"))
+    val passagedIds = passaged.select(col("doc_id")).as[Long].collect().toSet
     val pairs = graft.ops.Dedup.minHashLsh(
-      corpus.unionByName(batch), "doc_id", "text", threshold = 0.8)
+      corpus.unionByName(passaged), "doc_id", "text", threshold = 0.8)
     val nonRep = graft.ops.Dedup.connectedComponents(pairs)
       .where(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id")).as[Long].collect().toSet
-    val fullKept = batchIds -- nonRep
+    val fullKept = passagedIds -- nonRep
     val incrKept = spark.read.parquet(s.out)
       .select(col("doc_id")).as[Long].collect().toSet
     assert(incrKept == fullKept,
