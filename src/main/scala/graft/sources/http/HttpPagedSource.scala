@@ -36,8 +36,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Auth (README.md:16-18): token resolved from the environment inside
   *    the reader — never in plan, options dump, or logs.
   *  - Rate limiting + retry (README.md:13, :33): a token bucket per
-  *    reader (quota/parallelism each on a cluster) and exponential
-  *    backoff on 429/5xx/transport errors.
+  *    reader and exponential backoff on 429/5xx/transport errors.
+  *    `ratePerSec` is a static PER-READER rate; `globalRatePerSec` is
+  *    the per-CONNECTOR provider quota, divided across the planned
+  *    partitions at plan time — the aggregate request rate then tracks
+  *    the quota whatever parallelism the planner picks (page range,
+  *    pushed bounds, and `pagesPerPartition` all change the partition
+  *    count; a static division would silently over- or under-shoot).
   *  - Cursor-style pagination is inherently sequential → planned as a
   *    single partition (`pagination=cursor`), still rate-limited.
   */
@@ -132,6 +137,7 @@ final case class HttpConf(
     totalRecords: Long,
     authEnv: Option[String],
     ratePerSec: Double,
+    globalRatePerSec: Option[Double],
     maxRetries: Int,
     pagesPerPartition: Int,
     cursor: Boolean,
@@ -148,6 +154,7 @@ object HttpConf {
     totalRecords = o.getLong("totalRecords", 1000L),
     authEnv = Option(o.get("authEnv")),
     ratePerSec = Option(o.get("ratePerSec")).map(_.toDouble).getOrElse(100.0),
+    globalRatePerSec = Option(o.get("globalRatePerSec")).map(_.toDouble),
     maxRetries = o.getInt("maxRetries", 4),
     pagesPerPartition = o.getInt("pagesPerPartition", 8),
     cursor = o.getBoolean("pagination.cursor", false),
@@ -172,15 +179,28 @@ final class HttpPagedScan(conf: HttpConf, minPage: Int = 0,
   private[http] def nPages: Int = math.max(1L,
     (conf.totalRecords + conf.pageSize - 1) / conf.pageSize).toInt
 
-  private[http] def partitionRange(start: Int, end: Int): Array[InputPartition] =
-    if (conf.cursor) {
-      // sequential cursor walk: one partition owns all pages
-      Array(HttpPartition(start, end))
-    } else {
-      (start until end by conf.pagesPerPartition).map { s =>
-        HttpPartition(s, math.min(s + conf.pagesPerPartition, end))
-      }.toArray
+  private[http] def partitionRange(start: Int, end: Int): Array[InputPartition] = {
+    val parts =
+      if (conf.cursor) {
+        // sequential cursor walk: one partition owns all pages
+        Array(HttpPartition(start, end))
+      } else {
+        (start until end by conf.pagesPerPartition).map { s =>
+          HttpPartition(s, math.min(s + conf.pagesPerPartition, end))
+        }.toArray
+      }
+    // plan-time global rate budget (README.md:13, :33): the provider
+    // quota is per CONNECTOR, not per task — divide it across exactly
+    // the partitions this plan will run concurrently, here, where the
+    // count is known. A static per-reader rate goes stale the moment
+    // pushed bounds or pagesPerPartition change the partition count.
+    conf.globalRatePerSec match {
+      case Some(quota) if parts.nonEmpty =>
+        val each = quota / parts.length
+        parts.map(p => p.copy(ratePerSec = Some(each)): InputPartition)
+      case _ => parts.map(p => p: InputPartition)
     }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // pushed page bounds intersected with the configured extent; cursor
@@ -258,7 +278,11 @@ final case class HttpReaderFactory(conf: HttpConf, needPage: Boolean,
       needPage, needBody)
 }
 
-final case class HttpPartition(startPage: Int, endPage: Int) extends InputPartition
+/** `ratePerSec`, when set, is this partition's share of the
+  * connector's `globalRatePerSec` quota, computed at plan time.
+  */
+final case class HttpPartition(startPage: Int, endPage: Int,
+    ratePerSec: Option[Double] = None) extends InputPartition
 
 /** Fetches [startPage, endPage) with auth, a token bucket, and
   * exponential backoff. One transport per reader.
@@ -290,7 +314,9 @@ final class HttpPartitionReader(conf: HttpConf, part: HttpPartition,
       .map(tok => Map("Authorization" -> s"Bearer $tok"))
       .getOrElse(Map.empty) + ("Accept" -> "application/json")
 
-  private val bucket = new TokenBucket(conf.ratePerSec, burst = math.max(1.0, conf.ratePerSec))
+  // plan-time budget share wins over the static per-reader rate
+  private val rate = part.ratePerSec.getOrElse(conf.ratePerSec)
+  private val bucket = new TokenBucket(rate, burst = math.max(1.0, rate))
   private var page = part.startPage
   private var current: InternalRow = _
   // cursor mode: the next request's offset comes from the PREVIOUS
@@ -354,9 +380,11 @@ final class HttpPartitionReader(conf: HttpConf, part: HttpPartition,
 }
 
 /** Minimal token bucket: `ratePerSec` sustained, `burst` capacity.
-  * Per-reader — on a cluster, set ratePerSec = provider quota /
-  * expected parallel readers (quota coordination across executors
-  * would need an external limiter service).
+  * Per-reader; the `globalRatePerSec` option divides the connector
+  * quota across planned partitions so each reader's bucket is its
+  * share (speculative duplicate tasks would still double a share —
+  * true cross-executor coordination needs an external limiter
+  * service, out of scope for a library).
   */
 final class TokenBucket(ratePerSec: Double, burst: Double) {
   private var tokens = burst

@@ -86,6 +86,56 @@ class HttpPagedSourceSpec extends SparkSpec {
     assert(elapsed >= 0.8, s"expected pacing, took ${elapsed}s")
   }
 
+  test("global rate budget: quota divides across planned partitions") {
+    def confOf(opts: Map[String, String]): HttpConf = {
+      val m = new java.util.HashMap[String, String]()
+      opts.foreach { case (k, v) => m.put(k, v) }
+      HttpConf(new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
+    }
+    val base = Map(
+      "url" -> "http://mock.local/api?mock_total=250",
+      "pageSize" -> "25", "totalRecords" -> "250",
+      "transport" -> classOf[MockTransport].getName,
+      "globalRatePerSec" -> "20")
+    // 10 pages / 8 per partition => 2 partitions => 10 rps each
+    val parts = new HttpPagedScan(confOf(base)).planInputPartitions()
+      .map(_.asInstanceOf[HttpPartition])
+    assert(parts.length == 2)
+    assert(parts.forall(_.ratePerSec.contains(10.0)), parts.toSeq)
+    // a pushed upper bound shrinks the plan to ONE partition, whose
+    // share is then the whole quota — the adaptation a static
+    // quota/maxReaders division cannot make
+    val b = new HttpScanBuilder(confOf(base))
+    b.pushFilters(Array(org.apache.spark.sql.sources.LessThan("page", 8)))
+    val bounded = b.build().asInstanceOf[HttpPagedScan].planInputPartitions()
+      .map(_.asInstanceOf[HttpPartition])
+    assert(bounded.length == 1)
+    assert(bounded.head.ratePerSec.contains(20.0), bounded.toSeq)
+    // cursor mode: the single sequential walker owns the full quota
+    val cur = new HttpPagedScan(confOf(base + ("pagination.cursor" -> "true")))
+      .planInputPartitions().map(_.asInstanceOf[HttpPartition])
+    assert(cur.length == 1 && cur.head.ratePerSec.contains(20.0), cur.toSeq)
+    // without the option, partitions carry no share (static per-reader
+    // ratePerSec applies unchanged)
+    val off = new HttpPagedScan(confOf(base - "globalRatePerSec"))
+      .planInputPartitions().map(_.asInstanceOf[HttpPartition])
+    assert(off.forall(_.ratePerSec.isEmpty))
+  }
+
+  test("global rate budget: aggregate pacing tracks the connector quota") {
+    MockTransport.reset()
+    val t0 = System.nanoTime()
+    // 10 pages over 2 partitions at a 10 rps connector quota => 5 rps
+    // and burst 5 per reader; the 8-page partition must wait at least
+    // (8-5)/5 = 0.6 s. globalRatePerSec also overrides the static
+    // ratePerSec=10000 the `read` helper sets — plan-time share wins.
+    read("http://mock.local/api?mock_total=250",
+      Map("globalRatePerSec" -> "10")).where(length($"body") > 0).count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(MockTransport.requests.size == 10)
+    assert(elapsed >= 0.5, s"expected aggregate pacing, took ${elapsed}s")
+  }
+
   test("full connector: extract → transform → load → consistency (E2E)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-http-e2e").toString + "/coll"
     val pipeline = Transforms.pipeline(
