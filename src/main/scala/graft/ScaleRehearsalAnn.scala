@@ -131,11 +131,32 @@ object ScaleRehearsalAnn {
         Ivf.topK(Ivf.readIndex(spark, idxPath), query,
           "vec_id", "embedding", k = 50).count()
       }
+      // IVF-PQ int8 face (a05): one-off quantized projection, then the
+      // pruned probe over it; per-face bytes measure the scan-bandwidth
+      // cut the face exists for (the probe itself also reads fewer
+      // bytes per cell, but at this scale the fixed plan overhead
+      // dominates the wall clock — bytes are the scale signal)
+      val (tQuant, _) = time {
+        Ivf.quantizeAssigned(spark, idxPath, "vec_id", "embedding"); 0L
+      }
+      val (tProbe8, nProbe8) = time {
+        Ivf.topKInt8(spark, idxPath, query, "vec_id", "embedding", k = 50).count()
+      }
+      def faceBytes(sub: String): Long = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$idxPath/$sub"))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .map(_.length).sum
+      }
       println(s"""{"mult":$k,"vecs":$n,"lsh_bucket_sec":$tBucket,"rows":$nBucket,""" +
         s""""lsh_pairs_sec":$tPairs,"pairs":$nPairs,"lsh_topk_sec":$tTopk,""" +
         s""""topk_rows":$nTopk,"knn_bits":$knnBits,"knn_graph_sec":$tKnn,""" +
         s""""knn_rows":$nKnn,"ivf_build_sec":$tBuild,"ivf_probe_sec":$tProbe,""" +
-        s""""probe_rows":$nProbe}""")
+        s""""probe_rows":$nProbe,"ivf_quant_sec":$tQuant,""" +
+        s""""ivf_probe8_sec":$tProbe8,"probe8_rows":$nProbe8,""" +
+        s""""bytes_float":${faceBytes("assigned")},"bytes_int8":${faceBytes("assigned_int8")}}""")
     }
     spark.stop()
   }

@@ -219,8 +219,22 @@ object Ivf {
     // (task, cell) — bounds small-file growth to the append count (the
     // same debt the bucketed dedup indexes retire with bucketAligned;
     // partition pruning itself never cared, only open-file overhead)
-    assigned.repartition(col("cluster"))
+    val alignedBatch = assigned.repartition(col("cluster")).persist()
+    alignedBatch
       .write.mode("append").partitionBy("cluster").parquet(s"$path/assigned")
+    // keep the int8 probe face in step when it exists: an appended
+    // vector missing from assigned_int8 would be invisible to the
+    // production probe path while present in the float table
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/assigned_int8"))) {
+      quantizedRows(alignedBatch, idCol, vecCol)
+        .repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster")
+        .parquet(s"$path/assigned_int8")
+      spark.catalog.refreshByPath(s"$path/assigned_int8")
+    }
+    alignedBatch.unpersist()
     // this session's cached plans/indexes snapshotted the PRE-append
     // file listing: refresh the path and drop memoized entries so the
     // next buildPersistentCached/readIndex sees the appended files
@@ -253,7 +267,20 @@ object Ivf {
     * the index contents or parameters.
     */
   def compactIndex(spark: SparkSession, path: String): Unit = {
-    val dir = s"$path/assigned"
+    compactAssignedDir(spark, path, s"$path/assigned")
+    // the int8 probe face accumulates appended files the same way;
+    // compact it under the same discipline when it exists
+    val int8 = s"$path/assigned_int8"
+    val fs = new org.apache.hadoop.fs.Path(int8)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(int8)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"${int8}__compact_old")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"${int8}__compact_tmp")))
+      compactAssignedDir(spark, path, int8)
+  }
+
+  private def compactAssignedDir(spark: SparkSession, path: String,
+      dir: String): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpPath = new org.apache.hadoop.fs.Path(s"${dir}__compact_tmp")
@@ -300,6 +327,80 @@ object Ivf {
     require(fs.delete(oldPath, true),
       s"ivf compaction: delete failed for $oldPath")
     invalidate()
+  }
+
+  /** Derive the int8 probe face of a persisted index: `assigned_int8`,
+    * the assigned table with each vector symmetrically quantized to
+    * int8 ([[Quantize]]'s rule: q_i = clamp(round(x_i·127/max|x|))) and
+    * the same `cluster=` partition layout. A probe over this face reads
+    * ~4× fewer bytes per cell than the float table — at 100 TB the
+    * probe is scan-bandwidth-bound, so the quantized face is the one
+    * production actually probes (exact re-ranking over the float table
+    * is a second, candidate-only read).
+    *
+    * Cosine needs NO dequantization scale: the dequantized vector is
+    * q · (max|x|/127), a positive scalar multiple of q, and cosine is
+    * scale-invariant — ranking by cos(q, query) IS ranking by
+    * cos(dequantized, query); the only approximation error is the
+    * rounding itself (IvfSpec measures top-k agreement vs the float
+    * probe). Zero vectors carry no direction (quantization and cosine
+    * both undefined) and are excluded, as in [[Quantize.int8]].
+    *
+    * Idempotent per (path, vecCol) via a marker through the path's own
+    * FileSystem; rebuilt only when absent, like the base index.
+    */
+  def quantizeAssigned(spark: SparkSession, path: String, idCol: String,
+      vecCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_INT8_OK_$vecCol")
+    if (fs.exists(marker)) return
+    quantizedRows(spark.read.parquet(s"$path/assigned"), idCol, vecCol)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/assigned_int8")
+    fs.create(marker, true).close()
+  }
+
+  /** (id, qvec array<byte>, cluster) of an assigned frame — shared by
+    * [[quantizeAssigned]] and the append path so the quantization rule
+    * cannot drift between initial build and daily appends.
+    */
+  private def quantizedRows(assigned: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val q = transform(col("__v"), x =>
+      greatest(lit(-127.0), least(lit(127.0),
+        round(x * lit(127.0) / col("__m"), 0))).cast("byte"))
+    assigned
+      .select(col(idCol), v.as("__v"),
+        array_max(transform(v, x => abs(x))).as("__m"), col("cluster"))
+      .where(col("__m") > 0)
+      .select(col(idCol), q.as("qvec"), col("cluster"))
+  }
+
+  /** [[topK]] over the int8 face: same probe-cell selection (float
+    * centroids — they are tiny and driver-held either way), but the
+    * per-cell scan reads `assigned_int8` and ranks by cosine over the
+    * quantized vectors. `PartitionFilters` prune identically; the
+    * bytes read per probed cell drop ~4×.
+    */
+  def topKInt8(spark: SparkSession, path: String, query: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(spark)
+    val centroids = readIndex(spark, path).centroids
+    val probes = probeCells(centroids, queryVecOf(query, vecCol), nprobe)
+    val q = broadcast(query
+      .select(col(vecCol).cast("array<double>").as("query_vec")))
+    spark.read.parquet(s"$path/assigned_int8")
+      .where(col("cluster").isInCollection(probes))
+      .crossJoin(q)
+      .select(col(idCol),
+        round(Similarity.cosine(col("qvec").cast("array<double>"),
+          col("query_vec")), roundTo).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Fit centroids and assign every row to its cell. */
@@ -417,12 +518,34 @@ object Ivf {
       k: Int, nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
     val spark = query.sparkSession
     GraftFunctions.register(spark)
-    // element type may be float or double — widen either
-    val qVec = query.select(col(vecCol)).head().getSeq[Any](0).map {
+    val probes = probeCells(index.centroids, queryVecOf(query, vecCol), nprobe)
+    val q = broadcast(query.select(col(vecCol).as("query_vec")))
+    index.assigned
+      .where(col("cluster").isInCollection(probes))
+      .crossJoin(q)
+      .select(col(idCol),
+        round(Similarity.cosine(col(vecCol), col("query_vec")), roundTo).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The one query vector of a 1-row query frame, widened to doubles
+    * (element type may be float or double — accept either).
+    */
+  private def queryVecOf(query: DataFrame, vecCol: String): Array[Double] =
+    query.select(col(vecCol)).head().getSeq[Any](0).map {
       case f: Float => f.toDouble
       case d: Double => d
       case n: Number => n.doubleValue()
     }.toArray
+
+  /** The `nprobe` cells nearest the query by centroid EUCLIDEAN
+    * distance (the cells' own geometry — see [[topK]]'s metric note),
+    * ties toward the lower cell id. Shared by the float and int8
+    * probes so cell selection cannot drift between the two faces.
+    */
+  private def probeCells(centroids: Array[Array[Double]],
+      qVec: Array[Double], nprobe: Int): Seq[Int] = {
     def d2(c: Array[Double]): Double = {
       var s = 0.0
       val n = math.min(c.length, qVec.length)
@@ -430,15 +553,7 @@ object Ivf {
       while (i < n) { val d = c(i) - qVec(i); s += d * d; i += 1 }
       s
     }
-    val probes = index.centroids.zipWithIndex
-      .sortBy { case (c, i) => (d2(c), i) }.take(nprobe).map(_._2)
-    val q = broadcast(query.select(col(vecCol).as("query_vec")))
-    index.assigned
-      .where(col("cluster").isInCollection(probes.toSeq))
-      .crossJoin(q)
-      .select(col(idCol),
-        round(Similarity.cosine(col(vecCol), col("query_vec")), roundTo).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
+    centroids.zipWithIndex
+      .sortBy { case (c, i) => (d2(c), i) }.take(nprobe).map(_._2).toSeq
   }
 }

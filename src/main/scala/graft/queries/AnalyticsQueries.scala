@@ -100,6 +100,42 @@ object AnalyticsQueries {
             list_transform(a.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cos_sim
         FROM a JOIN probes p ON a.cluster = p.cluster CROSS JOIN q
         ORDER BY cos_sim DESC, a.vec_id LIMIT 50"""),
-      notes = "oracle replays probe selection + re-rank over the persisted index")
+      notes = "oracle replays probe selection + re-rank over the persisted index"),
+
+    // ---- IVF-PQ-style probe over the int8 face of the same persisted
+    // index: the `assigned_int8` table stores each vector symmetrically
+    // quantized (q_i = clamp(round(x_i·127/max|x|))) in the identical
+    // cluster= layout, so the probe prunes the same partitions while
+    // reading ~4× fewer bytes per cell — the face a scan-bandwidth-
+    // bound 100 TB probe actually reads. Cosine over q needs no scale
+    // (dequantization is a positive scalar — cosine is scale-
+    // invariant); the stored qvec is plain data, so the oracle reads
+    // it back and replays probe + re-rank exactly.
+    GraftQuery(
+      "a05_sim_ivfpq_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        Ivf.buildPersistentCached(e, path, "vec_id", "embedding", k = 16): Unit
+        Ivf.quantizeAssigned(s, path, "vec_id", "embedding")
+        Ivf.topKInt8(s, path, e.filter($"vec_id" === 0L),
+          "vec_id", "embedding", k = 50)
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+        probes AS (SELECT cluster FROM cents CROSS JOIN q
+          ORDER BY list_distance(centroid, qv) ASC, cluster LIMIT 4),
+        a AS (SELECT vec_id, qvec, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_int8/*/*.parquet',
+                            hive_partitioning = 1))
+        SELECT a.vec_id,
+          round(list_cosine_similarity(
+            list_transform(a.qvec, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cos_sim
+        FROM a JOIN probes p ON a.cluster = p.cluster CROSS JOIN q
+        ORDER BY cos_sim DESC, a.vec_id LIMIT 50"""),
+      notes = "oracle replays probe selection + re-rank over the stored int8 face")
   )
 }

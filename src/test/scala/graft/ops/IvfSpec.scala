@@ -229,6 +229,92 @@ class IvfSpec extends SparkSpec {
       s"post-append probe must surface the appended copy, got ${top.toSeq}")
   }
 
+  test("int8 probe face: smaller scan, same pruning, faithful ranking") {
+    val e = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-int8").toString
+    Ivf.buildPersistent(e, dir, "vec_id", "embedding", k = 8)
+    Ivf.quantizeAssigned(spark, dir, "vec_id", "embedding")
+    val query = e.filter($"vec_id" === 0L)
+    val floatTop = Ivf.topK(Ivf.readIndex(spark, dir), query,
+      "vec_id", "embedding", k = 20, nprobe = 4)
+      .select("vec_id").as[Long].collect()
+    val int8Top = Ivf.topKInt8(spark, dir, query,
+      "vec_id", "embedding", k = 20, nprobe = 4)
+      .select("vec_id").as[Long].collect()
+    // same probe cells by construction (shared probeCells); ranking
+    // agreement limited only by the rounding error
+    assert(int8Top.head == 0L, "query must find itself at cos 1.0")
+    val agree = (floatTop.toSet intersect int8Top.toSet).size
+    assert(agree >= 16, s"int8 ranking diverged from float: $agree/20 agree")
+    // the stored face is genuinely smaller: int8 dictionary/bit-packed
+    // columns vs PLAIN float32
+    def bytes(sub: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$dir/$sub"))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .map(_.length).sum
+    }
+    assert(bytes("assigned_int8") < (bytes("assigned") * 0.6).toLong,
+      s"int8 face not smaller: ${bytes("assigned_int8")} vs ${bytes("assigned")}")
+    // idempotent: the marker short-circuits a rebuild
+    Ivf.quantizeAssigned(spark, dir, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dir/assigned_int8").count() == e.count())
+    // the int8 probe partition-prunes exactly like the float probe
+    val plan = Ivf.topKInt8(spark, dir, query,
+      "vec_id", "embedding", k = 20, nprobe = 3)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+    val scan = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.find(_.partitionFilters.exists(_.references.exists(_.name == "cluster")))
+    assert(scan.isDefined, s"no partition-pruned int8 scan in:\n$plan")
+    assert(scan.get.selectedPartitions.partitionCount <= 3,
+      "int8 scan must touch at most nprobe partitions")
+  }
+
+  test("append maintains the int8 face; compaction covers both tables") {
+    import org.apache.spark.sql.functions.lit
+    val e = Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-int8-app").toString
+    Ivf.buildPersistent(e, dir, "vec_id", "embedding", k = 8)
+    Ivf.quantizeAssigned(spark, dir, "vec_id", "embedding")
+    (0 until 3).foreach { i =>
+      Ivf.appendToIndex(
+        e.filter($"vec_id" === 5L)
+          .select(lit(910000L + i).as("vec_id"), $"embedding"),
+        dir, "vec_id", "embedding")
+    }
+    // the appended copies are visible to the int8 probe (an int8 face
+    // that missed appends would silently lose new corpus data on the
+    // production probe path)
+    assert(spark.read.parquet(s"$dir/assigned_int8").count() == e.count() + 3)
+    def probe() = Ivf.topKInt8(spark, dir, e.filter($"vec_id" === 5L),
+      "vec_id", "embedding", k = 6, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val probeBefore = probe()
+    assert(probeBefore.map(_._1).take(4).toSet ==
+      Set(5L, 910000L, 910001L, 910002L),
+      s"appended copies must rank first in the int8 probe: $probeBefore")
+    def dataFiles(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$dir/$sub"))
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    }
+    val before = dataFiles("assigned_int8")
+    Ivf.compactIndex(spark, dir)
+    assert(dataFiles("assigned_int8") < before,
+      s"compaction must shrink the int8 tail: $before -> ${dataFiles("assigned_int8")}")
+    assert(dataFiles("assigned_int8") <= 8,
+      "expected <= one int8 file per nonempty cell")
+    assert(probe() == probeBefore, "compaction must not change the int8 probe")
+  }
+
   test("assigned-table compaction shrinks append tails; probe invariant; recovers") {
     import org.apache.spark.sql.functions.lit
     val e = Tables(spark, sf, "embeddings")
