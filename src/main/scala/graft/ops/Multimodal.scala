@@ -94,4 +94,40 @@ object Multimodal {
       }
       .toDF("id", "frame_idx", "frame")
   }
+
+  final case class FrameRecord(
+      id: Long, frame_idx: Int, frame: Array[Byte], mean_byte: Option[Double])
+
+  /** Frame sampling + per-frame feature extraction in one typed pass:
+    * each sampled frame carries its mean unsigned-byte value — the
+    * pixel-mean stand-in for a real per-frame feature extractor (the
+    * imperative loop over frame bytes is exactly where a conv feature
+    * or perceptual hash would run). Empty frames (zero-length media)
+    * yield a NULL feature, not a fake zero.
+    *
+    * No shuffle: a generator over the media partition, frames never
+    * leave their task until the caller asks.
+    */
+  def frameFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String, framesPerDoc: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        MediaCodec.sampleFramesStub(r.media, framesPerDoc)
+          .zipWithIndex.map { case (f, i) =>
+            val mean =
+              if (f.isEmpty) None
+              else {
+                var s = 0L
+                var j = 0
+                while (j < f.length) { s += (f(j) & 0xff); j += 1 }
+                // integer sum is exact; ONE division — bit-identical to
+                // any other engine's avg over the same bytes
+                Some(s.toDouble / f.length)
+              }
+            FrameRecord(r.id, i, f, mean)
+          }
+      }.toDF()
+  }
 }

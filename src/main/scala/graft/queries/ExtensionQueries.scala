@@ -480,6 +480,51 @@ object ExtensionQueries {
         FROM f"""),
       notes = "decode plumbing + meta derivation hash-verified; only the stub's byte-hash rides as dumped data (the real-codec seam)"),
 
+    // ---- multimodal frame sampling + per-frame feature extraction:
+    // the generator plumbing a video pipeline runs (one row per sampled
+    // frame, no shuffle, frames never leave their task) with the
+    // byte-slice stub standing in for key-frame seeks and the mean
+    // unsigned-byte value standing in for a per-frame feature. Fully
+    // closed-form oracle — frame boundaries are integer arithmetic,
+    // the slice is a blob substring, and the feature re-derives from
+    // the hex dump of the same bytes: sampling coverage, slicing,
+    // hashing, and the feature math are all hash-verified with no
+    // dumped side data at all.
+    GraftQuery(
+      "x38_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("media"))
+        Multimodal.frameFeatures(s, media, "doc_id", "media", framesPerDoc = 4)
+          .select($"id", $"frame_idx",
+            length($"frame").as("n_bytes"),
+            // hash the HEX of the frame, not the blob: DuckDB 1.0's
+            // sha256 is VARCHAR-only and has no blob substring, so the
+            // portable byte-exact content witness is the hex dump —
+            // frame i's hex is exactly substring(hex(media), 2s+1, 2(e−s))
+            sha2(hex($"frame"), 256).as("frame_sha"),
+            round($"mean_byte", 6).as("mean_byte"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, CAST(text AS BLOB) AS media,
+            octet_length(CAST(text AS BLOB)) AS len FROM documents),
+          n AS (SELECT doc_id, len, hex(media) AS h,
+            LEAST(4, GREATEST(1, len)) AS k FROM docs),
+          f AS (SELECT doc_id AS id, i AS frame_idx,
+              CAST((i * len) // k AS INTEGER) AS s,
+              CAST(((i + 1) * len) // k AS INTEGER) AS e, h
+            FROM n, unnest(generate_series(0, k - 1)) AS t(i))
+        SELECT id, CAST(frame_idx AS INTEGER) AS frame_idx,
+          CAST(e - s AS INTEGER) AS n_bytes,
+          sha256(substring(h, 2*s + 1, 2*(e - s))) AS frame_sha,
+          round(CASE WHEN e > s THEN list_aggregate(list_transform(
+              range(s, e), j ->
+                (strpos('0123456789ABCDEF', substring(h, 2*j + 1, 1)) - 1) * 16
+                + (strpos('0123456789ABCDEF', substring(h, 2*j + 2, 1)) - 1)),
+            'avg') END, 6) AS mean_byte
+        FROM f"""),
+      notes = "frame boundaries, slice content (via hex), and the byte-mean feature all re-derived in SQL — no dumped side data"),
+
     // ---- embedding component statistics: array element access + exact
     // decimal aggregation over float-derived doubles (the embeddings are
     // unit-normalized, so norms are degenerate — components are not).

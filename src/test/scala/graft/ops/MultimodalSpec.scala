@@ -34,6 +34,31 @@ class MultimodalSpec extends SparkSpec {
       "another payload with more bytes inside it".getBytes("UTF-8").toSeq)
   }
 
+  test("frame features: coverage, exact byte means, NULL on empty media") {
+    val out = Multimodal.frameFeatures(spark, media, "doc_id", "media",
+      framesPerDoc = 4)
+    // coverage: the frames of doc 2 reassemble its payload exactly
+    val frames2 = out.filter($"id" === 2L).orderBy("frame_idx")
+      .select("frame").as[Array[Byte]].collect()
+    assert(frames2.length == 4)
+    val payload = "another payload with more bytes inside it".getBytes("UTF-8")
+    assert(frames2.flatten.toSeq == payload.toSeq)
+    // the feature really is the mean unsigned byte of the frame's slice
+    val means2 = out.filter($"id" === 2L).orderBy("frame_idx")
+      .select("mean_byte").as[Double].collect()
+    val expect = (0 until 4).map { i =>
+      val s = i * payload.length / 4
+      val e = (i + 1) * payload.length / 4
+      payload.slice(s, e).map(_ & 0xff).sum.toDouble / (e - s)
+    }
+    assert(means2.toSeq == expect, s"got ${means2.toSeq}, want $expect")
+    // empty media: one clamped frame, NULL feature (not a fake zero)
+    val empty = out.filter($"id" === 3L)
+      .select($"frame_idx", length($"frame"), $"mean_byte".isNull)
+      .as[(Int, Int, Boolean)].collect().toSeq
+    assert(empty == Seq((0, 0, true)), s"got $empty")
+  }
+
   test("metadata struct is columnar-filterable without touching bytes") {
     val out = Multimodal.decode(spark, media, "doc_id", "media").toDF()
     val wide = out.filter($"meta.width" > 16).select("id", "meta.format")
