@@ -1,0 +1,207 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import graft.ops.{Dedup, Ivf, Similarity, Staged}
+
+/** Streaming faces of the vector family: continuous-ingest semantic
+  * dedup against a persisted IVF index, with epoch-partitioned
+  * replay-idempotent index maintenance — the online form of the batch
+  * SemDeDup (x31), structured exactly like the passage-dedup stream
+  * ([[Streams.passageDedupStream]]).
+  *
+  * Layout: the BASE corpus index (centroids + `cluster=`-partitioned
+  * assigned table, [[Ivf.buildPersistent]]) is built offline and never
+  * mutated by the stream; each micro-batch's surviving vectors land in
+  * `indexPath/epoch=<e>` (itself `cluster=`-partitioned), so batch e
+  * dedups against base + epochs < e and OVERWRITES only epoch-e
+  * locations — every step is a pure function of (batch, committed
+  * prefix) and crash replay rewrites identical bytes, the same
+  * contract as the passage stream. Centroids stay fixed (drift only on
+  * explicit rebuilds, like [[Ivf.appendToIndex]]).
+  *
+  * Contract: streamed ids must exceed every indexed id (the min-id
+  * representative election below — shared with the batch family —
+  * depends on it, exactly like `CurateMain.runIncremental`).
+  */
+object VectorStreams {
+
+  /** Committed stream-index epoch labels strictly below `epoch`,
+    * ascending. Inside foreachBatch(e) every partition ≤ e-1 is
+    * committed (the engine logs batch e-1's commit before planning e)
+    * and the only replay target is e itself, which this never lists.
+    */
+  def epochsBefore(spark: SparkSession, indexPath: String,
+      epoch: Long): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong)
+      .filter(_ < epoch).sorted
+  }
+
+  /** Cross pairs between an indexed frame and a small probe batch:
+    * (id_a = indexed id, id_b = batch id) where the two share a cell
+    * and rounded cosine exceeds `threshold` — the two-sided form of
+    * [[Similarity.cosinePairsBlocked]]'s convention (round-6 cosine,
+    * strict >, zero-norm rows excluded from both roles).
+    *
+    * Plan shape (spec-pinned): the batch side BROADCASTS, so the
+    * indexed frame streams through a BroadcastHashJoin with no
+    * Exchange — and when `index` is a `cluster=`-partitioned scan
+    * pre-filtered to the batch's cells, the scan partition-prunes.
+    * Per-batch network cost is O(batch), independent of index size.
+    */
+  def crossPairs(index: DataFrame, probe: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, roundTo: Int = 6): DataFrame = {
+    val i = index.select(col(idCol).as("id_a"), col("cluster"),
+        col(vecCol).as("__iv"), Similarity.l2Norm(col(vecCol)).as("__inrm"))
+      .where(col("__inrm") > 0)
+    val b = broadcast(probe.select(col(idCol).as("id_b"), col("cluster"),
+        col(vecCol).as("__bv"), Similarity.l2Norm(col(vecCol)).as("__bnrm"))
+      .where(col("__bnrm") > 0))
+    i.join(b, Seq("cluster"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("__iv"), col("__bv")) /
+          (col("__inrm") * col("__bnrm")), roundTo).as("cos_sim"))
+      .where(col("cos_sim") > threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** One micro-batch of [[semanticDedupStream]], exposed so the spec
+    * can replay an epoch exactly as the engine would after a crash.
+    * Suppression rule — the streaming form of the incremental LSH
+    * face's rule (`CurateMain.runIncremental`): connected components
+    * over cross pairs (batch × [base + committed epochs], same cell,
+    * cosine > threshold) plus within-batch pairs; a batch vector
+    * survives iff its component touches no indexed vector and it is
+    * the component's min id. Survivors (only) register into
+    * `indexPath/epoch=<e>` — a vector that died is NOT a valid dedup
+    * anchor for later epochs (it was never kept), which the spec pins
+    * with a chain v→v'→v'' where cos(v'', v) is below threshold.
+    */
+  def processVectorBatch(batch: DataFrame, epoch: Long, basePath: String,
+      indexPath: String, outPath: String, idCol: String, vecCol: String,
+      threshold: Double, maxChain: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val base = Ivf.readIndex(spark, basePath)
+    // single-assignment blocking — the registered x31 default; the
+    // boundary-straddling approximation is the same one, measured in
+    // SCALE.md, with multiAssign(probes=2) as the batch-side escape
+    // hatch if recall ever demands it here
+    val assigned = Staged(
+      Ivf.multiAssign(base, batch.select(col(idCol), col(vecCol)),
+        idCol, vecCol, probes = 1))
+    // the batch's touched cells: O(k)-bounded driver list, turned into
+    // partition filters so every index scan below prunes to them
+    val cells = assigned.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val epochs = epochsBefore(spark, indexPath, epoch)
+    val sides = (base.assigned +:
+      epochs.map(e => spark.read.parquet(s"$indexPath/epoch=$e")))
+      .map(_.where(col("cluster").isInCollection(cells)))
+    val cross = sides.map(s => crossPairs(s, assigned, idCol, vecCol, threshold))
+      .reduce(_ unionByName _)
+    val internal = Similarity.cosinePairsBlocked(
+      assigned, idCol, vecCol, "cluster", threshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.connectedComponents(cross.unionByName(internal))
+    // rename the CC output before the anti-join: a caller whose idCol
+    // is literally "doc_id" would otherwise hit an ambiguous condition
+    val survivors = Staged(assigned.join(
+      broadcast(clusters.where(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id").as("__dead"))),
+      col(idCol) === col("__dead"), "left_anti"))
+    survivors.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+    // register ONLY survivors, cell-aligned: one file per touched cell
+    survivors.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexPath/epoch=$epoch")
+    // auto-compaction, the passage stream's policy verbatim: fires when
+    // the NEXT batch's chain would exceed the bound; runs after this
+    // epoch's writes so a crash inside compaction replays epoch e
+    // against the same — merged or unmerged — vector set
+    if (maxChain > 0 && epochs.size + 1 > maxChain)
+      compactVectorIndex(spark, indexPath, upToEpoch = epoch - 1)
+    Staged.release()
+  }
+
+  /** Continuous-ingest semantic dedup: every micro-batch is suppressed
+    * against the base corpus index plus all earlier epochs' survivors
+    * via cell-pruned broadcast joins, then its survivors are written
+    * to `outPath/epoch=<e>` and registered into the stream index.
+    * `maxChain` bounds the epoch chain without operator action (0 =
+    * manual compaction only).
+    */
+  def semanticDedupStream(vecs: DataFrame, basePath: String,
+      indexPath: String, outPath: String, checkpoint: String,
+      idCol: String, vecCol: String, threshold: Double,
+      maxChain: Int = 16): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        processVectorBatch(batch, epoch, basePath, indexPath, outPath,
+          idCol, vecCol, threshold, maxChain)
+      }
+      .start()
+
+  /** Offline compaction for the epoch-partitioned stream index: merge
+    * epoch dirs ≤ `upToEpoch` — never the globally newest, which may
+    * be a restarted stream's replay target — into one dir carrying the
+    * HIGHEST absorbed label, so `epochsBefore` for any later epoch
+    * sees exactly the same vector set. Plain-parquet version of
+    * [[Streams.compactPassageIndex]]'s discipline: merged set written
+    * to `__compact_tmp_<label>` (parquet `_SUCCESS` = commit point);
+    * every invocation FIRST finishes any committed tmp found on disk
+    * and discards uncommitted ones, so a crashed swap completes on the
+    * next run instead of stranding data; all delete/rename results are
+    * checked.
+    */
+  def compactVectorIndex(spark: SparkSession, indexPath: String,
+      upToEpoch: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    def mustDelete(p: org.apache.hadoop.fs.Path): Unit =
+      require(fs.delete(p, true), s"vector compaction: delete failed for $p")
+    def committed(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    def promote(tmp: org.apache.hadoop.fs.Path, label: Long): Unit = {
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
+          s.getPath.getName.stripPrefix("epoch=").toLong <= label)
+        .foreach(s => mustDelete(s.getPath))
+      val dest = new org.apache.hadoop.fs.Path(root, s"epoch=$label")
+      require(fs.rename(tmp, dest),
+        s"vector compaction: rename $tmp -> $dest failed")
+    }
+    // recovery: finish (or discard) any swap a previous run left behind
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__compact_tmp_"))
+      .foreach { s =>
+        val label = s.getPath.getName.stripPrefix("__compact_tmp_").toLong
+        if (committed(s.getPath)) promote(s.getPath, label)
+        else mustDelete(s.getPath)
+      }
+    val all = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).sorted
+    if (all.size <= 1) return
+    val victims = all.filter(e => e <= upToEpoch && e != all.max)
+    if (victims.size <= 1) return
+    val label = victims.max
+    val tmp = new org.apache.hadoop.fs.Path(root, s"__compact_tmp_$label")
+    victims.map(e => spark.read.parquet(s"$indexPath/epoch=$e"))
+      .reduce(_ unionByName _)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(tmp.toString)
+    promote(tmp, label)
+  }
+}

@@ -1,0 +1,202 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Ivf
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+final case class VecEvent(vec_id: Long, embedding: Seq[Float])
+
+class VectorStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Handcrafted dim-4 corpus: four orthogonal unit vectors, so every
+  // planted cosine below is exact arithmetic, not fixture luck.
+  private val v1 = Seq(1f, 0f, 0f, 0f)
+  private val v2 = Seq(0f, 1f, 0f, 0f)
+  private val v3 = Seq(0f, 0f, 1f, 0f)
+  private val v4 = Seq(0f, 0f, 0f, 1f)
+  // rotation chain in the (v1, v2) plane: cos(v1, v1p) = 0.95 > t,
+  // cos(v1p, v1pp) = 0.95 > t, but cos(v1, v1pp) = 2·0.95²−1 = 0.805 < t
+  private val c = 0.95f
+  private val s = math.sqrt(1 - 0.95 * 0.95).toFloat
+  private val v1p = Seq(c, s, 0f, 0f)
+  private val v1pp = Seq((2 * c * c - 1).toFloat,
+    (2 * c * s).toFloat, 0f, 0f)
+  private val u = Seq(0f, 0f, 0.6f, 0.8f)
+  private val w = Seq(0.5f, 0.5f, 0.5f, 0.5f)
+  private val w2 = w.map(_ * 2) // same direction: cos 1.0, different norm
+
+  private def buildBase(dir: String): Unit = {
+    val base = Seq((1L, v1), (2L, v2), (3L, v3), (4L, v4))
+      .toDF("vec_id", "embedding")
+    Ivf.buildPersistent(base, dir, "vec_id", "embedding", k = 2): Unit
+  }
+
+  private def runEpochs(root: String, maxChain: Int,
+      epochs: Seq[Seq[VecEvent]]): Unit = {
+    buildBase(s"$root/base")
+    val input = MemoryStream[VecEvent](spark)
+    val q = VectorStreams.semanticDedupStream(input.toDF(),
+      s"$root/base", s"$root/index", s"$root/out", s"$root/cp",
+      "vec_id", "embedding", threshold = 0.9, maxChain = maxChain)
+    try epochs.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("streaming semantic dedup: cross-epoch suppression, survivors-only registration") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstream").toString
+    runEpochs(root, maxChain = 0, Seq(
+      // epoch 0: near-dup of base v1 dies; novel u survives; exact v2
+      // copy dies
+      Seq(VecEvent(101L, v1p), VecEvent(102L, u), VecEvent(103L, v2)),
+      // epoch 1: v1'' is within t of the DEAD 101 but not of anything
+      // kept — it must SURVIVE (dead vectors are not dedup anchors);
+      // w survives, its double-norm copy dies within-batch (min id
+      // wins); a copy of epoch-0 survivor u dies against the stream
+      // index
+      Seq(VecEvent(201L, v1pp), VecEvent(202L, w), VecEvent(203L, w2),
+        VecEvent(204L, u)),
+      // epoch 2: copy of epoch-1 survivor v1'' dies; exact base v1
+      // copy still dies; a fresh direction survives
+      Seq(VecEvent(301L, v1pp), VecEvent(302L, v1),
+        VecEvent(303L, Seq(0.7071f, 0f, -0.7071f, 0f)))))
+    val out = spark.read.parquet(s"$root/out")
+      .select($"epoch".cast("long"), $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 102L), (1L, 201L), (1L, 202L), (2L, 303L)),
+      s"survivor set drifted: $out")
+    // the stream index holds exactly the survivors, epoch-attributed,
+    // cell-partitioned
+    val idx = spark.read.parquet(s"$root/index")
+      .select($"epoch".cast("long"), $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    assert(idx == Set((0L, 102L), (1L, 201L), (1L, 202L), (2L, 303L)),
+      s"index registration drifted: $idx")
+    // replay idempotence: every epoch is a pure function of (batch,
+    // committed prefix) — re-running the last epoch's body rewrites
+    // identical content
+    val before = spark.read.parquet(s"$root/out/epoch=2")
+      .as[(Long, Seq[Float])].collect().toSet
+    VectorStreams.processVectorBatch(
+      Seq((301L, v1pp), (302L, v1), (303L, Seq(0.7071f, 0f, -0.7071f, 0f)))
+        .toDF("vec_id", "embedding"),
+      epoch = 2L, s"$root/base", s"$root/index", s"$root/out",
+      "vec_id", "embedding", threshold = 0.9, maxChain = 0)
+    val after = spark.read.parquet(s"$root/out/epoch=2")
+      .as[(Long, Seq[Float])].collect().toSet
+    assert(after == before, "replay must rewrite identical content")
+  }
+
+  test("auto-compaction bounds the vector epoch chain with suppression unchanged") {
+    def epochDirs(root: String): Seq[String] = {
+      val f = new java.io.File(s"$root/index")
+      Option(f.listFiles()).toSeq.flatten.map(_.getName)
+        .filter(_.startsWith("epoch=")).sorted
+    }
+    // 6 epochs: each has one copy of a base vector (dies) and one
+    // novel vector (survives); epoch e also re-sends epoch e-1's
+    // novel vector (dies against the stream index — the suppression
+    // that BREAKS if compaction ever loses a survivor). Novels live in
+    // the (v3, v4) plane at angles ≥36° apart (pairwise cos ≤ 0.809)
+    // and ≥27° off both axes (cos ≤ 0.891 vs base) — nothing crosses
+    // the 0.9 threshold except the literal re-sends
+    def novel(e: Int): Seq[Float] = {
+      val theta = math.toRadians(Seq(27, 63, 117, 153, 207, 243)(e))
+      Seq(0f, 0f, math.cos(theta).toFloat, math.sin(theta).toFloat)
+    }
+    val epochs = (0 until 6).map { e =>
+      Seq(VecEvent(1000L + e * 10, v1),
+        VecEvent(1001L + e * 10, novel(e))) ++
+        (if (e > 0) Seq(VecEvent(1002L + e * 10, novel(e - 1))) else Nil)
+    }
+    val rootA = java.nio.file.Files.createTempDirectory("graft-vchainA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-vchainB").toString
+    runEpochs(rootA, maxChain = 0, epochs)
+    runEpochs(rootB, maxChain = 2, epochs)
+    assert(epochDirs(rootA).size == 6, s"uncompacted run: ${epochDirs(rootA)}")
+    assert(epochDirs(rootB).size <= 3,
+      s"chain must stay bounded: ${epochDirs(rootB)}")
+    def survivors(root: String) = spark.read.parquet(s"$root/out")
+      .select($"epoch".cast("long"), $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    assert(survivors(rootA) == survivors(rootB),
+      "compaction must not change suppression")
+    // novels really did survive and re-sends really did die, so the
+    // equality above is not vacuous
+    assert(survivors(rootA).map(_._2).count(id => id % 10 == 1) == 6)
+    assert(survivors(rootA).map(_._2).forall(id => id % 10 != 2))
+  }
+
+  test("vector index compaction preserves content and recovers a crashed swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vcompact").toString
+    val idxP = s"$root/index"
+    def writeEpoch(e: Long, rows: Seq[(Long, Seq[Float], Int)]): Unit =
+      rows.toDF("vec_id", "embedding", "cluster")
+        .repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$idxP/epoch=$e")
+    writeEpoch(0L, Seq((10L, v1, 0), (11L, v3, 1)))
+    writeEpoch(1L, Seq((12L, v2, 0)))
+    writeEpoch(2L, Seq((13L, v4, 1)))
+    writeEpoch(3L, Seq((14L, u, 1)))
+    def content(): Set[(Long, Long)] = spark.read.parquet(idxP)
+      .select($"epoch".cast("long"), $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    val before = spark.read.parquet(idxP)
+      .select($"vec_id").as[Long].collect().toSet
+    VectorStreams.compactVectorIndex(spark, idxP, upToEpoch = 2L)
+    // epochs 0-2 merged under the highest absorbed label; newest intact
+    assert(content() == Set((2L, 10L), (2L, 11L), (2L, 12L),
+      (2L, 13L), (3L, 14L)), s"merged view drifted: ${content()}")
+    assert(spark.read.parquet(idxP).select($"vec_id").as[Long]
+      .collect().toSet == before, "compaction must preserve every vector")
+    // the merged partition keeps the cluster= layout (pruning survives)
+    assert(Option(new java.io.File(s"$idxP/epoch=2").listFiles()).toSeq
+      .flatten.exists(_.getName.startsWith("cluster=")))
+    // crashed swap: a COMMITTED tmp whose victims are still on disk —
+    // the next invocation must finish the swap (victims out, tmp in)
+    val fs = new org.apache.hadoop.fs.Path(idxP)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idxP/epoch=2"),
+      new org.apache.hadoop.fs.Path(s"$idxP/__compact_tmp_2")))
+    VectorStreams.compactVectorIndex(spark, idxP, upToEpoch = -1L)
+    assert(content() == Set((2L, 10L), (2L, 11L), (2L, 12L),
+      (2L, 13L), (3L, 14L)), s"recovery drifted: ${content()}")
+    // an UNCOMMITTED tmp is debris: discarded, nothing else touched
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idxP/__compact_tmp_1"))
+    VectorStreams.compactVectorIndex(spark, idxP, upToEpoch = -1L)
+    assert(content() == Set((2L, 10L), (2L, 11L), (2L, 12L),
+      (2L, 13L), (3L, 14L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxP/__compact_tmp_1")))
+  }
+
+  test("cross-pair probe: index side partition-prunes and never shuffles") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vplan").toString
+    buildBase(s"$root/base")
+    val index = Ivf.readIndex(spark, s"$root/base")
+    val probe = Seq((100L, v1p, 0), (101L, u, 1))
+      .toDF("vec_id", "embedding", "cluster")
+    val pruned = index.assigned.where(col("cluster").isInCollection(Seq(0)))
+    val plan = VectorStreams.crossPairs(pruned, probe,
+      "vec_id", "embedding", threshold = 0.9)
+      .queryExecution.executedPlan
+    def flat(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flat(a.executedPlan)
+      case other => other +: other.children.flatMap(flat)
+    }
+    val nodes = flat(plan)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      s"index side must not shuffle:\n$plan")
+    val scan = nodes.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.partitionFilters.exists(_.references.exists(_.name == "cluster")) => f
+    }
+    assert(scan.isDefined, s"no partition-pruned index scan in:\n$plan")
+    assert(scan.get.selectedPartitions.partitionCount <= 1,
+      "scan must read only the probed cells")
+  }
+}
