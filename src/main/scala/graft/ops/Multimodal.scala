@@ -95,6 +95,33 @@ object Multimodal {
       .toDF("id", "frame_idx", "frame")
   }
 
+  final case class ResizedRecord(
+      id: Long, n_in: Int, n_out: Int, resized: Array[Byte])
+
+  /** STUB resize: nearest-neighbor resample of the payload treated as a
+    * 1-D byte signal — out(i) = in(⌊i·len/n⌋), the exact index rule a
+    * real nearest-neighbor image resize applies per axis (a real codec
+    * would decode, resample the pixel grid, re-encode; the index
+    * arithmetic is the part worth pinning). Downsamples when len > n,
+    * repeats samples when len < n; empty payloads resize to empty
+    * (a fake 64-byte output for zero input would be invented data).
+    */
+  def resizeStub(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String, targetBytes: Int): DataFrame = {
+    import spark.implicits._
+    require(targetBytes > 0, "targetBytes must be positive")
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .as[MediaRecord]
+      .map { r =>
+        val len = r.media.length
+        val out =
+          if (len == 0) Array.empty[Byte]
+          else Array.tabulate(targetBytes)(i =>
+            r.media((i.toLong * len / targetBytes).toInt))
+        ResizedRecord(r.id, len, out.length, out)
+      }.toDF()
+  }
+
   final case class FrameRecord(
       id: Long, frame_idx: Int, frame: Array[Byte], mean_byte: Option[Double])
 

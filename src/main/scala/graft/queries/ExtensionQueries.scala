@@ -525,6 +525,34 @@ object ExtensionQueries {
         FROM f"""),
       notes = "frame boundaries, slice content (via hex), and the byte-mean feature all re-derived in SQL — no dumped side data"),
 
+    // ---- multimodal resize (nearest-neighbor byte resample): the
+    // index rule a real NN image resize applies per axis —
+    // out(i) = in(⌊i·len/n⌋) — over the payload as a 1-D byte signal.
+    // Fully closed-form oracle like x38: the selected bytes re-derive
+    // from the hex dump by the same integer arithmetic, and the
+    // resized content is witnessed by hashing the reassembled hex.
+    GraftQuery(
+      "x39_media_resize",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("media"))
+        Multimodal.resizeStub(s, media, "doc_id", "media", targetBytes = 64)
+          .select($"id", $"n_in", $"n_out",
+            sha2(hex($"resized"), 256).as("resized_sha"))
+      },
+      Some("""WITH docs AS (SELECT doc_id AS id,
+            octet_length(CAST(text AS BLOB)) AS len,
+            hex(CAST(text AS BLOB)) AS h FROM documents)
+        SELECT id, CAST(len AS INTEGER) AS n_in,
+          CAST(CASE WHEN len = 0 THEN 0 ELSE 64 END AS INTEGER) AS n_out,
+          sha256(CASE WHEN len = 0 THEN '' ELSE array_to_string(
+            list_transform(range(0, 64), i ->
+              substring(h, 2 * CAST((i * len) // 64 AS INTEGER) + 1, 2)),
+            '') END) AS resized_sha
+        FROM docs"""),
+      notes = "NN-resample index rule + resized content re-derived from hex in SQL — no dumped side data"),
+
     // ---- embedding component statistics: array element access + exact
     // decimal aggregation over float-derived doubles (the embeddings are
     // unit-normalized, so norms are degenerate — components are not).

@@ -59,6 +59,27 @@ class MultimodalSpec extends SparkSpec {
     assert(empty == Seq((0, 0, true)), s"got $empty")
   }
 
+  test("resize: nearest-neighbor index rule, upsample repeats, empty stays empty") {
+    val out = Multimodal.resizeStub(spark, media, "doc_id", "media",
+      targetBytes = 8)
+      .select($"id", $"n_in", $"n_out", $"resized")
+      .as[(Long, Int, Int, Array[Byte])].collect()
+      .map(r => r._1 -> r).toMap
+    // downsample: out(i) = in(floor(i*len/8)), exactly
+    val p1 = "fake png bytes here".getBytes("UTF-8")
+    assert(out(1L)._4.toSeq ==
+      (0 until 8).map(i => p1(i * p1.length / 8)).toSeq)
+    assert(out(1L)._2 == 19 && out(1L)._3 == 8)
+    // upsample: shorter-than-target payloads repeat samples
+    val tiny = Seq((9L, "abc".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val up = Multimodal.resizeStub(spark, tiny, "doc_id", "media", 8)
+      .select($"resized").as[Array[Byte]].head()
+    assert(up.toSeq == (0 until 8).map(i => "abc".getBytes("UTF-8")(i * 3 / 8)).toSeq)
+    assert(up.length == 8)
+    // empty payload resizes to empty, not to invented bytes
+    assert(out(3L)._3 == 0 && out(3L)._4.isEmpty)
+  }
+
   test("metadata struct is columnar-filterable without touching bytes") {
     val out = Multimodal.decode(spark, media, "doc_id", "media").toDF()
     val wide = out.filter($"meta.width" > 16).select("id", "meta.format")
