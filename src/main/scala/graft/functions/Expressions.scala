@@ -268,7 +268,16 @@ object GraftFunctions {
     "jaccard_sorted" -> (es => JaccardSorted(es.head, es(1))),
     "ngram_hashes" -> (es => NgramHashes(es.head, es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
-    "dot_product" -> (es => DotProduct(es.head, es(1))))
+    "dot_product" -> (es => DotProduct(es.head, es(1))),
+    // Spark's internal runtime-filter bloom expressions, surfaced for the
+    // decontamination prefilter: both are codegen'd, and MightContain
+    // deserializes its literal filter once per task, not per row.
+    "bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es.head, es(1), es(2))),
+    "bloom_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es.head, es(1))))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
@@ -282,4 +291,10 @@ object GraftFunctions {
     call_function("ngram_hashes", tokens, org.apache.spark.sql.functions.lit(n))
   def simhash64(hashes: Column): Column = call_function("simhash64", hashes)
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  def bloomAgg(h: Column, estimatedItems: Long, numBits: Long): Column =
+    call_function("bloom_agg", h,
+      org.apache.spark.sql.functions.lit(estimatedItems),
+      org.apache.spark.sql.functions.lit(numBits))
+  def bloomMightContain(bloom: Column, h: Column): Column =
+    call_function("bloom_might_contain", bloom, h)
 }

@@ -72,6 +72,43 @@ object Decontam {
         round(col("n_overlap").cast("double") / col("n_distinct"), roundTo)
           .as("contamination"))
 
+  /** [[overlaps]] with a Bloom-filter prefilter — the shape for when the
+    * benchmark union is too large to broadcast as a JOIN HASH TABLE
+    * (1e8+ n-grams × 8 B ≈ GBs of hash relation) but fits as a bloom
+    * (~2 B/item at 16 bits): the corpus n-grams stream through a
+    * codegen'd `might_contain` literal first, and only the survivors —
+    * true overlaps plus the fpp·corpus false positives — reach the
+    * exact-verify join. With the prefilter the verify join's corpus
+    * side is O(overlap), so it can run as a plain shuffle join against
+    * an un-broadcastable benchmark; without it that join would shuffle
+    * every corpus n-gram. Bloom has no false negatives, so the result
+    * is bit-identical to [[overlaps]] for ANY filter size — the spec
+    * pins that with a deliberately undersized 64-bit bloom.
+    *
+    * Sizing is one bench-side count pass (the small side by contract);
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    * cap the aggregate — raise them past 4e6 items for real eval
+    * suites.
+    */
+  def overlapsBloom(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, bitsPerItem: Int = 16): DataFrame = {
+    val bh = benchHashes(bench, textCol, n)
+    val est = bh.count()
+    if (est == 0L)
+      // empty benchmark → nothing can overlap; keep the output schema
+      return docHashes(docs, idCol, textCol, n).limit(0)
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    val bloom = bh
+      .agg(GraftFunctions.bloomAgg(col("h"), est,
+        math.max(64L, est * bitsPerItem)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    docHashes(docs, idCol, textCol, n)
+      .where(GraftFunctions.bloomMightContain(lit(bloom), col("h")))
+      .join(bh, "h") // exact verify: kills the bloom's false positives
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** The clean corpus: training docs with NO n-gram overlap with
     * `bench` (broadcast anti-join through [[overlaps]]'s hash set).
     */

@@ -45,4 +45,39 @@ object LangModel {
           .as("avg_logp"))
       .select(col("id").as(idCol), col("n_tokens"), col("avg_logp"))
   }
+
+  /** CCNet-style perplexity bucketing: split the corpus into
+    * head/middle/tail thirds by LM score — head = most probable under
+    * the model (lowest perplexity = highest avg log-prob), the slice
+    * CCNet keeps preferentially; tail = the noise candidates. The
+    * standard curation move when a binary quality gate is too blunt:
+    * downstream sampling draws from the buckets at chosen rates.
+    *
+    * 100 TB shape: scoring is [[unigramLogProb]]'s two shuffles; the
+    * tertile boundaries come from [[Quantiles.exactBanded]] — exact
+    * percentile_cont with bounded window state even over an unbounded
+    * double domain — and return to the driver as two scalars that
+    * literal-fold into the final bucket projection (one more scan, no
+    * shuffle). The scored frame is staged so the boundary pass and the
+    * bucket pass share one computation of it.
+    *
+    * Determinism: avg_logp lives on the 10⁻⁶ grid (order-independent by
+    * x30's contract), the boundaries interpolate from grid values with
+    * the expression [[Quantiles]] pins bit-identically in both engines,
+    * and ties at a boundary resolve by the fixed `< t` rule.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val scored = Staged(unigramLogProb(df, idCol, textCol))
+    val th = Quantiles.exactBanded(scored, Nil, "avg_logp",
+      Seq("t1" -> (1.0 / 3), "t2" -> (2.0 / 3)), bandWidth = 0.25).head()
+    val lp = col("avg_logp")
+    val bucket =
+      if (th.isNullAt(th.fieldIndex("t1"))) lit("head") // empty corpus: no rows anyway
+      else when(lp < th.getAs[Double]("t1"), "tail")
+        .when(lp < th.getAs[Double]("t2"), "middle")
+        .otherwise("head")
+    scored.select(col(idCol), col("n_tokens"), col("avg_logp"),
+      bucket.as("ppl_bucket"))
+  }
 }

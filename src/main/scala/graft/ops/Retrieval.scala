@@ -55,3 +55,47 @@ object Bm25 {
     withToks.select(col(idCol), bm25.as("bm25")).where(col("bm25") > 0)
   }
 }
+
+/** Hybrid retrieval: fuse a lexical (BM25) candidate list and a vector
+  * (embedding-cosine) candidate list with Reciprocal Rank Fusion —
+  * `rrf(d) = Σ_lists 1/(k0 + rank_list(d))` — the standard way a
+  * curation pipeline mines "relevant to this topic" documents when
+  * neither face alone has full recall (lexical misses paraphrases,
+  * vector misses rare exact terms).
+  *
+  * 100 TB shape: the corpus-sized work is the two candidate generators,
+  * each with its own scale posture (BM25 = two scans, zero shuffles;
+  * vector = ANN probe or TakeOrderedAndProject). What reaches the
+  * fusion is two TOP-N lists — O(N) rows by construction — so the
+  * rank windows and the full-outer join run on driver-trivial volumes
+  * whatever the corpus size. Never fuse unbounded score tables: the
+  * `.limit` on each face is the scale contract.
+  */
+object Rrf {
+
+  /** Fuse two candidate lists on `idCol`. Each input carries
+    * (idCol, scoreCol); ranks are assigned by (score desc, id asc) — a
+    * total order, so both engines agree whenever the rounded scores
+    * match. Docs on one list only get that list's term alone (standard
+    * RRF). Returns (idCol, rrf) top-k by (rrf desc, id asc).
+    */
+  def fuse(lexical: DataFrame, lexScore: String,
+      vector: DataFrame, vecScore: String,
+      idCol: String, k: Int, k0: Int = 60, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // single-partition windows are deliberate: the inputs are top-N
+    // candidate lists (bounded by contract), not corpus-sized tables
+    def ranked(df: DataFrame, score: String, rank: String) =
+      df.select(col(idCol), row_number()
+        .over(Window.orderBy(col(score).desc, col(idCol))).as(rank))
+    val l = ranked(lexical, lexScore, "lex_rank")
+    val v = ranked(vector, vecScore, "vec_rank")
+    val term: Column => Column =
+      r => coalesce(lit(1.0) / (lit(k0.toDouble) + r.cast("double")), lit(0.0))
+    l.join(v, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(term(col("lex_rank")) + term(col("vec_rank")), roundTo).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+}

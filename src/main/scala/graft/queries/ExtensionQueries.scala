@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
-import graft.ops.{Dedup, Ivf, Multimodal, Scrub, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Ivf, Layout, Multimodal, Scrub, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** [EXTENSION] operators (SURVEY §2.2): dedup, similarity search,
@@ -1225,6 +1225,144 @@ object ExtensionQueries {
         SELECT ka.doc_id, ka.clean_text, CAST(ka.nkept AS INT) AS n_kept,
           CAST(tot.nall - ka.nkept AS INT) AS n_dropped
         FROM ka JOIN tot ON ka.doc_id = tot.doc_id"""),
-      notes = "one anti-join against the persisted passage index; corpus text never re-chunked per batch")
+      notes = "one anti-join against the persisted passage index; corpus text never re-chunked per batch"),
+
+    // ---- hybrid retrieval: BM25 top-100 ∪ cosine top-100 fused with
+    // Reciprocal Rank Fusion (k0=60). The corpus-sized work is the two
+    // candidate generators (each already verified standalone: x27, x10);
+    // the fusion itself only ever sees two bounded top-N lists, so its
+    // windows + full-outer join are O(N) whatever the corpus size.
+    GraftQuery(
+      "x40_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val lex = graft.ops.Bm25.score(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "join", "data"))
+          .orderBy($"bm25".desc, $"doc_id").limit(100)
+        val e = Tables(s, dir, "embeddings")
+        val vec = Similarity.bruteForceTopK(
+          e, e.filter($"vec_id" === 0L), "vec_id", "embedding", k = 100)
+          .withColumnRenamed("vec_id", "doc_id")
+        graft.ops.Rrf.fuse(lex, "bm25", vec, "cos_sim", "doc_id", k = 50)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        st AS (SELECT count(*) AS n,
+            CAST(sum(len(t)) AS BIGINT) AS sumdl,
+            CAST(sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+            CAST(sum(CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+            CAST(sum(CASE WHEN list_contains(t, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM toks),
+        tfx AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+            CAST(len(t) - len(list_filter(t, x -> x <> 'spark')) AS DOUBLE) AS tf0,
+            CAST(len(t) - len(list_filter(t, x -> x <> 'join')) AS DOUBLE) AS tf1,
+            CAST(len(t) - len(list_filter(t, x -> x <> 'data')) AS DOUBLE) AS tf2
+          FROM toks),
+        bm AS (SELECT doc_id, round(
+            ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+              / (tf0 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+          + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+              / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+          + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+              / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6)
+            AS bm25 FROM tfx, st),
+        lex AS (SELECT doc_id, bm25 FROM bm WHERE bm25 > 0
+          ORDER BY bm25 DESC, doc_id LIMIT 100),
+        lrank AS (SELECT doc_id,
+            row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM lex),
+        e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        vtop AS (SELECT vec_id AS doc_id,
+            round(list_cosine_similarity(v, qv), 6) AS cos_sim
+          FROM e, q ORDER BY cos_sim DESC, vec_id LIMIT 100),
+        vrank AS (SELECT doc_id,
+            row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank FROM vtop)
+        SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+          round(coalesce(1.0 / (60 + lex_rank), 0)
+              + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf
+        FROM lrank l FULL OUTER JOIN vrank r ON l.doc_id = r.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 50"""),
+      notes = "ranks are total orders over rounded scores, so both engines agree rank-for-rank"),
+
+    // ---- x21's decontamination through the Bloom-prefilter path: the
+    // shape for benchmark unions too large to broadcast as a join hash
+    // table. No false negatives + exact verify ⇒ bit-identical to x21,
+    // which is exactly what the shared oracle pins.
+    GraftQuery(
+      "x41_decontam_bloom",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Decontam.overlapsBloom(
+          docs.filter($"doc_id" % 11 =!= 0),
+          docs.filter($"doc_id" % 11 === 0),
+          "doc_id", "text", n = 5)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' ||
+                 t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                 FOR i IN range(1, greatest(len(t) - 3, 1))]) AS s FROM toks),
+          bn AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 11 = 0),
+          dn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 11 <> 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM dn JOIN bn USING (g) GROUP BY doc_id"""),
+      notes = "same oracle as x21: the bloom prefilter must be invisible in the result"),
+
+    // ---- Morton z-value used by the z-order clustered layout
+    // (ops/Layout.scala): the bit-interleave is closed-form in both
+    // engines, so the oracle pins the exact curve the layout sorts by.
+    // The layout write + measured row-group skipping are spec-tested
+    // (LayoutSpec); this query verifies the arithmetic that makes the
+    // skipping correct.
+    GraftQuery(
+      "x42_zorder_zvalue",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        l.select(col("l_orderkey"), col("l_linenumber"),
+          Layout.zValue(col("l_partkey") % 256, col("l_suppkey") % 256,
+            bits = 8).as("z"))
+          .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+          .limit(200)
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber,
+          CAST(${Layout.zValueSql("(l_partkey % 256)", "(l_suppkey % 256)")}
+            AS BIGINT) AS z
+        FROM lineitem ORDER BY z, l_orderkey, l_linenumber LIMIT 200"""),
+      notes = "z-order curve arithmetic, bit-for-bit in both engines"),
+
+    // ---- CCNet-style perplexity bucketing: head/middle/tail thirds of
+    // the corpus by unigram-LM score (head = most probable). Boundaries
+    // are exact tertiles via the banded quantile path; the oracle
+    // composes x30's scoring CTE with Quantiles' bit-exact percentile
+    // replay, so the bucket labels hash-match.
+    GraftQuery(
+      "x43_perplexity_buckets",
+      (s, dir) => graft.ops.LangModel.perplexityBuckets(
+        Tables(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+        ex AS (SELECT doc_id, unnest(t) AS tok FROM nz),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM ex),
+        vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+          FROM ex GROUP BY tok),
+        scored AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            round(CAST(sum(CAST(round(ln(CAST(v.n_tok AS DOUBLE) / total), 9)
+                AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS avg_logp
+          FROM ex e JOIN vocab v ON e.tok = v.tok CROSS JOIN tot
+          GROUP BY e.doc_id),
+        th AS (SELECT * FROM (${graft.ops.Quantiles.oracleSql("scored", Nil,
+          "avg_logp", Seq("t1" -> (1.0 / 3), "t2" -> (2.0 / 3)))}))
+        SELECT s.doc_id, s.n_tokens, s.avg_logp,
+          CASE WHEN s.avg_logp < th.t1 THEN 'tail'
+               WHEN s.avg_logp < th.t2 THEN 'middle'
+               ELSE 'head' END AS ppl_bucket
+        FROM scored s CROSS JOIN th"""),
+      notes = "tertile boundaries replayed bit-exactly; ties resolve by the fixed < rule")
   )
 }

@@ -59,4 +59,30 @@ class DecontamSpec extends SparkSpec {
     assert(out(2L)._4 == 0.0 && out(3L)._4 == 0.0)
     assert(!out.contains(5L), "fewer than n tokens: no denominator, no row")
   }
+
+  test("overlapsBloom is bit-identical to overlaps, even with a tiny saturated bloom") {
+    val exact = Decontam.overlaps(docs, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Decontam.overlapsBloom(docs, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact)
+    // undersized bloom (1 bit/item → near-total saturation): false
+    // positives flood the prefilter, the exact verify must absorb them
+    val saturated = Decontam.overlapsBloom(
+      docs, bench, "doc_id", "text", n = 5, bitsPerItem = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(saturated == exact)
+  }
+
+  test("overlapsBloom plans the might_contain prefilter before the verify join") {
+    val plan = Decontam.overlapsBloom(docs, bench, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom prefilter in plan:\n$plan")
+  }
+
+  test("overlapsBloom on an empty benchmark returns the empty report") {
+    val out = Decontam.overlapsBloom(docs, bench.limit(0), "doc_id", "text", n = 5)
+    assert(out.columns.toSeq == Seq("doc_id", "n_overlap"))
+    assert(out.count() == 0)
+  }
 }

@@ -34,4 +34,26 @@ class LangModelSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(a == b, "result must not depend on input partitioning")
   }
+
+  test("perplexity buckets split the corpus into ordered thirds") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val out = LangModel.perplexityBuckets(docs, "doc_id", "text")
+      .as[(Long, Long, Double, String)].collect()
+    val byBucket = out.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // thirds: no bucket more than a few docs off n/3 (ties move whole
+    // grid values together, but avg_logp on the 1e-6 grid rarely ties)
+    val n = out.length
+    byBucket.values.foreach(v =>
+      assert(math.abs(v.length - n / 3.0) < n * 0.05 + 2,
+        s"buckets ${byBucket.view.mapValues(_.length).toMap}"))
+    // strict ordering: every head score >= every middle >= every tail
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+  }
+
+  test("perplexity buckets on an empty corpus return no rows") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(LangModel.perplexityBuckets(empty, "doc_id", "text").count() == 0)
+  }
 }

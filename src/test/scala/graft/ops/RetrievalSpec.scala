@@ -30,4 +30,28 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1L) > out(2L), "higher tf must score higher")
     assert(out(2L) > out(3L), "longer doc with same tf must score lower")
   }
+
+  test("RRF fuses two ranked lists with the 1/(k0+rank) rule") {
+    val lex = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "s_lex")
+    val vec = Seq((2L, 0.9), (4L, 0.8)).toDF("id", "s_vec")
+    val out = Rrf.fuse(lex, "s_lex", vec, "s_vec", "id", k = 10)
+      .as[(Long, Double)].collect().toMap
+    def r(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc2 is on both lists: lex rank 2, vec rank 1
+    assert(out(2L) == r(1.0 / 62 + 1.0 / 61))
+    assert(out(1L) == r(1.0 / 61)) // lex-only, rank 1
+    assert(out(4L) == r(1.0 / 62)) // vec-only, rank 2
+    assert(out(3L) == r(1.0 / 63))
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("RRF ranks break score ties by ascending id, and k caps the output") {
+    val lex = Seq((7L, 5.0), (3L, 5.0), (9L, 5.0)).toDF("id", "s")
+    val vec = spark.emptyDataset[(Long, Double)].toDF("id", "s2")
+    val out = Rrf.fuse(lex, "s", vec, "s2", "id", k = 2)
+      .as[(Long, Double)].collect()
+    // tie on score → rank by id: 3 < 7 < 9; k=2 keeps the best two
+    assert(out.map(_._1).toSeq == Seq(3L, 7L))
+    assert(out.head._2 > out.last._2)
+  }
 }
