@@ -157,12 +157,28 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val nBlocks = maxHamming + 1
-    val width = (64 + nBlocks - 1) / nBlocks
-    val mask = if (width >= 64) -1L else (1L << width) - 1L
     // staged: two longs per doc; the tokenize+hash scan behind the
     // fingerprint runs once instead of once per downstream use
     val hashed = stage(df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim")))
+    hammingNearDup(hashed, maxHamming, maxBucket)
+  }
+
+  /** The pigeonhole Hamming join behind [[simHashNearDup]], generic
+    * over WHERE the 64-bit fingerprint came from (SimHash over tokens,
+    * perceptual hash over media bytes, …): `hashed` carries (id, sim).
+    * Recall is exactly 1.0 within the bound — a pair within Hamming
+    * `maxHamming` must agree on one of the maxHamming+1 blocks — so
+    * the blocked result EQUALS the all-pairs result, which is what the
+    * media oracle (x45) pins by brute force. Wider thresholds shrink
+    * block width (candidate cost m·N²/2^(64/m)); the scale knob past
+    * ~Hamming 7 is a wider fingerprint, not more blocks.
+    */
+  def hammingNearDup(hashed: DataFrame, maxHamming: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    GraftFunctions.register(hashed.sparkSession)
+    val nBlocks = maxHamming + 1
+    val width = (64 + nBlocks - 1) / nBlocks
+    val mask = if (width >= 64) -1L else (1L << width) - 1L
     val exploded = hashed.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(nBlocks - 1)),
         j => call_function("shiftright", col("sim"), j * lit(width)).bitwiseAND(lit(mask))))

@@ -122,6 +122,53 @@ object Multimodal {
       }.toDF()
   }
 
+  final case class PhashRecord(id: Long, sim: Long)
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint of the payload:
+    * nearest-neighbor-resample to 64 bytes (the [[resizeStub]] index
+    * rule — on decoded pixels this is the classic 8×8 downsample), then
+    * bit i = 1 iff sample_i ≥ mean. The threshold compares in exact
+    * integers (`b_i·64 ≥ Σb`) so there is no floating mean to diverge
+    * on, and the whole derivation is closed-form replayable in SQL from
+    * the payload hex. Empty payloads get no row (no content to hash).
+    */
+  def phash64(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String): Dataset[PhashRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val len = r.media.length
+        if (len == 0) None
+        else {
+          val s = Array.tabulate(64)(i =>
+            r.media((i.toLong * len / 64).toInt) & 0xff)
+          val total = s.sum // ≤ 64·255: exact in Int
+          var h = 0L
+          var i = 0
+          while (i < 64) {
+            if (s(i) * 64 >= total) h |= (1L << i)
+            i += 1
+          }
+          Some(PhashRecord(r.id, h))
+        }
+      }
+  }
+
+  /** Perceptual near-dup pairs over a binary media column: [[phash64]]
+    * fingerprints joined through [[Dedup.hammingNearDup]]'s pigeonhole
+    * blocks — recall 1.0 within the bound, so the result EQUALS the
+    * all-pairs comparison the oracle runs. This is image-dedup shaped:
+    * at production scale the fingerprint widens (resample 256 bytes →
+    * 4-long hash, 32-bit blocks) rather than the threshold growing.
+    */
+  def phashNearDup(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String, maxHamming: Int = 9,
+      maxBucket: Int = 10000): DataFrame =
+    Dedup.hammingNearDup(
+      Staged(phash64(spark, df, idCol, mediaCol).toDF()),
+      maxHamming, maxBucket)
+
   final case class FrameRecord(
       id: Long, frame_idx: Int, frame: Array[Byte], mean_byte: Option[Double])
 

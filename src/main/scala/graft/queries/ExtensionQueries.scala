@@ -1363,6 +1363,97 @@ object ExtensionQueries {
                WHEN s.avg_logp < th.t2 THEN 'middle'
                ELSE 'head' END AS ppl_bucket
         FROM scored s CROSS JOIN th"""),
-      notes = "tertile boundaries replayed bit-exactly; ties resolve by the fixed < rule")
+      notes = "tertile boundaries replayed bit-exactly; ties resolve by the fixed < rule"),
+
+    // ---- token co-occurrence PMI over the top-100 document-frequency
+    // tokens — collocation mining / tokenizer-merge candidates. The
+    // top-V cutoff happens BEFORE any join, so per-doc pair fan-out is
+    // ≤ V²/2 and the pair key space ≤ V² whatever the corpus size.
+    GraftQuery(
+      "x44_token_pmi",
+      (s, dir) => graft.ops.Cooccur.pmiTopPairs(
+        Tables(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id,
+            list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          FROM documents),
+        nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+        ex AS (SELECT doc_id, unnest(t) AS tok FROM nz),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nz),
+        dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+          FROM ex GROUP BY tok),
+        top AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 100),
+        f AS (SELECT e.doc_id, e.tok FROM ex e JOIN top USING (tok)),
+        pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+            CAST(count(*) AS BIGINT) AS n_ab
+          FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY a.tok, b.tok)
+        SELECT pr.tok_a, pr.tok_b, pr.n_ab,
+          round(ln(CAST(pr.n_ab AS DOUBLE) * nn.nd
+            / (CAST(ta.df AS DOUBLE) * CAST(tb.df AS DOUBLE))), 6) AS pmi
+        FROM pr JOIN top ta ON pr.tok_a = ta.tok
+          JOIN top tb ON pr.tok_b = tb.tok CROSS JOIN nn
+        WHERE pr.n_ab >= 5
+        ORDER BY pmi DESC, tok_a, tok_b LIMIT 100"""),
+      notes = "PMI doubles come from exact long ratios; rank order is total"),
+
+    // ---- perceptual-hash near-dup over the binary media column: aHash
+    // (NN-resample to 64 samples, integer mean threshold) + the
+    // pigeonhole Hamming block join. Pigeonhole recall is exactly 1.0
+    // within the bound, so the blocked result must EQUAL the all-pairs
+    // comparison — which is precisely what the oracle runs, re-deriving
+    // every fingerprint bit from the payload hex.
+    GraftQuery(
+      "x45_media_phash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("media"))
+        Multimodal.phashNearDup(s, media, "doc_id", "media", maxHamming = 9)
+      },
+      Some("""WITH docs AS (SELECT doc_id AS id,
+            octet_length(CAST(text AS BLOB)) AS len,
+            hex(CAST(text AS BLOB)) AS h FROM documents
+          WHERE octet_length(CAST(text AS BLOB)) > 0),
+        sm AS (SELECT id, list_transform(range(0, 64), i ->
+            CAST(('0x' || substring(h, 2 * CAST((i * len) // 64 AS INTEGER) + 1, 2))
+              AS INTEGER)) AS b FROM docs),
+        bv AS (SELECT id, list_transform(b,
+            x -> CASE WHEN x * 64 >= list_sum(b) THEN 1 ELSE 0 END) AS v
+          FROM sm),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+            CAST(list_sum(list_transform(range(1, 65), i ->
+              CASE WHEN a.v[i] <> b.v[i] THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+          FROM bv a JOIN bv b ON a.id < b.id)
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 9"""),
+      notes = "oracle brute-forces ALL pairs; the blocked join must match it exactly"),
+
+    // ---- decontamination against a PERSISTED benchmark index (bloom +
+    // hash set built once, probed per batch with zero benchmark
+    // re-hashing) — the operational shape when eval suites are fixed
+    // and corpora arrive daily. Same oracle as x21/x41: the index face
+    // must be invisible in the result.
+    GraftQuery(
+      "x46_decontam_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val path = s"${sys.props("java.io.tmpdir")}/graft-decontam-idx-" +
+          s"${OracleDump.sfTag(dir)}-n5"
+        if (!graft.ops.Decontam.benchIndexReady(s, path))
+          graft.ops.Decontam.writeBenchIndex(
+            docs.filter($"doc_id" % 11 === 0), "text", path)
+        graft.ops.Decontam.overlapsIndexed(
+          docs.filter($"doc_id" % 11 =!= 0), path, "doc_id", "text", n = 5)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' ||
+                 t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+                 FOR i IN range(1, greatest(len(t) - 3, 1))]) AS s FROM toks),
+          bn AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 11 = 0),
+          dn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 11 <> 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM dn JOIN bn USING (g) GROUP BY doc_id"""),
+      notes = "probe of a persisted bloom+hash index; result ≡ the exact broadcast path")
   )
 }

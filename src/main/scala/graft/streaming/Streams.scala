@@ -201,6 +201,30 @@ object Streams {
     * the exact passage set any epoch ≥ e dedups against. 0 disables
     * (manual compaction only).
     */
+  /** Streaming decontamination against a PERSISTED benchmark index
+    * ([[graft.ops.Decontam.writeBenchIndex]]): every micro-batch keeps
+    * only its docs with zero n-gram overlap with the benchmark.
+    *
+    * Unlike the dedup streams there is NO evolving state — the
+    * benchmark is fixed — so each batch is a pure function of (batch,
+    * committed index): the bloom prefilter + verify join run inside
+    * foreachBatch and crash replay rewrites identical bytes into the
+    * epoch-scoped output location. Per-batch cost is O(batch n-grams
+    * surviving the bloom); the index is never re-hashed or shuffled.
+    */
+  def decontamStream(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, idCol: String, textCol: String,
+      n: Int = 5): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.ops.Decontam
+          .removeContaminatedIndexed(batch, indexPath, idCol, textCol, n)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      }
+      .start()
+
   def passageDedupStream(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, idCol: String, textCol: String,
       window: Int = 8, nBuckets: Int = 32, maxChain: Int = 16): StreamingQuery =

@@ -85,4 +85,39 @@ class DecontamSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "n_overlap"))
     assert(out.count() == 0)
   }
+
+  test("persisted bench index: probe equals the exact path; no re-hash of the benchmark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx").toString
+    assert(!Decontam.benchIndexReady(spark, dir))
+    Decontam.writeBenchIndex(bench, "text", dir)
+    assert(Decontam.benchIndexReady(spark, dir))
+    val exact = Decontam.overlaps(docs, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    val indexed = Decontam.overlapsIndexed(docs, dir, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(indexed == exact)
+    val clean = Decontam.removeContaminatedIndexed(docs, dir, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(2L, 3L))
+    // probing must not read the benchmark TEXT — only the index files
+    val plan = Decontam.overlapsIndexed(docs, dir, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashes") && plan.contains("might_contain"))
+  }
+
+  test("persisted bench index: empty benchmark commits and probes to empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-empty").toString
+    Decontam.writeBenchIndex(bench.limit(0), "text", dir)
+    val out = Decontam.overlapsIndexed(docs, dir, "doc_id", "text", n = 5)
+    assert(out.columns.toSeq == Seq("doc_id", "n_overlap") && out.count() == 0)
+    assert(Decontam.removeContaminatedIndexed(docs, dir, "doc_id", "text")
+      .count() == 4)
+  }
+
+  test("an uncommitted index (no _OK) is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-raw").toString
+    intercept[IllegalArgumentException] {
+      Decontam.overlapsIndexed(docs, dir, "doc_id", "text", n = 5).count()
+    }
+  }
 }

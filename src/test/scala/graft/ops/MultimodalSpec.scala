@@ -86,4 +86,31 @@ class MultimodalSpec extends SparkSpec {
     assert(wide.columns.toSeq == Seq("id", "format"))
     wide.collect() // must execute
   }
+
+  test("phash64: resample + integer mean threshold, hand-checked") {
+    // 128 bytes: 64 zeros then 64 0xFF. Resample out(i)=in(2i) → 32
+    // zeros, 32 xFF; mean splits them → exactly bits 32..63 set.
+    val payload = Array.fill[Byte](64)(0) ++ Array.fill[Byte](64)(0xff.toByte)
+    val df = Seq((1L, payload), (2L, Array.empty[Byte]))
+      .toDF("doc_id", "media")
+    val out = Multimodal.phash64(spark, df, "doc_id", "media").collect()
+    assert(out.map(_.id).toSeq == Seq(1L), "empty payload must get no row")
+    assert(out.head.sim == 0xFFFFFFFF00000000L)
+  }
+
+  test("phash near-dup: blocked join equals the all-pairs comparison") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text".cast("binary").as("media"))
+    val blocked = Multimodal.phashNearDup(spark, docs, "doc_id", "media",
+      maxHamming = 9)
+      .as[(Long, Long, Int)].collect().toSet
+    val hashes = Multimodal.phash64(spark, docs, "doc_id", "media").toDF()
+    val brute = hashes.as("a").join(hashes.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        bit_count($"a.sim".bitwiseXOR($"b.sim")))
+      .as[(Long, Long, Int)].collect()
+      .filter(_._3 <= 9).toSet
+    assert(brute.nonEmpty, "fixture must contain near pairs at this bound")
+    assert(blocked == brute, "pigeonhole recall must be exactly 1.0")
+  }
 }

@@ -579,4 +579,41 @@ class StreamsSpec extends SparkSpec {
       graft.ops.Staged.releaseAll()
     }
   }
+
+  test("streaming decontamination equals the batch probe, epoch by epoch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dstream").toString
+    val (idxP, outP, cp) = (s"$root/index", s"$root/out", s"$root/cp")
+    val benchText = "the capital of france is paris and the capital " +
+      "of italy is rome while the capital of spain is madrid"
+    graft.ops.Decontam.writeBenchIndex(
+      Seq((100L, benchText)).toDF("doc_id", "text"), "text", idxP)
+    val input = MemoryStream[DocEvent](spark)
+    val docs = input.toDF().select($"doc_id", $"text")
+    val q = Streams.decontamStream(docs, idxP, outP, cp, "doc_id", "text")
+    val e0 = Seq(
+      (1L, "trivia corner the capital of france is paris which tourists love"),
+      (2L, "paris serves as the french capital and rome as the italian one"))
+    val e1 = Seq(
+      (3L, benchText), // full benchmark copy
+      (4L, "spark shuffles partition data across executors during wide stages"))
+    try {
+      input.addData(e0.map { case (i, t) => DocEvent(i, ts(1), t) }: _*)
+      q.processAllAvailable()
+      input.addData(e1.map { case (i, t) => DocEvent(i, ts(2), t) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outP)
+      .select($"epoch".cast("long"), $"doc_id").as[(Long, Long)].collect().toSet
+    // doc 1 leaks a 5-gram span, doc 3 is a full copy — both suppressed
+    assert(out == Set((0L, 2L), (1L, 4L)), s"stream output drifted: $out")
+    // replay contract: each epoch ≡ the batch indexed probe of its batch
+    Seq((0L, e0), (1L, e1)).foreach { case (epoch, batch) =>
+      val replayed = graft.ops.Decontam.removeContaminatedIndexed(
+        batch.toDF("doc_id", "text"), idxP, "doc_id", "text")
+        .select($"doc_id").as[Long].collect().toSet
+      val committed = spark.read.parquet(s"$outP/epoch=$epoch")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(replayed == committed, s"epoch $epoch replay drifted")
+    }
+  }
 }
