@@ -80,4 +80,57 @@ object LangModel {
     scored.select(col(idCol), col("n_tokens"), col("avg_logp"),
       bucket.as("ppl_bucket"))
   }
+
+  /** Interpolated bigram LM scoring — one Markov order up from
+    * [[unigramLogProb]], the KenLM-lite quality signal: per bigram,
+    * `P(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N` (Jelinek-Mercer
+    * interpolation with the unigram model, so unseen continuations
+    * never hit log 0), per doc the average bigram log-prob. Docs with
+    * fewer than 2 tokens get no row (no bigram evidence).
+    *
+    * `lambda` must be exactly representable together with `1−lambda`
+    * (default 0.75/0.25) so the oracle's literals are bit-identical.
+    *
+    * 100 TB shape: the model is two count tables — unigram O(V) and
+    * bigram O(observed V²) — each one map-side-combining aggregation;
+    * scoring joins the exploded doc-bigram stream against them on
+    * their own keys (bigram join shuffles at most the exploded stream;
+    * the unigram side broadcasts when small). The corpus is never
+    * self-joined; per-doc re-aggregation is the only other shuffle.
+    * At web scale the bigram table is thresholded upstream (min-count
+    * pruning) without changing the join shape.
+    *
+    * Determinism: per-bigram log-probs round onto the 10⁻⁹ grid and
+    * sum in Decimal(28,9); the per-doc average rounds to 10⁻⁶.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75, roundTo: Int = 6): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bg = df.select(col(idCol).as("id"),
+      zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))).as("bg"))
+      .where(size(col("bg")) > 0)
+    val exploded = Staged(bg.select(col("id"), explode(col("bg")).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val uni = Staged(df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw")))
+    val nTok = uni.agg(sum(col("cw"))).head().getLong(0).toDouble
+    val bi = exploded.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    exploded
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .withColumn("__lp", round(log(
+        lit(lambda) * col("cb").cast("double") / col("c1").cast("double") +
+          lit(1.0 - lambda) * col("c2").cast("double") / lit(nTok)), 9)
+        .cast(DecimalType(28, 9)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("__lp")).cast("double") / count(lit(1)), roundTo)
+          .as("avg_logp2"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("avg_logp2"))
+  }
 }

@@ -99,3 +99,74 @@ object Rrf {
       .limit(k)
   }
 }
+
+/** Sparse TF-IDF document-pair similarity with df-cut blocking — the
+  * lexical near-duplicate / template-family miner: which document pairs
+  * share distinctive (low-document-frequency) vocabulary, scored by
+  * exact cosine over df-pruned TF-IDF vectors.
+  *
+  * The df cut is the scale contract, not an approximation bolt-on:
+  * terms appearing in more than `maxDfFrac·N` documents are dropped
+  * from the VECTORS (their idf weight is lowest and they are what makes
+  * the co-term self-join quadratic), so the join fan-out is bounded by
+  * Σ_rare df² ≤ maxDfFrac·N · Σ_rare df — linear in corpus size for a
+  * fixed fraction, never the all-pairs blowup. Cosine is EXACT with
+  * respect to the pruned representation, so the DuckDB oracle
+  * reproduces it bit-for-bit.
+  *
+  * 100 TB shape: tf (one keyed aggregation), df (one aggregation on
+  * term), the df-cut broadcast back onto tf, per-doc norms (keyed
+  * aggregation), and the co-term equi-join on the pruned term key —
+  * every stage keyed and partial-aggregated, no cartesian anywhere.
+  * Skewed terms are impossible by construction (df ≤ maxDfFrac·N).
+  *
+  * Determinism: weights round onto the 10⁻⁹ decimal grid; dots and
+  * norms sum those decimals exactly; the final cosine rounds to 10⁻⁶
+  * and ranks with an (id_a, id_b) tiebreak — a total order.
+  */
+object TfIdf {
+
+  /** Word-bigram terms: distinctive collocations rather than single
+    * common words — same gram rule as the oracles.
+    */
+  private def termsOf(text: Column): Column = {
+    val t = TextAnalysis.tokens(text)
+    val n1 = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /** Top-`k` document pairs by pruned-TF-IDF cosine:
+    * (id_a, id_b, cos_sim), id_a < id_b, ranked (cos desc, ids).
+    */
+  def cosinePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDfFrac: Double = 0.02, k: Int = 100,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = Staged(df
+      .select(col(idCol).as("id"), explode(termsOf(col(textCol))).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf")))
+    val n = tf.select(col("id")).distinct().count().toDouble
+    val kept = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df").cast("double") <= lit(maxDfFrac) * lit(n))
+    // the pruned term table is ≤ vocab-sized: broadcast the idf back
+    val w = Staged(tf.join(broadcast(kept), "g")
+      .select(col("id"), col("g"),
+        round(col("tf").cast("double") *
+          log(lit(n) / col("df").cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("w")))
+    val nrm = w.groupBy(col("id"))
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nm"))
+    val dots = w.as("a")
+      .join(w.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).cast("double").as("dot"))
+    dots
+      .join(nrm.select(col("id").as("id_a"), col("nm").as("__na")), "id_a")
+      .join(nrm.select(col("id").as("id_b"), col("nm").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("dot") / (col("__na") * col("__nb")), roundTo).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+}

@@ -1454,6 +1454,140 @@ object ExtensionQueries {
           dn AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 11 <> 0)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
         FROM dn JOIN bn USING (g) GROUP BY doc_id"""),
-      notes = "probe of a persisted bloom+hash index; result ≡ the exact broadcast path")
+      notes = "probe of a persisted bloom+hash index; result ≡ the exact broadcast path"),
+
+    // ---- DSIR importance resampling (Xie et al. 2023): hashed-n-gram
+    // bag-of-words models of target vs raw, per-doc importance
+    // log-weight, Gumbel-top-k selection ∝ exp(ilw). The model side is
+    // O(buckets) whatever the corpus size; the corpus sees exactly two
+    // keyed shuffles and no corpus-corpus join.
+    GraftQuery(
+      "x47_dsir_weights",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Dsir.importanceWeights(
+          docs.filter($"doc_id" % 5 =!= 0),
+          docs.filter($"doc_id" % 5 === 0), "doc_id", "text")
+      },
+      Some(dsirWeightsCte +
+        """SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_grams,
+             round(CAST(sum(pd.c * lr.lr) AS DOUBLE), 6) AS ilw
+           FROM pd JOIN lr USING (f) GROUP BY pd.doc_id"""),
+      notes = "decimal-grid per-bucket log-ratios; ilw partition-order-independent"),
+
+    GraftQuery(
+      "x48_dsir_resample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Dsir.resample(
+          docs.filter($"doc_id" % 5 =!= 0),
+          docs.filter($"doc_id" % 5 === 0), "doc_id", "text", k = 50)
+      },
+      Some(dsirWeightsCte +
+        """, w AS (SELECT pd.doc_id,
+             round(CAST(sum(pd.c * lr.lr) AS DOUBLE), 6) AS ilw
+           FROM pd JOIN lr USING (f) GROUP BY pd.doc_id),
+          sel AS (SELECT doc_id, ilw, round(ilw +
+             (-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) + 0.5) / 4294967296.0))), 6) AS score FROM w)
+        SELECT doc_id, ilw, score,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+        FROM sel ORDER BY score DESC, doc_id LIMIT 50"""),
+      notes = "Gumbel keys from md5(doc_id): exact-rational u, replayable sample"),
+
+    // ---- interpolated bigram LM (KenLM-lite, one Markov order above
+    // x30): P(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N. Model = two
+    // map-side-combined count tables (O(V), O(observed V²)); scoring
+    // joins the exploded bigram stream on model keys — never a corpus
+    // self-join.
+    GraftQuery(
+      "x49_bigram_lm",
+      (s, dir) => graft.ops.LangModel.bigramLogProb(
+        Tables(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+          nt AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uc),
+          bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM
+                 (SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+                    FOR i IN range(1, len(t))]) AS b FROM toks)),
+          bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+                 FROM bg GROUP BY w1, w2),
+          lp AS (SELECT bg.doc_id,
+              CAST(round(ln(CAST(0.75 AS DOUBLE) * CAST(bc.cb AS DOUBLE)
+                   / CAST(u1.cw AS DOUBLE)
+                 + CAST(0.25 AS DOUBLE) * CAST(u2.cw AS DOUBLE) / nt.n), 9)
+                AS DECIMAL(28,9)) AS l
+            FROM bg JOIN bc USING (w1, w2)
+            JOIN uc u1 ON bg.w1 = u1.w JOIN uc u2 ON bg.w2 = u2.w
+            CROSS JOIN nt)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          round(CAST(sum(l) AS DOUBLE) / count(*), 6) AS avg_logp2
+        FROM lp GROUP BY doc_id"""),
+      notes = "λ=0.75 chosen so both λ and 1−λ are exact binary literals"),
+
+    // ---- df-cut TF-IDF cosine pairs: lexical template-family mining.
+    // The df cut (terms in > 2% of docs dropped from the VECTORS) is
+    // the scale contract — co-term join fan-out stays linear in corpus
+    // size — and cosine is exact w.r.t. the pruned vectors, so the
+    // oracle reproduces it bit-for-bit.
+    GraftQuery(
+      "x50_tfidf_cosine_pairs",
+      (s, dir) => graft.ops.TfIdf.cosinePairs(
+        Tables(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                 FOR i IN range(1, len(t))]) AS g FROM toks),
+          tf AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+                 FROM bg GROUP BY doc_id, g),
+          nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+          dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY g),
+          kept AS (SELECT g, df FROM dfreq, nn
+                   WHERE CAST(df AS DOUBLE) <= 0.02 * nn.n),
+          w AS (SELECT tf.doc_id, tf.g,
+                CAST(round(CAST(tf.tf AS DOUBLE) * ln(nn.n / CAST(k.df AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS w
+                FROM tf JOIN kept k USING (g) CROSS JOIN nn),
+          nrm AS (SELECT doc_id, sqrt(CAST(sum(w*w) AS DOUBLE)) AS nm
+                  FROM w GROUP BY doc_id),
+          dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+                   FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT d.id_a, d.id_b, round(d.dot / (na.nm * nb.nm), 6) AS cos_sim
+        FROM dots d JOIN nrm na ON d.id_a = na.doc_id
+          JOIN nrm nb ON d.id_b = nb.doc_id
+        ORDER BY cos_sim DESC, id_a, id_b LIMIT 100"""),
+      notes = "decimal-grid weights; dots/norms summed exactly; rank is a total order")
   )
+
+  /** DuckDB model CTE for the DSIR queries — unigram+bigram features
+    * hashed to 1024 buckets via md5-prefix (the [[graft.ops.Dsir]]
+    * rule), add-1-smoothed target/raw distributions, per-bucket
+    * log-ratio on the 10⁻⁹ decimal grid. Target = doc_id % 5 = 0.
+    */
+  private def dsirWeightsCte =
+    """WITH toks AS (SELECT doc_id,
+        regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      gr AS (SELECT doc_id, unnest(list_concat(t,
+          [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS g FROM toks),
+      bk AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 4)) AS INT) % 1024 AS f
+             FROM gr),
+      qc AS (SELECT f, CAST(count(*) AS BIGINT) AS n FROM bk
+             WHERE doc_id % 5 <> 0 GROUP BY f),
+      pc AS (SELECT f, CAST(count(*) AS BIGINT) AS np FROM bk
+             WHERE doc_id % 5 = 0 GROUP BY f),
+      tot AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM qc) AS rtot,
+          (SELECT CAST(count(*) AS DOUBLE) FROM bk WHERE doc_id % 5 = 0) AS ttot),
+      lr AS (SELECT qc.f,
+          CAST(round(ln((COALESCE(pc.np, 0) + 1.0) / (tot.ttot + 1024))
+            - ln((qc.n + 1.0) / (tot.rtot + 1024)), 9) AS DECIMAL(12,9)) AS lr
+         FROM qc LEFT JOIN pc USING (f) CROSS JOIN tot),
+      pd AS (SELECT doc_id, f, CAST(count(*) AS DECIMAL(10,0)) AS c FROM bk
+             WHERE doc_id % 5 <> 0 GROUP BY doc_id, f)
+    """
 }

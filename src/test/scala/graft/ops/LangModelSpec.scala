@@ -56,4 +56,36 @@ class LangModelSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(LangModel.perplexityBuckets(empty, "doc_id", "text").count() == 0)
   }
+
+  test("bigram log-prob matches the hand-computed interpolated model") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = LangModel.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // unigrams: c(a)=3 c(b)=3 c(c)=1 c(z)=1, N=8
+    // bigrams: (a,b)=3 (b,a)=1 (b,c)=1; lambda=0.75
+    val pAB = 0.75 * 3 / 3 + 0.25 * 3 / 8   // 0.84375
+    val pBA = 0.75 * 1 / 3 + 0.25 * 3 / 8   // 0.34375
+    val pBC = 0.75 * 1 / 3 + 0.25 * 1 / 8   // 0.28125
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 -
+      (2 * math.log(pAB) + math.log(pBA)) / 3) < 1e-5)
+    assert(out(2L)._1 == 2L)
+    assert(math.abs(out(2L)._2 -
+      (math.log(pAB) + math.log(pBC)) / 2) < 1e-5)
+    assert(!out.contains(3L), "a 1-token doc has no bigram evidence")
+  }
+
+  test("bigram model separates phrase-coherent docs from shuffled ones") {
+    // corpus where "spark shuffle" is a fixed collocation; a doc using
+    // the same tokens in an unseen order scores lower
+    val docs = (1 to 10).map(i => (i.toLong, "the spark shuffle moves data")) ++
+      Seq((99L, "shuffle the data spark moves"))
+    val out = LangModel.bigramLogProb(docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) > out(99L),
+      s"coherent doc must outscore shuffled doc: $out")
+  }
 }
