@@ -199,4 +199,33 @@ object Decontam {
       broadcast(overlapsIndexed(docs, indexPath, idCol, textCol, n)
         .select(col(idCol))),
       Seq(idCol), "left_anti")
+
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many DISTINCT `window`-token passages occur in both — the
+    * heat-map that finds mirror sites, syndication rings, and scrapers
+    * re-hosting each other before domain-level mixing treats them as
+    * independent evidence.
+    *
+    * 100 TB shape: the passage key is aggregated ONCE into its distinct
+    * source set (bounded by |sources|, not by how many docs share the
+    * passage — the hot-passage killer), pairs explode from that sorted
+    * set (≤ |sources|²/2 per passage, in practice a handful), and the
+    * final aggregation's key space is ≤ |sources|². No self-join of
+    * anything corpus-sized; one shuffle on the passage key, one tiny
+    * one on the pair key.
+    */
+  def crossSourceOverlap(docs: DataFrame, sourceCol: String,
+      textCol: String, window: Int = 5): DataFrame = {
+    val p = Dedup.passages(docs, sourceCol, textCol, window)
+      .select(col(sourceCol).as("__s"), col("chunk_text"))
+      .distinct()
+    val sets = p.groupBy(col("chunk_text"))
+      .agg(array_sort(collect_set(col("__s"))).as("__ss"))
+      .where(size(col("__ss")) > 1)
+    sets.select(explode(flatten(transform(col("__ss"), (x, i) =>
+        transform(slice(col("__ss"), i + 2, size(col("__ss"))),
+          y => struct(x.as("src_a"), y.as("src_b")))))).as("__p"))
+      .groupBy(col("__p.src_a").as("src_a"), col("__p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

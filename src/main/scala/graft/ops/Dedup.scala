@@ -914,6 +914,34 @@ object Dedup {
     firstOccurrenceClean(p, p, idCol)
   }
 
+  /** Per-document duplication profile (the diagnostic face of passage
+    * dedup, Lee et al.'s "what fraction of each doc is repeated
+    * content"): for every doc, how many of its `window`-token passages
+    * occur more than once in the corpus (anywhere — another doc or
+    * another position of the same doc), and that count as a fraction.
+    * The scoring input for boilerplate-heavy / template-stamped doc
+    * triage: rank by dup_frac and inspect or drop the head.
+    *
+    * 100 TB shape: one map-side-combining aggregation on the passage
+    * key for global multiplicities (the same key the bucketed passage
+    * index shuffles on), one join of the passage frame back to it, one
+    * per-doc re-aggregation. No pairwise comparison anywhere — cost is
+    * linear in corpus passages whatever the duplication rate.
+    *
+    * Returns (idCol, n_passages, n_dup, dup_frac); dup_frac is an
+    * exact small-integer ratio rounded to 10⁻⁶.
+    */
+  def duplicationProfile(df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    val p = stage(passages(df, idCol, textCol, window))
+    val mult = p.groupBy(col("chunk_text")).agg(count(lit(1)).as("__m"))
+    val dup = sum(when(col("__m") > 1, 1L).otherwise(0L))
+    p.join(mult, "chunk_text")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_passages"), dup.as("n_dup"),
+        round(dup.cast("double") / count(lit(1)), 6).as("dup_frac"))
+  }
+
   /** The non-overlapping `window`-token passage frame of a corpus:
     * (idCol, chunk_idx, chunk_text). Public because index maintainers
     * (e.g. the streaming ingest in [[graft.streaming.Streams]]) must

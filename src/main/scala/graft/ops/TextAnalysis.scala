@@ -97,6 +97,58 @@ object TextAnalysis {
     */
   def minKShingleSketch(text: Column, k: Int = 8): Column =
     slice(array_sort(transform(Shingles(text, 3), s => xxhash64(s))), 1, k)
+
+  /** Zipf-law fit of the corpus token-frequency distribution: least
+    * squares of ln(freq) on ln(rank) over the top `topR` ranks. The
+    * single output row (n_ranks, slope, intercept, r2) is the corpus
+    * health line — natural text sits near slope ≈ −1; template spam or
+    * truncated vocabularies bend it — and is the cheapest drift check
+    * between two crawls.
+    *
+    * 100 TB shape: one map-side-combining token count (O(vocab)
+    * result), TakeOrderedAndProject for the top R, and a single-row
+    * closed-form aggregate over R rows — the corpus is scanned once
+    * and nothing corpus-sized is ever shuffled.
+    *
+    * Determinism: ln(rank)/ln(freq) land on the 10⁻⁹ decimal grid
+    * before any sum or product (Decimal(12,9); products keep scale 18
+    * exactly), so Sx/Sy/Sxx/Sxy/Syy are partition-order-independent;
+    * the final regression scalars are doubles rounded to 10⁻⁶.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topR: Int = 100,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ranked = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w"))
+      .limit(topR)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("w"))))
+    val grid9 = (c: Column) => round(c, 9).cast(DecimalType(12, 9))
+    val pts = ranked.select(
+      grid9(log(col("r").cast("double"))).as("x"),
+      grid9(log(col("f").cast("double"))).as("y"))
+    // exact decimal sums (order-independent), then scalar double math
+    // — identical in any engine given identical sums
+    val s = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = num / den
+    s.select(col("n").cast("long").as("n_ranks"),
+      round(slope, roundTo).as("slope"),
+      round((col("sy") - col("sx") * slope) / col("n"), roundTo)
+        .as("intercept"),
+      round(num * num /
+        (den * (col("n") * col("syy") - col("sy") * col("sy"))),
+        roundTo).as("r2"))
+  }
 }
 
 /** Word n-gram shingles, shared by fingerprinting and MinHash dedup. */

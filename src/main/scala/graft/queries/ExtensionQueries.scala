@@ -1562,7 +1562,114 @@ object ExtensionQueries {
         FROM dots d JOIN nrm na ON d.id_a = na.doc_id
           JOIN nrm nb ON d.id_b = nb.doc_id
         ORDER BY cos_sim DESC, id_a, id_b LIMIT 100"""),
-      notes = "decimal-grid weights; dots/norms summed exactly; rank is a total order")
+      notes = "decimal-grid weights; dots/norms summed exactly; rank is a total order"),
+
+    // ---- deterministic mixture interleave (stride scheduling): one
+    // global curriculum order holding the src1:src2:rest = 3:2:1 mix
+    // at every prefix. The global seq is a CLOSED-FORM integer formula
+    // over an O(domains) broadcast table — no global window, no
+    // floating-point key — so both engines derive the identical
+    // permutation.
+    GraftQuery(
+      "x51_mixture_interleave",
+      (s, dir) => graft.ops.Curriculum.interleave(
+        Tables(s, dir, "documents"), "doc_id", "source",
+        Map("src1" -> 3, "src2" -> 2)),
+      Some("""WITH pos AS (SELECT source, doc_id,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS i FROM documents),
+         doms AS (SELECT source AS e, CAST(count(*) AS BIGINT) AS ne,
+            CAST(CASE source WHEN 'src1' THEN 3 WHEN 'src2' THEN 2
+              ELSE 1 END AS BIGINT) AS we,
+            CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS rke
+          FROM pos GROUP BY source),
+         own AS (SELECT p.source, p.doc_id, p.i, d.we AS wd, d.rke AS rkd
+                 FROM pos p JOIN doms d ON p.source = d.e),
+         agg AS (SELECT o.source, o.doc_id,
+             sum(LEAST(d.ne, ((2*o.i - 1)*d.we + o.wd - 1) // (2*o.wd))
+             + (CASE WHEN d.rke < o.rkd AND ((2*o.i-1)*d.we) % o.wd = 0
+                   AND (((2*o.i-1)*d.we) // o.wd) % 2 = 1
+                   AND ((((2*o.i-1)*d.we) // o.wd) + 1) // 2 <= d.ne
+                THEN 1 ELSE 0 END)) AS bef
+           FROM own o CROSS JOIN doms d GROUP BY o.source, o.doc_id)
+        SELECT CAST(bef + 1 AS BIGINT) AS seq, source, doc_id FROM agg"""),
+      notes = "seq is provably a permutation of 1..N; spec pins prefix-mix exactness"),
+
+    // ---- per-doc duplication profile: the diagnostic face of x32 —
+    // what fraction of each doc's 3-token passages is repeated content
+    // (anywhere in the corpus, incl. in-doc repeats). Linear in corpus
+    // passages: one multiplicity aggregation + one join back.
+    GraftQuery(
+      "x52_duplication_profile",
+      (s, dir) => graft.ops.Dedup.duplicationProfile(
+        Tables(s, dir, "documents"), "doc_id", "text", window = 3),
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        c AS (SELECT doc_id, t, n,
+            unnest(range(0, 1 + (greatest(n - 3, 0) + 2) // 3)) AS ci
+          FROM nz),
+        p AS (SELECT doc_id, CAST(ci AS INT) AS ci,
+            array_to_string(t[ci * 3 + 1 : ci * 3 + 3], ' ') AS pass
+          FROM c),
+        mult AS (SELECT pass, count(*) AS m FROM p GROUP BY pass)
+        SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+          CAST(sum(CASE WHEN mult.m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          round(CAST(sum(CASE WHEN mult.m > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS dup_frac
+        FROM p JOIN mult USING (pass) GROUP BY p.doc_id"""),
+      notes = "same passage convention as x32/x33; dup_frac is an exact ratio"),
+
+    // ---- Zipf-law fit: least squares of ln(freq) on ln(rank) over the
+    // top-100 ranks — the one-row corpus health line (natural text sits
+    // near slope −1; template spam bends it). One token count + a
+    // TakeOrderedAndProject; nothing corpus-sized shuffles.
+    GraftQuery(
+      "x53_zipf_fit",
+      (s, dir) => graft.ops.TextAnalysis.zipfFit(
+        Tables(s, dir, "documents"), "text"),
+      Some("""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+            '[a-z0-9]+')) AS w FROM documents),
+         freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+         top AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+                 FROM freq ORDER BY f DESC, w LIMIT 100),
+         pts AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)),9) AS DECIMAL(12,9)) AS x,
+                        CAST(round(ln(CAST(f AS DOUBLE)),9) AS DECIMAL(12,9)) AS y
+                 FROM top),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy,
+                CAST(sum(y*y) AS DOUBLE) AS syy FROM pts)
+        SELECT CAST(n AS BIGINT) AS n_ranks,
+          round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS slope,
+          round((sy - sx*((n*sxy - sx*sy)/(n*sxx - sx*sx)))/n, 6) AS intercept,
+          round((n*sxy - sx*sy)*(n*sxy - sx*sy)
+            /((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+        FROM s"""),
+      notes = "ln values on the 1e-9 decimal grid before summation; scalar math in doubles"),
+
+    // ---- cross-source contamination matrix: distinct 5-token passages
+    // shared per source pair — mirror/syndication detection before
+    // domain-level mixing treats sources as independent. Passage → its
+    // ≤|sources| distinct source set (ONE aggregation, hot-passage
+    // safe), pairs explode from the sorted set, key space ≤ |sources|².
+    GraftQuery(
+      "x54_cross_source_overlap",
+      (s, dir) => graft.ops.Decontam.crossSourceOverlap(
+        Tables(s, dir, "documents"), "source", "text", window = 5),
+      Some("""WITH toks AS (SELECT source,
+            regexp_extract_all(lower(text),'[a-z0-9]+') AS t FROM documents),
+         nz AS (SELECT source, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         c AS (SELECT source, t, n,
+               unnest(range(0, 1 + (greatest(n - 5, 0) + 4) // 5)) AS ci FROM nz),
+         p AS (SELECT DISTINCT source,
+               array_to_string(t[ci*5+1 : ci*5+5], ' ') AS pass FROM c),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b
+                   FROM p a JOIN p b ON a.pass = b.pass AND a.source < b.source)
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM pairs GROUP BY src_a, src_b"""),
+      notes = "oracle's pass-key self-join ≡ the set-explosion on distinct (source, pass)")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

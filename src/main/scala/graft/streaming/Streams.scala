@@ -48,6 +48,62 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming mixture-drift monitor: per closed event-time window,
+    * the total-variation distance between the observed domain mix and
+    * a target mix — the alarm a continuous-ingest curation pipeline
+    * runs so a crawler going rogue (one domain flooding the feed)
+    * pages someone before it skews a training shard.
+    *
+    * Mechanics: one watermarked windowed aggregation (state bounded by
+    * horizon × |domains|) in APPEND mode, so a window's per-domain
+    * counts all arrive in the same micro-batch exactly once, closed and
+    * complete; `foreachBatch` then folds them against the broadcast
+    * target (a handful of rows) into one row per window:
+    * (window_start, n_docs, tv_drift, alert). TV = ½·Σ_d |obs_d −
+    * tgt_d| over the union of observed and target domains, exact
+    * small-integer ratios rounded to 10⁻⁶. Crash replay re-emits a
+    * closed window's rows into the same epoch-keyed location.
+    */
+  def mixtureDriftStream(docs: DataFrame, target: Map[String, Double],
+      outPath: String, checkpoint: String, domainCol: String,
+      windowLen: String = "1 hour", watermark: String = "30 minutes",
+      alertAt: Double = 0.25): StreamingQuery = {
+    require(target.nonEmpty && math.abs(target.values.sum - 1.0) < 1e-9,
+      "target mix must be a distribution over domains")
+    val counts = docs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col(domainCol).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("window.start").as("window_start"), col("__d"), col("__n"))
+    counts.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val tgt = target.toSeq.toDF("__d", "__tw")
+        // grid = (window × union of observed/target domains); missing
+        // side contributes 0 — both absences matter to TV
+        val wins = batch.groupBy(col("window_start"))
+          .agg(sum(col("__n")).as("__tot"))
+        val grid = wins.select(col("window_start"), col("__tot"))
+          .crossJoin(broadcast(
+            batch.select(col("__d")).union(tgt.select(col("__d"))).distinct()))
+        val out = grid
+          .join(batch, Seq("window_start", "__d"), "left")
+          .join(broadcast(tgt), Seq("__d"), "left")
+          .select(col("window_start"), col("__tot"),
+            abs(coalesce(col("__n"), lit(0L)).cast("double") / col("__tot") -
+              coalesce(col("__tw"), lit(0.0))).as("__gap"))
+          .groupBy(col("window_start"))
+          .agg(max(col("__tot")).cast("long").as("n_docs"),
+            round(sum(col("__gap")) / 2.0, 6).as("tv_drift"))
+          .withColumn("alert", col("tv_drift") >= alertAt)
+        out.write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      }
+      .start()
+  }
+
   final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom keyed state: running per-user totals emitted on every

@@ -120,4 +120,25 @@ class DecontamSpec extends SparkSpec {
       Decontam.overlapsIndexed(docs, dir, "doc_id", "text", n = 5).count()
     }
   }
+
+  test("cross-source overlap counts distinct shared passages per pair") {
+    val p1 = "shared passage tokens here now"
+    val p2 = "another mutual overlap chunk text"
+    val corpus = Seq(
+      ("s1", p1), ("s2", p1), ("s3", p1),        // P1 in all three
+      ("s1", p2), ("s3", p2),                    // P2 in s1+s3 only
+      ("s2", "entirely private content lives here"),
+      ("s1", p1)                                 // same-source repeat: no effect
+    ).toDF("source", "text")
+    val out = Decontam.crossSourceOverlap(corpus, "source", "text", window = 5)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("s1", "s2", 1L), ("s2", "s3", 1L), ("s1", "s3", 2L)),
+      s"matrix drifted: $out")
+  }
+
+  test("a passage unique to one source creates no pair") {
+    val corpus = Seq(("s1", "only here alpha beta gamma"),
+      ("s2", "totally different words exist here")).toDF("source", "text")
+    assert(Decontam.crossSourceOverlap(corpus, "source", "text").count() == 0)
+  }
 }

@@ -488,4 +488,21 @@ class DedupSpec extends SparkSpec {
       Staged.releaseAll()
     }
   }
+
+  test("duplication profile counts repeated passages, incl. in-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // 'a b c' repeated corpus-wide
+      (2L, "a b c x y z"),
+      (3L, "p q r"),             // fully unique
+      (4L, "a b c a b c")        // in-doc repetition counts too
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicationProfile(docs, "doc_id", "text", window = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    assert(out(4L) == ((2L, 2L, 1.0)),
+      "both instances of a self-repeated passage are duplicated content")
+  }
 }

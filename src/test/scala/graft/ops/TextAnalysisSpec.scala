@@ -68,4 +68,36 @@ class TextAnalysisSpec extends SparkSpec {
       .select(Shingles($"text", 3).as("s")).as[Seq[String]].collect()
     assert(out.forall(_.isEmpty))
   }
+
+  test("zipf fit recovers an exact power law: slope -1, r2 1") {
+    // counts 12, 6, 4, 3 = 12/rank — a perfect f = C/r law
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq(text).toDF("text"), "text")
+      .as[(Long, Double, Double, Double)].head()
+    assert(out._1 == 4L)
+    assert(math.abs(out._2 - (-1.0)) < 1e-5, s"slope ${out._2}")
+    assert(math.abs(out._3 - math.log(12.0)) < 1e-5, s"intercept ${out._3}")
+    assert(math.abs(out._4 - 1.0) < 1e-6, s"r2 ${out._4}")
+  }
+
+  test("zipf fit matches a local least-squares on the same grid") {
+    val text = "w w w w w x x x y y z"
+    val out = TextAnalysis.zipfFit(Seq(text).toDF("text"), "text")
+      .as[(Long, Double, Double, Double)].head()
+    def g9(d: Double) = BigDecimal(java.math.BigDecimal.valueOf(d))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val pts = Seq((1, 5), (2, 3), (3, 2), (4, 1)).map { case (r, f) =>
+      (g9(math.log(r.toDouble)), g9(math.log(f.toDouble)))
+    }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out._1 == 4L)
+    assert(math.abs(out._2 - slope) < 1e-6)
+    assert(math.abs(out._3 - (sy - sx * slope) / n) < 1e-6)
+    assert(out._2 < 0, "frequency must fall with rank")
+  }
 }

@@ -64,7 +64,10 @@ class PlanSpec extends SparkSpec {
           // dense month axis (~80 rows), funnel step counts (1 row),
           // corpus token total + missing-heavy count (1 row each, the
           // lazy replacements for x26's old construction-time actions)
-          "q30_gap_fill_months", "q37_event_funnel", "x26_heavy_hitters")
+          "q30_gap_fill_months", "q37_event_funnel", "x26_heavy_hitters",
+          // stride-schedule closed form: every doc meets the O(domains)
+          // broadcast table by design (fan-out = |domains|, bounded)
+          "x51_mixture_interleave")
         if (!nlOk(q.name))
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans a nested-loop join")

@@ -616,4 +616,32 @@ class StreamsSpec extends SparkSpec {
       assert(replayed == committed, s"epoch $epoch replay drifted")
     }
   }
+
+  test("mixture drift monitor: TV per closed window, alert on flood") {
+    val root = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val input = MemoryStream[DocEvent](spark)
+    val docs = input.toDF().select($"ts", $"text")
+    val q = Streams.mixtureDriftStream(docs, Map("a" -> 0.5, "b" -> 0.5),
+      s"$root/out", s"$root/cp", "text",
+      windowLen = "10 minutes", watermark = "5 minutes", alertAt = 0.25)
+    try {
+      // window 10:00: balanced a,a,b,b; window 10:10: an 'a' flood
+      input.addData(
+        DocEvent(1, ts(1), "a"), DocEvent(2, ts(2), "a"),
+        DocEvent(3, ts(3), "b"), DocEvent(4, ts(4), "b"),
+        DocEvent(5, ts(11), "a"), DocEvent(6, ts(12), "a"),
+        DocEvent(7, ts(13), "a"), DocEvent(8, ts(14), "a"))
+      q.processAllAvailable()
+      // watermark push: closes both windows; its own window stays open
+      input.addData(DocEvent(9, ts(45), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$root/out")
+      .select($"window_start".cast("string"), $"n_docs", $"tv_drift", $"alert")
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01 10:00:00", 4L, 0.0, false),
+      ("2024-01-01 10:10:00", 4L, 0.5, true)),
+      s"drift rows: $out")
+  }
 }
