@@ -55,19 +55,17 @@ object Dsir {
       .groupBy(bucketOf(col("g"), buckets))
       .agg(count(lit(1)).as("n"))
 
-  /** The O(buckets) model: per-bucket `round(ln p_f − ln q_f, 9)` with
-    * add-1 smoothing over `buckets` cells. Every bucket any raw doc
-    * can hit appears (q's support covers raw by construction; target
-    * counts are coalesced to 0).
+  /** Model from pre-aggregated bucket counts: per-bucket
+    * `round(ln p_f − ln q_f, 9)` with add-1 smoothing over `buckets`
+    * cells. Every bucket any raw doc can hit appears (q's support
+    * covers raw by construction; target counts are coalesced to 0).
+    * The corpus totals fall out of the count tables — no extra scan.
     */
-  def logRatios(raw: DataFrame, target: DataFrame, textCol: String,
+  private def logRatiosFromCounts(qc: DataFrame, pc: DataFrame,
       buckets: Int): DataFrame = {
-    val qc = Staged(bucketCounts(raw, textCol, buckets))
-    val pc = bucketCounts(target, textCol, buckets)
-      .withColumnRenamed("n", "np")
     val rTot = qc.agg(sum(col("n"))).head().getLong(0).toDouble
-    val tTot = target.select(explode(grams(col(textCol))).as("g"))
-      .count().toDouble
+    val tTot = pc.agg(coalesce(sum(col("np")), lit(0L)))
+      .head().getLong(0).toDouble
     qc.join(pc, Seq("bucket"), "left")
       .select(col("bucket"),
         round(log((coalesce(col("np"), lit(0L)).cast("double") + 1.0) /
@@ -79,16 +77,31 @@ object Dsir {
           9).cast(DecimalType(12, 9)).as("lr"))
   }
 
+  /** The O(buckets) log-ratio model on its own (standalone face of the
+    * scoring pipeline). */
+  def logRatios(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int): DataFrame =
+    logRatiosFromCounts(Staged(bucketCounts(raw, textCol, buckets)),
+      bucketCounts(target, textCol, buckets).withColumnRenamed("n", "np"),
+      buckets)
+
   /** Per-doc importance log-weights of the raw corpus toward the
     * target: (id, n_grams, ilw). Docs with zero grams get no row (no
-    * evidence either way).
+    * evidence either way). The raw corpus is tokenized ONCE — the
+    * staged (id, bucket) frame feeds both the q-model counts and the
+    * per-doc scoring counts; the target is scanned once for its
+    * bucket counts (its total falls out of them).
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 1024, roundTo: Int = 6): DataFrame = {
-    val lr = logRatios(raw, target, textCol, buckets)
-    val perDoc = raw
+    val rawB = Staged(raw
       .select(col(idCol).as("id"), explode(grams(col(textCol))).as("g"))
-      .groupBy(col("id"), bucketOf(col("g"), buckets))
+      .select(col("id"), bucketOf(col("g"), buckets)))
+    val qc = rawB.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val pc = bucketCounts(target, textCol, buckets)
+      .withColumnRenamed("n", "np")
+    val lr = logRatiosFromCounts(qc, pc, buckets)
+    val perDoc = rawB.groupBy(col("id"), col("bucket"))
       .agg(count(lit(1)).as("c"))
     perDoc.join(broadcast(lr), "bucket")
       .groupBy(col("id"))
