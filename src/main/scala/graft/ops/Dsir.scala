@@ -111,6 +111,70 @@ object Dsir {
       .withColumnRenamed("id", idCol)
   }
 
+  // ---- persisted model: the operational shape. The target corpus and
+  // the raw-crawl reference change rarely; batches arrive continuously.
+  // Fit the O(buckets) log-ratio table once, commit it behind an _OK
+  // marker, and every batch probe is one broadcast join with ZERO
+  // model recomputation (the exact analogue of Decontam's bench index).
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Persist the DSIR model at `path`: `lr/` (bucket → log-ratio
+    * decimal) written first, `_OK` marker last (Hadoop-FS ops; a
+    * crashed build is invisible and re-runs). `buckets` must match at
+    * probe time and is stored in the table itself for the check.
+    */
+  def writeModel(raw: DataFrame, target: DataFrame, textCol: String,
+      path: String, buckets: Int = 1024): Unit = {
+    val spark = raw.sparkSession
+    logRatios(raw, target, textCol, buckets)
+      .withColumn("buckets", lit(buckets))
+      .repartition(1).write.mode("overwrite").parquet(s"$path/lr")
+    fsOf(spark, path).create(
+      new org.apache.hadoop.fs.Path(s"$path/_OK"), true).close()
+  }
+
+  def modelReady(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    fsOf(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/_OK"))
+
+  /** Score a batch against a persisted model: same output contract as
+    * [[importanceWeights]], pure function of (batch, committed model)
+    * — safe to replay, usable from `foreachBatch`. One corpus-side
+    * shuffle pair, one broadcast of the O(buckets) table. Batch grams
+    * hashing outside the model's support (buckets no raw-corpus gram
+    * ever hit) are outside q's domain and drop from both `n_grams`
+    * and the score; scoring the fit corpus itself reproduces
+    * [[importanceWeights]] exactly.
+    */
+  def scoreIndexed(docs: DataFrame, modelPath: String, idCol: String,
+      textCol: String, roundTo: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    require(modelReady(spark, modelPath),
+      s"no committed DSIR model at $modelPath (build with writeModel)")
+    val lr = spark.read.parquet(s"$modelPath/lr")
+    val bOpt = lr.select(max(col("buckets"))).head()
+    if (bOpt.isNullAt(0)) // empty raw corpus: no q support, no scores
+      return docs.select(col(idCol)).limit(0)
+        .withColumn("n_grams", lit(0L)).withColumn("ilw", lit(0.0))
+    val buckets = bOpt.getInt(0)
+    val perDoc = docs
+      .select(col(idCol).as("id"), explode(grams(col(textCol))).as("g"))
+      .groupBy(col("id"), bucketOf(col("g"), buckets))
+      .agg(count(lit(1)).as("c"))
+    // inner join: a bucket absent from the model means no raw-corpus
+    // gram ever hit it; smoothing gave it no q mass either — the model
+    // is defined on q's support, as in importanceWeights
+    perDoc.join(broadcast(lr.select(col("bucket"), col("lr"))), "bucket")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_grams"),
+        round(sum(col("c").cast(DecimalType(10, 0)) * col("lr"))
+          .cast("double"), roundTo).as("ilw"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Deterministic Gumbel key from the doc id: `g = −ln(−ln(u))` with
     * `u = (h + 0.5) / 2³²`, h the first 32 md5 bits of the id string —
     * exact-rational input, so both engines agree to the 10⁻⁶ grid.

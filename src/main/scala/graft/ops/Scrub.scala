@@ -44,4 +44,55 @@ object Scrub {
       urlCount(col(textCol)).as("n_urls"),
       longNumCount(col(textCol)).as("n_long_nums"),
       redact(col(textCol)).as("redacted"))
+
+  /** CCNet-style per-source boilerplate stripping: a `window`-token
+    * passage is boilerplate in source s when it appears in ≥ `minDocs`
+    * AND ≥ `minFrac` of s's documents (nav bars, cookie banners,
+    * license footers — template content stamped across a site). Every
+    * doc is rebuilt from its surviving passages, in order; docs that
+    * were ALL boilerplate survive with empty clean_text (they are a
+    * signal, not a silent drop).
+    *
+    * 100 TB shape: chunking is row-local (the (id, source) key rides
+    * in a struct — no join to re-attach source); support counting is
+    * one distinct + one keyed aggregation on (source, passage), the
+    * same key the anti-join then probes, and the boilerplate side of
+    * that anti-join is support-filtered (tiny) while the corpus side
+    * streams. Reconstruction state is bounded by one document.
+    *
+    * Returns (idCol, sourceCol, clean_text, n_kept, n_dropped).
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, window: Int = 3, minFrac: Double = 0.2,
+      minDocs: Int = 5): DataFrame = {
+    val keyed = docs.select(struct(col(idCol).as("id"),
+      col(sourceCol).as("src")).as("__k"), col(textCol))
+    val chunked = Staged(Chunking
+      .slidingChunks(keyed, "__k", textCol, size = window, stride = window)
+      .select(col("__k.id").as("__id"), col("__k.src").as("__src"),
+        col("chunk_idx"), col("chunk_text")))
+    val srcSizes = chunked.select(col("__src"), col("__id")).distinct()
+      .groupBy(col("__src")).agg(count(lit(1)).as("__nsrc"))
+    val support = chunked
+      .select(col("__src"), col("chunk_text"), col("__id")).distinct()
+      .groupBy(col("__src"), col("chunk_text")).agg(count(lit(1)).as("__nd"))
+    val boiler = support.join(srcSizes, "__src")
+      .where(col("__nd") >= minDocs &&
+        col("__nd").cast("double") >= lit(minFrac) * col("__nsrc").cast("double"))
+      .select(col("__src"), col("chunk_text"))
+    val kept = chunked.join(boiler, Seq("__src", "chunk_text"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(
+          col("chunk_idx").as("i"), col("chunk_text").as("t")))).as("__ps"),
+        count(lit(1)).as("__nkept"))
+    chunked.groupBy(col("__id"), col("__src"))
+      .agg(count(lit(1)).as("__nall"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__src").as(sourceCol),
+        coalesce(array_join(transform(col("__ps"), x => x.getField("t")), " "),
+          lit("")).as("clean_text"),
+        coalesce(col("__nkept"), lit(0L)).cast("int").as("n_kept"),
+        (col("__nall") - coalesce(col("__nkept"), lit(0L))).cast("int")
+          .as("n_dropped"))
+  }
 }

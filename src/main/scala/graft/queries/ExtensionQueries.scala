@@ -1669,7 +1669,100 @@ object ExtensionQueries {
                    FROM p a JOIN p b ON a.pass = b.pass AND a.source < b.source)
         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
         FROM pairs GROUP BY src_a, src_b"""),
-      notes = "oracle's pass-key self-join ≡ the set-explosion on distinct (source, pass)")
+      notes = "oracle's pass-key self-join ≡ the set-explosion on distinct (source, pass)"),
+
+    // ---- CCNet-style boilerplate stripping: passages in ≥2 docs AND
+    // ≥5% of a source's docs are template content; every doc is rebuilt
+    // from its surviving passages (all-boilerplate docs survive with
+    // empty clean_text). Chunking is row-local; the anti-join's
+    // boilerplate side is support-filtered (tiny).
+    GraftQuery(
+      "x55_boilerplate_removal",
+      (s, dir) => graft.ops.Scrub.removeBoilerplate(
+        Tables(s, dir, "documents"), "doc_id", "source", "text",
+        window = 3, minFrac = 0.05, minDocs = 2),
+      Some("""WITH toks AS (SELECT doc_id, source,
+            regexp_extract_all(lower(text),'[a-z0-9]+') AS t FROM documents),
+         nz AS (SELECT doc_id, source, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         c AS (SELECT doc_id, source, t, n,
+               unnest(range(0, 1 + (greatest(n - 3, 0) + 2) // 3)) AS ci FROM nz),
+         p AS (SELECT doc_id, source, CAST(ci AS INT) AS ci,
+               array_to_string(t[ci*3+1 : ci*3+3], ' ') AS pass FROM c),
+         ss AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS nsrc
+                FROM p GROUP BY source),
+         sup AS (SELECT source, pass,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                 FROM p GROUP BY source, pass),
+         b AS (SELECT sup.source, pass FROM sup JOIN ss USING (source)
+               WHERE nd >= 2 AND CAST(nd AS DOUBLE) >= 0.05 * CAST(nsrc AS DOUBLE)),
+         kept AS (SELECT p.* FROM p ANTI JOIN b
+                  ON p.source = b.source AND p.pass = b.pass),
+         ka AS (SELECT doc_id, string_agg(pass, ' ' ORDER BY ci) AS ct,
+                CAST(count(*) AS INT) AS nk FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, source, CAST(count(*) AS INT) AS nall
+                 FROM p GROUP BY doc_id, source)
+        SELECT tot.doc_id, tot.source,
+          COALESCE(ka.ct, '') AS clean_text,
+          COALESCE(ka.nk, 0) AS n_kept,
+          tot.nall - COALESCE(ka.nk, 0) AS n_dropped
+        FROM tot LEFT JOIN ka USING (doc_id)"""),
+      notes = "same passage convention as x32; empty-clean docs are rows, not drops"),
+
+    // ---- embedding label-separation stats (the between/within picture
+    // behind a Fisher score): per label, mean squared radius and
+    // squared centroid gap to the corpus mean. Everything reduces to
+    // per-(label, component) moment sums — one aggregation, no
+    // vector-vector joins, key space = labels × dims.
+    GraftQuery(
+      "x56_label_separation",
+      (s, dir) => graft.ops.EmbedStats.labelSeparation(
+        Tables(s, dir, "embeddings"), "label", "embedding"),
+      Some("""WITH f AS (SELECT label, u.p AS pos,
+              CAST(round(CAST(u.v AS DOUBLE), 7) AS DECIMAL(10,7)) AS v
+            FROM (SELECT label, unnest([{'p': i, 'v': embedding[i]}
+                   FOR i IN range(1, len(embedding)+1)]) AS u FROM embeddings)),
+         lp AS (SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+                sum(v) AS s1, sum(v*v) AS s2 FROM f GROUP BY label, pos),
+         gp AS (SELECT pos, sum(s1) AS gs1, CAST(sum(n) AS BIGINT) AS gn
+                FROM lp GROUP BY pos),
+         t AS (SELECT label, n,
+              CAST(round(CAST(s2 AS DOUBLE)/n
+                  - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 9)
+                AS DECIMAL(16,9)) AS msr,
+              CAST(round((CAST(s1 AS DOUBLE)/n - CAST(gs1 AS DOUBLE)/gn)
+                        *(CAST(s1 AS DOUBLE)/n - CAST(gs1 AS DOUBLE)/gn), 9)
+                AS DECIMAL(16,9)) AS gap
+            FROM lp JOIN gp USING (pos))
+        SELECT label, max(n) AS n_vecs,
+          round(CAST(sum(msr) AS DOUBLE), 6) AS mean_sq_radius,
+          round(CAST(sum(gap) AS DOUBLE), 6) AS centroid_gap_sq
+        FROM t GROUP BY label"""),
+      notes = "Σ(v−μ)² = Σv² − (Σv)²/n on the decimal grid; 10⁻⁹ terms decimal-summed"),
+
+    // ---- DSIR against a PERSISTED model (the operational shape: fit
+    // the O(buckets) log-ratio table once, commit behind _OK, probe
+    // every batch with zero refit — x46's discipline applied to the
+    // scoring family). Oracle = the x47 inline model, so the index
+    // face must be invisible in the result.
+    GraftQuery(
+      "x57_dsir_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val path = s"${sys.props("java.io.tmpdir")}/graft-dsir-model-" +
+          s"${OracleDump.sfTag(dir)}-b1024"
+        if (!graft.ops.Dsir.modelReady(s, path))
+          graft.ops.Dsir.writeModel(
+            docs.filter($"doc_id" % 5 =!= 0),
+            docs.filter($"doc_id" % 5 === 0), "text", path)
+        graft.ops.Dsir.scoreIndexed(
+          docs.filter($"doc_id" % 5 =!= 0), path, "doc_id", "text")
+      },
+      Some(dsirWeightsCte +
+        """SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_grams,
+             round(CAST(sum(pd.c * lr.lr) AS DOUBLE), 6) AS ilw
+           FROM pd JOIN lr USING (f) GROUP BY pd.doc_id"""),
+      notes = "probe of the committed model ≡ the inline fit, row for row")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

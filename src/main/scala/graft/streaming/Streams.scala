@@ -268,6 +268,26 @@ object Streams {
     * epoch-scoped output location. Per-batch cost is O(batch n-grams
     * surviving the bloom); the index is never re-hashed or shuffled.
     */
+  /** Streaming DSIR scoring against a PERSISTED model
+    * ([[graft.ops.Dsir.writeModel]]): every micro-batch gets per-doc
+    * importance log-weights toward the fixed target. Like
+    * [[decontamStream]] there is no evolving state — the model is
+    * immutable — so each epoch is a pure function of (batch, committed
+    * model) and crash replay rewrites identical bytes. Per-batch cost:
+    * one gram explode + two keyed shuffles + one O(buckets) broadcast.
+    */
+  def dsirScoreStream(docs: DataFrame, modelPath: String, outPath: String,
+      checkpoint: String, idCol: String, textCol: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.ops.Dsir
+          .scoreIndexed(batch, modelPath, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      }
+      .start()
+
   def decontamStream(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, idCol: String, textCol: String,
       n: Int = 5): StreamingQuery =

@@ -78,6 +78,31 @@ class DsirSpec extends SparkSpec {
       s"expected ilw(copy) > ilw(mixed) > ilw(disjoint), got $out")
   }
 
+  test("persisted model: indexed scoring equals the inline path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    assert(!Dsir.modelReady(spark, dir))
+    Dsir.writeModel(raw, target, "text", dir, buckets = 64)
+    assert(Dsir.modelReady(spark, dir))
+    val inline = Dsir.importanceWeights(raw, target, "doc_id", "text",
+      buckets = 64).as[(Long, Long, Double)].collect().toSet
+    val indexed = Dsir.scoreIndexed(raw, dir, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == inline)
+    // a NEW batch scores against the committed model without refit
+    val batch = Seq((50L, "alpha beta gamma fresh"))
+      .toDF("doc_id", "text")
+    val out = Dsir.scoreIndexed(batch, dir, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1 && out.head._1 == 50L && out.head._2 > 0)
+  }
+
+  test("an uncommitted model (no _OK) is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-raw").toString
+    intercept[IllegalArgumentException] {
+      Dsir.scoreIndexed(raw, dir, "doc_id", "text").count()
+    }
+  }
+
   test("gumbel resampling is a deterministic top-k with a total order") {
     val a = Dsir.resample(raw, target, "doc_id", "text", k = 2, buckets = 64)
       .as[(Long, Double, Double, Int)].collect().toSeq

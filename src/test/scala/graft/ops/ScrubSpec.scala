@@ -35,4 +35,27 @@ class ScrubSpec extends SparkSpec {
       .agg(sum($"n_emails" + $"n_urls" + $"n_long_nums")).as[Long].head()
     assert(again == 0L)
   }
+
+  test("boilerplate: source-wide banner stripped, rare shared passage kept") {
+    val s1 = (1 to 5).map(i =>
+      (i.toLong, "s1", s"cookie banner text unique content w$i"))
+    val s2 = Seq((11L, "s2", "shared twice only here fine now"),
+      (12L, "s2", "shared twice only other words here"))
+    val bannerOnly = Seq((6L, "s1", "cookie banner text"))
+    val out = Scrub.removeBoilerplate(
+      (s1 ++ s2 ++ bannerOnly).toDF("doc_id", "source", "text"),
+      "doc_id", "source", "text", window = 3, minFrac = 0.5, minDocs = 3)
+      .as[(Long, String, String, Int, Int)].collect()
+      .map(r => r._1 -> (r._3, r._4, r._5)).toMap
+    // banner appears in 6/6 s1 docs -> boilerplate; unique tails survive
+    (1 to 5).foreach { i =>
+      assert(out(i.toLong) == ((s"unique content w$i", 1, 1)),
+        s"doc $i: ${out(i.toLong)}")
+    }
+    // all-boilerplate doc surfaces with empty clean_text, not a drop
+    assert(out(6L) == (("", 0, 1)))
+    // 'shared twice only' is in 2/2 s2 docs but misses minDocs=3
+    assert(out(11L)._2 == 2 && out(12L)._2 == 2,
+      "sub-minDocs passages must be kept")
+  }
 }

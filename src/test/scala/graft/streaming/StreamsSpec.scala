@@ -617,6 +617,32 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming DSIR scoring equals the batch probe of the model") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
+    val (mP, outP, cp) = (s"$root/model", s"$root/out", s"$root/cp")
+    val target = Seq((100L, "quality prose about careful analysis")).toDF("doc_id", "text")
+    val rawRef = Seq((200L, "quality prose spam spam lottery winner"),
+      (201L, "careful analysis of lottery outcomes")).toDF("doc_id", "text")
+    graft.ops.Dsir.writeModel(rawRef, target, "text", mP, buckets = 64)
+    val input = MemoryStream[DocEvent](spark)
+    val docs = input.toDF().select($"doc_id", $"text")
+    val q = Streams.dsirScoreStream(docs, mP, outP, cp, "doc_id", "text")
+    val batch = Seq((1L, "quality prose about lottery spam"),
+      (2L, "careful analysis wins quality prose"))
+    try {
+      input.addData(batch.map { case (i, t) => DocEvent(i, ts(1), t) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$outP/epoch=0")
+      .select($"doc_id", $"n_grams", $"ilw")
+      .as[(Long, Long, Double)].collect().toSet
+    val replayed = graft.ops.Dsir.scoreIndexed(
+      batch.toDF("doc_id", "text"), mP, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == replayed && streamed.nonEmpty,
+      s"stream $streamed != batch $replayed")
+  }
+
   test("mixture drift monitor: TV per closed window, alert on flood") {
     val root = java.nio.file.Files.createTempDirectory("graft-drift").toString
     val input = MemoryStream[DocEvent](spark)
