@@ -10,14 +10,16 @@ import graft.sources.Tables
   *
   *   paginated HTTP extract (auth/pagination/rate-limit/retry via the
   *   deterministic offline transport, with a planted 429) → union into
-  *   the parquet corpus → scrub PII → quality filter → exact dedup →
-  *   passage-level dedup (cross-doc boilerplate passages stripped;
+  *   the parquet corpus → scrub PII → quality filter → per-source
+  *   boilerplate strip (template passages vanish from every doc) →
+  *   exact dedup → passage-level dedup (cross-doc repeated passages;
   *   only docs that lost a passage take the rebuilt text) → benchmark
   *   decontamination (last text-modifying stage, so the no-shared-
   *   n-gram guarantee holds for the shipped text) → near-dup
   *   clustering (keep cluster reps) → domain resampling to a target
-  *   language mix → sequence packing → write curated parquet + one
-  *   JSON summary line.
+  *   language mix → sequence packing → write curated parquet in
+  *   stride-schedule curriculum order with per-doc DSIR importance
+  *   weights toward the top-quality slice + one JSON summary line.
   *
   * Each stage is the same operator the query registry verifies against
   * the DuckDB oracle; this main exists to show (and smoke-test) the
@@ -37,12 +39,13 @@ object CurateMain {
     * can't ship silently).
     */
   final case class CurateSummary(httpIngested: Long, input: Long,
-      piiFlagged: Long, quality: Long, exact: Long, passage: Long,
-      decontaminated: Long, nearDedup: Long, mixed: Long, packs: Long,
-      out: String) {
+      piiFlagged: Long, quality: Long, boilerplate: Long, exact: Long,
+      passage: Long, decontaminated: Long, nearDedup: Long, mixed: Long,
+      packs: Long, out: String) {
     def json: String =
       s"""{"stage_counts":{"http_ingested":$httpIngested,"input":$input,""" +
         s""""pii_flagged":$piiFlagged,"quality":$quality,""" +
+        s""""boilerplate":$boilerplate,""" +
         s""""exact":$exact,"passage":$passage,""" +
         s""""decontaminated":$decontaminated,"near_dedup":$nearDedup,""" +
         s""""mixed":$mixed,"packs":$packs},"out":"$out"}"""
@@ -152,8 +155,34 @@ object CurateMain {
       .where($"quality" >= 0.5))
     val nQuality = quality.count()
 
+    // 2b. per-source boilerplate strip (x55): template content must
+    // vanish from EVERY doc — 3b's first-occurrence rule alone would
+    // let each template survive once. Runs BEFORE exact dedup so docs
+    // differing only in template framing canonicalize and dedup. Same
+    // rebuild discipline as 3b: only docs that lost a passage take the
+    // normalized rebuilt text; pure-template docs (n_kept=0) drop.
+    // support bar tuned to the fixture's source sizes (tens of docs):
+    // ≥2 docs and ≥5% of the source; a production crawl with millions
+    // of docs per domain raises both knobs, same plan shape
+    val bp = Scrub.removeBoilerplate(quality, "doc_id", "source", "text",
+      window = 8, minFrac = 0.05, minDocs = 2)
+    // localCheckpoint, not Staged: the strip's support/anti-join plan
+    // re-embeds the whole upstream lineage several times; every later
+    // stage would multiply it again (passage dedup alone re-enters its
+    // input ~4×) until the plan STRING is OOM-sized. Truncating here
+    // resets downstream plan depth to what it was before this stage.
+    val deboiler = quality
+      .join(bp.select($"doc_id", $"clean_text", $"n_kept", $"n_dropped"),
+        Seq("doc_id"), "left")
+      .where($"n_kept".isNull || $"n_kept" > 0)
+      .withColumn("text",
+        when($"n_dropped" > 0, $"clean_text").otherwise($"text"))
+      .drop("clean_text", "n_kept", "n_dropped")
+      .localCheckpoint()
+    val nBoiler = deboiler.count()
+
     // 3. exact dedup (min id per identical text)
-    val exact = Staged(quality
+    val exact = Staged(deboiler
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"text").orderBy($"doc_id")))
@@ -211,12 +240,31 @@ object CurateMain {
       size(TextAnalysis.tokens($"text")).cast("long"), budget = 2048)
     val nPacks = packed.select($"lang", $"pack_id").distinct().count()
 
-    mixed.select($"doc_id", $"lang", $"source", $"text", $"quality")
+    // 8. writer metadata: a stride-schedule curriculum position (seq —
+    // streaming the output front-to-back consumes a balanced source
+    // mix at every prefix) and a DSIR importance log-weight toward the
+    // corpus's own top-quality slice (downstream loaders can
+    // temperature-sample on it without re-deriving the model).
+    // localCheckpoint: seq and ilw each re-enter the final frame as
+    // joins, so without truncation the six-stage lineage embeds
+    // multiple times over and the PLAN STRING alone is OOM-sized.
+    val base = mixed
+      .select($"doc_id", $"lang", $"source", $"text", $"quality")
+      .localCheckpoint()
+    val seqd = Curriculum.interleave(base, "doc_id", "source",
+      Map.empty[String, Int])
+    val ilw = graft.ops.Dsir.importanceWeights(
+      base, base.where($"quality" >= 0.8), "doc_id", "text")
+
+    base
+      .join(seqd.select($"doc_id", $"seq"), Seq("doc_id"))
+      .join(ilw.select($"doc_id", $"ilw"), Seq("doc_id"), "left")
+      .orderBy($"seq")
       .write.mode("overwrite").parquet(s"$outDir/curated")
     Staged.releaseAll()
 
-    CurateSummary(nHttp, nTotal, nPii, nQuality, nExact, nPassage, nClean,
-      nKept, nMixed, nPacks, s"$outDir/curated")
+    CurateSummary(nHttp, nTotal, nPii, nQuality, nBoiler, nExact, nPassage,
+      nClean, nKept, nMixed, nPacks, s"$outDir/curated")
   }
 
   /** Day-2 survivor counts of the incremental face — the daily-ingest

@@ -55,11 +55,20 @@ class CurateMainSpec extends SparkSpec {
     val s = CurateMain.run(spark, "/root/testdata/sf0.001", out)
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
-      exact = 550, passage = 547, decontaminated = 539, nearDedup = 539,
-      mixed = 356, packs = 11, out = s"$out/curated"),
+      boilerplate = 548, exact = 548, passage = 547, decontaminated = 539, nearDedup = 539,
+      mixed = 355, packs = 11, out = s"$out/curated"),
       s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "-52760514439454724909",
+    assert(contentHash(s.out) == "-58478339510331240306",
       s"curated content drifted: ${contentHash(s.out)}")
+    // writer metadata: seq is a stride-schedule permutation of 1..N,
+    // ilw is the DSIR weight toward the top-quality slice
+    val curated = spark.read.parquet(s.out)
+    val seqs = curated.select(col("seq")).as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq
+    assert(seqs == (1L to seqs.length).toList,
+      "curriculum seq must be a permutation")
+    assert(curated.where(col("ilw").isNotNull).count() > 0,
+      "DSIR weights must ride the curated output")
     assertRetriedOnce()
   }
 
@@ -180,10 +189,10 @@ class CurateMainSpec extends SparkSpec {
     val s = CurateMain.run(spark, "/root/testdata/sf0.01", out)
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
-      exact = 550, passage = 547, decontaminated = 541, nearDedup = 540,
+      boilerplate = 550, exact = 550, passage = 547, decontaminated = 541, nearDedup = 539,
       mixed = 315, packs = 10, out = s"$out/curated"),
       s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "-91297570910720536127",
+    assert(contentHash(s.out) == "-88502617534425594558",
       s"curated content drifted: ${contentHash(s.out)}")
     assertRetriedOnce()
   }

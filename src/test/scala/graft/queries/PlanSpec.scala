@@ -158,4 +158,49 @@ class PlanSpec extends SparkSpec {
       !p.contains("decimal(28"),
       "per-row decimal(28) accumulation must not reappear")
   }
+
+  test("x47: the DSIR log-ratio model broadcasts into the scoring join") {
+    val p = plan("x47_dsir_weights")
+    // the model side is O(buckets): it must ride a BroadcastExchange,
+    // never shuffle the corpus on the model join
+    assert(p.contains("BroadcastHashJoin"), "model join must broadcast")
+  }
+
+  test("x50: the df-cut term table broadcasts back onto tf") {
+    val p = plan("x50_tfidf_cosine_pairs")
+    assert(p.contains("BroadcastHashJoin"), "kept-term join must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k pairs must not globally sort")
+  }
+
+  test("x51: in-domain positions use a keyed window, not a global one") {
+    val p = plan("x51_mixture_interleave")
+    // the corpus-sized window must be partitioned by domain; the only
+    // unpartitioned window runs over the O(domains) table
+    val corpusWin = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("__id"))
+    assert(corpusWin.forall(_.contains("__d")),
+      "per-doc row_number must be partitioned by domain")
+    assert(!p.contains("SortMergeJoin"),
+      "the domain table must broadcast, never shuffle the corpus")
+  }
+
+  test("x53: zipf fit plans one TakeOrderedAndProject and no joins") {
+    val p = plan("x53_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"), "top-R must not globally sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "nothing corpus-sized may join")
+  }
+
+  test("x55: the boilerplate anti-join's build side is the filtered support table") {
+    val p = plan("x55_boilerplate_removal")
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      "boilerplate set must broadcast; the corpus passage stream stays put")
+  }
+
+  test("x57: the persisted model rides a plain parquet scan + broadcast") {
+    val p = plan("x57_dsir_indexed")
+    assert(p.contains("Scan parquet"), "model must come off its committed files")
+    assert(p.contains("BroadcastHashJoin"), "model join must broadcast")
+  }
 }
