@@ -106,13 +106,17 @@ object Rrf {
   * exact cosine over df-pruned TF-IDF vectors.
   *
   * The df cut is the scale contract, not an approximation bolt-on:
-  * terms appearing in more than `maxDfFrac·N` documents are dropped
-  * from the VECTORS (their idf weight is lowest and they are what makes
-  * the co-term self-join quadratic), so the join fan-out is bounded by
-  * Σ_rare df² ≤ maxDfFrac·N · Σ_rare df — linear in corpus size for a
-  * fixed fraction, never the all-pairs blowup. Cosine is EXACT with
-  * respect to the pruned representation, so the DuckDB oracle
-  * reproduces it bit-for-bit.
+  * terms appearing in more than `maxDf` documents are dropped from the
+  * VECTORS (their idf weight is lowest and they are what makes the
+  * co-term self-join quadratic), so the join fan-out is bounded by
+  * Σ_rare df² ≤ maxDf · Σ_rare df ≤ maxDf · corpus-term-instances —
+  * LINEAR in corpus size at a fixed absolute cap. The cap must be
+  * absolute, not a corpus fraction: a fraction-based threshold grows
+  * with N while long-tail dfs don't, so it eventually keeps every
+  * term and the join degenerates quadratically (measured: 3.6 s → 255 s
+  * across a 20× corpus rehearsal before this was made absolute —
+  * SCALE.md round 11). Cosine is EXACT with respect to the pruned
+  * representation, so the DuckDB oracle reproduces it bit-for-bit.
   *
   * 100 TB shape: tf (one keyed aggregation), df (one aggregation on
   * term), the df-cut broadcast back onto tf, per-doc norms (keyed
@@ -140,7 +144,7 @@ object TfIdf {
     * (id_a, id_b, cos_sim), id_a < id_b, ranked (cos desc, ids).
     */
   def cosinePairs(df: DataFrame, idCol: String, textCol: String,
-      maxDfFrac: Double = 0.02, k: Int = 100,
+      maxDf: Int = 10, k: Int = 100,
       roundTo: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val tf = Staged(df
@@ -148,7 +152,7 @@ object TfIdf {
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf")))
     val n = tf.select(col("id")).distinct().count().toDouble
     val kept = tf.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .where(col("df").cast("double") <= lit(maxDfFrac) * lit(n))
+      .where(col("df") <= maxDf)
     // the pruned term table is ≤ vocab-sized: broadcast the idf back
     val w = Staged(tf.join(broadcast(kept), "g")
       .select(col("id"), col("g"),

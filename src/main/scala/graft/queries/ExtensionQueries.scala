@@ -1530,10 +1530,11 @@ object ExtensionQueries {
       notes = "λ=0.75 chosen so both λ and 1−λ are exact binary literals"),
 
     // ---- df-cut TF-IDF cosine pairs: lexical template-family mining.
-    // The df cut (terms in > 2% of docs dropped from the VECTORS) is
-    // the scale contract — co-term join fan-out stays linear in corpus
-    // size — and cosine is exact w.r.t. the pruned vectors, so the
-    // oracle reproduces it bit-for-bit.
+    // The ABSOLUTE df cap (terms in > 10 docs leave the VECTORS) is
+    // the scale contract — co-term join fan-out ≤ maxDf·instances,
+    // linear in corpus size (a fraction-based cut degenerates
+    // quadratically; measured in SCALE.md r11) — and cosine is exact
+    // w.r.t. the pruned vectors, so the oracle reproduces it.
     GraftQuery(
       "x50_tfidf_cosine_pairs",
       (s, dir) => graft.ops.TfIdf.cosinePairs(
@@ -1546,8 +1547,7 @@ object ExtensionQueries {
                  FROM bg GROUP BY doc_id, g),
           nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
           dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY g),
-          kept AS (SELECT g, df FROM dfreq, nn
-                   WHERE CAST(df AS DOUBLE) <= 0.02 * nn.n),
+          kept AS (SELECT g, df FROM dfreq WHERE df <= 10),
           w AS (SELECT tf.doc_id, tf.g,
                 CAST(round(CAST(tf.tf AS DOUBLE) * ln(nn.n / CAST(k.df AS DOUBLE)), 9)
                   AS DECIMAL(18,9)) AS w
