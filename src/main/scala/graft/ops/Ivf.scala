@@ -532,6 +532,56 @@ object Ivf {
   /** The one query vector of a 1-row query frame, widened to doubles
     * (element type may be float or double — accept either).
     */
+  /** Batched ANN — top-k per query for a WORK LIST of queries in ONE
+    * pass over the pruned index (the production retrieval shape: a
+    * request batch, an eval suite, a dedup candidate list — not one
+    * vector at a time).
+    *
+    * The query list is collected driver-side (O(Q·dim) — thousands of
+    * queries are trivial) so cell probes are computed AT PLAN TIME:
+    * the union of probed cells becomes a static partition filter
+    * (same pruning as the single-query [[topK]]), and the per-query
+    * (query_id, cell) pairs broadcast into an equi-join on `cluster` —
+    * each index row in a probed cell meets only the queries that
+    * probed its cell (≤ Q·nprobe pairs broadcast, never the index).
+    * Per-query ranking is a keyed window (WindowGroupLimit) — no
+    * global sort.
+    *
+    * Returns (query_id, idCol, cos_sim): the k nearest per query by
+    * exact cosine re-rank within probed cells, ranked on the rounded
+    * value with id tiebreak (total order, oracle-replayable).
+    */
+  def topKBatch(index: Index, queries: DataFrame, qidCol: String,
+      vecCol: String, idCol: String, k: Int, nprobe: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val probed = queries.select(col(qidCol), col(vecCol)).collect().map { r =>
+      val vec = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray
+      (r.getLong(0), vec, probeCells(index.centroids, vec, nprobe))
+    }
+    val allCells = probed.flatMap(_._3).distinct.toSeq
+    import spark.implicits._
+    val qdf = probed.toSeq
+      .flatMap { case (qid, vec, cells) => cells.map(c => (qid, vec.toSeq, c)) }
+      .toDF("query_id", "query_vec", "cluster")
+    index.assigned
+      .where(col("cluster").isInCollection(allCells))
+      .join(broadcast(qdf), "cluster")
+      .select(col("query_id"), col(idCol),
+        round(Similarity.cosine(col(vecCol).cast("array<double>"),
+          col("query_vec")), roundTo).as("cos_sim"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .where(col("__rk") <= k).drop("__rk")
+  }
+
   private def queryVecOf(query: DataFrame, vecCol: String): Array[Double] =
     query.select(col(vecCol)).head().getSeq[Any](0).map {
       case f: Float => f.toDouble

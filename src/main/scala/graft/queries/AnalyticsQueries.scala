@@ -136,6 +136,47 @@ object AnalyticsQueries {
             list_transform(a.qvec, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cos_sim
         FROM a JOIN probes p ON a.cluster = p.cluster CROSS JOIN q
         ORDER BY cos_sim DESC, a.vec_id LIMIT 50"""),
-      notes = "oracle replays probe selection + re-rank over the stored int8 face")
+      notes = "oracle replays probe selection + re-rank over the stored int8 face"),
+
+    // ---- batched ANN over the same persisted index: top-k per query
+    // for a WORK LIST (the production retrieval shape — request
+    // batches, eval suites). Probes are computed at plan time from the
+    // driver-known query list, so the cell filter stays STATIC
+    // (partition pruning survives batching); the ≤ Q·nprobe
+    // (query, cell) pairs broadcast into an equi-join, and per-query
+    // ranking is a keyed window (WindowGroupLimit) — no global sort.
+    GraftQuery(
+      "a06_sim_ivf_batch",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val index = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, 16),
+          "vec_id", "embedding", k = 16)
+        Ivf.topKBatch(index, e.filter($"vec_id" % 97 === 0L),
+          "vec_id", "embedding", "vec_id", k = 10)
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT vec_id AS query_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id % 97 = 0),
+        probes AS (SELECT query_id, cluster FROM (
+            SELECT q.query_id, c.cluster,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_distance(c.centroid, q.qv) ASC, c.cluster) AS pr
+            FROM cents c CROSS JOIN q) WHERE pr <= 4),
+        a AS (SELECT vec_id, embedding, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        scored AS (SELECT p.query_id, a.vec_id,
+            round(list_cosine_similarity(
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cos_sim
+          FROM a JOIN probes p ON a.cluster = p.cluster
+          JOIN q ON q.query_id = p.query_id)
+        SELECT query_id, vec_id, cos_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
+        WHERE rk <= 10"""),
+      notes = "per-query replay of a04's probe + re-rank; rank on the rounded value")
   )
 }

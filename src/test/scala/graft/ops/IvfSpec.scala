@@ -368,4 +368,23 @@ class IvfSpec extends SparkSpec {
     assert(assigned.exists() && !oldDir.exists())
     assert(probe() == probeBefore, "post-commit recovery must keep the index")
   }
+
+  test("batched top-k equals one single-query probe per query") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val index = Ivf.build(e, "vec_id", "embedding", k = 8)
+    val qids = Seq(0L, 7L, 23L)
+    val batch = Ivf.topKBatch(index,
+      e.where($"vec_id".isin(qids: _*)), "vec_id", "embedding", "vec_id",
+      k = 5, nprobe = 3)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(batch.keySet == qids.toSet, "every query must answer")
+    qids.foreach { qid =>
+      val single = Ivf.topK(index, e.where($"vec_id" === qid),
+        "vec_id", "embedding", k = 5, nprobe = 3)
+        .as[(Long, Double)].collect().toSet
+      assert(batch(qid) == single, s"query $qid drifted from single-probe")
+      assert(batch(qid).size == 5)
+    }
+  }
 }
