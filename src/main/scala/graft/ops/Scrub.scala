@@ -80,7 +80,14 @@ object Scrub {
       .where(col("__nd") >= minDocs &&
         col("__nd").cast("double") >= lit(minFrac) * col("__nsrc").cast("double"))
       .select(col("__src"), col("chunk_text"))
-    val kept = chunked.join(boiler, Seq("__src", "chunk_text"), "left_anti")
+    // explicit broadcast: the support-filtered boilerplate set is the
+    // small side by construction (distinct template passages, not the
+    // corpus) and the hint keeps the corpus passage stream shuffle-free
+    // regardless of what size estimates the optimizer has on hand; a
+    // corpus whose template set outgrows executor memory drops the hint
+    // and degrades to a shuffle anti-join with identical semantics
+    val kept = chunked.join(broadcast(boiler),
+        Seq("__src", "chunk_text"), "left_anti")
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(struct(
           col("chunk_idx").as("i"), col("chunk_text").as("t")))).as("__ps"),
