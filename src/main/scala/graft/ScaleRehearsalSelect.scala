@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ops.{Cooccur, Dsir, Staged, TextAnalysis, TfIdf}
+import graft.ops.{Cooccur, Decontam, Dedup, Dsir, Scrub, Staged, TextAnalysis, TfIdf}
 import graft.sources.Tables
 
 /** Scale rehearsal for the selection/scoring family (round 11): DSIR
@@ -88,13 +88,39 @@ object ScaleRehearsalSelect {
         TfIdf.cosinePairs(docs, "doc_id", "text").count()
       }
       Staged.releaseAll()
+      // passage-family ops need a domain column: 20 sources per
+      // replica (uniform by id) — replicas' rotated texts keep passage
+      // supports constant, so cost must track corpus size linearly
+      val docsS = docs.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      val (tDup, _) = time {
+        Dedup.duplicationProfile(docsS, "doc_id", "text", window = 3).count()
+      }
+      Staged.releaseAll()
+      val (tXso, nXso) = time {
+        Decontam.crossSourceOverlap(docsS, "source", "text", window = 5).count()
+      }
+      Staged.releaseAll()
+      val (tBoil, _) = time {
+        Scrub.removeBoilerplate(docsS, "doc_id", "source", "text",
+          window = 3, minFrac = 0.05, minDocs = 2).count()
+      }
+      Staged.releaseAll()
+      val (tDiff, _) = time {
+        TextAnalysis.corpusDiff(docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 =!= 0), "text").count()
+      }
+      Staged.releaseAll()
 
       println(s"""{"k":$k,"docs":$n,"model_rows":$nModel,""" +
         s""""fit_sec":${f"$tFit%.2f"},"probe_sec":${f"$tProbe%.2f"},""" +
         s""""probe_rows":$nProbe,"score_all_sec":${f"$tScoreAll%.2f"},""" +
         s""""score_rows":$nScoreAll,"pmi_sec":${f"$tPmi%.2f"},""" +
         s""""pmi_rows":$nPmi,"zipf_sec":${f"$tZipf%.2f"},""" +
-        s""""tfidf_sec":${f"$tTfidf%.2f"},"tfidf_rows":$nTfidf}""")
+        s""""tfidf_sec":${f"$tTfidf%.2f"},"tfidf_rows":$nTfidf,""" +
+        s""""dup_sec":${f"$tDup%.2f"},"xso_sec":${f"$tXso%.2f"},""" +
+        s""""xso_rows":$nXso,"boiler_sec":${f"$tBoil%.2f"},""" +
+        s""""diff_sec":${f"$tDiff%.2f"}}""")
     }
     spark.stop()
   }

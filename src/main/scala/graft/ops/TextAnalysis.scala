@@ -98,6 +98,43 @@ object TextAnalysis {
   def minKShingleSketch(text: Column, k: Int = 8): Column =
     slice(array_sort(transform(Shingles(text, 3), s => xxhash64(s))), 1, k)
 
+  /** Corpus snapshot diff — the crawl-drift report between two corpus
+    * versions: per token, its count in each snapshot and the
+    * add-1-smoothed log-ratio of its relative frequencies, top movers
+    * first. The companion to [[zipfFit]]'s one-row health line when
+    * the question is WHAT changed, not just whether the shape did.
+    *
+    * 100 TB shape: one map-side-combining token count per snapshot
+    * (O(vocab) each), a full-outer join of the two vocab tables, and a
+    * TakeOrderedAndProject — nothing corpus-sized is ever joined or
+    * sorted. Totals fall out of the joined table in one action.
+    *
+    * Returns (token, n_a, n_b, log_ratio) — the top `k` by |log_ratio|
+    * (ties by token: total order). Smoothing is add-1 over the UNION
+    * vocabulary, so tokens absent from one side rank by how loud they
+    * are on the other.
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 100, roundTo: Int = 6): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val j = Staged(counts(a).withColumnRenamed("n", "n_a")
+      .join(counts(b).withColumnRenamed("n", "n_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b")))
+    val t = j.agg(count(lit(1)), sum(col("n_a")), sum(col("n_b"))).head()
+    val (v, na, nb) = (t.getLong(0).toDouble, t.getLong(1).toDouble,
+      t.getLong(2).toDouble)
+    j.select(col("token"), col("n_a"), col("n_b"),
+      round(log((col("n_a").cast("double") + 1.0) / lit(na + v)) -
+        log((col("n_b").cast("double") + 1.0) / lit(nb + v)), roundTo)
+        .as("log_ratio"))
+      .orderBy(abs(col("log_ratio")).desc, col("token"))
+      .limit(k)
+  }
+
   /** Zipf-law fit of the corpus token-frequency distribution: least
     * squares of ln(freq) on ln(rank) over the top `topR` ranks. The
     * single output row (n_ranks, slope, intercept, r2) is the corpus

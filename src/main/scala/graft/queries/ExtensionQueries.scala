@@ -1762,7 +1762,40 @@ object ExtensionQueries {
         """SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_grams,
              round(CAST(sum(pd.c * lr.lr) AS DOUBLE), 6) AS ilw
            FROM pd JOIN lr USING (f) GROUP BY pd.doc_id"""),
-      notes = "probe of the committed model ≡ the inline fit, row for row")
+      notes = "probe of the committed model ≡ the inline fit, row for row"),
+
+    // ---- corpus snapshot diff (crawl drift): per token, counts in
+    // both snapshots + add-1-smoothed log-ratio over the union vocab,
+    // top movers first. Two O(vocab) counts + one vocab-table
+    // full-outer join + TakeOrderedAndProject — nothing corpus-sized
+    // joins or sorts.
+    GraftQuery(
+      "x58_corpus_diff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.TextAnalysis.corpusDiff(
+          docs.filter($"doc_id" % 2 === 0),
+          docs.filter($"doc_id" % 2 =!= 0), "text")
+      },
+      Some("""WITH ta AS (SELECT unnest(regexp_extract_all(lower(text),
+              '[a-z0-9]+')) AS token FROM documents WHERE doc_id % 2 = 0),
+          tb AS (SELECT unnest(regexp_extract_all(lower(text),
+              '[a-z0-9]+')) AS token FROM documents WHERE doc_id % 2 <> 0),
+          ca AS (SELECT token, CAST(count(*) AS BIGINT) AS n_a FROM ta GROUP BY token),
+          cb AS (SELECT token, CAST(count(*) AS BIGINT) AS n_b FROM tb GROUP BY token),
+          j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+                COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+                FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+          t AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+                CAST(sum(n_a) AS DOUBLE) AS na,
+                CAST(sum(n_b) AS DOUBLE) AS nb FROM j)
+        SELECT token, n_a, n_b,
+          round(ln((CAST(n_a AS DOUBLE) + 1.0) / (t.na + t.v))
+            - ln((CAST(n_b AS DOUBLE) + 1.0) / (t.nb + t.v)), 6) AS log_ratio
+        FROM j CROSS JOIN t
+        ORDER BY abs(log_ratio) DESC, token LIMIT 100"""),
+      notes = "add-1 smoothing over the union vocab; |log_ratio| rank is total-ordered")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

@@ -69,6 +69,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(_.isEmpty))
   }
 
+  test("corpus diff surfaces the planted drift, both directions") {
+    val a = Seq((1L, "stable words here"), (2L, "stable words gone soon"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "stable words here"), (4L, "stable words new arrival"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.corpusDiff(a, b, "text")
+      .as[(String, Long, Long, Double)].collect()
+    val m = out.map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // Na=7, Nb=7, V=8: vanished tokens positive, arrivals negative
+    assert(m("gone") == ((1L, 0L,
+      BigDecimal(java.math.BigDecimal.valueOf(
+        math.log(2.0 / 15) - math.log(1.0 / 15)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(m("new")._3 < 0 && m("arrival")._3 < 0)
+    assert(m("stable")._3 == 0.0, "unchanged tokens sit at log-ratio 0")
+    // top movers first: |log_ratio| is non-increasing
+    val absSeq = out.map(r => math.abs(r._4)).toSeq
+    assert(absSeq == absSeq.sorted.reverse)
+  }
+
   test("zipf fit recovers an exact power law: slope -1, r2 1") {
     // counts 12, 6, 4, 3 = 12/rank — a perfect f = C/r law
     val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
