@@ -268,6 +268,48 @@ object Streams {
     * epoch-scoped output location. Per-batch cost is O(batch n-grams
     * surviving the bloom); the index is never re-hashed or shuffled.
     */
+  /** Streaming heavy-hitter vocabulary monitor: maintain a Misra-Gries
+    * top-k token summary of EVERYTHING ingested so far, one committed
+    * snapshot per micro-batch — the continuous face of x26 (what is
+    * flooding the crawl right now, without ever storing a full
+    * vocabulary).
+    *
+    * Epoch discipline (the index-family rule): epoch e's summary =
+    * merge(epoch e−1's summary, MG(batch e)). The distributed work is
+    * the per-batch sketch — partitions each keep k counters, the
+    * shuffle carries k rows per partition — and the merge touches two
+    * k-sized maps, so per-batch driver cost is O(k) whatever the
+    * stream's volume. Crash replay of batch e rewrites epoch e from
+    * the committed epoch e−1 byte-identically. The Misra-Gries bound
+    * survives: merge() preserves "count under-estimates truth by ≤
+    * N/(k+1)" over the whole ingested prefix.
+    */
+  def heavyHittersStream(docs: DataFrame, outPath: String,
+      checkpoint: String, textCol: String, k: Int): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val agg = new graft.ops.HeavyHitters.MisraGries(k)
+        val batchSum: Map[String, Long] = batch
+          .select(explode(graft.ops.TextAnalysis.tokens(col(textCol)))
+            .as("t")).as[String]
+          .select(agg.toColumn).as[Seq[(String, Long)]]
+          .head().toMap
+        val prev: Map[String, Long] =
+          if (epoch == 0) Map.empty
+          else spark.read.parquet(s"$outPath/epoch=${epoch - 1}")
+            .select(col("token"), col("est_count"))
+            .as[(String, Long)].collect().toMap
+        val merged = agg.finish(agg.merge(prev, batchSum))
+        merged.toDF("token", "est_count")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      }
+      .start()
+
   /** Streaming DSIR scoring against a PERSISTED model
     * ([[graft.ops.Dsir.writeModel]]): every micro-batch gets per-doc
     * importance log-weights toward the fixed target. Like

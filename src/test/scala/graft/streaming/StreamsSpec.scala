@@ -617,6 +617,36 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy hitters: epoch-chained MG summary with its bound") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hhstream").toString
+    val input = MemoryStream[DocEvent](spark)
+    val docs = input.toDF().select($"text")
+    val q = Streams.heavyHittersStream(docs, s"$root/out", s"$root/cp",
+      "text", k = 4)
+    try {
+      input.addData(DocEvent(1, ts(1), "flood flood flood rare1 rare2"),
+        DocEvent(2, ts(2), "flood flood other words"))
+      q.processAllAvailable()
+      input.addData(DocEvent(3, ts(3), "flood flood flood flood quiet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val e1 = spark.read.parquet(s"$root/out/epoch=1")
+      .select($"token", $"est_count").as[(String, Long)].collect().toMap
+    // 'flood' truth = 9 of N=14 tokens; MG bound: est in [9 - N/(k+1), 9]
+    assert(e1.contains("flood"), s"the flood must be in the summary: $e1")
+    assert(e1("flood") <= 9L && e1("flood") >= 9L - 14 / 5,
+      s"MG bound violated: ${e1("flood")}")
+    assert(e1.size <= 4, "summary must respect capacity k")
+    // replay contract: epoch 1 ≡ merge(committed epoch 0, MG(batch 1))
+    val agg = new graft.ops.HeavyHitters.MisraGries(4)
+    val e0 = spark.read.parquet(s"$root/out/epoch=0")
+      .select($"token", $"est_count").as[(String, Long)].collect().toMap
+    val b1 = graft.ops.HeavyHitters.topK(
+      Seq("flood", "flood", "flood", "flood", "quiet").toDS(), 4).toMap
+    assert(agg.finish(agg.merge(e0, b1)).toMap == e1,
+      "epoch 1 must replay from epoch 0 + batch 1")
+  }
+
   test("streaming DSIR scoring equals the batch probe of the model") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
     val (mP, outP, cp) = (s"$root/model", s"$root/out", s"$root/cp")
