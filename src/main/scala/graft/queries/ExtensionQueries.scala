@@ -1795,7 +1795,65 @@ object ExtensionQueries {
             - ln((CAST(n_b AS DOUBLE) + 1.0) / (t.nb + t.v)), 6) AS log_ratio
         FROM j CROSS JOIN t
         ORDER BY abs(log_ratio) DESC, token LIMIT 100"""),
-      notes = "add-1 smoothing over the union vocab; |log_ratio| rank is total-ordered")
+      notes = "add-1 smoothing over the union vocab; |log_ratio| rank is total-ordered"),
+
+    // ---- passage-granularity retrieval (the RAG shape): BM25 over the
+    // size-30/stride-20 chunk collection, top-20 chunks. Composes the
+    // verified chunker (x28 convention) with the verified scorer (x27
+    // formula) at the grain retrieval actually serves; collection
+    // stats are the CHUNK collection's. Chunk ids are closed-form
+    // (doc_id·1000 + idx) so provenance needs no join back.
+    GraftQuery(
+      "x59_chunk_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        val chunks = graft.ops.Chunking.slidingChunks(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          size = 30, stride = 20)
+          .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+            col("chunk_text"))
+        graft.ops.Bm25.score(chunks, "chunk_id", "chunk_text",
+          terms = Seq("spark", "join", "data"))
+          .select(col("chunk_id"),
+            expr("chunk_id DIV 1000").as("doc_id"),
+            expr("chunk_id % 1000").cast("int").as("chunk_idx"),
+            col("bm25"))
+          .orderBy(col("bm25").desc, col("chunk_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        c AS (SELECT doc_id, t, n,
+            unnest(range(0, 1 + (greatest(n - 30, 0) + 19) // 20)) AS ci
+          FROM nz),
+        ch AS (SELECT doc_id * 1000 + ci AS chunk_id, doc_id,
+            CAST(ci AS INT) AS chunk_idx,
+            t[ci * 20 + 1 : ci * 20 + 30] AS ct FROM c),
+        st AS (SELECT count(*) AS n,
+            CAST(sum(len(ct)) AS BIGINT) AS sumdl,
+            CAST(sum(CASE WHEN list_contains(ct, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+            CAST(sum(CASE WHEN list_contains(ct, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+            CAST(sum(CASE WHEN list_contains(ct, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM ch),
+        tf AS (SELECT chunk_id, doc_id, chunk_idx,
+            CAST(len(ct) AS DOUBLE) AS dl,
+            CAST(len(ct) - len(list_filter(ct, x -> x <> 'spark')) AS DOUBLE) AS tf0,
+            CAST(len(ct) - len(list_filter(ct, x -> x <> 'join')) AS DOUBLE) AS tf1,
+            CAST(len(ct) - len(list_filter(ct, x -> x <> 'data')) AS DOUBLE) AS tf2
+          FROM ch),
+        sc AS (SELECT chunk_id, doc_id, chunk_idx, round(
+            ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * tf0 * 2.2
+              / (tf0 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+          + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * 2.2
+              / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))
+          + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * 2.2
+              / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))), 6)
+          AS bm25 FROM tf, st)
+        SELECT chunk_id, doc_id, chunk_idx, bm25 FROM sc WHERE bm25 > 0
+        ORDER BY bm25 DESC, chunk_id LIMIT 20"""),
+      notes = "x28's chunk convention × x27's BM25 over the chunk collection's own stats")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features
