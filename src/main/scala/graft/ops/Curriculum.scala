@@ -32,6 +32,11 @@ object Curriculum {
     * position; weights default to `defaultW` for unlisted domains; ties
     * (identical virtual times, the norm under equal weights) break by
     * domain-name rank. `seq` is always a permutation of 1..N.
+    *
+    * Arithmetic envelope: the cross products are (2i−1)·w in Long —
+    * exact while max-domain-size × max-weight < 2⁶² (≈4.6e18; a
+    * trillion-doc domain with weight 10⁶ still fits), far past any
+    * real mixture table.
     */
   def interleave(df: DataFrame, idCol: String, domainCol: String,
       weights: Map[String, Int], defaultW: Int = 1): DataFrame = {
