@@ -39,6 +39,9 @@ object ScaleRehearsalStream {
     if (args.headOption.contains("--live")) return runLive(
       args.lift(1).map(_.toInt).getOrElse(32),
       args.lift(2).map(_.toInt).getOrElse(8))
+    if (args.headOption.contains("--hh")) return runHeavyHitters(
+      args.lift(1).map(_.toInt).getOrElse(32),
+      args.lift(2).map(_.toInt).getOrElse(64))
     val epochCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8, 16)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -178,6 +181,57 @@ object ScaleRehearsalStream {
           s"auto-compaction failed to bound the chain: $c at epoch $e")
         println(f"""{"epoch":$e,"batch_docs":${batch.size},""" +
           f""""batch_sec":$sec%.2f,"chain_parts":$c}""")
+      }
+    } finally q.stop()
+    spark.stop()
+  }
+
+  /** Drive [[Streams.heavyHittersStream]] `nEpochs` micro-batches,
+    * each a decorrelated 10% corpus slice with epoch-suffixed tokens
+    * (fresh vocabulary every batch — worst case for Misra-Gries
+    * churn: nothing repeats, every counter fights for its slot).
+    * The flat-cost claim: per-batch wall time must not trend with the
+    * number of epochs already ingested (chain state is ONE k-sized
+    * map), and every committed summary must respect capacity k.
+    */
+  private def runHeavyHitters(nEpochs: Int, k: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = SparkSession.builder()
+      .appName("graft-scale-stream-hh")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+      .where($"doc_id" % 10 === 0)
+    val stride = base.agg(max($"doc_id")).head().getLong(0) + 1L
+    def epochBatch(e: Int): Seq[Doc] =
+      base.select(($"doc_id" + lit(e.toLong * stride)).as("doc_id"),
+        array_join(transform(TextAnalysis.tokens($"text"),
+          x => concat(x, lit("e" + e))), " ").as("text"))
+        .as[Doc].collect().toSeq
+
+    val root = java.nio.file.Files.createTempDirectory("graft-hh-stream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Doc](spark)
+    val q = Streams.heavyHittersStream(input.toDF(), s"$root/out",
+      s"$root/cp", "text", k)
+    try {
+      (0 until nEpochs).foreach { e =>
+        val batch = epochBatch(e)
+        val t0 = System.nanoTime()
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val summary = spark.read.parquet(s"$root/out/epoch=$e").count()
+        require(summary <= k,
+          s"summary exceeded capacity at epoch $e: $summary > $k")
+        println(f"""{"epoch":$e,"batch_docs":${batch.size},""" +
+          f""""batch_sec":$sec%.2f,"summary_rows":$summary}""")
       }
     } finally q.stop()
     spark.stop()
