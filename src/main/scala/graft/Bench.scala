@@ -19,11 +19,11 @@ object Bench {
       def num(body: String, field: String): Option[Double] =
         ("\"" + field + "\":([-0-9.Ee]+)").r
           .findFirstMatchIn(body).map(_.group(1).toDouble)
-      // entry bodies always open with "min" (timed) or "load" (error):
-      // anchoring on that keeps the outer "queries":{ wrapper — whose
-      // brace is followed by a query NAME — from matching and eating
-      // the first real entry (non-overlapping matches)
-      """"([A-Za-z0-9_]+)":\{((?:"min"|"load")[^}]*)""".r.findAllMatchIn(txt).flatMap { m =>
+      // entry bodies always open with "min" (timed), "name" (short-key
+      // schema), or "load" (error): anchoring on that keeps the outer
+      // "queries":{ wrapper — whose brace is followed by a query NAME —
+      // from matching and eating the first real entry
+      """"([A-Za-z0-9_]+)":\{((?:"min"|"name"|"load")[^}]*)""".r.findAllMatchIn(txt).flatMap { m =>
         val h = Hist(num(m.group(2), "med"), num(m.group(2), "best"))
         if (h.med.isEmpty && h.best.isEmpty) None else Some(m.group(1) -> h)
       }.toMap
@@ -41,6 +41,23 @@ object Bench {
   def shouldRerun(sweepMin: Double, h: Hist): Boolean =
     h.med.exists(m => m > 0 && sweepMin > 2 * m) ||
       h.best.exists(b => b > 0 && sweepMin > 2 * b)
+
+  /** The round-11 lesson's second half: entries measured while the BOX
+    * was hot (1-min loadavg above `gate`) carry inflated numbers that
+    * no history threshold can catch for NEW queries (no best yet) and
+    * that burn adjudication time for old ones. Any entry measured above
+    * the gate gets the end-of-sweep rerun regardless of history.
+    */
+  def hotMeasurement(load: Double, gate: Double): Boolean =
+    gate > 0 && load > gate
+
+  /** Default load gate: a quarter of the MACHINE's cores (the judge's
+    * r11 threshold), floored at 4 so a small container doesn't gate on
+    * the bench's own 4-thread executor pool. Overridable via
+    * SPARK_GRAFT_BENCH_LOADGATE; <= 0 disables.
+    */
+  def defaultGate(machineCores: Int): Double =
+    math.max(4.0, machineCores / 4.0)
 
   /** Fold this sweep's reportable best into the historical cross-sweep
     * best: the ratchet never rises, and an absent history starts at
@@ -73,16 +90,32 @@ object Bench {
     // optional comma-separated name filter for iterating on one query
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = filter match {
+    // NAME-SORTED, not Map order: `queries` is a HashMap whose iteration
+    // order changes whenever the key SET changes, which silently
+    // reshuffles which queries run early (see below) between rounds —
+    // the r10/r11 "a04 doubled" mystery was exactly this
+    val selected = (filter match {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
     // full materialization via toRdd: a SQL count() on top lets Catalyst
     // prune the query's own projections/windows out of the measured plan
     // (a windowed query benched ~5x too fast that way), so execute the
     // complete physical plan instead
     def run1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).queryExecution.toRdd.count()
+    // SUITE warm-up: one untimed pass over every selected query BEFORE
+    // any timing. Per-run cost for short queries is dominated by
+    // driver-side planning, and that path runs ~2x faster once the JIT
+    // has seen a few hundred plans — measured: a04 warm floor is
+    // ~0.52 s when it runs FIRST in a fresh session vs ~0.27 s after a
+    // full suite pass, with identical Spark-job times (DebugA04). One
+    // untimed pass makes every query's timing position-independent, so
+    // a key-set change can never again masquerade as a regression.
+    selected.foreach { case (_, fn) =>
+      try { run1(fn) } catch { case _: Throwable => () }
+      graft.ops.Staged.releaseAll()
+    }
     // 1-minute load average at measurement time: an entry whose min is 2x
     // its cross-round floor but whose load column reads 30+ is box state,
     // not a regression — the sweep carries its own evidence now
@@ -90,18 +123,45 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").head.toDouble
       catch { case _: Throwable => -1.0 }
+    // load gate (r11 "stop benching on a hot box"): before each query,
+    // wait for the 1-min load to drop below the gate — bounded by a
+    // GLOBAL wait budget so a persistently-busy box degrades to the old
+    // behavior (measure anyway, flag via the recorded load + rerun)
+    // instead of stalling the sweep
+    val gate = sys.env.get("SPARK_GRAFT_BENCH_LOADGATE")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .getOrElse(defaultGate(Runtime.getRuntime.availableProcessors()))
+    var waitBudgetMs = 120000L
+    def waitForQuiet(): Unit =
+      while (hotMeasurement(loadAvg(), gate) && waitBudgetMs > 0) {
+        Thread.sleep(2000); waitBudgetMs -= 2000
+      }
     // history from the previous sweep's BENCH_FULL.json (median +
-    // ratcheting cross-sweep best): the self-defense reference
+    // ratcheting cross-sweep best): the self-defense reference. Entries
+    // are keyed by the same short keys as the stdout line (one schema,
+    // VERDICT r11 #7); full-name keys from pre-r12 files still parse,
+    // so lookups try the short key first and fall back to the full name
+    // (the ratchet survives the schema transition).
     val hist: Map[String, Hist] = try {
       parseHistory(scala.io.Source.fromFile("BENCH_FULL.json").mkString, sfDir)
     } catch { case _: Throwable => Map.empty }
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val keyOf: String => String =
+      if (selected.map(p => short(p._1)).toSet.size == selected.size) short
+      else identity
+    def histOf(name: String): Option[Hist] =
+      hist.get(keyOf(name)).orElse(hist.get(name))
     // A query that throws must surface as an ERROR, never as the (tiny)
     // time-to-throw: round 9's three analysis-broken queries showed up as
     // bogus ~50 ms "timings" and flattered the total. Each entry carries
     // its successful-run times plus the first error message, if any.
     val results = selected.map { case (name, fn) =>
+      waitForQuiet()
       // one untimed warm-up so codegen/JIT compilation and staged-persist
-      // materialization aren't billed to the first timed run
+      // materialization aren't billed to the first timed run (the suite
+      // pass warmed it once already, but the codegen cache holds ~100
+      // entries — a 124-query sweep can evict this query's plan between
+      // its suite-pass visit and its timed runs)
       try { run1(fn) } catch { case _: Throwable => () }
       var err: Option[String] = None
       val times = (1 to runs).flatMap { _ =>
@@ -127,29 +187,30 @@ object Bench {
     // usually passed. Both numbers are recorded; the rerun participates
     // in the reported best so a cleared outlier stops poisoning the
     // headline, while a confirmed one stays visible (rerun ~= sweep min).
-    val reruns: Map[String, Double] = results.flatMap { case (name, (ts, _, _)) =>
-      hist.get(name) match {
-        case Some(h) if ts.nonEmpty && shouldRerun(ts.head, h) =>
-          val fn = selected(name)
-          try { run1(fn) } catch { case _: Throwable => () } // re-warm
-          val t0 = System.nanoTime()
-          // record the rerun ONLY if it completed — a rerun that fails
-          // fast would otherwise feed a bogus tiny time into best()
-          val ok = try { run1(fn); true } catch { case _: Throwable => false }
-          val t = (System.nanoTime() - t0) / 1e9
-          graft.ops.Staged.releaseAll()
-          if (ok) Some(name -> t) else None
-        case _ => None
-      }
-    }
+    // An entry MEASURED HOT (load above the gate) reruns unconditionally:
+    // its sweep numbers are box noise by construction, history or not.
+    val reruns: Map[String, Double] = results.flatMap { case (name, (ts, load, _)) =>
+      val fire = ts.nonEmpty && (hotMeasurement(load, gate) ||
+        histOf(name).exists(h => shouldRerun(ts.head, h)))
+      if (fire) {
+        val fn = selected.collectFirst { case (n, f) if n == name => f }.get
+        waitForQuiet()
+        try { run1(fn) } catch { case _: Throwable => () } // re-warm
+        val t0 = System.nanoTime()
+        // record the rerun ONLY if it completed — a rerun that fails
+        // fast would otherwise feed a bogus tiny time into best()
+        val ok = try { run1(fn); true } catch { case _: Throwable => false }
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.ops.Staged.releaseAll()
+        if (ok) Some(name -> t) else None
+      } else None
+    }.toMap
     // The harness keeps only the last ~2000 chars of stdout, so the
     // one-line JSON must stay short: per-query keys are the unique
     // "q01"/"x04" prefixes (fall back to full names if ever ambiguous)
-    // and values are rounded to 0.1 ms. The full-name map is written to
-    // BENCH_FULL.json alongside for humans and the judge.
-    def short(name: String): String = name.takeWhile(_ != '_')
-    val keyOf: String => String =
-      if (results.keys.map(short).toSet.size == results.size) short else identity
+    // and values are rounded to 0.1 ms. BENCH_FULL.json uses the SAME
+    // keys (full name carried in a "name" field) so the two artifacts
+    // cross-reference without a decoder ring.
     def fmt(v: Double): String = f"$v%.4f"
     // the reported number is best of (sweep runs ++ self-defense rerun):
     // a cleared box-state outlier stops poisoning the headline, a real
@@ -163,16 +224,14 @@ object Bench {
     val qs = okResults.map { case (k, (ts, _, _)) => "\"" + keyOf(k) + "\":" + fmt(best(k, ts)) }
       .mkString("{", ",", "}")
     // the compact line's error keys must match its "queries" keys
-    // (keyOf-shortened) so a consumer can cross-reference them; the
-    // full-name list lives in BENCH_FULL.json
+    // (keyOf-shortened) so a consumer can cross-reference them
     val errList = errResults.map { case (k, _) => "\"" + keyOf(k) + "\"" }.mkString("[", ",", "]")
-    val errListFull = errResults.map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     // BENCH_FULL.json records the per-query SPREAD (min/median/max over
     // the timed runs): a best-of number whose siblings are 5× larger is
     // external load, not a regression — the spread is what tells a
     // reader which it was. "load" is /proc/loadavg's 1-min column at
-    // measurement time; "rerun" appears only when the self-defense pass
-    // fired (sweep min > 2x previous sweep's median).
+    // measurement time; "rerun" appears when the self-defense pass fired
+    // (sweep min > 2x history, or measured above the load gate).
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -185,26 +244,25 @@ object Bench {
       // sweep's reportable best folded into the history's best. An
       // error entry carries the history's best forward unchanged so a
       // one-round breakage doesn't erase the regression floor.
-      val hb = ratchet(hist.get(k).flatMap(_.best),
+      val hb = ratchet(histOf(k).flatMap(_.best),
         if (ts.isEmpty) None else Some(best(k, ts)))
       val bestF = hb.map(b => s""","best":$b""").getOrElse("")
       if (ts.isEmpty)
-        "\"" + k + s"""\":{"load":$load$bestF$errF}"""
+        "\"" + keyOf(k) + s"""\":{"name":${jstr(k)},"load":$load$bestF$errF}"""
       else {
         // conventional median: average the two middle elements when the
         // timed-run count is even (ts is already sorted)
         val med = if (ts.size % 2 == 1) ts(ts.size / 2)
                   else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
-        "\"" + k + s"""\":{"min":${ts.head},"med":$med,"max":${ts.last},"load":$load$bestF$rerun$errF}"""
+        "\"" + keyOf(k) + s"""\":{"name":${jstr(k)},"min":${ts.head},"med":$med,"max":${ts.last},"load":$load$bestF$rerun$errF}"""
       }
     }.mkString("{", ",", "}")
     val total = if (okResults.nonEmpty) okResults.map { case (k, (ts, _, _)) => best(k, ts) }.sum else 0.0
     val errField = if (errResults.nonEmpty) s""","errors":$errList""" else ""
-    val errFieldFull = if (errResults.nonEmpty) s""","errors":$errListFull""" else ""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull$errFieldFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","gate":$gate,"queries":$qsFull$errField,"sf":"$sfDir"}"""
     // a FILTERED run must not clobber the full-sweep median history —
     // overwriting would silently disable the self-defense pass for every
     // query outside the filter on the next full sweep

@@ -67,6 +67,30 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(!Bench.shouldRerun(5.0, Bench.Hist(Some(0.0), Some(-1.0))))
   }
 
+  test("short-key schema (r12+): entries opening with \"name\" parse, " +
+    "keyed by the short key") {
+    val txt = full(
+      """"q01":{"name":"q01_pricing_summary","min":0.10,"med":0.12,"max":0.30,"load":1.5,"best":0.08},""" +
+        """"x20":{"name":"x20_dedup_clusters","load":2.0,"best":0.4,"err":"boom"}""")
+    val h = Bench.parseHistory(txt, sf)
+    assert(h("q01") === Bench.Hist(Some(0.12), Some(0.08)))
+    assert(h("x20") === Bench.Hist(None, Some(0.4)))
+  }
+
+  test("load gate: an entry measured above the gate is a hot measurement; " +
+    "a non-positive gate disables") {
+    assert(Bench.hotMeasurement(8.1, 8.0))
+    assert(!Bench.hotMeasurement(7.9, 8.0))
+    assert(!Bench.hotMeasurement(100.0, 0.0))
+    assert(!Bench.hotMeasurement(100.0, -1.0))
+  }
+
+  test("default gate is machine-cores/4, floored at 4 for small boxes") {
+    assert(Bench.defaultGate(32) === 8.0)
+    assert(Bench.defaultGate(8) === 4.0)
+    assert(Bench.defaultGate(4) === 4.0)
+  }
+
   test("ratchet keeps the cross-sweep minimum and never rises") {
     assert(Bench.ratchet(Some(0.5), Some(0.8)) === Some(0.5))
     assert(Bench.ratchet(Some(0.8), Some(0.5)) === Some(0.5))
