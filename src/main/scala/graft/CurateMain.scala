@@ -41,14 +41,14 @@ object CurateMain {
   final case class CurateSummary(httpIngested: Long, input: Long,
       piiFlagged: Long, quality: Long, boilerplate: Long, exact: Long,
       passage: Long, decontaminated: Long, nearDedup: Long, mixed: Long,
-      packs: Long, out: String) {
+      packs: Long, shards: Long, out: String) {
     def json: String =
       s"""{"stage_counts":{"http_ingested":$httpIngested,"input":$input,""" +
         s""""pii_flagged":$piiFlagged,"quality":$quality,""" +
         s""""boilerplate":$boilerplate,""" +
         s""""exact":$exact,"passage":$passage,""" +
         s""""decontaminated":$decontaminated,"near_dedup":$nearDedup,""" +
-        s""""mixed":$mixed,"packs":$packs},"out":"$out"}"""
+        s""""mixed":$mixed,"packs":$packs,"shards":$shards},"out":"$out"}"""
   }
 
   /** The page payload the connector stage parses (the mock provider's
@@ -256,15 +256,47 @@ object CurateMain {
     val ilw = graft.ops.Dsir.importanceWeights(
       base, base.where($"quality" >= 0.8), "doc_id", "text")
 
-    base
+    val curated = base
       .join(seqd.select($"doc_id", $"seq"), Seq("doc_id"))
       .join(ilw.select($"doc_id", $"ilw"), Seq("doc_id"), "left")
-      .orderBy($"seq")
+      .localCheckpoint()
+    curated.orderBy($"seq")
       .write.mode("overwrite").parquet(s"$outDir/curated")
+
+    // 9. loader-facing exports — the write-side operators the registry
+    // verifies individually (x36, x42), composed with the curriculum:
+    //  - sharded export: hash membership (reproducible across re-runs),
+    //    WITHIN-shard order = curriculum `seq`, so any shard streamed
+    //    front-to-back consumes the interleave's balanced source mix
+    //    restricted to that shard — the training-loader handoff shape
+    //  - z-order export: clustered on (source, quality bucket) so the
+    //    "high-quality docs of source X" box scan prunes row groups in
+    //    BOTH dimensions (Layout.rowGroupsTouched measures it)
+    val nShards = 8L
+    Sharding.writeShards(curated, "doc_id", nShards.toInt,
+      s"$outDir/shards", orderCol = Some("seq"))
+    val srcs = curated.select($"source").distinct()
+      .orderBy($"source").as[String].collect()
+    // bits sized to the wider dimension's domain: sources get a dense
+    // driver-side index (O(#sources) — domains, not rows), quality in
+    // [0,1] buckets onto the same grid
+    val zBits = math.max(4,
+      32 - Integer.numberOfLeadingZeros(math.max(1, srcs.length - 1)))
+    val srcIdx = map(srcs.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i))
+    }: _*)
+    val lim = 1 << zBits
+    Layout.zorderWrite(
+      curated
+        .withColumn("src_idx", element_at(srcIdx, $"source").cast("long"))
+        .withColumn("q_bucket",
+          least(floor($"quality" * lim), lit(lim - 1)).cast("long")),
+      "src_idx", "q_bucket", s"$outDir/curated_zorder",
+      numFiles = nShards.toInt, bits = zBits)
     Staged.releaseAll()
 
     CurateSummary(nHttp, nTotal, nPii, nQuality, nBoiler, nExact, nPassage,
-      nClean, nKept, nMixed, nPacks, s"$outDir/curated")
+      nClean, nKept, nMixed, nPacks, nShards, s"$outDir/curated")
   }
 
   /** Day-2 survivor counts of the incremental face — the daily-ingest

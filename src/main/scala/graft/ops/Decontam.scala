@@ -92,14 +92,17 @@ object Decontam {
     */
   def overlapsBloom(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 5, bitsPerItem: Int = 16): DataFrame = {
-    val bh = benchHashes(bench, textCol, n)
+    // staged: the benchmark is hashed ONCE across the count, the bloom
+    // aggregate, and the exact-verify join — re-tokenizing it three
+    // times contradicted the "too large to broadcast" motivation
+    val bh = Staged(benchHashes(bench, textCol, n))
     val est = bh.count()
     if (est == 0L)
       // empty benchmark → nothing can overlap; keep the output schema
       return docHashes(docs, idCol, textCol, n).limit(0)
         .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
     val bloom = bh
-      .agg(GraftFunctions.bloomAgg(col("h"), est,
+      .agg(sizedBloomAgg(bh.sparkSession, est,
         math.max(64L, est * bitsPerItem)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     docHashes(docs, idCol, textCol, n)
@@ -128,24 +131,57 @@ object Decontam {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** [[GraftFunctions.bloomAgg]] with the silent-clamp trap closed:
+    * Spark's BloomFilterAggregate clamps its item/bit arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * (defaults 4e6 / 6.7e7) WITHOUT error — at the 1e8+-n-gram scale
+    * this module advertises, the filter would be built far smaller than
+    * sized and the prefilter's fpp would degrade silently (correctness
+    * survives via the verify join; the scale contract doesn't). Fail
+    * loudly instead: the caller either raises the session caps or
+    * accepts a smaller filter EXPLICITLY.
+    */
+  private def sizedBloomAgg(spark: org.apache.spark.sql.SparkSession,
+      est: Long, bits: Long): org.apache.spark.sql.Column = {
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(est <= maxItems && bits <= maxBits,
+      s"bloom sized for $est items / $bits bits exceeds the session caps " +
+        s"($maxItems items / $maxBits bits) and Spark would clamp it " +
+        "SILENTLY, degrading the prefilter's fpp — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "or pass a smaller bitsPerItem")
+    GraftFunctions.bloomAgg(col("h"), est, bits)
+  }
+
   /** Persist the benchmark's decontamination index at `path`:
     * `hashes/` (distinct n-gram hash parquet) + `bloom.bin` (the sized
-    * filter bytes) + an `_OK` marker written LAST, so a crashed build
-    * is invisible and simply re-runs. All FS ops go through the path's
-    * Hadoop FileSystem (HDFS/S3-correct, not java.io).
+    * filter bytes) + an `_OK` marker. The marker is DELETED FIRST and
+    * re-created LAST: a REBUILD over an existing index would otherwise
+    * leave the old `_OK` visible while hashes/bloom are half-
+    * overwritten, and the per-micro-batch probes ([[overlapsIndexed]]
+    * via the streaming faces) would read a committed-looking index that
+    * is actually inconsistent — silent under-decontamination. With the
+    * delete-first discipline a crashed build (first OR rebuild) is
+    * simply "not ready": probes fail fast and the build re-runs. All FS
+    * ops go through the path's Hadoop FileSystem (HDFS/S3-correct, not
+    * java.io).
     */
   def writeBenchIndex(bench: DataFrame, textCol: String, path: String,
       n: Int = 5, bitsPerItem: Int = 16): Unit = {
     val spark = bench.sparkSession
+    val fs = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_OK"), false): Unit
     val bh = Staged(benchHashes(bench, textCol, n))
     val est = bh.count()
     bh.repartition(1).write.mode("overwrite").parquet(s"$path/hashes")
     val bloom =
       if (est == 0L) Array.empty[Byte]
-      else bh.agg(GraftFunctions.bloomAgg(col("h"), est,
+      else bh.agg(sizedBloomAgg(spark, est,
         math.max(64L, est * bitsPerItem)).as("bf"))
         .head().getAs[Array[Byte]]("bf")
-    val fs = fsOf(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/bloom.bin"), true)
     try out.write(bloom) finally out.close()
     fs.create(new org.apache.hadoop.fs.Path(s"$path/_OK"), true).close()

@@ -121,14 +121,21 @@ object Dsir {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Persist the DSIR model at `path`: `lr/` (bucket → log-ratio
-    * decimal) written first, `_OK` marker last (Hadoop-FS ops; a
-    * crashed build is invisible and re-runs). `buckets` must match at
-    * probe time and is stored in the table itself for the check.
+  /** Persist the DSIR model at `path`: the `_OK` marker is deleted
+    * FIRST, `lr/` (bucket → log-ratio decimal) written, `_OK`
+    * re-created LAST (Hadoop-FS ops). Delete-first matters on a
+    * REBUILD: overwriting `lr/` under a still-present old marker would
+    * let the per-micro-batch [[scoreIndexed]] probes read a
+    * committed-looking but half-rewritten model — with it, a crashed
+    * build (first or rebuild) is simply "not ready" and re-runs.
+    * `buckets` must match at probe time and is stored in the table
+    * itself for the check.
     */
   def writeModel(raw: DataFrame, target: DataFrame, textCol: String,
       path: String, buckets: Int = 1024): Unit = {
     val spark = raw.sparkSession
+    fsOf(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/_OK"), false): Unit
     logRatios(raw, target, textCol, buckets)
       .withColumn("buckets", lit(buckets))
       .repartition(1).write.mode("overwrite").parquet(s"$path/lr")

@@ -547,37 +547,46 @@ object Ivf {
     * Per-query ranking is a keyed window (WindowGroupLimit) — no
     * global sort.
     *
-    * Returns (query_id, idCol, cos_sim): the k nearest per query by
+    * Returns (<query-id>, idCol, cos_sim): the k nearest per query by
     * exact cosine re-rank within probed cells, ranked on the rounded
-    * value with id tiebreak (total order, oracle-replayable).
+    * value with id tiebreak (total order, oracle-replayable). The
+    * query-id output column keeps the CALLER's name (`qidCol`, any
+    * data type — ids are carried through untouched, never cast);
+    * when `qidCol` == `idCol` (self-join retrieval like a06) it
+    * falls back to `query_id` so the two id columns stay
+    * distinguishable.
     */
   def topKBatch(index: Index, queries: DataFrame, qidCol: String,
       vecCol: String, idCol: String, k: Int, nprobe: Int = 4,
       roundTo: Int = 6): DataFrame = {
     val spark = queries.sparkSession
     GraftFunctions.register(spark)
+    val qidOut = if (qidCol == idCol) "query_id" else qidCol
+    val idField = queries.schema(qidCol)
     val probed = queries.select(col(qidCol), col(vecCol)).collect().map { r =>
-      val vec = r.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: Number => n.doubleValue()
-      }.toArray
-      (r.getLong(0), vec, probeCells(index.centroids, vec, nprobe))
+      val vec = decodeVec(r.getSeq[Any](1), vecCol, r.get(0))
+      (r.get(0), vec, probeCells(index.centroids, vec, nprobe))
     }
     val allCells = probed.flatMap(_._3).distinct.toSeq
-    import spark.implicits._
-    val qdf = probed.toSeq
-      .flatMap { case (qid, vec, cells) => cells.map(c => (qid, vec.toSeq, c)) }
-      .toDF("query_id", "query_vec", "cluster")
+    val qSchema = types.StructType(Seq(
+      types.StructField(qidOut, idField.dataType, idField.nullable),
+      types.StructField("query_vec",
+        types.ArrayType(types.DoubleType, containsNull = false), nullable = false),
+      types.StructField("cluster", types.IntegerType, nullable = false)))
+    val qRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(probed.flatMap { case (qid, vec, cells) =>
+        cells.map(c => org.apache.spark.sql.Row(qid, vec.toSeq, c))
+      }: _*)
+    val qdf = spark.createDataFrame(qRows, qSchema)
     index.assigned
       .where(col("cluster").isInCollection(allCells))
       .join(broadcast(qdf), "cluster")
-      .select(col("query_id"), col(idCol),
+      .select(col(qidOut), col(idCol),
         round(Similarity.cosine(col(vecCol).cast("array<double>"),
           col("query_vec")), roundTo).as("cos_sim"))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
+          .partitionBy(col(qidOut))
           .orderBy(col("cos_sim").desc, col(idCol))))
       .where(col("__rk") <= k).drop("__rk")
   }

@@ -25,13 +25,31 @@ object Layout {
     * int columns — a(i) lands at output bit 2i, b(i) at 2i+1. A fold of
     * shift/mask/or terms: whole-stage-codegen-friendly, and the exact
     * same arithmetic is expressible in ANSI SQL (see [[zValueSql]]).
+    *
+    * Inputs are RUNTIME-GUARDED to [0, 2^bits): a negative value or one
+    * with high bits set would otherwise silently alias onto the wrong
+    * curve position (high bits dropped, two's-complement low bits
+    * interleaved) — the layout would still write, but the clustering it
+    * promises would be quietly destroyed for those rows. Out-of-range
+    * input raises instead (a branch + comparison per row, still inside
+    * whole-stage codegen); bucketize upstream to widen the domain. The
+    * guard never fires for in-contract data, so [[zValueSql]] replays
+    * only the value arithmetic.
     */
   def zValue(a: Column, b: Column, bits: Int = 8): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val lim = 1L << bits
+    def guarded(c: Column): Column = {
+      val v = c.cast("long")
+      when(v >= 0 && v < lim, v).otherwise(raise_error(concat(
+        lit(s"zValue: input out of [0, $lim) for bits=$bits "),
+        lit("(bucketize upstream): got "), c.cast("string"))))
+    }
+    val (ga, gb) = (guarded(a), guarded(b))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftright(ga, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(gb, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_ + _)
   }

@@ -60,16 +60,24 @@ object Sharding {
     * Deterministic in what matters to a loader: shard MEMBERSHIP and
     * in-file row order are pure functions of the corpus (part-file
     * NAMES are not — they embed a per-job UUID).
+    *
+    * `orderCol` overrides the WITHIN-shard row order (membership stays
+    * the id hash): pass a curriculum position ([[Curriculum.interleave]]
+    * `seq`) and every shard streamed front-to-back consumes the
+    * schedule's balanced source mix restricted to that shard — the
+    * training-loader export shape. `idCol` stays the tiebreak, so the
+    * layout is total-ordered even under a non-unique order column.
     */
   def writeShards(df: DataFrame, idCol: String, nShards: Int,
-      outDir: String): Unit = {
+      outDir: String, orderCol: Option[String] = None): Unit = {
     val probes = partitionProbes(nShards)
+    val ord = orderCol.getOrElse(idCol)
     df.withColumn("shard", shardId(col(idCol), nShards))
       .withColumn("__probe",
         element_at(typedLit(probes.toSeq), col("shard").cast("int") + 1))
       .repartition(nShards, col("__probe"))
       .drop("__probe")
-      .sortWithinPartitions(col("shard"), col(idCol))
+      .sortWithinPartitions(col("shard"), col(ord), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 

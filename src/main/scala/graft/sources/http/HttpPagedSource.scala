@@ -300,7 +300,8 @@ final case class HttpPartition(startPage: Int, endPage: Int,
   * spend quota implicitly.
   */
 final class HttpPartitionReader(conf: HttpConf, part: HttpPartition,
-    needPage: Boolean = true, needBody: Boolean = true)
+    needPage: Boolean = true, needBody: Boolean = true,
+    attemptNumber: Int = HttpPartitionReader.currentAttempt())
     extends PartitionReader[InternalRow] {
 
   private val mustFetch = needBody || conf.cursor
@@ -314,8 +315,16 @@ final class HttpPartitionReader(conf: HttpConf, part: HttpPartition,
       .map(tok => Map("Authorization" -> s"Bearer $tok"))
       .getOrElse(Map.empty) + ("Accept" -> "application/json")
 
-  // plan-time budget share wins over the static per-reader rate
-  private val rate = part.ratePerSec.getOrElse(conf.ratePerSec)
+  // plan-time budget share wins over the static per-reader rate; a
+  // RETRIED or SPECULATIVE duplicate attempt (attemptNumber > 0) takes
+  // HALF its share — the library can't stop the scheduler from running
+  // two copies of a task, but it can bound the worst-case aggregate at
+  // quota x 1.5 instead of 2x (the residual: both copies overlapping
+  // for the duplicate's whole lifetime still exceeds the quota by the
+  // halved share; true enforcement needs an external limiter service)
+  private[http] val rate =
+    HttpPartitionReader.attemptAdjustedRate(
+      part.ratePerSec.getOrElse(conf.ratePerSec), attemptNumber)
   private val bucket = new TokenBucket(rate, burst = math.max(1.0, rate))
   private var page = part.startPage
   private var current: InternalRow = _
@@ -379,12 +388,32 @@ final class HttpPartitionReader(conf: HttpConf, part: HttpPartition,
   override def close(): Unit = ()
 }
 
+object HttpPartitionReader {
+  /** The running task's attempt number, 0 when constructed outside a
+    * task (driver-side tests).
+    */
+  private[http] def currentAttempt(): Int =
+    Option(org.apache.spark.TaskContext.get()).map(_.attemptNumber()).getOrElse(0)
+
+  /** A duplicate attempt (task retry or speculative copy) halves its
+    * rate share: while the original and the duplicate overlap, the
+    * aggregate is bounded at share x 1.5 instead of 2x. Attempt > 1
+    * keeps halving — pathological retry storms decay geometrically
+    * instead of stacking.
+    */
+  private[http] def attemptAdjustedRate(base: Double, attempt: Int): Double =
+    base / (1L << math.min(math.max(attempt, 0), 30))
+}
+
 /** Minimal token bucket: `ratePerSec` sustained, `burst` capacity.
   * Per-reader; the `globalRatePerSec` option divides the connector
   * quota across planned partitions so each reader's bucket is its
-  * share (speculative duplicate tasks would still double a share —
-  * true cross-executor coordination needs an external limiter
-  * service, out of scope for a library).
+  * share. Duplicate ATTEMPTS of a partition (retry/speculation) take a
+  * geometrically-halved share (see
+  * [[HttpPartitionReader.attemptAdjustedRate]]), bounding the
+  * worst-case aggregate at quota x 1.5 — full cross-executor
+  * enforcement would need an external limiter service, out of scope
+  * for a library.
   */
 final class TokenBucket(ratePerSec: Double, burst: Double) {
   private var tokens = burst

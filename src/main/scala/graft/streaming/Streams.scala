@@ -283,9 +283,19 @@ object Streams {
     * the committed epoch e−1 byte-identically. The Misra-Gries bound
     * survives: merge() preserves "count under-estimates truth by ≤
     * N/(k+1)" over the whole ingested prefix.
+    *
+    * Retention: only epoch e−1 is ever READ (each snapshot already
+    * summarizes the whole ingested prefix), so old snapshot dirs are
+    * pure small-file debt — epoch e's batch deletes every epoch
+    * < e − `keepLast` after committing its own snapshot. The trailing
+    * `keepLast` window (default 8) keeps recent history for drift
+    * inspection and stays far clear of the crash-replay contract
+    * (replay of batch e needs exactly e−1; e and e−1 are never
+    * touched). 0 keeps everything.
     */
   def heavyHittersStream(docs: DataFrame, outPath: String,
-      checkpoint: String, textCol: String, k: Int): StreamingQuery =
+      checkpoint: String, textCol: String, k: Int,
+      keepLast: Int = 8): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
@@ -307,6 +317,20 @@ object Streams {
         merged.toDF("token", "est_count")
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        if (keepLast > 0) {
+          val base = new org.apache.hadoop.fs.Path(outPath)
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+            val nm = st.getPath.getName
+            if (nm.startsWith("epoch=")) {
+              val en = scala.util.Try(nm.stripPrefix("epoch=").toLong).toOption
+              // strict < e−keepLast: a replayed epoch e sees the same
+              // retention frontier it committed the first time
+              if (en.exists(_ < epoch - keepLast))
+                fs.delete(st.getPath, true): Unit
+            }
+          }
+        }
       }
       .start()
 

@@ -82,22 +82,35 @@ object VectorStreams {
     * `indexPath/epoch=<e>` — a vector that died is NOT a valid dedup
     * anchor for later epochs (it was never kept), which the spec pins
     * with a chain v→v'→v'' where cos(v'', v) is below threshold.
+    *
+    * `probes` (default 1, the registered x31 convention) widens the
+    * BATCH side's candidate blocking to each vector's `probes` nearest
+    * cells via [[Ivf.multiAssign]] — the streaming escape hatch for
+    * boundary-straddling near-dups (an indexed vector and its near-copy
+    * split by a Voronoi boundary are invisible at probes=1; the copy
+    * arriving in a LATER epoch is exactly the case a stream hits). The
+    * INDEX side stays single-assigned: survivors register once, in
+    * their primary cell, so per-batch network stays O(probes · batch)
+    * and the index never grows multiplied.
     */
   def processVectorBatch(batch: DataFrame, epoch: Long, basePath: String,
       indexPath: String, outPath: String, idCol: String, vecCol: String,
-      threshold: Double, maxChain: Int = 16): Unit = {
+      threshold: Double, maxChain: Int = 16, probes: Int = 1): Unit = {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val base = Ivf.readIndex(spark, basePath)
-    // single-assignment blocking — the registered x31 default; the
-    // boundary-straddling approximation is the same one, measured in
-    // SCALE.md, with multiAssign(probes=2) as the batch-side escape
-    // hatch if recall ever demands it here
+    val batchVecs = batch.select(col(idCol), col(vecCol))
+    // pair-finding frame: one row per (vector, probed cell)
     val assigned = Staged(
-      Ivf.multiAssign(base, batch.select(col(idCol), col(vecCol)),
-        idCol, vecCol, probes = 1))
-    // the batch's touched cells: O(k)-bounded driver list, turned into
-    // partition filters so every index scan below prunes to them
+      Ivf.multiAssign(base, batchVecs, idCol, vecCol, probes))
+    // registration/output frame: the primary (nearest-cell) assignment
+    // only — identical to `assigned` at probes=1, a second closed-form
+    // argmin pass otherwise (batch-sized, no shuffle)
+    val primary =
+      if (probes == 1) assigned
+      else Staged(Ivf.multiAssign(base, batchVecs, idCol, vecCol, 1))
+    // the batch's touched cells: O(probes·k)-bounded driver list, turned
+    // into partition filters so every index scan below prunes to them
     val cells = assigned.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val epochs = epochsBefore(spark, indexPath, epoch)
@@ -106,13 +119,15 @@ object VectorStreams {
       .map(_.where(col("cluster").isInCollection(cells)))
     val cross = sides.map(s => crossPairs(s, assigned, idCol, vecCol, threshold))
       .reduce(_ unionByName _)
+    // within-batch pairs over the multi-assigned frame: a pair sharing
+    // BOTH probed cells yields a duplicate edge — harmless to CC
     val internal = Similarity.cosinePairsBlocked(
       assigned, idCol, vecCol, "cluster", threshold)
       .select(col("id_a"), col("id_b"))
     val clusters = Dedup.connectedComponents(cross.unionByName(internal))
     // rename the CC output before the anti-join: a caller whose idCol
     // is literally "doc_id" would otherwise hit an ambiguous condition
-    val survivors = Staged(assigned.join(
+    val survivors = Staged(primary.join(
       broadcast(clusters.where(col("doc_id") =!= col("cluster_rep"))
         .select(col("doc_id").as("__dead"))),
       col(idCol) === col("__dead"), "left_anti"))
@@ -136,18 +151,20 @@ object VectorStreams {
     * via cell-pruned broadcast joins, then its survivors are written
     * to `outPath/epoch=<e>` and registered into the stream index.
     * `maxChain` bounds the epoch chain without operator action (0 =
-    * manual compaction only).
+    * manual compaction only); `probes` widens the batch-side candidate
+    * blocking for boundary-straddling recall (see
+    * [[processVectorBatch]]).
     */
   def semanticDedupStream(vecs: DataFrame, basePath: String,
       indexPath: String, outPath: String, checkpoint: String,
       idCol: String, vecCol: String, threshold: Double,
-      maxChain: Int = 16): StreamingQuery =
+      maxChain: Int = 16, probes: Int = 1): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processVectorBatch(batch, epoch, basePath, indexPath, outPath,
-          idCol, vecCol, threshold, maxChain)
+          idCol, vecCol, threshold, maxChain, probes)
       }
       .start()
 

@@ -56,7 +56,7 @@ class CurateMainSpec extends SparkSpec {
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
       boilerplate = 548, exact = 548, passage = 547, decontaminated = 539, nearDedup = 539,
-      mixed = 355, packs = 11, out = s"$out/curated"),
+      mixed = 355, packs = 11, shards = 8, out = s"$out/curated"),
       s"stage counts drifted: $s")
     assert(contentHash(s.out) == "-58478339510331240306",
       s"curated content drifted: ${contentHash(s.out)}")
@@ -69,6 +69,38 @@ class CurateMainSpec extends SparkSpec {
       "curriculum seq must be a permutation")
     assert(curated.where(col("ilw").isNotNull).count() > 0,
       "DSIR weights must ride the curated output")
+    // loader-facing exports. Sharded: membership follows the md5 rule,
+    // and each shard's in-file row order IS the curriculum order
+    // restricted to the shard (the shard-prefix mix contract: a loader
+    // streaming any shard front-to-back consumes the interleave's
+    // balanced source schedule filtered to its docs).
+    import spark.implicits._
+    val shardDirs = new java.io.File(s"$out/shards").listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 8, s"8 shard dirs expected: ${shardDirs.length}")
+    val back = spark.read.parquet(s"$out/shards")
+    assert(back.count() == curated.count(), "shards must hold the whole corpus")
+    val memberDrift = back.select($"doc_id",
+        $"shard".cast("long").as("got"))
+      .withColumn("want", graft.ops.Sharding.shardId($"doc_id", 8))
+      .where($"got" =!= $"want").count()
+    assert(memberDrift == 0, "shard membership must follow the md5 rule")
+    shardDirs.foreach { d =>
+      val f = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(f.length == 1, s"${d.getName}: one task per shard")
+      val seqsInFile = spark.read.parquet(f.head.getAbsolutePath)
+        .select($"seq").as[Long].collect().toSeq
+      assert(seqsInFile == seqsInFile.sorted,
+        s"${d.getName}: in-file order must be the curriculum order")
+    }
+    // z-order export: same doc set, clustered on (source, quality
+    // bucket) — the planted box scan touches a strict subset of row
+    // groups in both dimensions
+    val z = spark.read.parquet(s"$out/curated_zorder")
+    assert(z.select($"doc_id").as[Long].collect().toSet ==
+      curated.select($"doc_id").as[Long].collect().toSet,
+      "z-order export must hold the whole corpus")
+    assert(z.columns.contains("src_idx") && z.columns.contains("q_bucket"))
     assertRetriedOnce()
   }
 
@@ -190,7 +222,7 @@ class CurateMainSpec extends SparkSpec {
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
       boilerplate = 550, exact = 550, passage = 547, decontaminated = 541, nearDedup = 539,
-      mixed = 315, packs = 10, out = s"$out/curated"),
+      mixed = 315, packs = 10, shards = 8, out = s"$out/curated"),
       s"stage counts drifted: $s")
     assert(contentHash(s.out) == "-88502617534425594558",
       s"curated content drifted: ${contentHash(s.out)}")

@@ -86,12 +86,13 @@ class HttpPagedSourceSpec extends SparkSpec {
     assert(elapsed >= 0.8, s"expected pacing, took ${elapsed}s")
   }
 
+  private def confOf(opts: Map[String, String]): HttpConf = {
+    val m = new java.util.HashMap[String, String]()
+    opts.foreach { case (k, v) => m.put(k, v) }
+    HttpConf(new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
+  }
+
   test("global rate budget: quota divides across planned partitions") {
-    def confOf(opts: Map[String, String]): HttpConf = {
-      val m = new java.util.HashMap[String, String]()
-      opts.foreach { case (k, v) => m.put(k, v) }
-      HttpConf(new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
-    }
     val base = Map(
       "url" -> "http://mock.local/api?mock_total=250",
       "pageSize" -> "25", "totalRecords" -> "250",
@@ -134,6 +135,33 @@ class HttpPagedSourceSpec extends SparkSpec {
     val elapsed = (System.nanoTime() - t0) / 1e9
     assert(MockTransport.requests.size == 10)
     assert(elapsed >= 0.5, s"expected aggregate pacing, took ${elapsed}s")
+  }
+
+  test("duplicate attempt (retry/speculation) halves its rate share") {
+    // the pure rule: attempt 0 keeps the share, each further attempt
+    // halves it (worst-case aggregate with one live duplicate = 1.5x)
+    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 0) === 10.0)
+    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 1) === 5.0)
+    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 2) === 2.5)
+    assert(HttpPartitionReader.attemptAdjustedRate(10.0, -1) === 10.0)
+    // the reader picks it up: a forced attempt-1 reader paces at half
+    // the planned share, observable as doubled wall time for the same
+    // page walk (burst = rate/2 = 2, so 6 pages wait >= (6-2)/2 = 2s;
+    // an attempt-0 reader at rate 4 with burst 4 waits >= 0.5s)
+    MockTransport.reset()
+    val conf = confOf(Map(
+      "url" -> "http://mock.local/api?mock_total=150",
+      "pageSize" -> "25", "totalRecords" -> "150",
+      "transport" -> classOf[MockTransport].getName))
+    val part = HttpPartition(0, 6, ratePerSec = Some(4.0))
+    val r = new HttpPartitionReader(conf, part, attemptNumber = 1)
+    assert(r.rate === 2.0)
+    val t0 = System.nanoTime()
+    var n = 0
+    while (r.next()) n += 1
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(n == 6)
+    assert(elapsed >= 1.9, s"attempt-1 reader must pace at half share: ${elapsed}s")
   }
 
   test("full connector: extract → transform → load → consistency (E2E)") {

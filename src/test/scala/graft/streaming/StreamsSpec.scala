@@ -647,6 +647,36 @@ class StreamsSpec extends SparkSpec {
       "epoch 1 must replay from epoch 0 + batch 1")
   }
 
+  test("streaming heavy hitters: snapshot retention bounds the epoch dirs " +
+    "without changing the summary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hhret").toString
+    val input = MemoryStream[DocEvent](spark)
+    val docs = input.toDF().select($"text")
+    val keepLast = 2
+    val q = Streams.heavyHittersStream(docs, s"$root/out", s"$root/cp",
+      "text", k = 4, keepLast = keepLast)
+    val epochs = 9 // N >> keepLast
+    try {
+      (0 until epochs).foreach { i =>
+        input.addData(DocEvent(i.toLong, ts(i + 1), s"flood flood tok$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val dirs = new java.io.File(s"$root/out").listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName).sorted
+    assert(dirs.length <= keepLast + 2,
+      s"retention must bound snapshot dirs: ${dirs.mkString(",")}")
+    assert(dirs.contains(s"epoch=${epochs - 1}") &&
+      dirs.contains(s"epoch=${epochs - 2}"),
+      "the crash-replay pair (e, e-1) must survive retention")
+    // the retained latest summary still covers the WHOLE ingested prefix
+    val last = spark.read.parquet(s"$root/out/epoch=${epochs - 1}")
+      .select($"token", $"est_count").as[(String, Long)].collect().toMap
+    assert(last.get("flood").exists(c =>
+      c <= 2L * epochs && c >= 2L * epochs - (3L * epochs) / 5),
+      s"MG bound on the full prefix violated after retention: $last")
+  }
+
   test("streaming DSIR scoring equals the batch probe of the model") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
     val (mP, outP, cp) = (s"$root/model", s"$root/out", s"$root/cp")

@@ -88,6 +88,40 @@ class VectorStreamsSpec extends SparkSpec {
     assert(after == before, "replay must rewrite identical content")
   }
 
+  test("multi-probe batch side: a boundary-straddling near-dup of an " +
+    "indexed vector is missed at probes=1 and caught at probes=2") {
+    // handcrafted index (no KMeans luck): centroids e1/e2, so the
+    // Voronoi boundary is the x=y diagonal. Indexed a sits just on the
+    // e1 side; the streamed mirror copy b lands primary on the e2 side.
+    // cos(a,b) = 0.99992 > t, but the two share NO cell at probes=1.
+    val a = Seq(0.80f, 0.79f, 0f, 0f)
+    val b = Seq(0.79f, 0.80f, 0f, 0f)
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    def plant(root: String, probes: Int): Set[Long] = {
+      val assigned = Seq((1L, a)).toDF("vec_id", "embedding")
+        .withColumn("cluster", lit(0))
+      Ivf.writeIndex(Ivf.Index(cents, assigned), s"$root/base")
+      VectorStreams.processVectorBatch(
+        Seq((101L, b), (102L, v3)).toDF("vec_id", "embedding"),
+        epoch = 0L, s"$root/base", s"$root/index", s"$root/out",
+        "vec_id", "embedding", threshold = 0.9, maxChain = 0,
+        probes = probes)
+      spark.read.parquet(s"$root/out/epoch=0")
+        .select($"vec_id").as[Long].collect().toSet
+    }
+    val root1 = java.nio.file.Files.createTempDirectory("graft-vprobe1").toString
+    assert(plant(root1, probes = 1) == Set(101L, 102L),
+      "precondition: single-assignment blocking misses the straddling pair")
+    val root2 = java.nio.file.Files.createTempDirectory("graft-vprobe2").toString
+    assert(plant(root2, probes = 2) == Set(102L),
+      "probes=2 must recover the boundary-straddling near-dup")
+    // the index side stays single-assigned: the survivor registers in
+    // exactly ONE cell even though it probed two
+    val reg = spark.read.parquet(s"$root2/index/epoch=0")
+      .where($"vec_id" === 102L).count()
+    assert(reg == 1L, s"survivor must register once, got $reg rows")
+  }
+
   test("auto-compaction bounds the vector epoch chain with suppression unchanged") {
     def epochDirs(root: String): Seq[String] = {
       val f = new java.io.File(s"$root/index")
