@@ -50,6 +50,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine top-k per query for a WORK LIST of queries — the
+    * brute-force ground truth [[graft.ops.Ivf.topKBatch]] approximates,
+    * and the baseline an ANN recall report compares against. The query
+    * list broadcasts (request batches are driver-small by contract);
+    * the corpus streams through ONE BroadcastNestedLoopJoin — never
+    * shuffled, never self-joined — and per-query ranking is a keyed
+    * window over the qid (WindowGroupLimit). Ranked on the rounded
+    * cosine with id tiebreak (total order, oracle-replayable), the
+    * batch form of [[bruteForceTopK]]'s convention, sharing its
+    * zero-norm exclusion. The qid output column keeps the caller's
+    * name, `query_id` when it collides with `idCol`.
+    */
+  def bruteForceTopKBatch(corpus: DataFrame, queries: DataFrame,
+      qidCol: String, vecCol: String, idCol: String, k: Int,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val qidOut = if (qidCol == idCol) "query_id" else qidCol
+    val q = broadcast(queries.select(col(qidCol).as(qidOut),
+      col(vecCol).as("query_vec")))
+    corpus.where(l2Norm(col(vecCol)) > 0).crossJoin(q)
+      .select(col(qidOut), col(idCol),
+        round(cosine(col(vecCol), col("query_vec")), roundTo).as("cos_sim"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(qidOut))
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .where(col("__rk") <= k).drop("__rk")
+  }
+
   /** Exact cosine near-dup pairs within a blocking key (quadratic per
     * block, embarrassingly parallel across blocks).
     */

@@ -186,6 +186,48 @@ object TextAnalysis {
         (den * (col("n") * col("syy") - col("sy") * col("sy"))),
         roundTo).as("r2"))
   }
+
+  /** Gopher-style rule-based quality gates (Rae et al. 2021, the
+    * public document-filter recipe): per-doc surface statistics —
+    * word count, mean word length, symbol-to-word ratios ('#' and
+    * '...'), alphabetic-word fraction, stopword hits — plus the
+    * conjunctive `pass` flag (0/1). The complement to the SCORE-based
+    * gate ([[qualityScore]]): rules are auditable per-document (which
+    * gate failed), which is what a curation postmortem needs.
+    *
+    * All closed-form column expressions over one scan — the whole
+    * gate fuses into the corpus read. Thresholds are the published
+    * defaults where the fixture can exercise them; word-count bounds
+    * are parameters because they are corpus-policy, not universal.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      roundTo: Int = 6): DataFrame = {
+    val t = col(textCol)
+    val words = regexp_extract_all(t, lit("\\S+"), lit(0))
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val g = df.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      length(regexp_replace(t, "\\s", "")).cast("double").as("__wc"),
+      (length(t) - length(translate(t, "#", ""))).cast("double").as("__nh"),
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+        .cast("double").as("__ne"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double").as("__na"),
+      size(filter(tokens(t), w => w.isin(stop: _*))).cast("long").as("n_stop"))
+    def ratio(num: Column): Column =
+      round(when(col("n_words") > 0, num / col("n_words")).otherwise(0.0), roundTo)
+    g.select(col(idCol), col("n_words"),
+        ratio(col("__wc")).as("mean_word_len"),
+        ratio(col("__nh")).as("hash_ratio"),
+        ratio(col("__ne")).as("ellipsis_ratio"),
+        ratio(col("__na")).as("alpha_frac"),
+        col("n_stop"))
+      .withColumn("pass",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_frac") >= 0.8 && col("n_stop") >= 2L).cast("int"))
+  }
 }
 
 /** Word n-gram shingles, shared by fingerprinting and MinHash dedup. */

@@ -177,6 +177,73 @@ object AnalyticsQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
         WHERE rk <= 10"""),
-      notes = "per-query replay of a04's probe + re-rank; rank on the rounded value")
+      notes = "per-query replay of a04's probe + re-rank; rank on the rounded value"),
+
+    // ---- ANN recall report: per query, how much of the brute-force
+    // top-k the IVF probe recovers — the quality gauge that belongs
+    // NEXT TO an approximate index (recall drift after appends or a
+    // centroid rebuild is the production alarm). ANN side = a06's
+    // batched probe; ground truth = one broadcast-queries pass over
+    // the corpus (Similarity.bruteForceTopKBatch — the corpus is never
+    // shuffled); recall = |ANN ∩ BF| / |BF| per query. At 100 TB the
+    // BF side runs on a SAMPLE of queries by construction (the query
+    // list is driver-small) — the corpus pass is one scan either way.
+    GraftQuery(
+      "a07_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val queries = e.filter($"vec_id" % 97 === 0L)
+        val index = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, 16),
+          "vec_id", "embedding", k = 16)
+        val ann = Ivf.topKBatch(index, queries,
+          "vec_id", "embedding", "vec_id", k = 10)
+          .select($"query_id", $"vec_id")
+        val bf = graft.ops.Similarity.bruteForceTopKBatch(e, queries,
+          "vec_id", "embedding", "vec_id", k = 10)
+          .select($"query_id", $"vec_id")
+        bf.join(ann.withColumn("__hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy($"query_id")
+          .agg(count(lit(1)).as("n_bf"),
+            count($"__hit").as("n_hit"),
+            round(count($"__hit").cast("double") / count(lit(1)), 6)
+              .as("recall"))
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT vec_id AS query_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id % 97 = 0),
+        probes AS (SELECT query_id, cluster FROM (
+            SELECT q.query_id, c.cluster,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_distance(c.centroid, q.qv) ASC, c.cluster) AS pr
+            FROM cents c CROSS JOIN q) WHERE pr <= 4),
+        a AS (SELECT vec_id, embedding, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        ann AS (SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                a.vec_id) AS rk
+            FROM a JOIN probes p ON a.cluster = p.cluster
+            JOIN q ON q.query_id = p.query_id) WHERE rk <= 10),
+        bf AS (SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN q) WHERE rk <= 10)
+        SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_bf,
+          CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+          round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall
+        FROM bf b LEFT JOIN ann a
+          ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+        GROUP BY b.query_id"""),
+      notes = "ANN side ≡ a06's replay; BF side ranks the whole corpus per query on the rounded cosine")
   )
 }

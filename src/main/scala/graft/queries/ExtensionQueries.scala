@@ -1853,7 +1853,114 @@ object ExtensionQueries {
           AS bm25 FROM tf, st)
         SELECT chunk_id, doc_id, chunk_idx, bm25 FROM sc WHERE bm25 > 0
         ORDER BY bm25 DESC, chunk_id LIMIT 20"""),
-      notes = "x28's chunk convention × x27's BM25 over the chunk collection's own stats")
+      notes = "x28's chunk convention × x27's BM25 over the chunk collection's own stats"),
+
+    // ---- Gopher-style rule gates (Rae et al. 2021): per-doc surface
+    // stats + conjunctive pass flag. Closed-form expressions, one scan;
+    // the auditable complement to x07's scored gate. Thresholds are
+    // applied to the ROUNDED ratios on both sides, so a boundary doc
+    // can never split the verdicts.
+    GraftQuery(
+      "x60_gopher_rules",
+      (s, dir) => graft.ops.TextAnalysis.gopherRules(
+        Tables(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+          CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS wc,
+          CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS nh,
+          CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE) AS ne,
+          CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+            x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS na,
+          CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+            x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+            AS BIGINT) AS n_stop
+        FROM documents),
+      r AS (SELECT doc_id, n_words,
+          round(CASE WHEN n_words > 0 THEN wc / n_words ELSE 0.0 END, 6) AS mean_word_len,
+          round(CASE WHEN n_words > 0 THEN nh / n_words ELSE 0.0 END, 6) AS hash_ratio,
+          round(CASE WHEN n_words > 0 THEN ne / n_words ELSE 0.0 END, 6) AS ellipsis_ratio,
+          round(CASE WHEN n_words > 0 THEN na / n_words ELSE 0.0 END, 6) AS alpha_frac,
+          n_stop
+        FROM w)
+      SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+        alpha_frac, n_stop,
+        CAST(n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.3
+          AND alpha_frac >= 0.8 AND n_stop >= 2 AS INT) AS pass
+      FROM r"""),
+      notes = "published defaults where the fixture bites; word bounds are parameters"),
+
+    // ---- embedding Gram + covariance matrix (i ≤ j): whitening/PCA
+    // input and the anisotropy diagnostic. The d²/2 products per vector
+    // are ONE row-local nested-transform array (no self-join, no
+    // (vec,dim)² shuffle); aggregation key space is d²/2; per-dim means
+    // broadcast into the final join. Products/components on the 1e-9
+    // decimal grid before summation.
+    GraftQuery(
+      "x61_embedding_gram",
+      (s, dir) => graft.ops.EmbedStats.gramCov(
+        Tables(s, dir, "embeddings"), "embedding"),
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        x AS (SELECT vec_id, unnest(v) AS xi,
+            CAST(generate_subscripts(v, 1) - 1 AS INT) AS i FROM e),
+        y AS (SELECT vec_id, unnest(v) AS xj,
+            CAST(generate_subscripts(v, 1) - 1 AS INT) AS j FROM e),
+        p AS (SELECT x.i, y.j,
+              CAST(floor(x.xi * y.xj * 1000000000.0 + 0.5) AS DECIMAL(38,0)) AS v
+              FROM x JOIN y ON x.vec_id = y.vec_id AND y.j >= x.i),
+        sp AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(v) AS DOUBLE) / 1000000000.0 AS spd FROM p GROUP BY i, j),
+        d AS (SELECT i,
+              CAST(sum(CAST(floor(xi * 1000000000.0 + 0.5) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1000000000.0 AS si
+              FROM x GROUP BY i)
+      SELECT sp.i, sp.j, sp.n,
+        round(sp.spd / sp.n, 6) + 0.0 AS gram,
+        round(sp.spd / sp.n - (da.si / sp.n) * (db.si / sp.n), 6) + 0.0 AS cov
+      FROM sp JOIN d da ON da.i = sp.i JOIN d db ON db.i = sp.j"""),
+      notes = "oracle's within-vector pair join ≡ the generator form; the 1e-9 grid " +
+        "snap is floor(v*1e9 + 0.5) on BOTH sides (identical IEEE ops, exact " +
+        "integer sums); +0.0 normalizes DuckDB's -0.0 to match Spark"),
+
+    // ---- per-source quality percentile normalization: map each doc's
+    // x07 quality score to its percent_rank WITHIN its source — the
+    // cross-source-comparable quality signal (absolute score scales
+    // drift per source; mixing policies want quantiles). One window
+    // per source partition; ties share a rank, so the output is
+    // order-deterministic.
+    GraftQuery(
+      "x62_source_quality_norm",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "documents")
+          .select($"doc_id", $"source",
+            graft.ops.TextAnalysis.qualityScore($"text").as("__q"))
+          .select($"doc_id", $"source", round($"__q", 6).as("quality"),
+            round(percent_rank().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy($"source").orderBy($"__q")), 6).as("q_pct"))
+      },
+      Some("""WITH q AS (SELECT doc_id, source,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n,
+          CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) AS nd,
+          CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+            x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                       'for','on','with','as','at','by','from','that','this'))) AS DOUBLE) AS stop,
+          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+          CAST(length(text) AS DOUBLE) AS chars
+        FROM documents),
+      sc AS (SELECT doc_id, source,
+          (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+          + (CASE WHEN n > 0 THEN nd / n ELSE 0.0 END) * 0.25
+          + least(CASE WHEN n > 0 THEN stop / n ELSE 0.0 END * 5.0, 1.0) * 0.25
+          + (CASE WHEN chars > 0 THEN 1.0 - least(punct / chars * 5.0, 1.0) ELSE 0.0 END) * 0.25
+          AS q FROM q)
+      SELECT doc_id, source, round(q, 6) AS quality,
+        round(percent_rank() OVER (PARTITION BY source ORDER BY q), 6) AS q_pct
+      FROM sc"""),
+      notes = "x07's score composed with a per-source percent_rank; ranked on the unrounded score both sides")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

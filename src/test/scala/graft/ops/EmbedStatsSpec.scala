@@ -39,4 +39,27 @@ class EmbedStatsSpec extends SparkSpec {
       .as[(Int, Long, Double, Double)].collect().toSet
     assert(a == b)
   }
+
+  test("gramCov matches hand-computed moments on a 2-dim toy") {
+    // vectors (1,2), (3,4): E[x0x0]=(1+9)/2=5, E[x0x1]=(2+12)/2=7,
+    // E[x1x1]=(4+16)/2=10; means (2,3);
+    // cov00=5-4=1, cov01=7-6=1, cov11=10-9=1
+    val df = Seq(Tuple1(Seq(1f, 2f)), Tuple1(Seq(3f, 4f))).toDF("embedding")
+    val out = EmbedStats.gramCov(df, "embedding")
+      .as[(Int, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out.keySet == Set((0, 0), (0, 1), (1, 1)), "upper triangle only")
+    assert(out((0, 0)) == ((2L, 5.0, 1.0)))
+    assert(out((0, 1)) == ((2L, 7.0, 1.0)))
+    assert(out((1, 1)) == ((2L, 10.0, 1.0)))
+  }
+
+  test("gramCov is deterministic across repartitionings (decimal grid)") {
+    val df = graft.sources.Tables(spark, sf, "embeddings")
+    val a = EmbedStats.gramCov(df, "embedding")
+      .as[(Int, Int, Long, Double, Double)].collect().toSet
+    val b = EmbedStats.gramCov(df.repartition(13), "embedding")
+      .as[(Int, Int, Long, Double, Double)].collect().toSet
+    assert(a == b && a.size == 64 * 65 / 2)
+  }
 }

@@ -30,6 +30,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top.length == 10)
   }
 
+  test("batched brute-force top-k equals one bruteForceTopK per query") {
+    val queries = emb.filter($"vec_id" % 200 === 0L)
+    val batch = Similarity.bruteForceTopKBatch(emb, queries,
+      "vec_id", "embedding", "vec_id", k = 5)
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val qids = queries.select($"vec_id").as[Long].collect()
+    assert(qids.length >= 2, "need a real work list")
+    val singles = qids.flatMap { q =>
+      Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === q),
+        "vec_id", "embedding", k = 5)
+        .as[(Long, Double)].collect().map { case (id, cs) => (q, id, cs) }
+    }.toSet
+    assert(batch == singles, "batch must replay the per-query probe exactly")
+  }
+
   test("LSH top-k recall vs brute force") {
     val k = 20
     val query = emb.filter($"vec_id" === 0L)

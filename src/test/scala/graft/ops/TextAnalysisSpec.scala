@@ -120,4 +120,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out._3 - (sy - sx * slope) / n) < 1e-6)
     assert(out._2 < 0, "frequency must fall with rank")
   }
+
+  test("gopher rules: each gate fails for exactly its planted violation") {
+    val good = ("the quick brown fox is a fine animal and it runs " +
+      "to the forest in the morning light of an autumn day it " +
+      "is a good day for the hunt and the pack runs fast over " +
+      "the hills to the river where it drinks in peace " +
+      "under the bright warm summer stars") // 52 words, clean
+    val docs = Seq(
+      (1L, good),
+      (2L, "short text"), // word count below the floor
+      (3L, ("#tag " * 25) + ("the of is " * 9).trim), // hash ratio 25/52 > 0.1
+      (4L, ("wait... " * 20).trim + " " +
+        ("the of is a big story " * 5).trim), // ellipsis ratio 20/50 > 0.3
+      (5L, ("42 17 99 east 23 " * 12).trim + " the of") // alpha frac 12/62 < 0.8
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 50L)
+      .select($"doc_id", $"pass").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 1, "the clean doc must pass")
+    assert(out(2L) == 0, "word-count gate")
+    assert(out(3L) == 0, "hash-ratio gate")
+    assert(out(4L) == 0, "ellipsis-ratio gate")
+    assert(out(5L) == 0, "alpha-fraction gate")
+    // metric sanity on the planted hash doc
+    val m = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 1L)
+      .where($"doc_id" === 3L).head()
+    assert(m.getAs[Double]("hash_ratio") > 0.1)
+  }
 }
