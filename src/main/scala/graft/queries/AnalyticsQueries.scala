@@ -244,6 +244,74 @@ object AnalyticsQueries {
         FROM bf b LEFT JOIN ann a
           ON a.query_id = b.query_id AND a.vec_id = b.vec_id
         GROUP BY b.query_id"""),
-      notes = "ANN side ≡ a06's replay; BF side ranks the whole corpus per query on the rounded cosine")
+      notes = "ANN side ≡ a06's replay; BF side ranks the whole corpus per query on the rounded cosine"),
+
+    // ---- nprobe tuning sweep: micro-averaged recall@k per nprobe over
+    // the same query list — the table an operator reads to pick the
+    // recall/cost point before raising nprobe corpus-wide. One BF
+    // ground-truth pass (staged, shared across all probe settings);
+    // each ANN side is a06's plan at a different static partition
+    // filter. Micro-average (Σhit/Σbf) keeps the aggregation in exact
+    // integer sums — no order-dependent double accumulation.
+    GraftQuery(
+      "a08_ann_nprobe_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val queries = e.filter($"vec_id" % 97 === 0L)
+        val index = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, 16),
+          "vec_id", "embedding", k = 16)
+        val bf = graft.ops.Staged(
+          graft.ops.Similarity.bruteForceTopKBatch(e, queries,
+            "vec_id", "embedding", "vec_id", k = 10)
+            .select($"query_id", $"vec_id"))
+        Seq(1, 2, 4).map { np =>
+          val ann = Ivf.topKBatch(index, queries,
+            "vec_id", "embedding", "vec_id", k = 10, nprobe = np)
+            .select($"query_id", $"vec_id")
+          bf.join(ann.withColumn("__hit", lit(1)),
+              Seq("query_id", "vec_id"), "left")
+            .agg(count(lit(1)).as("n_bf"), count($"__hit").as("n_hit"))
+            .select(lit(np).as("nprobe"), $"n_bf", $"n_hit",
+              round($"n_hit".cast("double") / $"n_bf", 6).as("recall"))
+        }.reduce(_ unionByName _)
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT vec_id AS query_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id % 97 = 0),
+        ranked_cells AS (SELECT q.query_id, c.cluster,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY list_distance(c.centroid, q.qv) ASC, c.cluster) AS pr
+          FROM cents c CROSS JOIN q),
+        a AS (SELECT vec_id, embedding, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        ann AS (SELECT nprobe, query_id, vec_id FROM (
+            SELECT np.nprobe, p.query_id, a.vec_id,
+              row_number() OVER (PARTITION BY np.nprobe, p.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                a.vec_id) AS rk
+            FROM np JOIN ranked_cells p ON p.pr <= np.nprobe
+            JOIN a ON a.cluster = p.cluster
+            JOIN q ON q.query_id = p.query_id) WHERE rk <= 10),
+        bf AS (SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN q) WHERE rk <= 10)
+        SELECT np.nprobe, CAST(count(*) AS BIGINT) AS n_bf,
+          CAST(count(ann.vec_id) AS BIGINT) AS n_hit,
+          round(CAST(count(ann.vec_id) AS DOUBLE) / count(*), 6) AS recall
+        FROM np CROSS JOIN bf b LEFT JOIN ann
+          ON ann.nprobe = np.nprobe AND ann.query_id = b.query_id
+          AND ann.vec_id = b.vec_id
+        GROUP BY np.nprobe"""),
+      notes = "a07's recall per nprobe in {1,2,4}; micro-averaged (exact integer sums)")
   )
 }

@@ -104,6 +104,39 @@ object Streams {
       .start()
   }
 
+  /** Streaming quality-gate monitor — the ingest-health face of the
+    * x60 Gopher rule gates: per micro-batch, the fraction of arriving
+    * docs passing the conjunctive gate, one committed snapshot row per
+    * epoch (epoch-keyed location ⇒ crash replay rewrites identical
+    * bytes; no evolving state — each epoch is a pure function of its
+    * batch). A crawler starting to emit boilerplate, binary junk, or
+    * truncated pages shows up as a pass-rate cliff long before any
+    * downstream dedup sees it; `alertBelow` marks the row.
+    *
+    * Cost: the gate is closed-form projections fused into the batch
+    * scan + one count aggregate — per-batch work is one pass over the
+    * batch, nothing corpus-sized, no index.
+    */
+  def qualityGateStream(docs: DataFrame, outPath: String,
+      checkpoint: String, idCol: String, textCol: String,
+      minWords: Long = 50L, alertBelow: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.ops.TextAnalysis
+          .gopherRules(batch, idCol, textCol, minWords = minWords)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("pass")).cast("long").as("n_pass"))
+          .select(col("n_docs"), col("n_pass"),
+            round(when(col("n_docs") > 0,
+              col("n_pass").cast("double") / col("n_docs")).otherwise(1.0), 6)
+              .as("pass_rate"))
+          .withColumn("alert", col("pass_rate") < alertBelow)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      }
+      .start()
+
   final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom keyed state: running per-user totals emitted on every

@@ -677,6 +677,32 @@ class StreamsSpec extends SparkSpec {
       s"MG bound on the full prefix violated after retention: $last")
   }
 
+  test("quality-gate monitor: pass-rate snapshot per epoch, alert on a junk flood") {
+    val root = java.nio.file.Files.createTempDirectory("graft-qgate").toString
+    val input = MemoryStream[DocEvent](spark)
+    val docs = input.toDF().select($"doc_id", $"text")
+    val good = "the quick brown fox is a fine animal and it runs to the river"
+    val junk = "#x #x #x #x #x #x #x #x"
+    val q = Streams.qualityGateStream(docs, s"$root/out", s"$root/cp",
+      "doc_id", "text", minWords = 5L, alertBelow = 0.5)
+    try {
+      input.addData(DocEvent(1, ts(1), good), DocEvent(2, ts(2), good),
+        DocEvent(3, ts(3), junk))
+      q.processAllAvailable()
+      input.addData(DocEvent(4, ts(4), junk), DocEvent(5, ts(5), junk),
+        DocEvent(6, ts(6), good))
+      q.processAllAvailable()
+    } finally q.stop()
+    val e0 = spark.read.parquet(s"$root/out/epoch=0")
+      .select($"n_docs", $"n_pass", $"pass_rate", $"alert")
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(e0 == ((3L, 2L, 0.666667, false)), s"healthy epoch drifted: $e0")
+    val e1 = spark.read.parquet(s"$root/out/epoch=1")
+      .select($"n_docs", $"n_pass", $"pass_rate", $"alert")
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(e1 == ((3L, 1L, 0.333333, true)), s"junk flood must alert: $e1")
+  }
+
   test("streaming DSIR scoring equals the batch probe of the model") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
     val (mP, outP, cp) = (s"$root/model", s"$root/out", s"$root/cp")
