@@ -67,7 +67,12 @@ class PlanSpec extends SparkSpec {
           "q30_gap_fill_months", "q37_event_funnel", "x26_heavy_hitters",
           // stride-schedule closed form: every doc meets the O(domains)
           // broadcast table by design (fan-out = |domains|, bounded)
-          "x51_mixture_interleave")
+          "x51_mixture_interleave",
+          // brute-force ground truth: the driver-small query LIST
+          // broadcasts into one corpus pass by design (the corpus is
+          // never shuffled; per-query rank is a keyed window) — the
+          // baseline an ANN recall report is DEFINED against
+          "a07_ann_recall", "a08_ann_nprobe_sweep")
         if (!nlOk(q.name))
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans a nested-loop join")
