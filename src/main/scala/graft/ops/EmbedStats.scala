@@ -78,6 +78,52 @@ object EmbedStats {
     * partition-order-independent and the DuckDB oracle reproduces the
     * doubles bit-for-bit.
     */
+  /** Exact scaled-integer recovery on the 1e-9 grid (the Q.dsum
+    * construction, shared by [[gramCov]] and [[standardize]]): for
+    * |c·1e9| < ~4.5e15 the product is correctly rounded and
+    * floor(+0.5) lands on the grid value exactly; hi/lo split keeps
+    * the sums in plain codegen'd longs with 2^20 headroom. The DuckDB
+    * oracles mirror `CAST(floor(c*1e9 + 0.5) AS DECIMAL(38,0))` —
+    * floor(+0.5) is the same IEEE op in both engines (round() is not:
+    * half-away vs half-up on negatives, and Spark's round allocates a
+    * BigDecimal per value).
+    */
+  private def snap(c: Column): Column =
+    floor(c * lit(1e9) + lit(0.5)).cast("long")
+
+  private def gridTotal(v: Column): Column = {
+    val hi = shiftright(v, 20)
+    val lo = v - hi * lit(1L << 20)
+    (sum(hi).cast(DecimalType(38, 0)) * lit(1L << 20) +
+      sum(lo).cast(DecimalType(38, 0))).cast("double") / lit(1e9)
+  }
+
+  /** Per-component z-scores over the corpus: (id, dim, z) with
+    * z = (x − μ_dim)/σ_dim — the standardization ("whitening-lite")
+    * pass run before distance-based ops when component scales differ
+    * (σ from the same moment sums [[gramCov]] uses; a zero-variance
+    * component yields NULL rather than ±Inf). One posexplode
+    * aggregation for the d-row stats table, broadcast back into a
+    * row-local projection — the corpus is scanned twice, shuffled
+    * never (the stats shuffle carries d × partials).
+    */
+  def standardize(df: DataFrame, idCol: String, vecCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val x = Staged(df.select(col(idCol),
+      posexplode(transform(col(vecCol), v => v.cast("double")))
+        .as(Seq("dim", "xi"))))
+    val st = x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("__n"),
+        gridTotal(snap(col("xi"))).as("__s1"),
+        gridTotal(snap(col("xi") * col("xi"))).as("__s2"))
+    val mu = col("__s1") / col("__n")
+    val varc = col("__s2") / col("__n") - mu * mu
+    x.join(broadcast(st), "dim")
+      .select(col(idCol), col("dim"),
+        when(varc > 0, round((col("xi") - mu) / sqrt(varc), roundTo))
+          .as("z"))
+  }
+
   def gramCov(df: DataFrame, vecCol: String, roundTo: Int = 6): DataFrame = {
     // Implementation notes, learned the slow way: a nested
     // transform/filter HOF formulation is CodegenFallback (interpreted
@@ -97,18 +143,6 @@ object EmbedStats {
           .as(Seq("k", "xj")))
       .select(col("i"), (col("i") + col("k")).as("j"),
         (col("xi") * col("xj")).as("p"))
-    // exact scaled-integer recovery (the Q.dsum construction): for
-    // |p·1e9| < ~4.5e15 the product is correctly rounded, floor(+0.5)
-    // lands on the grid value exactly; hi/lo split keeps the sums in
-    // plain codegen'd longs with 2^20 headroom over a single long
-    def gridTotal(v: Column): Column = {
-      val hi = shiftright(v, 20)
-      val lo = v - hi * lit(1L << 20)
-      (sum(hi).cast(DecimalType(38, 0)) * lit(1L << 20) +
-        sum(lo).cast(DecimalType(38, 0))).cast("double") / lit(1e9)
-    }
-    def snap(c: Column): Column =
-      floor(c * lit(1e9) + lit(0.5)).cast("long")
     val sp = pairs.groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), gridTotal(snap(col("p"))).as("__spd"))
     val dims = base.select(posexplode(col("v")).as(Seq("d", "x")))

@@ -200,6 +200,53 @@ object TextAnalysis {
     * defaults where the fixture can exercise them; word-count bounds
     * are parameters because they are corpus-policy, not universal.
     */
+  /** Token-budget truncation — the context-window capping pass a
+    * training pipeline runs before packing: keep each doc's first
+    * `budget` tokens, output (id, n_tokens, n_kept, truncated). The
+    * truncated text is the NORMALIZED token join (the passage-rebuild
+    * convention — exact byte-offset splicing needs the original-text
+    * offsets a trained tokenizer would carry). Row-local projections
+    * only: no shuffle, fuses into the scan.
+    */
+  def truncateTokens(df: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val t = tokens(col(textCol))
+    df.select(col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      least(size(t), lit(budget)).cast("long").as("n_kept"),
+      concat_ws(" ", slice(t, 1, budget)).as("truncated"))
+  }
+
+  /** Per-doc n-gram novelty against everything EARLIER (lower id —
+    * ingestion order's proxy): the fraction of a doc's distinct
+    * overlapping `n`-gram shingles whose FIRST occurrence (min id) is
+    * this doc. The curriculum/acquisition signal: a crawl whose
+    * novelty curve collapses is re-reading the web; a source whose
+    * docs score near zero is redundant against what's already held.
+    *
+    * 100 TB shape: distinct per-doc shingles explode once; the first-
+    * occurrence table is ONE map-side-combining min aggregation on the
+    * gram key, and the join back is gram-keyed co-partitioned — two
+    * shuffles of the exploded gram rows, linear in corpus grams, no
+    * self-join (the same budget class as the x52 duplication profile).
+    * Docs with fewer than `n` tokens have no shingles and no row.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, roundTo: Int = 6): DataFrame = {
+    val gg = Staged(df.select(col(idCol).as("__id"),
+      explode(Shingles(col(textCol), n)).as("gram")))
+    val firsts = gg.groupBy(col("gram")).agg(min(col("__id")).as("__first"))
+    gg.join(firsts, "gram")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), roundTo)
+          .as("novelty"))
+  }
+
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L,
       roundTo: Int = 6): DataFrame = {

@@ -1960,7 +1960,73 @@ object ExtensionQueries {
       SELECT doc_id, source, round(q, 6) AS quality,
         round(percent_rank() OVER (PARTITION BY source ORDER BY q), 6) AS q_pct
       FROM sc"""),
-      notes = "x07's score composed with a per-source percent_rank; ranked on the unrounded score both sides")
+      notes = "x07's score composed with a per-source percent_rank; ranked on the unrounded score both sides"),
+
+    // ---- per-component z-scores (standardization): the whitening-lite
+    // pass before distance ops when component scales differ. μ/σ from
+    // one posexplode aggregation (d-row stats, floor-snap grid sums —
+    // see x61), broadcast into a row-local projection; zero-variance
+    // components yield NULL, never ±Inf.
+    GraftQuery(
+      "x63_embedding_standardize",
+      (s, dir) => graft.ops.EmbedStats.standardize(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        x AS (SELECT vec_id, unnest(v) AS xi,
+            CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim FROM e),
+        st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(floor(xi * 1000000000.0 + 0.5) AS DECIMAL(38,0)))
+              AS DOUBLE) / 1000000000.0 AS s1,
+            CAST(sum(CAST(floor(xi * xi * 1000000000.0 + 0.5) AS DECIMAL(38,0)))
+              AS DOUBLE) / 1000000000.0 AS s2
+          FROM x GROUP BY dim)
+      SELECT x.vec_id, x.dim,
+        CASE WHEN st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n) > 0
+          THEN round((x.xi - st.s1 / st.n)
+            / sqrt(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n)), 6) + 0.0
+          ELSE NULL END AS z
+      FROM x JOIN st USING (dim)"""),
+      notes = "same floor-snap moment sums as x61; +0.0 normalizes -0.0"),
+
+    // ---- token-budget truncation: keep each doc's first 32 tokens —
+    // the context-window cap before packing. Normalized-join rebuild
+    // (the passage convention); pure row-local projection.
+    GraftQuery(
+      "x64_token_truncate",
+      (s, dir) => graft.ops.TextAnalysis.truncateTokens(
+        Tables(s, dir, "documents"), "doc_id", "text", budget = 32),
+      Some("""WITH toks AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        CAST(least(len(t), 32) AS BIGINT) AS n_kept,
+        array_to_string(t[1:32], ' ') AS truncated
+      FROM toks"""),
+      notes = "normalized token-join rebuild, the passage-dedup convention"),
+
+    // ---- n-gram novelty vs everything earlier (min doc_id = first
+    // occurrence): the acquisition-health signal — a collapsing
+    // novelty curve means the crawl is re-reading the web. One min
+    // aggregation on the gram key + one gram-keyed join back; linear
+    // in corpus grams, never self-joined.
+    GraftQuery(
+      "x65_ngram_novelty",
+      (s, dir) => graft.ops.TextAnalysis.ngramNovelty(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 3),
+      Some("""WITH toks AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3),
+        gg AS (SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, array_to_string(t[gi : gi + 2], ' ') AS gram
+            FROM nz, unnest(range(1, n - 1)) AS u(gi))),
+        firsts AS (SELECT gram, min(doc_id) AS first_doc FROM gg GROUP BY gram)
+      SELECT gg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN f.first_doc = gg.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel,
+        round(CAST(sum(CASE WHEN f.first_doc = gg.doc_id THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS novelty
+      FROM gg JOIN firsts f USING (gram) GROUP BY gg.doc_id"""),
+      notes = "oracle's DISTINCT (doc, gram) ≡ Shingles' array_distinct; min-id = first occurrence")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

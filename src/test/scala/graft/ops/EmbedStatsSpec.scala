@@ -54,6 +54,20 @@ class EmbedStatsSpec extends SparkSpec {
     assert(out((1, 1)) == ((2L, 10.0, 1.0)))
   }
 
+  test("standardize: hand-computed z-scores; constant component yields NULL") {
+    // dims: (1,3) -> mu=2, sigma=1 -> z = -1, +1; (2,4) -> same shape;
+    // third component constant -> zero variance -> NULL, never +-Inf
+    val df = Seq((1L, Seq(1f, 2f, 7f)), (2L, Seq(3f, 4f, 7f)))
+      .toDF("vec_id", "embedding")
+    val out = EmbedStats.standardize(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out((1L, 0)) == Some(-1.0) && out((2L, 0)) == Some(1.0))
+    assert(out((1L, 1)) == Some(-1.0) && out((2L, 1)) == Some(1.0))
+    assert(out((1L, 2)).isEmpty && out((2L, 2)).isEmpty,
+      "zero-variance component must be NULL")
+  }
+
   test("gramCov is deterministic across repartitionings (decimal grid)") {
     val df = graft.sources.Tables(spark, sf, "embeddings")
     val a = EmbedStats.gramCov(df, "embedding")

@@ -121,6 +121,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out._2 < 0, "frequency must fall with rank")
   }
 
+  test("truncateTokens: budget boundary, short docs untouched, empty docs empty") {
+    val docs = Seq((1L, "Alpha, beta GAMMA delta epsilon"), (2L, "one two"),
+      (3L, ",,,")).toDF("doc_id", "text")
+    val out = TextAnalysis.truncateTokens(docs, "doc_id", "text", budget = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((5L, 3L, "alpha beta gamma")))
+    assert(out(2L) == ((2L, 2L, "one two")))
+    assert(out(3L) == ((0L, 0L, "")), "token-less doc truncates to empty")
+  }
+
+  test("ngram novelty: first occurrence wins, exact repeats score zero") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),         // both 3-grams first seen here
+      (2L, "alpha beta gamma delta"),          // exact repeat: novelty 0
+      (3L, "alpha beta gamma zeta eta theta"), // 1 of 4 grams repeated
+      (4L, "xy")                               // < 3 tokens: no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((4L, 3L, 0.75)))
+    assert(!out.contains(4L), "docs below the gram size have no row")
+  }
+
   test("gopher rules: each gate fails for exactly its planted violation") {
     val good = ("the quick brown fox is a fine animal and it runs " +
       "to the forest in the morning light of an autumn day it " +
