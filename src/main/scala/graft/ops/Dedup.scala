@@ -883,6 +883,60 @@ object Dedup {
     verifyJaccard(pairs, docs.select(col("id"), col("h")), threshold)
   }
 
+  /** Exact n-gram CONTAINMENT join within a blocking key — the
+    * asymmetric sibling of [[ngramJaccardBlocked]]: ordered pairs
+    * (id_a, id_b) where |h(A) ∩ h(B)| / |h(A)| ≥ t, i.e. doc A's
+    * n-gram set is (mostly) contained in doc B's. Jaccard misses
+    * exactly this case: a paragraph quoted inside a long article has
+    * tiny Jaccard but containment ≈ 1 — the quotation/subset-mining
+    * operation.
+    *
+    * Candidates are LOSSLESS, PPJoin-containment-style: if
+    * containment(A→B) ≥ t then A and B share an element among the
+    * FIRST |h(A)| − ⌈t·|h(A)|⌉ + 1 of A's sorted hashes (at most
+    * that many of A's elements can miss B), so A contributes only its
+    * prefix to the inverted index; B must be able to match ANY of its
+    * elements, so the container side posts its full set — shuffle =
+    * O(docs × prefix) + O(docs × |h|) small rows, linear in corpus
+    * shingles (the full-posting side is the price of asymmetry; hash
+    * order keeps prefixes off frequent shingles). Size prune:
+    * |h(B)| ≥ t·|h(A)| (the container must have room for the
+    * intersection). Verify = exact sorted-hash intersection over the
+    * candidate pairs only.
+    */
+  def ngramContainmentBlocked(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val docs = stage(df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      shingleHashSet(col(textCol), n).as("h"))
+      .where(size(col("h")) > 0)
+      .withColumn("hn", size(col("h"))))
+    val prefixLen = (col("hn") - ceil(col("hn") * lit(threshold)) + 1).cast("int")
+    val pref = docs.select(col("id"), col("block"), col("hn"),
+      explode(slice(col("h"), lit(1), prefixLen)).as("tok"))
+    val full = docs.select(col("id"), col("block"), col("hn"),
+      explode(col("h")).as("tok"))
+    val pairs = pref.as("x").join(full.as("y"),
+      col("x.block") === col("y.block") && col("x.tok") === col("y.tok") &&
+        col("x.id") =!= col("y.id") &&
+        col("y.hn") >= col("x.hn") * lit(threshold))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(docs.select(col("id").as("id_a"), col("h").as("__ha")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("h").as("__hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+          size(col("__ha")), roundTo).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Passage-level exact dedup — repeated-passage removal at sub-
     * document granularity (the "Deduplicating Training Data Makes
     * Language Models Better" operation, at fixed window grain): split

@@ -249,26 +249,26 @@ object TextAnalysis {
 
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val words = regexp_extract_all(t, lit("\\S+"), lit(0))
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-    val g = df.select(col(idCol),
-      size(words).cast("long").as("n_words"),
-      length(regexp_replace(t, "\\s", "")).cast("double").as("__wc"),
-      (length(t) - length(translate(t, "#", ""))).cast("double").as("__nh"),
+    val g = df.select(col(idCol) +: keep.map(col) :+
+      size(words).cast("long").as("n_words") :+
+      length(regexp_replace(t, "\\s", "")).cast("double").as("__wc") :+
+      (length(t) - length(translate(t, "#", ""))).cast("double").as("__nh") :+
       ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
-        .cast("double").as("__ne"),
-      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double").as("__na"),
-      size(filter(tokens(t), w => w.isin(stop: _*))).cast("long").as("n_stop"))
+        .cast("double").as("__ne") :+
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double").as("__na") :+
+      size(filter(tokens(t), w => w.isin(stop: _*))).cast("long").as("n_stop"): _*)
     def ratio(num: Column): Column =
       round(when(col("n_words") > 0, num / col("n_words")).otherwise(0.0), roundTo)
-    g.select(col(idCol), col("n_words"),
-        ratio(col("__wc")).as("mean_word_len"),
-        ratio(col("__nh")).as("hash_ratio"),
-        ratio(col("__ne")).as("ellipsis_ratio"),
-        ratio(col("__na")).as("alpha_frac"),
-        col("n_stop"))
+    g.select(col(idCol) +: keep.map(col) :+ col("n_words") :+
+        ratio(col("__wc")).as("mean_word_len") :+
+        ratio(col("__nh")).as("hash_ratio") :+
+        ratio(col("__ne")).as("ellipsis_ratio") :+
+        ratio(col("__na")).as("alpha_frac") :+
+        col("n_stop"): _*)
       .withColumn("pass",
         (col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
