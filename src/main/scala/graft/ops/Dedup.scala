@@ -912,6 +912,13 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.6,
       roundTo: Int = 6): DataFrame = {
+    // threshold outside (0, 1] breaks the prefix arithmetic itself:
+    // t <= 0 makes prefixLen exceed hn and t > 1 drives it non-positive
+    // (slice with a non-positive length errors at runtime) — validate
+    // like the sibling dedup ops instead of failing mid-job
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    require(n > 0, s"shingle size must be positive, got $n")
     GraftFunctions.register(df.sparkSession)
     val docs = stage(df.select(col(idCol).as("id"), col(blockCol).as("block"),
       shingleHashSet(col(textCol), n).as("h"))

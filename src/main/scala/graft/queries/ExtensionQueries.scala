@@ -2026,7 +2026,39 @@ object ExtensionQueries {
         round(CAST(sum(CASE WHEN f.first_doc = gg.doc_id THEN 1 ELSE 0 END)
           AS DOUBLE) / count(*), 6) AS novelty
       FROM gg JOIN firsts f USING (gram) GROUP BY gg.doc_id"""),
-      notes = "oracle's DISTINCT (doc, gram) ≡ Shingles' array_distinct; min-id = first occurrence")
+      notes = "oracle's DISTINCT (doc, gram) ≡ Shingles' array_distinct; min-id = first occurrence"),
+
+    // ---- directional n-gram containment join within a blocking key:
+    // the quotation/inclusion detector Jaccard dedup structurally
+    // misses — a short doc fully quoted inside a long one has tiny
+    // Jaccard (|A∩B|/|A∪B| shrinks with |B|) but containment
+    // |A∩B|/|A| ≈ 1. Lossless prefix filter on the containment bound
+    // (first hn−⌈t·hn⌉+1 sorted hashes of the CONTAINED side must hit
+    // the container) + size prune |h(B)| ≥ t·|h(A)|; verify = exact
+    // sorted-hash intersection over candidates only. The oracle is the
+    // exact O(block²) directional brute force over string shingles.
+    GraftQuery(
+      "x66_dedup_containment",
+      (s, dir) => graft.ops.Dedup.ngramContainmentBlocked(
+        Tables(s, dir, "documents"), "doc_id", "text", "lang",
+        n = 3, threshold = 0.6),
+      Some("""WITH toks AS (
+          SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang, list_distinct(
+            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s
+          FROM toks),
+        nz AS (SELECT * FROM sh WHERE len(s) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+            AS containment
+        FROM nz a JOIN nz b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+          >= 0.6"""),
+      notes = "directional pairs (id_a≠id_b, both orders possible); " +
+        "oracle = exact in-block brute force over string shingles")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

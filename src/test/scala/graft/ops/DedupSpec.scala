@@ -78,6 +78,71 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L))) // only the exact dup survives 0.99
   }
 
+  test("containment: planted quotation is caught A→B, asymmetric, invisible to Jaccard") {
+    // doc 20 (the quotation) rides verbatim INSIDE doc 21's much longer
+    // text: containment(20→21) ≈ 1, containment(21→20) tiny, Jaccard
+    // tiny — exactly the pair symmetric dedup structurally misses
+    val quote = "to be or not to be that is the question whether tis nobler in the mind"
+    val host = "the play opens with a long scene " + quote +
+      " and then continues into an extended meditation about many other " +
+      "matters entirely unrelated to the famous passage including politics " +
+      "war family revenge madness and the slow machinery of the court of " +
+      "denmark across five acts of dense dialogue and shifting alliances"
+    val docs = corpus.unionByName(
+      Seq((20L, quote), (21L, host)).toDF("doc_id", "text"))
+      .withColumn("block", lit("all"))
+    val out = Dedup.ngramContainmentBlocked(docs, "doc_id", "text", "block",
+      n = 3, threshold = 0.6)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    val byPair = out.map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(byPair.get((20L, 21L)).exists(_ >= 0.9),
+      s"quotation must be contained in host: $byPair")
+    assert(!byPair.contains((21L, 20L)),
+      "host is NOT contained in the quotation (asymmetry)")
+    // the same pair is invisible to symmetric Jaccard at the same bar
+    val jac = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", "block",
+      n = 3, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((20L, 21L)) && !jac.contains((21L, 20L)))
+  }
+
+  test("containment: blocked prefix-filter join ≡ brute force (lossless)") {
+    val docs = corpus.unionByName(Seq(
+      (30L, base + " with an appended tail of extra words spanning more ground"),
+      (31L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+      .withColumn("block", lit("all"))
+    val got = Dedup.ngramContainmentBlocked(docs, "doc_id", "text", "block",
+      n = 3, threshold = 0.6)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the same hashed shingle sets
+    val sets = docs.select($"doc_id",
+        Dedup.shingleHashSet($"text", 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, ha) <- sets.toSeq; (b, hb) <- sets.toSeq if a != b
+      c = BigDecimal(ha.toSet.intersect(hb.toSet).size.toDouble / ha.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.6
+    } yield (a, b, c)).toSet
+    assert(got == want, s"blocked=$got brute=$want")
+    assert(want.nonEmpty)
+  }
+
+  test("containment: threshold outside (0,1] is rejected up front") {
+    val blocked = corpus.withColumn("block", lit("all"))
+    intercept[IllegalArgumentException] {
+      Dedup.ngramContainmentBlocked(blocked, "doc_id", "text", "block",
+        threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ngramContainmentBlocked(blocked, "doc_id", "text", "block",
+        threshold = 1.5)
+    }
+  }
+
   test("connected components cluster transitive chains, keep min-id rep") {
     // chain 1-2-3 (1~2, 2~3 but never 1~3), separate pair 7-9, plus a
     // star 10-{11,12}
