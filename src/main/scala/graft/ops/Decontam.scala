@@ -101,10 +101,7 @@ object Decontam {
       // empty benchmark → nothing can overlap; keep the output schema
       return docHashes(docs, idCol, textCol, n).limit(0)
         .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
-    val bloom = bh
-      .agg(sizedBloomAgg(bh.sparkSession, est,
-        math.max(64L, est * bitsPerItem)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val bloom = buildBloom(bh, est, math.max(64L, est * bitsPerItem))
     docHashes(docs, idCol, textCol, n)
       .where(GraftFunctions.bloomMightContain(lit(bloom), col("h")))
       .join(bh, "h") // exact verify: kills the bloom's false positives
@@ -137,23 +134,33 @@ object Decontam {
     * (defaults 4e6 / 6.7e7) WITHOUT error — at the 1e8+-n-gram scale
     * this module advertises, the filter would be built far smaller than
     * sized and the prefilter's fpp would degrade silently (correctness
-    * survives via the verify join; the scale contract doesn't). Fail
-    * loudly instead: the caller either raises the session caps or
-    * accepts a smaller filter EXPLICITLY.
+    * survives via the verify join; the scale contract doesn't). The
+    * builder owns the sizing decision AND the session, so it RAISES the
+    * session caps for the duration of the build (restored after) rather
+    * than failing — a large eval suite builds its correctly-sized
+    * filter without the caller touching optimizer confs. The one hard
+    * limit that stays loud: the filter bytes must fit a JVM array to
+    * ride a literal/broadcast (shard the benchmark index or lower
+    * bitsPerItem past that).
     */
-  private def sizedBloomAgg(spark: org.apache.spark.sql.SparkSession,
-      est: Long, bits: Long): org.apache.spark.sql.Column = {
-    val maxItems = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val maxBits = spark.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-    require(est <= maxItems && bits <= maxBits,
-      s"bloom sized for $est items / $bits bits exceeds the session caps " +
-        s"($maxItems items / $maxBits bits) and Spark would clamp it " +
-        "SILENTLY, degrading the prefilter's fpp — raise " +
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
-        "or pass a smaller bitsPerItem")
-    GraftFunctions.bloomAgg(col("h"), est, bits)
+  private def buildBloom(bh: DataFrame, est: Long, bits: Long): Array[Byte] = {
+    require(bits / 8 < Int.MaxValue.toLong,
+      s"bloom sized for $bits bits (${bits / 8} bytes) cannot fit a JVM " +
+        "byte array — shard the benchmark index or lower bitsPerItem")
+    val spark = bh.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.get(itemsKey, "4000000")
+    val oldBits = spark.conf.get(bitsKey, "67108864")
+    try {
+      spark.conf.set(itemsKey, math.max(est, oldItems.toLong).toString)
+      spark.conf.set(bitsKey, math.max(bits, oldBits.toLong).toString)
+      bh.agg(GraftFunctions.bloomAgg(col("h"), est, bits).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    } finally {
+      spark.conf.set(itemsKey, oldItems)
+      spark.conf.set(bitsKey, oldBits)
+    }
   }
 
   /** Persist the benchmark's decontamination index at `path`:
@@ -179,9 +186,7 @@ object Decontam {
     bh.repartition(1).write.mode("overwrite").parquet(s"$path/hashes")
     val bloom =
       if (est == 0L) Array.empty[Byte]
-      else bh.agg(sizedBloomAgg(spark, est,
-        math.max(64L, est * bitsPerItem)).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
+      else buildBloom(bh, est, math.max(64L, est * bitsPerItem))
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/bloom.bin"), true)
     try out.write(bloom) finally out.close()
     fs.create(new org.apache.hadoop.fs.Path(s"$path/_OK"), true).close()

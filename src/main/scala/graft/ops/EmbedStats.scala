@@ -94,7 +94,13 @@ object EmbedStats {
   private def gridTotal(v: Column): Column = {
     val hi = shiftright(v, 20)
     val lo = v - hi * lit(1L << 20)
-    (sum(hi).cast(DecimalType(38, 0)) * lit(1L << 20) +
+    // hi is summed as DECIMAL(38,0) — cast BEFORE the sum, not after:
+    // a plain long sum of hi (up to ~4.3e9 per row at the |c·1e9| <
+    // 4.5e15 snap bound) overflows silently past ~2e9 rows per group,
+    // well inside 100 TB row counts. The decimal partial-agg still
+    // map-side-combines; only lo (< 2^20 per row, overflow at ~9e12
+    // rows/group — beyond any advertised corpus) stays a long sum.
+    (sum(hi.cast(DecimalType(38, 0))) * lit(1L << 20) +
       sum(lo).cast(DecimalType(38, 0))).cast("double") / lit(1e9)
   }
 

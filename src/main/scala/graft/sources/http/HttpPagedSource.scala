@@ -315,16 +315,19 @@ final class HttpPartitionReader(conf: HttpConf, part: HttpPartition,
       .map(tok => Map("Authorization" -> s"Bearer $tok"))
       .getOrElse(Map.empty) + ("Accept" -> "application/json")
 
-  // plan-time budget share wins over the static per-reader rate; a
-  // RETRIED or SPECULATIVE duplicate attempt (attemptNumber > 0) takes
-  // HALF its share — the library can't stop the scheduler from running
-  // two copies of a task, but it can bound the worst-case aggregate at
-  // quota x 1.5 instead of 2x (the residual: both copies overlapping
-  // for the duplicate's whole lifetime still exceeds the quota by the
-  // halved share; true enforcement needs an external limiter service)
+  // plan-time budget share wins over the static per-reader rate; when
+  // SPECULATION is enabled, a duplicate attempt (attemptNumber > 0)
+  // takes HALF its share — the library can't stop the scheduler from
+  // running two copies of a task, but it can bound the worst-case
+  // aggregate at quota x 1.5 instead of 2x (the residual: both copies
+  // overlapping for the duplicate's whole lifetime still exceeds the
+  // quota by the halved share; true enforcement needs an external
+  // limiter service). With speculation OFF, attempt > 0 is a plain
+  // retry whose original is dead — full share, no crawl.
   private[http] val rate =
     HttpPartitionReader.attemptAdjustedRate(
-      part.ratePerSec.getOrElse(conf.ratePerSec), attemptNumber)
+      part.ratePerSec.getOrElse(conf.ratePerSec), attemptNumber,
+      HttpPartitionReader.speculationEnabled)
   private val bucket = new TokenBucket(rate, burst = math.max(1.0, rate))
   private var page = part.startPage
   private var current: InternalRow = _
@@ -400,9 +403,25 @@ object HttpPartitionReader {
     * aggregate is bounded at share x 1.5 instead of 2x. Attempt > 1
     * keeps halving — pathological retry storms decay geometrically
     * instead of stacking.
+    *
+    * The halving only applies when SPECULATION is on: without it, an
+    * attemptNumber > 0 means the original attempt is already DEAD (a
+    * plain task retry — far more common than speculation), so there is
+    * no overlap to bound and halving would just crawl the retried
+    * partition at half (then quarter…) of its planned share for zero
+    * quota benefit.
     */
-  private[http] def attemptAdjustedRate(base: Double, attempt: Int): Double =
-    base / (1L << math.min(math.max(attempt, 0), 30))
+  private[http] def attemptAdjustedRate(base: Double, attempt: Int,
+      speculation: Boolean): Double =
+    if (!speculation) base
+    else base / (1L << math.min(math.max(attempt, 0), 30))
+
+  /** Whether the running application has speculative execution enabled
+    * (executor-side readable; false when no SparkEnv, e.g. unit tests).
+    */
+  private[http] def speculationEnabled: Boolean =
+    Option(org.apache.spark.SparkEnv.get)
+      .exists(_.conf.get("spark.speculation", "false").toBoolean)
 }
 
 /** Minimal token bucket: `ratePerSec` sustained, `burst` capacity.

@@ -117,6 +117,23 @@ object Streams {
     * scan + one count aggregate — per-batch work is one pass over the
     * batch, nothing corpus-sized, no index.
     */
+  /** The per-epoch snapshot row, extracted so the empty-batch contract
+    * is unit-testable: an idle epoch records (0, 0, 1.0, false) — the
+    * coalesce matters because sum over zero rows is NULL, which would
+    * break non-nullable downstream readers of the snapshot table.
+    */
+  private[streaming] def qualityGateSnapshot(batch: DataFrame, idCol: String,
+      textCol: String, minWords: Long, alertBelow: Double): DataFrame =
+    graft.ops.TextAnalysis
+      .gopherRules(batch, idCol, textCol, minWords = minWords)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("pass")), lit(0L)).cast("long").as("n_pass"))
+      .select(col("n_docs"), col("n_pass"),
+        round(when(col("n_docs") > 0,
+          col("n_pass").cast("double") / col("n_docs")).otherwise(1.0), 6)
+          .as("pass_rate"))
+      .withColumn("alert", col("pass_rate") < alertBelow)
+
   def qualityGateStream(docs: DataFrame, outPath: String,
       checkpoint: String, idCol: String, textCol: String,
       minWords: Long = 50L, alertBelow: Double = 0.5): StreamingQuery =
@@ -124,15 +141,7 @@ object Streams {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        graft.ops.TextAnalysis
-          .gopherRules(batch, idCol, textCol, minWords = minWords)
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("pass")).cast("long").as("n_pass"))
-          .select(col("n_docs"), col("n_pass"),
-            round(when(col("n_docs") > 0,
-              col("n_pass").cast("double") / col("n_docs")).otherwise(1.0), 6)
-              .as("pass_rate"))
-          .withColumn("alert", col("pass_rate") < alertBelow)
+        qualityGateSnapshot(batch, idCol, textCol, minWords, alertBelow)
           .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
       }
       .start()

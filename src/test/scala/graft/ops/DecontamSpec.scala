@@ -114,6 +114,40 @@ class DecontamSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("bloom build raises session caps past a small limit, then restores them") {
+    // lower the caps far below what this benchmark needs: a silent
+    // Spark clamp would build a ~128-byte filter; the builder must
+    // instead raise the caps for the build and persist the full-size
+    // filter, leaving the session confs exactly as it found them
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.get(itemsKey, "4000000")
+    val oldBits = spark.conf.get(bitsKey, "67108864")
+    spark.conf.set(itemsKey, "10")
+    spark.conf.set(bitsKey, "1024")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-didx-cap").toString
+      Decontam.writeBenchIndex(bench, "text", dir, bitsPerItem = 16)
+      val nGrams = spark.read.parquet(s"$dir/hashes").count()
+      assert(nGrams > 10, s"fixture benchmark must exceed the lowered cap: $nGrams")
+      val bloomBytes = new java.io.File(s"$dir/bloom.bin").length()
+      // the filter must be sized for est*16 bits, not clamped to 1024
+      assert(bloomBytes >= nGrams * 16 / 8,
+        s"bloom.bin is $bloomBytes bytes for $nGrams n-grams — clamped?")
+      assert(spark.conf.get(itemsKey) == "10" && spark.conf.get(bitsKey) == "1024",
+        "builder must restore the session caps it raised")
+      // and the probe over the full-size filter still matches exact
+      val exact = Decontam.overlaps(docs, bench, "doc_id", "text", n = 5)
+        .as[(Long, Long)].collect().toMap
+      val indexed = Decontam.overlapsIndexed(docs, dir, "doc_id", "text", n = 5)
+        .as[(Long, Long)].collect().toMap
+      assert(indexed == exact)
+    } finally {
+      spark.conf.set(itemsKey, oldItems)
+      spark.conf.set(bitsKey, oldBits)
+    }
+  }
+
   test("an uncommitted index (no _OK) is refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft-didx-raw").toString
     intercept[IllegalArgumentException] {

@@ -138,30 +138,44 @@ class HttpPagedSourceSpec extends SparkSpec {
   }
 
   test("duplicate attempt (retry/speculation) halves its rate share") {
-    // the pure rule: attempt 0 keeps the share, each further attempt
-    // halves it (worst-case aggregate with one live duplicate = 1.5x)
-    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 0) === 10.0)
-    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 1) === 5.0)
-    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 2) === 2.5)
-    assert(HttpPartitionReader.attemptAdjustedRate(10.0, -1) === 10.0)
-    // the reader picks it up: a forced attempt-1 reader paces at half
-    // the planned share, observable as doubled wall time for the same
-    // page walk (burst = rate/2 = 2, so 6 pages wait >= (6-2)/2 = 2s;
-    // an attempt-0 reader at rate 4 with burst 4 waits >= 0.5s)
-    MockTransport.reset()
-    val conf = confOf(Map(
-      "url" -> "http://mock.local/api?mock_total=150",
-      "pageSize" -> "25", "totalRecords" -> "150",
-      "transport" -> classOf[MockTransport].getName))
-    val part = HttpPartition(0, 6, ratePerSec = Some(4.0))
-    val r = new HttpPartitionReader(conf, part, attemptNumber = 1)
-    assert(r.rate === 2.0)
-    val t0 = System.nanoTime()
-    var n = 0
-    while (r.next()) n += 1
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    assert(n == 6)
-    assert(elapsed >= 1.9, s"attempt-1 reader must pace at half share: ${elapsed}s")
+    // the pure rule, SPECULATION ON: attempt 0 keeps the share, each
+    // further attempt halves it (worst-case aggregate with one live
+    // duplicate = 1.5x)
+    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 0, speculation = true) === 10.0)
+    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 1, speculation = true) === 5.0)
+    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 2, speculation = true) === 2.5)
+    assert(HttpPartitionReader.attemptAdjustedRate(10.0, -1, speculation = true) === 10.0)
+    // SPECULATION OFF: attempt > 0 is a plain retry whose original is
+    // already dead — no overlap to bound, full share, no crawl
+    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 1, speculation = false) === 10.0)
+    assert(HttpPartitionReader.attemptAdjustedRate(10.0, 3, speculation = false) === 10.0)
+    // the reader picks the flag up from the live Spark conf: a forced
+    // attempt-1 reader paces at half the planned share only when
+    // spark.speculation is on, observable as doubled wall time for the
+    // same page walk (burst = rate/2 = 2, so 6 pages wait >= (6-2)/2 =
+    // 2s; an attempt-0 reader at rate 4 with burst 4 waits >= 0.5s)
+    val env = org.apache.spark.SparkEnv.get
+    env.conf.set("spark.speculation", "true")
+    try {
+      MockTransport.reset()
+      val conf = confOf(Map(
+        "url" -> "http://mock.local/api?mock_total=150",
+        "pageSize" -> "25", "totalRecords" -> "150",
+        "transport" -> classOf[MockTransport].getName))
+      val part = HttpPartition(0, 6, ratePerSec = Some(4.0))
+      val r = new HttpPartitionReader(conf, part, attemptNumber = 1)
+      assert(r.rate === 2.0)
+      val t0 = System.nanoTime()
+      var n = 0
+      while (r.next()) n += 1
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(n == 6)
+      assert(elapsed >= 1.9, s"attempt-1 reader must pace at half share: ${elapsed}s")
+      // same attempt-1 reader with speculation off: full share
+      env.conf.set("spark.speculation", "false")
+      val r2 = new HttpPartitionReader(conf, part, attemptNumber = 1)
+      assert(r2.rate === 4.0)
+    } finally env.conf.set("spark.speculation", "false")
   }
 
   test("full connector: extract → transform → load → consistency (E2E)") {

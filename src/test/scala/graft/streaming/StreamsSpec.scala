@@ -703,6 +703,18 @@ class StreamsSpec extends SparkSpec {
     assert(e1 == ((3L, 1L, 0.333333, true)), s"junk flood must alert: $e1")
   }
 
+  test("quality-gate monitor: an idle epoch records n_pass=0, not NULL") {
+    // sum over an empty batch is NULL; the snapshot must coalesce it so
+    // an idle-stream epoch stays consistent with n_docs=0 (pass_rate
+    // defaults to 1.0 — no docs means nothing failed, no alert)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val row = Streams.qualityGateSnapshot(empty, "doc_id", "text",
+      minWords = 5L, alertBelow = 0.5)
+      .select($"n_docs", $"n_pass", $"pass_rate", $"alert")
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(row == ((0L, 0L, 1.0, false)), s"idle epoch snapshot drifted: $row")
+  }
+
   test("streaming DSIR scoring equals the batch probe of the model") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
     val (mP, outP, cp) = (s"$root/model", s"$root/out", s"$root/cp")
