@@ -116,7 +116,7 @@ object EmbedStats {
   def standardize(df: DataFrame, idCol: String, vecCol: String,
       roundTo: Int = 6): DataFrame = {
     val x = Staged(df.select(col(idCol),
-      posexplode(transform(col(vecCol), v => v.cast("double")))
+      posexplode(col(vecCol).cast("array<double>"))
         .as(Seq("dim", "xi"))))
     val st = x.groupBy(col("dim"))
       .agg(count(lit(1)).as("__n"),
@@ -140,8 +140,10 @@ object EmbedStats {
     // plain doubles, and snap onto the 1e-9 grid with the floor(+0.5)
     // long-split trick (exact, order-independent, two long sums per
     // group — no per-row BigDecimal anywhere). ~0.5 s at sf0.1.
-    val base = Staged(df
-      .select(transform(col(vecCol), x => x.cast("double")).as("v")))
+    // plain array cast, not transform(_.cast): ArrayTransform is an
+    // interpreted HOF (CodegenFallback) even for a bare cast lambda —
+    // Cast(array<float> → array<double>) codegens
+    val base = Staged(df.select(col(vecCol).cast("array<double>").as("v")))
     val pairs = base
       .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"),

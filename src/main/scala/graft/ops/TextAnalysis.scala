@@ -252,15 +252,27 @@ object TextAnalysis {
       roundTo: Int = 6, keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val words = regexp_extract_all(t, lit("\\S+"), lit(0))
-    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    // codegen-friendly counts (the x61 lesson): array `filter` lambdas
+    // are interpreted (ArrayFilter is CodegenFallback) — both counts
+    // restate the per-token predicate as ONE regexp_extract_all, which
+    // codegens. Letter-words: a \S+ run containing a letter yields
+    // exactly one greedy \S*[A-Za-z]\S* match (a match can't span
+    // whitespace and greediness swallows the whole run). Stopword
+    // occurrences: a token of tokens() equals a stopword iff the
+    // maximal [a-z0-9]+ run equals it — the lookaround fence
+    // (?<![a-z0-9])…(?![a-z0-9]) on lower(text) matches exactly those
+    // runs, with multiplicity, whatever the alternation order.
+    val stopRe = "(?<![a-z0-9])(the|a|an|and|or|of|to|in|is|it)(?![a-z0-9])"
     val g = df.select(col(idCol) +: keep.map(col) :+
       size(words).cast("long").as("n_words") :+
       length(regexp_replace(t, "\\s", "")).cast("double").as("__wc") :+
       (length(t) - length(translate(t, "#", ""))).cast("double").as("__nh") :+
       ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
         .cast("double").as("__ne") :+
-      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double").as("__na") :+
-      size(filter(tokens(t), w => w.isin(stop: _*))).cast("long").as("n_stop"): _*)
+      size(regexp_extract_all(t, lit("\\S*[A-Za-z]\\S*"), lit(0)))
+        .cast("double").as("__na") :+
+      size(regexp_extract_all(lower(t), lit(stopRe), lit(0)))
+        .cast("long").as("n_stop"): _*)
     def ratio(num: Column): Column =
       round(when(col("n_words") > 0, num / col("n_words")).otherwise(0.0), roundTo)
     g.select(col(idCol) +: keep.map(col) :+ col("n_words") :+

@@ -208,4 +208,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan parquet"), "model must come off its committed files")
     assert(p.contains("BroadcastHashJoin"), "model join must broadcast")
   }
+
+  test("x60: the Gopher gate is one codegen'd projection — no interpreted HOF") {
+    val p = plan("x60_gopher_rules")
+    // ArrayFilter lambdas are CodegenFallback (interpreted per element,
+    // per row) — the gate's counts must restate them as
+    // regexp_extract_all so the whole row stays in WholeStageCodegen
+    assert(!p.contains("lambdafunction"),
+      s"x60 must not plan an interpreted HOF lambda:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the gate is row-local and must fuse into the scan:\n$p")
+    assert(p.contains("[codegen id"), "projection must codegen")
+  }
+
+  test("x61: gram/cov never self-joins the corpus; only the d²/2 agg shuffles") {
+    val p = plan("x61_embedding_gram")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the corpus must never be self-joined or shuffled for a join:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"the two-generator product build must stay codegen'd (no HOF):\n$p")
+    // the only hash shuffles: the (i,j) product agg (key space d²/2)
+    // and the per-dim moment agg (key space d) — never corpus-keyed
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected ≤2 bounded-key shuffles, saw $shuffles:\n$p")
+    // per-dim means ride BroadcastExchanges into the final d²/2 join
+    assert(p.contains("BroadcastHashJoin"), "dim-stats joins must broadcast")
+  }
 }
