@@ -85,10 +85,32 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(!Bench.hotMeasurement(100.0, -1.0))
   }
 
-  test("default gate is machine-cores/4, floored at 4 for small boxes") {
-    assert(Bench.defaultGate(32) === 8.0)
+  test("default gate is machine-cores/8, floored at 4 for small boxes") {
+    assert(Bench.defaultGate(64) === 8.0)
+    assert(Bench.defaultGate(32) === 4.0)
     assert(Bench.defaultGate(8) === 4.0)
     assert(Bench.defaultGate(4) === 4.0)
+  }
+
+  test("reported: both-hot entries fall back to the ratchet best, flagged") {
+    // sweep hot AND rerun hot → the measurements are noise; report the
+    // historical floor with hot=true so a dirty sweep can't print 2x
+    assert(Bench.reported(2.0, 9.0, Some((1.9, 9.5)), Some(0.9), 4.0)
+      === ((0.9, true)))
+    // hot new query (no ratchet yet): keep the measured min, still flag
+    assert(Bench.reported(2.0, 9.0, Some((1.9, 9.5)), None, 4.0)
+      === ((1.9, true)))
+    // a hot measurement that still beats the ratchet wins (min rules)
+    assert(Bench.reported(0.5, 9.0, Some((0.6, 9.5)), Some(0.9), 4.0)
+      === ((0.5, true)))
+    // sweep hot but the rerun ran clean → the rerun is a real number
+    assert(Bench.reported(2.0, 9.0, Some((0.95, 2.0)), Some(0.9), 4.0)
+      === ((0.95, false)))
+    // no rerun fired → plain sweep min, never flagged
+    assert(Bench.reported(1.0, 2.0, None, Some(0.9), 4.0) === ((1.0, false)))
+    // gate disabled (<= 0) → hotMeasurement is always false
+    assert(Bench.reported(2.0, 9.0, Some((1.9, 9.5)), Some(0.9), 0.0)
+      === ((1.9, false)))
   }
 
   test("ratchet keeps the cross-sweep minimum and never rises") {
