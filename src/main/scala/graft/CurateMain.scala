@@ -41,14 +41,19 @@ object CurateMain {
   final case class CurateSummary(httpIngested: Long, input: Long,
       piiFlagged: Long, quality: Long, boilerplate: Long, exact: Long,
       passage: Long, decontaminated: Long, nearDedup: Long, mixed: Long,
-      packs: Long, shards: Long, out: String) {
-    def json: String =
+      packs: Long, shards: Long, out: String,
+      gateFails: Seq[(String, Long)] = Nil) {
+    def json: String = {
+      val gf = gateFails.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
       s"""{"stage_counts":{"http_ingested":$httpIngested,"input":$input,""" +
         s""""pii_flagged":$piiFlagged,"quality":$quality,""" +
         s""""boilerplate":$boilerplate,""" +
         s""""exact":$exact,"passage":$passage,""" +
         s""""decontaminated":$decontaminated,"near_dedup":$nearDedup,""" +
-        s""""mixed":$mixed,"packs":$packs,"shards":$shards},"out":"$out"}"""
+        s""""mixed":$mixed,"packs":$packs,"shards":$shards},""" +
+        s""""gate_fails":$gf,"out":"$out"}"""
+    }
   }
 
   /** The page payload the connector stage parses (the mock provider's
@@ -149,10 +154,29 @@ object CurateMain {
     val nPii = scrubbed
       .where($"n_emails" + $"n_urls" + $"n_long_nums" > 0).count()
 
-    // 2. quality gate
-    val quality = Staged(scrubbed
-      .withColumn("quality", TextAnalysis.qualityScore($"text"))
-      .where($"quality" >= 0.5))
+    // 2. quality gate: the x07 score AND the x60 Gopher rule gates —
+    // production recipes (Gopher, FineWeb) run rules AND a model/score
+    // filter; a doc must clear both. minWords=5 is fixture policy (the
+    // synthetic docs run 9–99 words; a production crawl raises it to
+    // Gopher's 50). Per-gate violator counts ride the summary so a
+    // rule that starts eating a crawl is visible in the stage report,
+    // not just as a shrinking survivor count.
+    val gated = Staged(TextAnalysis.gopherRules(
+      scrubbed.withColumn("quality", TextAnalysis.qualityScore($"text")),
+      "doc_id", "text", minWords = 5L,
+      keep = Seq("text", "lang", "source", "quality"), perGate = true))
+    val failRow = gated.agg(
+      coalesce(sum(when(col(TextAnalysis.gopherGateCols.head) === 0, 1L)
+        .otherwise(0L)), lit(0L)).as("f0"),
+      TextAnalysis.gopherGateCols.tail.map(c =>
+        coalesce(sum(when(col(c) === 0, 1L).otherwise(0L)), lit(0L)).as(c))
+        :+ coalesce(sum(when($"quality" < 0.5, 1L).otherwise(0L)), lit(0L))
+          .as("score"): _*).head()
+    val gateFails = (TextAnalysis.gopherGateCols :+ "score").zipWithIndex
+      .map { case (c, i) => c -> failRow.getLong(i) }
+    val quality = Staged(gated
+      .where($"pass" === 1 && $"quality" >= 0.5)
+      .select($"doc_id", $"text", $"lang", $"source", $"quality"))
     val nQuality = quality.count()
 
     // 2b. per-source boilerplate strip (x55): template content must
@@ -296,7 +320,7 @@ object CurateMain {
     Staged.releaseAll()
 
     CurateSummary(nHttp, nTotal, nPii, nQuality, nBoiler, nExact, nPassage,
-      nClean, nKept, nMixed, nPacks, nShards, s"$outDir/curated")
+      nClean, nKept, nMixed, nPacks, nShards, s"$outDir/curated", gateFails)
   }
 
   /** Day-2 survivor counts of the incremental face — the daily-ingest

@@ -249,7 +249,8 @@ object TextAnalysis {
 
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L,
-      roundTo: Int = 6, keep: Seq[String] = Nil): DataFrame = {
+      roundTo: Int = 6, keep: Seq[String] = Nil,
+      perGate: Boolean = false): DataFrame = {
     val t = col(textCol)
     val words = regexp_extract_all(t, lit("\\S+"), lit(0))
     // codegen-friendly counts (the x61 lesson): array `filter` lambdas
@@ -275,18 +276,36 @@ object TextAnalysis {
         .cast("long").as("n_stop"): _*)
     def ratio(num: Column): Column =
       round(when(col("n_words") > 0, num / col("n_words")).otherwise(0.0), roundTo)
-    g.select(col(idCol) +: keep.map(col) :+ col("n_words") :+
-        ratio(col("__wc")).as("mean_word_len") :+
-        ratio(col("__nh")).as("hash_ratio") :+
-        ratio(col("__ne")).as("ellipsis_ratio") :+
-        ratio(col("__na")).as("alpha_frac") :+
-        col("n_stop"): _*)
-      .withColumn("pass",
-        (col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.3 &&
-          col("alpha_frac") >= 0.8 && col("n_stop") >= 2L).cast("int"))
+    val stats = g.select(col(idCol) +: keep.map(col) :+ col("n_words") :+
+      ratio(col("__wc")).as("mean_word_len") :+
+      ratio(col("__nh")).as("hash_ratio") :+
+      ratio(col("__ne")).as("ellipsis_ratio") :+
+      ratio(col("__na")).as("alpha_frac") :+
+      col("n_stop"): _*)
+    // per-gate verdicts, exported as columns when `perGate` (the audit
+    // shape a pipeline's stage report needs — WHICH rule ate the crawl,
+    // not just how many docs died); the default schema stays exactly
+    // x60's oracle-pinned shape
+    val gates = Seq(
+      "g_words" -> (col("n_words") >= minWords && col("n_words") <= maxWords),
+      "g_word_len" -> (col("mean_word_len") >= 3.0 &&
+        col("mean_word_len") <= 10.0),
+      "g_hash" -> (col("hash_ratio") <= 0.1),
+      "g_ellipsis" -> (col("ellipsis_ratio") <= 0.3),
+      "g_alpha" -> (col("alpha_frac") >= 0.8),
+      "g_stop" -> (col("n_stop") >= 2L))
+    val withGates = if (perGate)
+      gates.foldLeft(stats) { case (d, (n, c)) => d.withColumn(n, c.cast("int")) }
+    else stats
+    withGates.withColumn("pass",
+      gates.map(_._2).reduce(_ && _).cast("int"))
   }
+
+  /** The gate column names [[gopherRules]] emits under `perGate`, in
+    * emission order — the stage-report accounting key set.
+    */
+  val gopherGateCols: Seq[String] =
+    Seq("g_words", "g_word_len", "g_hash", "g_ellipsis", "g_alpha", "g_stop")
 }
 
 /** Word n-gram shingles, shared by fingerprinting and MinHash dedup. */

@@ -53,12 +53,18 @@ class CurateMainSpec extends SparkSpec {
     MockTransport.reset()
     val out = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString
     val s = CurateMain.run(spark, "/root/testdata/sf0.001", out)
+    // r13: the quality stage is score AND Gopher rules (minWords=5
+    // fixture policy) — 109 corpus docs fail the n_stop>=2 gate and are
+    // accounted to it; every other gate and the score pass everything
     assert(s == CurateMain.CurateSummary(
-      httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
-      boilerplate = 548, exact = 548, passage = 547, decontaminated = 539, nearDedup = 539,
-      mixed = 355, packs = 11, shards = 8, out = s"$out/curated"),
+      httpIngested = 50, input = 550, piiFlagged = 0, quality = 441,
+      boilerplate = 441, exact = 441, passage = 440, decontaminated = 436, nearDedup = 436,
+      mixed = 283, packs = 10, shards = 8, out = s"$out/curated",
+      gateFails = Seq("g_words" -> 0L, "g_word_len" -> 0L, "g_hash" -> 0L,
+        "g_ellipsis" -> 0L, "g_alpha" -> 0L, "g_stop" -> 109L,
+        "score" -> 0L)),
       s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "-58478339510331240306",
+    assert(contentHash(s.out) == "-72368066835835627570",
       s"curated content drifted: ${contentHash(s.out)}")
     // writer metadata: seq is a stride-schedule permutation of 1..N,
     // ilw is the DSIR weight toward the top-quality slice
@@ -215,16 +221,47 @@ class CurateMainSpec extends SparkSpec {
     graft.ops.Staged.releaseAll()
   }
 
+  test("quality stage per-gate accounting: each planted violation trips exactly its gate") {
+    import spark.implicits._
+    // one doc per Gopher gate, engineered to violate ONLY that gate at
+    // the pipeline's fixture policy (minWords=5); doc 7 is clean
+    val docs = Seq(
+      1L -> "the dog is fine",                                        // 4 words
+      2L -> ("it is extraordinarily incomprehensible " +
+        "hippopotomonstrous sesquipedalian verbosity"),               // mwl > 10
+      3L -> "the dogs are fine and it runs around #### here",         // hash heavy
+      4L -> "the dogs... are fine... and it... runs around... town",  // ellipsis heavy
+      5L -> "the total is 111 222 333 444 555 666 770",               // numeric
+      6L -> "quick brown foxes jump over high fences daily",          // no stopwords
+      7L -> "the quick brown fox jumps over a lazy dog and it runs to the river"
+    ).toDF("doc_id", "text")
+    val g = graft.ops.TextAnalysis.gopherRules(docs, "doc_id", "text",
+      minWords = 5L, perGate = true)
+    val cols = graft.ops.TextAnalysis.gopherGateCols
+    val fails: Map[String, Set[Long]] = cols.map { c =>
+      c -> g.where(col(c) === 0).select($"doc_id").as[Long].collect().toSet
+    }.toMap
+    val want = Map(
+      "g_words" -> Set(1L), "g_word_len" -> Set(2L), "g_hash" -> Set(3L),
+      "g_ellipsis" -> Set(4L), "g_alpha" -> Set(5L), "g_stop" -> Set(6L))
+    assert(fails == want, s"per-gate verdicts drifted: $fails")
+    assert(g.where($"pass" === 1).select($"doc_id").as[Long].collect().toSet
+      == Set(7L), "only the clean doc passes the conjunction")
+  }
+
   test("curation pipeline is pinned end-to-end at sf0.01") {
     MockTransport.reset()
     val out = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString
     val s = CurateMain.run(spark, "/root/testdata/sf0.01", out)
     assert(s == CurateMain.CurateSummary(
-      httpIngested = 50, input = 550, piiFlagged = 0, quality = 550,
-      boilerplate = 550, exact = 550, passage = 547, decontaminated = 541, nearDedup = 539,
-      mixed = 315, packs = 10, shards = 8, out = s"$out/curated"),
+      httpIngested = 50, input = 550, piiFlagged = 0, quality = 438,
+      boilerplate = 438, exact = 438, passage = 435, decontaminated = 430, nearDedup = 429,
+      mixed = 245, packs = 10, shards = 8, out = s"$out/curated",
+      gateFails = Seq("g_words" -> 0L, "g_word_len" -> 0L, "g_hash" -> 0L,
+        "g_ellipsis" -> 0L, "g_alpha" -> 0L, "g_stop" -> 112L,
+        "score" -> 0L)),
       s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "-88502617534425594558",
+    assert(contentHash(s.out) == "-47629612468594500742",
       s"curated content drifted: ${contentHash(s.out)}")
     assertRetriedOnce()
   }
