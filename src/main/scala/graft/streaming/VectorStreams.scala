@@ -221,4 +221,73 @@ object VectorStreams {
       .parquet(tmp.toString)
     promote(tmp, label)
   }
+
+  /** One epoch's recall snapshot, exposed for crash-replay testing —
+    * a pure function of (batch, index files, corpus files): sample up
+    * to `maxQueries` of the batch's queries (lowest ids — determinism
+    * under replay beats representativeness here), run the IVF probe
+    * and the brute-force ground truth, micro-average |ANN ∩ BF| / |BF|.
+    * Returns one row: (n_queries, n_truth, n_hit, recall, alert).
+    */
+  def recallSnapshot(batch: DataFrame, basePath: String, corpusPath: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      maxQueries: Int, alertBelow: Double): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val q = batch.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(maxQueries).localCheckpoint()
+    val n = q.count()
+    if (n == 0L)
+      // idle epoch: nothing measured means nothing degraded — recall
+      // holds at 1.0 and no alert, mirroring the quality gate's
+      // n_docs=0 convention
+      return Seq((0L, 0L, 0L, 1.0, false))
+        .toDF("n_queries", "n_truth", "n_hit", "recall", "alert")
+    val index = Ivf.readIndex(spark, basePath)
+    val ann = Ivf.topKBatch(index, q, idCol, vecCol, idCol, k,
+        nprobe = nprobe)
+      .select(col("query_id"), col(idCol))
+    val bf = Similarity.bruteForceTopKBatch(
+        spark.read.parquet(corpusPath), q, idCol, vecCol, idCol, k)
+      .select(col("query_id"), col(idCol))
+    bf.join(ann.withColumn("__hit", lit(1)),
+        Seq("query_id", idCol), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hit"))
+      .select(lit(n).as("n_queries"), col("n_truth"), col("n_hit"),
+        round(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).otherwise(1.0), 6)
+          .as("recall"))
+      .withColumn("alert", col("recall") < alertBelow)
+  }
+
+  /** Streaming ANN recall monitor — the operational face of the a07
+    * batch report: per micro-batch of ARRIVING queries, recall@k of
+    * the static IVF index at `basePath` against the brute-force truth
+    * over the corpus at `corpusPath`, one epoch-keyed snapshot row
+    * (overwrite ⇒ crash replay rewrites identical bytes). The corpus
+    * is re-listed EVERY epoch while the index is read as built — so
+    * corpus appends the index hasn't absorbed surface as exactly the
+    * recall drop this watches for (a07 is the point-in-time report;
+    * nothing else watches drift continuously after appends).
+    *
+    * 100 TB shape: the query sample is driver-small by construction
+    * (`maxQueries`), so the BF side is ONE broadcast-queries corpus
+    * pass per epoch — the corpus is never shuffled — and the ANN side
+    * partition-prunes to the probed cells. Run it on a sampled query
+    * stream; the monitor's cost knob is (maxQueries × corpus scan),
+    * bounded and independent of arrival rate.
+    */
+  def annRecallStream(queries: DataFrame, basePath: String,
+      corpusPath: String, outPath: String, checkpoint: String,
+      idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 4,
+      maxQueries: Int = 32, alertBelow: Double = 0.9): StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        recallSnapshot(batch, basePath, corpusPath, idCol, vecCol,
+          k, nprobe, maxQueries, alertBelow)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      }
+      .start()
 }

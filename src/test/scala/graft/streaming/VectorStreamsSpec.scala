@@ -205,6 +205,61 @@ class VectorStreamsSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxP/__compact_tmp_1")))
   }
 
+  test("ANN recall monitor: planted corpus drift drops recall and fires the alert") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vrecall").toString
+    // index AND corpus start identical: four orthogonal unit vectors
+    val base = Seq((1L, v1), (2L, v2), (3L, v3), (4L, v4))
+      .toDF("vec_id", "embedding")
+    Ivf.buildPersistent(base, s"$root/base", "vec_id", "embedding", k = 2): Unit
+    base.write.mode("overwrite").parquet(s"$root/corpus")
+    val input = MemoryStream[VecEvent](spark)
+    // nprobe=2 covers BOTH cells, so while corpus ≡ index the probe IS
+    // exhaustive: recall must be exactly 1.0, not fixture luck
+    val q = VectorStreams.annRecallStream(input.toDF(), s"$root/base",
+      s"$root/corpus", s"$root/out", s"$root/cp", "vec_id", "embedding",
+      k = 2, nprobe = 2, alertBelow = 0.9)
+    try {
+      input.addData(VecEvent(901L, v1), VecEvent(902L, v3))
+      q.processAllAvailable()
+      // drift: exact copies of the query directions land in the CORPUS
+      // but not the index — the truth's top-k changes under the index
+      val drift = Seq((11L, v1), (13L, v3)).toDF("vec_id", "embedding")
+      drift.write.mode("append").parquet(s"$root/corpus")
+      input.addData(VecEvent(903L, v1), VecEvent(904L, v3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val e0 = spark.read.parquet(s"$root/out/epoch=0")
+      .select($"n_queries", $"n_truth", $"n_hit", $"recall", $"alert")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(e0 == ((2L, 4L, 4L, 1.0, false)),
+      s"pre-drift recall must be exactly 1.0: $e0")
+    // per query: BF top-2 = {original, appended copy (both cos 1.0)};
+    // ANN still returns the index's two — one hit of two per query
+    val e1 = spark.read.parquet(s"$root/out/epoch=1")
+      .select($"n_queries", $"n_truth", $"n_hit", $"recall", $"alert")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(e1 == ((2L, 4L, 2L, 0.5, true)),
+      s"post-drift recall must drop to 0.5 and alert: $e1")
+    // replay idempotence: the snapshot is a pure function of (batch,
+    // index files, corpus files) — recomputing epoch 1's row off-stream
+    // yields the committed row
+    val replay = VectorStreams.recallSnapshot(
+      Seq((903L, v1), (904L, v3)).toDF("vec_id", "embedding"),
+      s"$root/base", s"$root/corpus", "vec_id", "embedding",
+      k = 2, nprobe = 2, maxQueries = 32, alertBelow = 0.9)
+      .select($"n_queries", $"n_truth", $"n_hit", $"recall", $"alert")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(replay == e1, s"replay drifted: $replay vs $e1")
+    // idle epoch: no queries → nothing degraded, recall holds, no alert
+    val idle = VectorStreams.recallSnapshot(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      s"$root/base", s"$root/corpus", "vec_id", "embedding",
+      k = 2, nprobe = 2, maxQueries = 32, alertBelow = 0.9)
+      .select($"n_queries", $"n_truth", $"n_hit", $"recall", $"alert")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(idle == ((0L, 0L, 0L, 1.0, false)), s"idle snapshot drifted: $idle")
+  }
+
   test("cross-pair probe: index side partition-prunes and never shuffles") {
     val root = java.nio.file.Files.createTempDirectory("graft-vplan").toString
     buildBase(s"$root/base")
