@@ -153,9 +153,12 @@ object EmbedStats {
         (col("xi") * col("xj")).as("p"))
     val sp = pairs.groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), gridTotal(snap(col("p"))).as("__spd"))
-    val dims = base.select(posexplode(col("v")).as(Seq("d", "x")))
+    // staged: da and db below both read this O(d) table — without the
+    // stage the per-dim aggregation (and its corpus scan) runs TWICE,
+    // a third full pass over the corpus at scale for identical numbers
+    val dims = Staged(base.select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("d"))
-      .agg(gridTotal(snap(col("x"))).as("__s"))
+      .agg(gridTotal(snap(col("x"))).as("__s")))
     val da = dims.select(col("d").as("i"), col("__s").as("__si"))
     val db = dims.select(col("d").as("j"), col("__s").as("__sj"))
     sp.join(broadcast(da), "i").join(broadcast(db), "j")

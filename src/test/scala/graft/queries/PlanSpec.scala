@@ -228,9 +228,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lambdafunction"),
       s"the two-generator product build must stay codegen'd (no HOF):\n$p")
     // the only hash shuffles: the (i,j) product agg (key space d²/2)
-    // and the per-dim moment agg (key space d) — never corpus-keyed
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(shuffles <= 2, s"expected ≤2 bounded-key shuffles, saw $shuffles:\n$p")
+    // and the per-dim moment agg (key space d, staged so it runs ONCE
+    // for both join sides) — never corpus-keyed. Formatted mode names
+    // shuffles "(n) Exchange" and broadcasts "(n) BroadcastExchange",
+    // so anchor on the word boundary.
+    val shuffles = """\(\d+\) Exchange\b""".r.findAllIn(p).size
+    assert(shuffles == 2, s"expected the 2 bounded-key shuffles, saw $shuffles:\n$p")
     // per-dim means ride BroadcastExchanges into the final d²/2 join
     assert(p.contains("BroadcastHashJoin"), "dim-stats joins must broadcast")
   }
