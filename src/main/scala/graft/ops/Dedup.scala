@@ -920,14 +920,39 @@ object Dedup {
       s"containment threshold must be in (0, 1], got $threshold")
     require(n > 0, s"shingle size must be positive, got $n")
     GraftFunctions.register(df.sparkSession)
-    val docs = stage(df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      shingleHashSet(col(textCol), n).as("h"))
+    val docs = stage(containmentSets(df, idCol, textCol,
+      Some(blockCol), n))
+    containmentPairs(docs, docs, threshold, roundTo)
+  }
+
+  /** The prepared shingle-set frame the containment join consumes:
+    * (id, block, h = sorted distinct shingle hashes, hn = |h|); docs
+    * with no shingles are absent. `blockCol` None ⇒ one global block
+    * (the streaming face's shape — a single corpus, no partition key).
+    */
+  private[graft] def containmentSets(df: DataFrame, idCol: String,
+      textCol: String, blockCol: Option[String], n: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        blockCol.map(col).getOrElse(lit(0)).as("block"),
+        shingleHashSet(col(textCol), n).as("h"))
       .where(size(col("h")) > 0)
-      .withColumn("hn", size(col("h"))))
+      .withColumn("hn", size(col("h")))
+  }
+
+  /** Directional containment pairs between two prepared set frames —
+    * `a` is the CONTAINED side (only its lossless prefix explodes),
+    * `b` the container side (full explode): (id_a, id_b, containment)
+    * with containment = |h(a)∩h(b)| / |h(a)| ≥ threshold, id_a ≠ id_b.
+    * Shared by the blocked batch join (a = b = corpus) and the
+    * streaming quotation flagger (a = batch, b = committed ∪ batch).
+    */
+  private[graft] def containmentPairs(a: DataFrame, b: DataFrame,
+      threshold: Double, roundTo: Int): DataFrame = {
     val prefixLen = (col("hn") - ceil(col("hn") * lit(threshold)) + 1).cast("int")
-    val pref = docs.select(col("id"), col("block"), col("hn"),
+    val pref = a.select(col("id"), col("block"), col("hn"),
       explode(slice(col("h"), lit(1), prefixLen)).as("tok"))
-    val full = docs.select(col("id"), col("block"), col("hn"),
+    val full = b.select(col("id"), col("block"), col("hn"),
       explode(col("h")).as("tok"))
     val pairs = pref.as("x").join(full.as("y"),
       col("x.block") === col("y.block") && col("x.tok") === col("y.tok") &&
@@ -936,8 +961,8 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     pairs
-      .join(docs.select(col("id").as("id_a"), col("h").as("__ha")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("h").as("__hb")), Seq("id_b"))
+      .join(a.select(col("id").as("id_a"), col("h").as("__ha")), Seq("id_a"))
+      .join(b.select(col("id").as("id_b"), col("h").as("__hb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
           size(col("__ha")), roundTo).as("containment"))

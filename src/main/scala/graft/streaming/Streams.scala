@@ -547,6 +547,64 @@ object Streams {
     * silently see nothing and every batch would dedup against an
     * empty index.
     */
+  /** One micro-batch of [[quotationFlagStream]], exposed for crash-
+    * replay testing — a pure function of (batch, committed prefix):
+    * build the batch's shingle-set frame, run the directional
+    * containment join of batch docs (contained side, prefix-filtered)
+    * against committed epochs ∪ the batch itself (container side),
+    * keep only containments in EARLIER docs (`id_b < id_a` — the
+    * stream contract is ids increase with arrival, as in the other
+    * incremental faces), and commit (idCol, quoted_from, containment)
+    * flags to `outPath/epoch=<e>`. EVERY batch doc with shingles then
+    * registers into `indexPath/epoch=<e>` — quotation is advisory
+    * (flag, not drop), so a flagged doc is still a valid container
+    * for later arrivals.
+    */
+  def processQuotationBatch(batch: DataFrame, epoch: Long,
+      indexPath: String, outPath: String, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): Unit = {
+    val spark = batch.sparkSession
+    val sets = graft.ops.Staged(graft.ops.Dedup
+      .containmentSets(batch, idCol, textCol, None, n))
+    val ref = (epochsBefore(spark, indexPath, epoch)
+      .map(e => spark.read.parquet(s"$indexPath/epoch=$e")) :+ sets)
+      .reduce(_ unionByName _)
+    graft.ops.Dedup.containmentPairs(sets, ref, threshold, roundTo = 6)
+      .where(col("id_b") < col("id_a"))
+      .select(col("id_a").as(idCol), col("id_b").as("quoted_from"),
+        col("containment"))
+      .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+    sets.write.mode("overwrite").parquet(s"$indexPath/epoch=$epoch")
+    graft.ops.Staged.release()
+  }
+
+  /** Streaming quotation suppression — the dedup family's asymmetric
+    * case as a continuous monitor: new docs whose shingle set is ≥
+    * `threshold` CONTAINED in an earlier (committed or same-batch,
+    * lower-id) doc get FLAGGED, not dropped — tiny-Jaccard inclusions
+    * (a short doc quoted verbatim inside a long one) that symmetric
+    * near-dup suppression structurally misses. Epoch-partitioned
+    * index + overwrite-committed flags: the [[passageDedupStream]]
+    * replay contract, applied to x66's batch operator.
+    *
+    * 100 TB shape: per batch, only the BATCH side's lossless prefixes
+    * explode (O(batch shingles)); the committed side is an
+    * equi-joined parquet scan on the shingle-hash key — no corpus
+    * re-hashing, no all-pairs product; the verify join re-attaches
+    * full sets by id for the candidates only.
+    */
+  def quotationFlagStream(docs: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        processQuotationBatch(batch, epoch, indexPath, outPath,
+          idCol, textCol, n, threshold)
+      }
+      .start()
+
   /** Epoch labels of the index partitions committed before `epoch`,
     * ascending. Listed through the Hadoop FileSystem API, not
     * java.io.File: at cluster scale the index lives on HDFS/S3, where

@@ -715,6 +715,66 @@ class StreamsSpec extends SparkSpec {
     assert(row == ((0L, 0L, 1.0, false)), s"idle epoch snapshot drifted: $row")
   }
 
+  test("quotation flag stream ≡ batch containment restricted to earlier ids; flags don't drop") {
+    val root = java.nio.file.Files.createTempDirectory("graft-quote").toString
+    val host = "to be or not to be that is the question whether tis nobler " +
+      "in the mind to suffer the slings and arrows of outrageous fortune " +
+      "or to take arms against a sea of troubles and by opposing end them"
+    val quote = "whether tis nobler in the mind to suffer the slings and arrows"
+    val novel = "spark catalyst rewrites logical plans into physical operators " +
+      "with pushdown pruning and whole stage code generation for columnar scans"
+    val chain = "pushdown pruning and whole stage code generation"
+    // epochs: host+its quoter arrive TOGETHER (within-batch flag);
+    // the novel doc's quoter arrives an epoch LATER (cross-epoch flag);
+    // doc 30 quotes doc 10 — a doc that was itself FLAGGED in epoch 0 —
+    // proving flagged docs still register as containers (flag ≠ drop)
+    val epochs = Seq(
+      Seq(DocEvent(1L, ts(1), host), DocEvent(10L, ts(2), quote),
+        DocEvent(11L, ts(3), novel)),
+      Seq(DocEvent(20L, ts(4), chain), DocEvent(21L, ts(5),
+        "completely unrelated text about minhash bands and lsh buckets " +
+          "for large scale near duplicate detection work")),
+      Seq(DocEvent(30L, ts(6), quote)))
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.quotationFlagStream(input.toDF().select($"doc_id", $"text"),
+      s"$root/index", s"$root/out", s"$root/cp", "doc_id", "text",
+      n = 3, threshold = 0.6)
+    try epochs.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .select($"doc_id", $"quoted_from", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    // the batch operator over the full corpus, restricted to the
+    // arrival order (id_b earlier than id_a) — must agree EXACTLY,
+    // values included
+    val all = epochs.flatten.map(e => (e.doc_id, e.text)).toDF("doc_id", "text")
+      .withColumn("blk", lit(0))
+    val batch = graft.ops.Dedup.ngramContainmentBlocked(all, "doc_id",
+      "text", "blk", n = 3, threshold = 0.6)
+      .where($"id_b" < $"id_a")
+      .select($"id_a", $"id_b", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch diverged: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+    // the planted structure is all present: within-batch (10⊂1),
+    // cross-epoch (20⊂11), and quoting a FLAGGED doc (30⊂10, plus 30⊂1
+    // transitively since quote⊂host)
+    val pairs = streamed.map { case (a, b, _) => (a, b) }
+    assert(Set((10L, 1L), (20L, 11L), (30L, 10L), (30L, 1L)).subsetOf(pairs),
+      s"planted quotations missing from: $pairs")
+    assert(!pairs.exists { case (a, b) => a <= b }, "flags must point backward")
+    // replay idempotence: re-running the last epoch rewrites identical rows
+    val before = spark.read.parquet(s"$root/out/epoch=2")
+      .as[(Long, Long, Double)].collect().toSet
+    Streams.processQuotationBatch(
+      Seq((30L, quote)).toDF("doc_id", "text"), epoch = 2L,
+      s"$root/index", s"$root/out", "doc_id", "text",
+      n = 3, threshold = 0.6)
+    val after = spark.read.parquet(s"$root/out/epoch=2")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == before, "replay must rewrite identical flags")
+  }
+
   test("streaming DSIR scoring equals the batch probe of the model") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
     val (mP, outP, cp) = (s"$root/model", s"$root/out", s"$root/cp")
