@@ -73,6 +73,18 @@ object ScaleRehearsal {
           n = 3, threshold = 0.8).count()
       }
       Staged.releaseAll()
+      // directional containment (x66): same lossless-prefix family as
+      // the Jaccard join but asymmetric — contained-side prefixes ×
+      // container-side full explode. The letter-permutation replicas
+      // preserve containment structure exactly (pairs grow K×, never
+      // K²), so a super-linear curve here means the full-side explode
+      // or the verify joins stopped scaling.
+      val (tCont, nCont) = time {
+        Dedup.ngramContainmentBlocked(
+          docs.withColumn("block", lit(1)), "doc_id", "text", "block",
+          n = 3, threshold = 0.6).count()
+      }
+      Staged.releaseAll()
       val (tCc, nCc) = time {
         val pairs = Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.8)
         Dedup.connectedComponents(pairs, maxIter = 40).count()
@@ -123,7 +135,9 @@ object ScaleRehearsal {
       }
       Staged.releaseAll()
       println(s"""{"mult":$k,"docs":$n,"lsh_sec":$tPairs,"lsh_pairs":$nPairs,""" +
-        s""""ngram_sec":$tNgram,"ngram_pairs":$nNgram,"cc_sec":$tCc,"cc_rows":$nCc,""" +
+        s""""ngram_sec":$tNgram,"ngram_pairs":$nNgram,""" +
+        s""""contain_sec":$tCont,"contain_pairs":$nCont,""" +
+        s""""cc_sec":$tCc,"cc_rows":$nCc,""" +
         s""""incr_sec":$tIncr,"incr_pairs":$nIncr,""" +
         s""""incr_fixed_sec":$tFix,"incr_fixed_pairs":$nFix,""" +
         s""""pass_fixed_sec":$tPFix,"pass_fixed_docs":$nPFix}""")
