@@ -92,15 +92,22 @@ object EmbedStats {
     floor(c * lit(1e9) + lit(0.5)).cast("long")
 
   private def gridTotal(v: Column): Column = {
-    val hi = shiftright(v, 20)
-    val lo = v - hi * lit(1L << 20)
-    // hi is summed as DECIMAL(38,0) — cast BEFORE the sum, not after:
-    // a plain long sum of hi (up to ~4.3e9 per row at the |c·1e9| <
-    // 4.5e15 snap bound) overflows silently past ~2e9 rows per group,
-    // well inside 100 TB row counts. The decimal partial-agg still
-    // map-side-combines; only lo (< 2^20 per row, overflow at ~9e12
-    // rows/group — beyond any advertised corpus) stays a long sum.
-    (sum(hi.cast(DecimalType(38, 0))) * lit(1L << 20) +
+    // THREE-limb long split, not two: the r12 two-limb form's hi could
+    // reach ~4.3e9 per row (|c·1e9| < 4.5e15), so a plain long sum of
+    // hi overflowed silently past ~2e9 rows per group — inside 100 TB
+    // row counts. Summing hi as DECIMAL fixes the overflow but costs
+    // 3.5× on the d²/2 hot aggregation (measured: x61 0.26 s → 0.94 s
+    // at sf0.1 — decimal partials allocate per value). Splitting into
+    // 20-bit limbs instead keeps every per-row limb < 2^20 (top limb
+    // |v>>40| ≤ ~4.1e3 at the snap bound), so all three sums stay
+    // plain codegen'd longs, each safe to ~9e12 rows per GROUP — the
+    // documented capacity, ~100× any advertised corpus — and only the
+    // three FINAL per-group totals recombine in Decimal(38,0).
+    val top = shiftright(v, 40)
+    val mid = shiftright(v, 20) - top * lit(1L << 20)
+    val lo = v - shiftright(v, 20) * lit(1L << 20)
+    (sum(top).cast(DecimalType(38, 0)) * lit(1L << 40) +
+      sum(mid).cast(DecimalType(38, 0)) * lit(1L << 20) +
       sum(lo).cast(DecimalType(38, 0))).cast("double") / lit(1e9)
   }
 
