@@ -118,21 +118,31 @@ object Streams {
     * batch, nothing corpus-sized, no index.
     */
   /** The per-epoch snapshot row, extracted so the empty-batch contract
-    * is unit-testable: an idle epoch records (0, 0, 1.0, false) — the
-    * coalesce matters because sum over zero rows is NULL, which would
-    * break non-nullable downstream readers of the snapshot table.
+    * is unit-testable: an idle epoch records (0, 0, 1.0, false, 0…) —
+    * the coalesces matter because sums over zero rows are NULL, which
+    * would break non-nullable downstream readers of the snapshot table.
+    * Per-gate violator counts (`fail_g_*`, the r13 audit shape shared
+    * with the capstone's stage report) ride every row: a pass-rate
+    * cliff names WHICH rule is eating the crawl in the same snapshot
+    * that alerts on it.
     */
   private[streaming] def qualityGateSnapshot(batch: DataFrame, idCol: String,
-      textCol: String, minWords: Long, alertBelow: Double): DataFrame =
+      textCol: String, minWords: Long, alertBelow: Double): DataFrame = {
+    val gateCols = graft.ops.TextAnalysis.gopherGateCols
     graft.ops.TextAnalysis
-      .gopherRules(batch, idCol, textCol, minWords = minWords)
+      .gopherRules(batch, idCol, textCol, minWords = minWords, perGate = true)
       .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("pass")), lit(0L)).cast("long").as("n_pass"))
-      .select(col("n_docs"), col("n_pass"),
+        (coalesce(sum(col("pass")), lit(0L)).cast("long").as("n_pass") +:
+          gateCols.map(c =>
+            coalesce(sum(when(col(c) === 0, 1L).otherwise(0L)), lit(0L))
+              .as(s"fail_$c"))): _*)
+      .select(col("n_docs") +: col("n_pass") +:
         round(when(col("n_docs") > 0,
           col("n_pass").cast("double") / col("n_docs")).otherwise(1.0), 6)
-          .as("pass_rate"))
+          .as("pass_rate") +:
+        gateCols.map(c => col(s"fail_$c")): _*)
       .withColumn("alert", col("pass_rate") < alertBelow)
+  }
 
   def qualityGateStream(docs: DataFrame, outPath: String,
       checkpoint: String, idCol: String, textCol: String,

@@ -701,6 +701,15 @@ class StreamsSpec extends SparkSpec {
       .select($"n_docs", $"n_pass", $"pass_rate", $"alert")
       .as[(Long, Long, Double, Boolean)].head()
     assert(e1 == ((3L, 1L, 0.333333, true)), s"junk flood must alert: $e1")
+    // per-gate accounting names the rules the junk trips: "#x" docs
+    // fail the hash-ratio, word-length, and stopword gates, never the
+    // word-count/ellipsis/alpha ones
+    val gates = spark.read.parquet(s"$root/out/epoch=1")
+      .select($"fail_g_words", $"fail_g_word_len", $"fail_g_hash",
+        $"fail_g_ellipsis", $"fail_g_alpha", $"fail_g_stop")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(gates == ((0L, 2L, 2L, 0L, 0L, 2L)),
+      s"per-gate violator counts drifted: $gates")
   }
 
   test("quality-gate monitor: an idle epoch records n_pass=0, not NULL") {
