@@ -175,4 +175,145 @@ object EmbedStats {
           (col("__si") / col("n")) * (col("__sj") / col("n")), roundTo)
           .as("cov"))
   }
+
+  /** The fitted PCA artifact: top-k eigenpairs of the corpus covariance
+    * plus the centering means — bounded by DIMENSIONALITY (d doubles
+    * per component), never by corpus size, so it broadcasts trivially.
+    */
+  final case class Pca(eigenvalues: Array[Double],
+      components: Array[Array[Double]], means: Array[Double]) {
+    /** ⟨μ, cⱼ⟩ — the per-component centering offset the projection
+      * subtracts (folded driver-side; also what the oracle dump carries
+      * so both engines subtract the identical constant).
+      */
+    def offsets: Array[Double] = components.map(c =>
+      c.zip(means).foldLeft(0.0) { case (a, (ci, mi)) => a + ci * mi })
+  }
+
+  /** Top-k PCA of the embedding components — the whitening/dim-
+    * reduction preprocessor for cheaper downstream ANN and anisotropy
+    * repair. The distributed work is exactly ONE [[gramCov]] pass plus
+    * one d-key means aggregation; the eigen-decomposition runs on the
+    * DRIVER over the d×d matrix (cyclic Jacobi — the matrix is bounded
+    * by dimensionality, ~microseconds at d=64, and still trivial at
+    * d=4096), so this scales to 100 TB exactly as gramCov does.
+    *
+    * Deterministic: the covariance lands on the 1e-9 grid
+    * (order-independent), Jacobi sweeps in fixed (p,q) order to a fixed
+    * off-diagonal tolerance, eigenpairs sort by (eigenvalue desc, then
+    * original index), and each component's sign is fixed by making its
+    * largest-magnitude entry positive (first index on ties).
+    */
+  def pca(df: DataFrame, vecCol: String, k: Int): Pca = {
+    require(k > 0, s"k must be positive, got $k")
+    val covRows = gramCov(df, vecCol, roundTo = 9)
+      .select(col("i"), col("j"), col("cov")).collect()
+    require(covRows.nonEmpty, "pca needs a non-empty corpus")
+    val d = covRows.map(_.getInt(1)).max + 1
+    val a = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val (eig, vecs) = jacobiEigen(a)
+    val order = (0 until d).sortBy(i => (-eig(i), i)).take(math.min(k, d))
+    val comps = order.map { idx =>
+      val c = Array.tabulate(d)(i => vecs(i)(idx))
+      // sign convention: largest-|entry| positive (first index on ties)
+      val m = c.indices.maxBy(i => (math.abs(c(i)), -i))
+      if (c(m) < 0) c.map(-_) else c
+    }.toArray
+    Pca(order.map(eig).toArray, comps, componentMeans(df, vecCol))
+  }
+
+  /** Project every vector onto the fitted components: (id, component,
+    * value) with value = ⟨x − μ, cⱼ⟩ = ⟨x, cⱼ⟩ − ⟨μ, cⱼ⟩. The offset
+    * folds driver-side, so per-row work is one codegen'd native dot
+    * product per component against a LITERAL array — row-local, fuses
+    * into the scan, zero shuffles at any corpus size.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, p: Pca,
+      roundTo: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val offs = p.offsets
+    val cols = p.components.zipWithIndex.map { case (c, j) =>
+      round(graft.functions.GraftFunctions.dotProduct(
+        col(vecCol), typedLit(c.toSeq)) - lit(offs(j)), roundTo)
+    }
+    df.select(col(idCol),
+      posexplode(array(cols.toSeq: _*)).as(Seq("component", "value")))
+  }
+
+  /** Per-component corpus means on the 1e-9 grid (the centering vector
+    * for [[pca]]) — one d-key aggregation, collected driver-side.
+    */
+  private def componentMeans(df: DataFrame, vecCol: String): Array[Double] = {
+    val rows = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), gridTotal(snap(col("x"))).as("s"))
+      .select(col("d"), (col("s") / col("n")).as("m")).collect()
+    val m = new Array[Double](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => m(r.getInt(0)) = r.getDouble(1))
+    m
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric matrix: returns
+    * (eigenvalues, V) with columns of V the eigenvectors. Fixed sweep
+    * order and tolerance ⇒ bit-deterministic for a given input.
+    */
+  private def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-12) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1 / math.sqrt(t * t + 1)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
 }

@@ -2058,7 +2058,37 @@ object ExtensionQueries {
         WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
           >= 0.6"""),
       notes = "directional pairs (id_a≠id_b, both orders possible); " +
-        "oracle = exact in-block brute force over string shingles")
+        "oracle = exact in-block brute force over string shingles"),
+
+    // ---- PCA projection onto the covariance's top-k eigenvectors —
+    // the dimensionality-reduction / whitening preprocessor. The
+    // distributed work is one gramCov pass + one d-key means agg; the
+    // d×d eigen-decomposition runs driver-side (bounded by dim, not
+    // corpus). The fitted artifact (components + centering offsets) is
+    // DATA once dumped: the oracle replays the projection as one
+    // inner product per (doc, component) and hash-matches the values.
+    GraftQuery(
+      "x67_pca_project",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val p = graft.ops.EmbedStats.pca(e, "embedding", k = 4)
+        OracleDump.dump(
+          p.components.zipWithIndex.map { case (c, j) =>
+            (j, c.toSeq, p.offsets(j))
+          }.toSeq.toDF("component", "vec", "voffset"),
+          dir, "x67_pca")
+        graft.ops.EmbedStats.pcaProject(e, "vec_id", "embedding", p)
+      },
+      Some("""WITH c AS (SELECT component, vec, voffset
+          FROM read_parquet('__SCRATCH__/x67_pca/*.parquet'))
+        SELECT e.vec_id, c.component,
+          round(list_inner_product(
+            list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.vec)
+            - c.voffset, 6) + 0.0 AS value
+        FROM embeddings e CROSS JOIN c"""),
+      notes = "fitted components+offsets dumped as data; both engines run " +
+        "the identical sequential-order inner product; +0.0 folds DuckDB's -0.0")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

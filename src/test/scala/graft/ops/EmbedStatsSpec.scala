@@ -68,6 +68,75 @@ class EmbedStatsSpec extends SparkSpec {
       "zero-variance component must be NULL")
   }
 
+  test("pca: planted dominant axis recovered, orthonormal, sign-fixed, Av=λv") {
+    // 2-d cloud stretched along (1,1)/√2 with small (1,-1)/√2 noise:
+    // the top component must be the diagonal, the second its orthogonal
+    val pts = Seq(
+      (1L, Seq(3.0f, 3.2f)), (2L, Seq(-3.0f, -2.8f)),
+      (3L, Seq(2.0f, 1.9f)), (4L, Seq(-2.0f, -2.1f)),
+      (5L, Seq(1.0f, 1.1f)), (6L, Seq(-1.0f, -0.9f)))
+      .toDF("vec_id", "embedding")
+    val p = EmbedStats.pca(pts, "embedding", k = 2)
+    assert(p.eigenvalues(0) > p.eigenvalues(1) && p.eigenvalues(1) >= 0,
+      s"eigenvalues must sort descending, non-negative: ${p.eigenvalues.toSeq}")
+    val c0 = p.components(0); val c1 = p.components(1)
+    val inv = math.sqrt(0.5)
+    assert(math.abs(c0(0) - inv) < 1e-2 && math.abs(c0(1) - inv) < 1e-2,
+      s"dominant axis must be the (1,1) diagonal: ${c0.toSeq}")
+    // orthonormal
+    assert(math.abs(c0.zip(c1).map { case (a, b) => a * b }.sum) < 1e-9)
+    assert(math.abs(c0.map(x => x * x).sum - 1.0) < 1e-9)
+    // sign convention: largest-|entry| positive
+    assert(c0(c0.indices.maxBy(i => math.abs(c0(i)))) > 0)
+    assert(c1(c1.indices.maxBy(i => math.abs(c1(i)))) > 0)
+    // eigen residual ‖Av − λv‖ against the same covariance pca consumed
+    val cov = EmbedStats.gramCov(pts, "embedding", roundTo = 9)
+      .select($"i", $"j", $"cov").as[(Int, Int, Double)].collect()
+    val a = Array.ofDim[Double](2, 2)
+    cov.foreach { case (i, j, c) => a(i)(j) = c; a(j)(i) = c }
+    (0 until 2).foreach { e =>
+      val v = p.components(e)
+      val av = Array.tabulate(2)(i => a(i)(0) * v(0) + a(i)(1) * v(1))
+      val res = math.sqrt(av.zip(v).map { case (x, y) =>
+        val r = x - p.eigenvalues(e) * y; r * r }.sum)
+      assert(res < 1e-9, s"eigen residual $res for component $e")
+    }
+  }
+
+  test("pca projection: hand-computed values, deterministic across partitionings") {
+    val pts = Seq(
+      (1L, Seq(3.0f, 3.2f)), (2L, Seq(-3.0f, -2.8f)),
+      (3L, Seq(2.0f, 1.9f)), (4L, Seq(-2.0f, -2.1f)),
+      (5L, Seq(1.0f, 1.1f)), (6L, Seq(-1.0f, -0.9f)))
+      .toDF("vec_id", "embedding")
+    val p = EmbedStats.pca(pts, "embedding", k = 2)
+    val got = EmbedStats.pcaProject(pts, "vec_id", "embedding", p)
+      .as[(Long, Int, Double)].collect()
+      .map { case (id, c, v) => (id, c) -> v }.toMap
+    // hand-replay: value = Σ x_i c_i − offset, rounded half-up to 6
+    val raw = pts.as[(Long, Seq[Float])].collect()
+    raw.foreach { case (id, x) =>
+      p.components.zipWithIndex.foreach { case (c, j) =>
+        val want = BigDecimal(
+          x.zip(c).foldLeft(0.0) { case (a, (xi, ci)) => a + xi.toDouble * ci }
+            - p.offsets(j))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got((id, j)) - want) < 1e-12,
+          s"projection drifted at ($id, $j): ${got((id, j))} vs $want")
+      }
+    }
+    // centered projections sum to ~0 per component (Σ(x−μ) = 0)
+    (0 until 2).foreach { j =>
+      val s = got.collect { case ((_, c), v) if c == j => v }.sum
+      assert(math.abs(s) < 1e-4, s"component $j projections must center: $s")
+    }
+    val p2 = EmbedStats.pca(pts.repartition(5), "embedding", k = 2)
+    assert(p2.eigenvalues.toSeq == p.eigenvalues.toSeq &&
+      p2.components.map(_.toSeq).toSeq == p.components.map(_.toSeq).toSeq &&
+      p2.means.toSeq == p.means.toSeq,
+      "the fitted artifact must be partitioning-independent")
+  }
+
   test("gramCov is deterministic across repartitionings (decimal grid)") {
     val df = graft.sources.Tables(spark, sf, "embeddings")
     val a = EmbedStats.gramCov(df, "embedding")

@@ -222,6 +222,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("x61: gram/cov never self-joins the corpus; only the d²/2 agg shuffles") {
+    // earlier tests in this suite execute queries (x67's pca fit) that
+    // leave Staged frames cached; a matching cached subtree changes
+    // which aggregations CacheManager absorbs and the exchange count
+    // with it — pin the CLEAN-session plan, which is the shape any
+    // fresh pipeline gets
+    graft.ops.Staged.releaseAll()
+    spark.sharedState.cacheManager.clearCache()
     val p = plan("x61_embedding_gram")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"the corpus must never be self-joined or shuffled for a join:\n$p")
