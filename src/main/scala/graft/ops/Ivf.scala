@@ -556,11 +556,15 @@ object Ivf {
     * falls back to `query_id` so the two id columns stay
     * distinguishable.
     */
-  def topKBatch(index: Index, queries: DataFrame, qidCol: String,
-      vecCol: String, idCol: String, k: Int, nprobe: Int = 4,
-      roundTo: Int = 6): DataFrame = {
+  /** Plan-time probe computation shared by the float and int8 batched
+    * faces: ((query, query_vec, cell) broadcast frame, the union of
+    * probed cells for static partition pruning, the output qid name) —
+    * one definition so cell selection cannot drift between faces.
+    */
+  private def batchProbe(index: Index, queries: DataFrame, qidCol: String,
+      vecCol: String, idCol: String, nprobe: Int)
+      : (DataFrame, Seq[Int], String) = {
     val spark = queries.sparkSession
-    GraftFunctions.register(spark)
     val qidOut = if (qidCol == idCol) "query_id" else qidCol
     val idField = queries.schema(qidCol)
     val probed = queries.select(col(qidCol), col(vecCol)).collect().map { r =>
@@ -577,18 +581,57 @@ object Ivf {
       java.util.Arrays.asList(probed.flatMap { case (qid, vec, cells) =>
         cells.map(c => org.apache.spark.sql.Row(qid, vec.toSeq, c))
       }: _*)
-    val qdf = spark.createDataFrame(qRows, qSchema)
-    index.assigned
-      .where(col("cluster").isInCollection(allCells))
-      .join(broadcast(qdf), "cluster")
-      .select(col(qidOut), col(idCol),
-        round(Similarity.cosine(col(vecCol).cast("array<double>"),
-          col("query_vec")), roundTo).as("cos_sim"))
-      .withColumn("__rk", row_number().over(
+    (spark.createDataFrame(qRows, qSchema), allCells, qidOut)
+  }
+
+  private def rankTopK(scored: DataFrame, qidOut: String, idCol: String,
+      k: Int): DataFrame =
+    scored.withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(qidOut))
           .orderBy(col("cos_sim").desc, col(idCol))))
       .where(col("__rk") <= k).drop("__rk")
+
+  def topKBatch(index: Index, queries: DataFrame, qidCol: String,
+      vecCol: String, idCol: String, k: Int, nprobe: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val (qdf, allCells, qidOut) =
+      batchProbe(index, queries, qidCol, vecCol, idCol, nprobe)
+    rankTopK(
+      index.assigned
+        .where(col("cluster").isInCollection(allCells))
+        .join(broadcast(qdf), "cluster")
+        .select(col(qidOut), col(idCol),
+          round(Similarity.cosine(col(vecCol).cast("array<double>"),
+            col("query_vec")), roundTo).as("cos_sim")),
+      qidOut, idCol, k)
+  }
+
+  /** Batched multi-query probe over the STORED INT8 FACE — a06's exact
+    * plan shape (plan-time probes, static partition pruning on the
+    * `cluster=` dirs, broadcast (query, cell) pairs, keyed-window rank)
+    * reading `assigned_int8`: ~4× fewer bytes per probed cell, cosine
+    * over the quantized vectors needs no dequantization scale (cosine
+    * is scale-invariant). Cell selection is [[batchProbe]] — shared
+    * with the float face, so an agreement report between the two
+    * measures exactly the QUANTIZATION effect, never probe drift.
+    */
+  def topKInt8Batch(index: Index, path: String, queries: DataFrame,
+      qidCol: String, vecCol: String, idCol: String, k: Int,
+      nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    GraftFunctions.register(spark)
+    val (qdf, allCells, qidOut) =
+      batchProbe(index, queries, qidCol, vecCol, idCol, nprobe)
+    rankTopK(
+      spark.read.parquet(s"$path/assigned_int8")
+        .where(col("cluster").isInCollection(allCells))
+        .join(broadcast(qdf), "cluster")
+        .select(col(qidOut), col(idCol),
+          round(Similarity.cosine(col("qvec").cast("array<double>"),
+            col("query_vec")), roundTo).as("cos_sim")),
+      qidOut, idCol, k)
   }
 
   private def queryVecOf(query: DataFrame, vecCol: String): Array[Double] =

@@ -312,6 +312,76 @@ object AnalyticsQueries {
           ON ann.nprobe = np.nprobe AND ann.query_id = b.query_id
           AND ann.vec_id = b.vec_id
         GROUP BY np.nprobe"""),
-      notes = "a07's recall per nprobe in {1,2,4}; micro-averaged (exact integer sums)")
+      notes = "a07's recall per nprobe in {1,2,4}; micro-averaged (exact integer sums)"),
+
+    // ---- int8-vs-float probe agreement: per query, how much of the
+    // float probe's top-k the stored int8 face reproduces at the SAME
+    // cells (batchProbe is shared, so the gap measures exactly the
+    // quantization effect, never probe drift) — the QC table that
+    // decides whether the 4×-smaller face is safe to serve. Both sides
+    // are a06's plan shape; the int8 side reads assigned_int8.
+    GraftQuery(
+      "a09_ann_int8_agreement",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        val index = Ivf.buildPersistentCached(e, path,
+          "vec_id", "embedding", k = 16)
+        Ivf.quantizeAssigned(s, path, "vec_id", "embedding")
+        val queries = e.filter($"vec_id" % 97 === 0L)
+        val fl = Ivf.topKBatch(index, queries,
+          "vec_id", "embedding", "vec_id", k = 10)
+          .select($"query_id", $"vec_id")
+        val i8 = Ivf.topKInt8Batch(index, path, queries,
+          "vec_id", "embedding", "vec_id", k = 10)
+          .select($"query_id", $"vec_id")
+        fl.join(i8.withColumn("__hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy($"query_id")
+          .agg(count(lit(1)).as("n_float"),
+            count($"__hit").as("n_agree"),
+            round(count($"__hit").cast("double") / count(lit(1)), 6)
+              .as("agreement"))
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT vec_id AS query_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id % 97 = 0),
+        probes AS (SELECT query_id, cluster FROM (
+            SELECT q.query_id, c.cluster,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_distance(c.centroid, q.qv) ASC, c.cluster) AS pr
+            FROM cents c CROSS JOIN q) WHERE pr <= 4),
+        af AS (SELECT vec_id, embedding, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        a8 AS (SELECT vec_id, qvec, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_int8/*/*.parquet',
+                            hive_partitioning = 1)),
+        fl AS (SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                a.vec_id) AS rk
+            FROM af a JOIN probes p ON a.cluster = p.cluster
+            JOIN q ON q.query_id = p.query_id) WHERE rk <= 10),
+        i8 AS (SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(a.qvec, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                a.vec_id) AS rk
+            FROM a8 a JOIN probes p ON a.cluster = p.cluster
+            JOIN q ON q.query_id = p.query_id) WHERE rk <= 10)
+        SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_float,
+          CAST(count(i.vec_id) AS BIGINT) AS n_agree,
+          round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 6) AS agreement
+        FROM fl f LEFT JOIN i8 i
+          ON i.query_id = f.query_id AND i.vec_id = f.vec_id
+        GROUP BY f.query_id"""),
+      notes = "both sides replay a06's probe; the int8 side re-ranks the stored qvec")
   )
 }

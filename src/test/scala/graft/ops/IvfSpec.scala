@@ -261,6 +261,14 @@ class IvfSpec extends SparkSpec {
     // idempotent: the marker short-circuits a rebuild
     Ivf.quantizeAssigned(spark, dir, "vec_id", "embedding")
     assert(spark.read.parquet(s"$dir/assigned_int8").count() == e.count())
+    // the batched int8 face restricted to one query ≡ the single-query
+    // probe (shared batchProbe cells, same ranking rule)
+    val batched = Ivf.topKInt8Batch(Ivf.readIndex(spark, dir), dir, query,
+      "vec_id", "embedding", "vec_id", k = 20, nprobe = 4)
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .select("vec_id").as[Long].collect()
+    assert(batched.toSeq == int8Top.toSeq,
+      s"batched int8 probe diverged from single-query: ${batched.toSeq} vs ${int8Top.toSeq}")
     // the int8 probe partition-prunes exactly like the float probe
     val plan = Ivf.topKInt8(spark, dir, query,
       "vec_id", "embedding", k = 20, nprobe = 3)
