@@ -615,6 +615,66 @@ object Streams {
       }
       .start()
 
+  /** One micro-batch of [[noveltyMonitorStream]], exposed for crash-
+    * replay testing — a pure function of (batch, committed prefix):
+    * the batch's distinct `n`-gram shingles are anti-joined against
+    * every committed gram partition (each a bucketed table on the gram
+    * key, so the index side never crosses an Exchange — the passage-
+    * index discipline; only the O(batch) gram side shuffles into the
+    * bucket layout), one snapshot row (n_docs, n_grams, n_novel,
+    * novelty, alert) commits to `outPath/epoch=<e>`, and the NOVEL
+    * grams (only — epoch partitions stay disjoint, the index is the
+    * first-seen attribution) register as `indexPath/epoch=<e>`.
+    */
+  def processNoveltyBatch(batch: DataFrame, epoch: Long, indexPath: String,
+      outPath: String, idCol: String, textCol: String, n: Int,
+      alertBelow: Double, nBuckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val grams = graft.ops.Staged(batch
+      .select(explode(graft.ops.Shingles(col(textCol), n)).as("gram"))
+      .distinct())
+    val idxParts = epochsBefore(spark, indexPath, epoch).map(e =>
+      graft.ops.Dedup.readIndexTable(spark, s"$indexPath/epoch=$e")
+        .select(col("gram")))
+    val novel = graft.ops.Staged(
+      idxParts.foldLeft(grams.toDF)((g, idx) =>
+        g.join(idx, Seq("gram"), "left_anti")))
+    val (nDocs, nGrams, nNovel) = (batch.count(), grams.count(), novel.count())
+    val novelty =
+      if (nGrams > 0)
+        BigDecimal(nNovel.toDouble / nGrams)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 1.0
+    Seq((nDocs, nGrams, nNovel, novelty, novelty < alertBelow))
+      .toDF("n_docs", "n_grams", "n_novel", "novelty", "alert")
+      .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+    graft.ops.Dedup.writeBucketedIndex(novel, s"$indexPath/epoch=$epoch",
+      Seq("gram"), nBuckets)
+    graft.ops.Staged.release()
+  }
+
+  /** Streaming n-gram novelty monitor — the operational face of the
+    * x65 acquisition-health signal: per micro-batch of arriving docs,
+    * the fraction of their distinct shingles never seen in any earlier
+    * epoch. A crawler re-reading the web shows up as a novelty
+    * COLLAPSE (alert fires below `alertBelow`) long before dedup
+    * starts discarding; a healthy new source holds the curve up.
+    * Epoch-partitioned first-seen gram index + overwrite-committed
+    * snapshots: the passage-stream replay contract.
+    */
+  def noveltyMonitorStream(docs: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, idCol: String, textCol: String,
+      n: Int = 3, alertBelow: Double = 0.1): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        processNoveltyBatch(batch, epoch, indexPath, outPath,
+          idCol, textCol, n, alertBelow)
+      }
+      .start()
+
   /** Epoch labels of the index partitions committed before `epoch`,
     * ascending. Listed through the Hadoop FileSystem API, not
     * java.io.File: at cluster scale the index lives on HDFS/S3, where

@@ -784,6 +784,57 @@ class StreamsSpec extends SparkSpec {
     assert(after == before, "replay must rewrite identical flags")
   }
 
+  test("novelty monitor: re-crawl collapses the curve; novel-only registration; replay-pure") {
+    val root = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    val d1 = "the quick brown fox jumps over the lazy dog near the river"
+    val d2 = "spark catalyst rewrites logical plans into efficient physical operators"
+    val d3 = "minhash bands hash shingle sets into lsh buckets for dedup"
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.noveltyMonitorStream(input.toDF().select($"doc_id", $"text"),
+      s"$root/index", s"$root/out", s"$root/cp", "doc_id", "text",
+      n = 3, alertBelow = 0.1)
+    try {
+      input.addData(DocEvent(1L, ts(1), d1), DocEvent(2L, ts(2), d2))
+      q.processAllAvailable()
+      // epoch 1: pure re-crawl — every gram already committed
+      input.addData(DocEvent(3L, ts(3), d1), DocEvent(4L, ts(4), d2))
+      q.processAllAvailable()
+      // epoch 2: one old doc, one new doc
+      input.addData(DocEvent(5L, ts(5), d1), DocEvent(6L, ts(6), d3))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap(e: Int) = spark.read.parquet(s"$root/out/epoch=$e")
+      .select($"n_docs", $"n_grams", $"n_novel", $"novelty", $"alert")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    // distinct 3-gram shingles per doc: 12/9/10 tokens → 10/7/8 grams,
+    // no cross-doc trigram overlap by construction
+    val g1 = 10L; val g2 = 7L; val g3 = 8L
+    assert(snap(0) == ((2L, g1 + g2, g1 + g2, 1.0, false)),
+      s"first epoch is all-novel: ${snap(0)}")
+    assert(snap(1) == ((2L, g1 + g2, 0L, 0.0, true)),
+      s"pure re-crawl must collapse novelty and alert: ${snap(1)}")
+    assert(snap(2) == ((2L, g1 + g3, g3, 0.444444, false)),
+      s"half-new epoch drifted: ${snap(2)}")
+    // the index registers ONLY novel grams: epoch dirs are disjoint and
+    // their union is exactly the distinct grams ever seen
+    val e0 = graft.ops.Dedup.readIndexTable(spark, s"$root/index/epoch=0")
+      .select($"gram").as[String].collect().toSet
+    val e1 = graft.ops.Dedup.readIndexTable(spark, s"$root/index/epoch=1")
+      .select($"gram").as[String].collect().toSet
+    val e2 = graft.ops.Dedup.readIndexTable(spark, s"$root/index/epoch=2")
+      .select($"gram").as[String].collect().toSet
+    assert(e1.isEmpty, "re-crawl epoch registers nothing")
+    assert(e0.intersect(e2).isEmpty && e2.size == g3.toInt,
+      "later epochs register exactly their first-seen grams")
+    // replay idempotence: recomputing epoch 2 off-stream rewrites the row
+    Streams.processNoveltyBatch(
+      Seq((5L, d1), (6L, d3)).toDF("doc_id", "text"), epoch = 2L,
+      s"$root/index", s"$root/out", "doc_id", "text", n = 3,
+      alertBelow = 0.1)
+    assert(snap(2) == ((2L, g1 + g3, g3, 0.444444, false)),
+      "replay must rewrite the identical snapshot")
+  }
+
   test("streaming DSIR scoring equals the batch probe of the model") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
     val (mP, outP, cp) = (s"$root/model", s"$root/out", s"$root/cp")
