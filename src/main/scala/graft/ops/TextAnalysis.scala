@@ -306,6 +306,38 @@ object TextAnalysis {
     */
   val gopherGateCols: Seq[String] =
     Seq("g_words", "g_word_len", "g_hash", "g_ellipsis", "g_alpha", "g_stop")
+
+  /** Top-`vocabSize` vocabulary coverage — the tokenizer-sizing signal:
+    * fit the corpus's own most-frequent-token vocabulary (ties broken
+    * lexicographically, so the cut is deterministic) and report each
+    * doc's out-of-vocabulary token count WITH multiplicity. The curve
+    * of oov_rate vs vocabSize is how a vocabulary budget gets chosen;
+    * per-source slices of it expose sources a fixed tokenizer will
+    * shred into bytes. Docs with no tokens have no row (x65's rule).
+    *
+    * 100 TB shape: token counts are ONE map-side-combining aggregation
+    * on the token key; the top-V cut is a TakeOrderedAndProject (V is
+    * driver-bounded — a vocabulary, not a corpus); the per-doc pass
+    * re-joins the exploded tokens against the BROADCAST vocab and
+    * re-aggregates on the doc key. Two shuffles of the exploded token
+    * rows, linear in corpus tokens, never a self-join.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, roundTo: Int = 6): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = Staged(df.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__inv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), roundTo)
+          .as("oov_rate"))
+  }
 }
 
 /** Word n-gram shingles, shared by fingerprinting and MinHash dedup. */

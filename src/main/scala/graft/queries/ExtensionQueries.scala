@@ -2088,7 +2088,31 @@ object ExtensionQueries {
             - c.voffset, 6) + 0.0 AS value
         FROM embeddings e CROSS JOIN c"""),
       notes = "fitted components+offsets dumped as data; both engines run " +
-        "the identical sequential-order inner product; +0.0 folds DuckDB's -0.0")
+        "the identical sequential-order inner product; +0.0 folds DuckDB's -0.0"),
+
+    // ---- top-V vocabulary coverage / per-doc OOV rate — the
+    // tokenizer-sizing signal: one token-key count agg, a driver-
+    // bounded top-V cut (ties lexicographic), broadcast back into a
+    // per-doc re-aggregation. V=20 bites on the fixture's ~31-token
+    // synthetic vocabulary (mean OOV ≈ 0.32, no count tie at the cut).
+    GraftQuery(
+      "x68_vocab_coverage",
+      (s, dir) => graft.ops.TextAnalysis.vocabCoverage(
+        Tables(s, dir, "documents"), "doc_id", "text", vocabSize = 20),
+      Some("""WITH toks AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents),
+        tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        vocab AS (SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM tc)
+          WHERE rk <= 20)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov,
+          round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id"""),
+      notes = "OOV counted WITH multiplicity; deterministic lexicographic tie-break at the cut")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

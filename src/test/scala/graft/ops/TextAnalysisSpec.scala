@@ -174,4 +174,31 @@ class TextAnalysisSpec extends SparkSpec {
       .where($"doc_id" === 3L).head()
     assert(m.getAs[Double]("hash_ratio") > 0.1)
   }
+
+  test("vocab coverage: hand-checked OOV with multiplicity; lexicographic tie at the cut") {
+    // counts: cat=4, dog=3, ant=2, bee=2, fox=1 — at vocabSize=3 the
+    // (ant, bee) tie breaks lexicographically: vocab = {cat, dog, ant}
+    val docs = Seq(
+      (1L, "cat cat dog ant"),        // oov: 0/4
+      (2L, "cat dog bee bee fox"),    // oov: bee, bee, fox = 3/5
+      (3L, "cat cat dog ant"),        // oov: 0/4
+      (4L, "")                        // tokenless: no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((4L, 0L, 0.0)),
+      2L -> ((5L, 3L, 0.6)),
+      3L -> ((4L, 0L, 0.0))), s"coverage drifted: $out")
+    // deterministic across partitionings (the cut must not depend on
+    // which partition a tied token's partial count lands in)
+    val again = TextAnalysis.vocabCoverage(docs.repartition(4), "doc_id",
+      "text", vocabSize = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(again == out.map { case (id, (a, b, c)) => (id, a, b, c) }.toSet)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 0)
+    }
+  }
 }
