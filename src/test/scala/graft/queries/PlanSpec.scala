@@ -244,4 +244,23 @@ class PlanSpec extends SparkSpec {
     // per-dim means ride BroadcastExchanges into the final d²/2 join
     assert(p.contains("BroadcastHashJoin"), "dim-stats joins must broadcast")
   }
+
+  test("x67: the PCA projection fuses into the scan — no exchange, no join") {
+    val p = plan("x67_pca_project")
+    assert(!"""\(\d+\) Exchange\b""".r.findFirstIn(p).isDefined &&
+      !p.contains("Join"),
+      s"projection must be scan-local:\n$p")
+    assert(p.contains("dot_product") && p.contains("[codegen id"),
+      "native dot products against literal components, codegen'd")
+  }
+
+  test("x68: the vocab cut is TakeOrderedAndProject and broadcasts back") {
+    val p = plan("x68_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-V cut must not globally sort")
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      "the vocabulary must broadcast onto the token stream")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus tokens must never shuffle for the vocab join")
+  }
 }
