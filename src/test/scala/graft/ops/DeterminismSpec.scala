@@ -53,4 +53,20 @@ class DeterminismSpec extends SparkSpec {
       Map("src1" -> 3))
       .as[(Long, String, Long)].collect().sortBy(_._3).toSeq)
   }
+
+  test("containment pairs are partition-order-independent") {
+    stable(d => Dedup.ngramContainmentBlocked(d, "doc_id", "text", "lang",
+      n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq)
+  }
+
+  test("vocab coverage is partition-order-independent (tie-broken cut)") {
+    stable(d => TextAnalysis.vocabCoverage(d, "doc_id", "text", vocabSize = 20)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("novelty scores are partition-order-independent") {
+    stable(d => TextAnalysis.ngramNovelty(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq)
+  }
 }
