@@ -573,6 +573,12 @@ object Streams {
   def processQuotationBatch(batch: DataFrame, epoch: Long,
       indexPath: String, outPath: String, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6): Unit = {
+    // same domain guard as the batch operator: outside (0,1] the
+    // prefix arithmetic breaks mid-job, and a stream would break on
+    // EVERY epoch — validate before the first one
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    require(n > 0, s"shingle size must be positive, got $n")
     val spark = batch.sparkSession
     val sets = graft.ops.Staged(graft.ops.Dedup
       .containmentSets(batch, idCol, textCol, None, n))
@@ -629,6 +635,8 @@ object Streams {
   def processNoveltyBatch(batch: DataFrame, epoch: Long, indexPath: String,
       outPath: String, idCol: String, textCol: String, n: Int,
       alertBelow: Double, nBuckets: Int = 32): Unit = {
+    require(n > 0, s"shingle size must be positive, got $n")
+    require(nBuckets > 0, s"bucket count must be positive, got $nBuckets")
     val spark = batch.sparkSession
     import spark.implicits._
     val grams = graft.ops.Staged(batch
