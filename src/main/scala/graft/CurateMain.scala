@@ -19,7 +19,9 @@ import graft.sources.Tables
   *   clustering (keep cluster reps) → domain resampling to a target
   *   language mix → sequence packing → write curated parquet in
   *   stride-schedule curriculum order with per-doc DSIR importance
-  *   weights toward the top-quality slice + one JSON summary line.
+  *   weights toward the top-quality slice → quotation audit (x66
+  *   directional containment over the SHIPPED corpus, audit-only) +
+  *   one JSON summary line.
   *
   * Each stage is the same operator the query registry verifies against
   * the DuckDB oracle; this main exists to show (and smoke-test) the
@@ -42,7 +44,7 @@ object CurateMain {
       piiFlagged: Long, quality: Long, boilerplate: Long, exact: Long,
       passage: Long, decontaminated: Long, nearDedup: Long, mixed: Long,
       packs: Long, shards: Long, out: String,
-      gateFails: Seq[(String, Long)] = Nil) {
+      gateFails: Seq[(String, Long)] = Nil, quotations: Long = 0L) {
     def json: String = {
       val gf = gateFails.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
@@ -52,7 +54,7 @@ object CurateMain {
         s""""exact":$exact,"passage":$passage,""" +
         s""""decontaminated":$decontaminated,"near_dedup":$nearDedup,""" +
         s""""mixed":$mixed,"packs":$packs,"shards":$shards},""" +
-        s""""gate_fails":$gf,"out":"$out"}"""
+        s""""gate_fails":$gf,"quotations":$quotations,"out":"$out"}"""
     }
   }
 
@@ -287,6 +289,18 @@ object CurateMain {
     curated.orderBy($"seq")
       .write.mode("overwrite").parquet(s"$outDir/curated")
 
+    // 8b. quotation audit (x66): directional containment within lang
+    // over the SHIPPED corpus — inclusions that survive near-dedup
+    // because a short doc quoted inside a long one has tiny Jaccard.
+    // Audit-only: the pairs land in quotation_audit/ and a count in
+    // the summary; the curated text is final and never modified here.
+    val quot = Dedup.ngramContainmentBlocked(
+      curated.select($"doc_id", $"lang", $"text"),
+      "doc_id", "text", "lang", n = 3, threshold = 0.75)
+      .localCheckpoint()
+    quot.write.mode("overwrite").parquet(s"$outDir/quotation_audit")
+    val nQuot = quot.count()
+
     // 9. loader-facing exports — the write-side operators the registry
     // verifies individually (x36, x42), composed with the curriculum:
     //  - sharded export: hash membership (reproducible across re-runs),
@@ -320,7 +334,8 @@ object CurateMain {
     Staged.releaseAll()
 
     CurateSummary(nHttp, nTotal, nPii, nQuality, nBoiler, nExact, nPassage,
-      nClean, nKept, nMixed, nPacks, nShards, s"$outDir/curated", gateFails)
+      nClean, nKept, nMixed, nPacks, nShards, s"$outDir/curated", gateFails,
+      nQuot)
   }
 
   /** Day-2 survivor counts of the incremental face — the daily-ingest

@@ -62,7 +62,7 @@ class CurateMainSpec extends SparkSpec {
       mixed = 283, packs = 10, shards = 8, out = s"$out/curated",
       gateFails = Seq("g_words" -> 0L, "g_word_len" -> 0L, "g_hash" -> 0L,
         "g_ellipsis" -> 0L, "g_alpha" -> 0L, "g_stop" -> 109L,
-        "score" -> 0L)),
+        "score" -> 0L), quotations = 1L),
       s"stage counts drifted: $s")
     assert(contentHash(s.out) == "-72368066835835627570",
       s"curated content drifted: ${contentHash(s.out)}")
@@ -259,7 +259,7 @@ class CurateMainSpec extends SparkSpec {
       mixed = 245, packs = 10, shards = 8, out = s"$out/curated",
       gateFails = Seq("g_words" -> 0L, "g_word_len" -> 0L, "g_hash" -> 0L,
         "g_ellipsis" -> 0L, "g_alpha" -> 0L, "g_stop" -> 112L,
-        "score" -> 0L)),
+        "score" -> 0L), quotations = 2L),
       s"stage counts drifted: $s")
     assert(contentHash(s.out) == "-47629612468594500742",
       s"curated content drifted: ${contentHash(s.out)}")
