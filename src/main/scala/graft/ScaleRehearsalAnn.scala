@@ -142,6 +142,21 @@ object ScaleRehearsalAnn {
       val (tProbe8, nProbe8) = time {
         Ivf.topKInt8(spark, idxPath, query, "vec_id", "embedding", k = 50).count()
       }
+      Staged.releaseAll()
+      // embedding-statistics family (x61/x67): the d²/2 gram/cov
+      // aggregation is the corpus-scan-bound member — its cost must be
+      // linear in rows (key space is d²/2 regardless of corpus); the
+      // PCA fit adds one d-key means pass + a driver-side Jacobi whose
+      // cost is constant in corpus size, so pca_sec − gram_sec must
+      // stay flat as K grows
+      val (tGram, nGram) = time {
+        graft.ops.EmbedStats.gramCov(vecs, "embedding").count()
+      }
+      Staged.releaseAll()
+      val (tPca, _) = time {
+        graft.ops.EmbedStats.pca(vecs, "embedding", k = 4).components.length.toLong
+      }
+      Staged.releaseAll()
       def faceBytes(sub: String): Long = {
         def walk(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
@@ -156,6 +171,7 @@ object ScaleRehearsalAnn {
         s""""knn_rows":$nKnn,"ivf_build_sec":$tBuild,"ivf_probe_sec":$tProbe,""" +
         s""""probe_rows":$nProbe,"ivf_quant_sec":$tQuant,""" +
         s""""ivf_probe8_sec":$tProbe8,"probe8_rows":$nProbe8,""" +
+        s""""gram_sec":$tGram,"gram_rows":$nGram,"pca_sec":$tPca,""" +
         s""""bytes_float":${faceBytes("assigned")},"bytes_int8":${faceBytes("assigned_int8")}}""")
     }
     spark.stop()
