@@ -2112,7 +2112,43 @@ object ExtensionQueries {
           round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
             / count(*), 6) AS oov_rate
         FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id"""),
-      notes = "OOV counted WITH multiplicity; deterministic lexicographic tie-break at the cut")
+      notes = "OOV counted WITH multiplicity; deterministic lexicographic tie-break at the cut"),
+
+    // ---- per-source novelty slice — the acquisition decision table
+    // x65's doc-level curve feeds: micro-averaged (Σnovel/Σgrams, exact
+    // integer sums) first-occurrence fraction per source. A source
+    // whose novelty sits near zero is redundant against what's already
+    // held — cut it before paying to crawl it.
+    GraftQuery(
+      "x69_source_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+          .join(docs.select($"doc_id", $"source"), "doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_grams").as("n_grams"),
+            sum($"n_novel").as("n_novel"),
+            round(sum($"n_novel").cast("double") / sum($"n_grams"), 6)
+              .as("novelty"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3),
+        gg AS (SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, array_to_string(t[gi : gi + 2], ' ') AS gram
+            FROM nz, unnest(range(1, n - 1)) AS u(gi))),
+        firsts AS (SELECT gram, min(doc_id) AS first_doc FROM gg GROUP BY gram),
+        per AS (SELECT gg.doc_id, count(*) AS ng,
+            sum(CASE WHEN f.first_doc = gg.doc_id THEN 1 ELSE 0 END) AS nv
+          FROM gg JOIN firsts f USING (gram) GROUP BY gg.doc_id)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(per.ng) AS BIGINT) AS n_grams,
+          CAST(sum(per.nv) AS BIGINT) AS n_novel,
+          round(CAST(sum(per.nv) AS DOUBLE) / sum(per.ng), 6) AS novelty
+        FROM per JOIN documents d USING (doc_id) GROUP BY d.source"""),
+      notes = "micro-average over x65's per-doc attribution; exact integer sums")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features
