@@ -322,6 +322,20 @@ object TextAnalysis {
     * re-aggregates on the doc key. Two shuffles of the exploded token
     * rows, linear in corpus tokens, never a self-join.
     */
+  /** The top-`vocabSize` vocabulary itself — (tok), deterministic
+    * (count desc, then lexicographic at the cut). Persist this to
+    * parquet to freeze the vocabulary a training run committed to;
+    * [[graft.streaming.Streams.oovMonitorStream]] probes batches
+    * against the frozen file.
+    */
+  def fitVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"))
+  }
+
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int, roundTo: Int = 6): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")

@@ -662,6 +662,58 @@ object Streams {
     graft.ops.Staged.release()
   }
 
+  /** The per-epoch OOV snapshot, extracted for unit/replay testing —
+    * a pure function of (batch, vocab files): tokens counted WITH
+    * multiplicity against the frozen vocabulary; an idle epoch records
+    * (0, 0, 0, 0.0, false).
+    */
+  private[streaming] def oovSnapshot(batch: DataFrame, vocabPath: String,
+      idCol: String, textCol: String, alertAbove: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val vocab = broadcast(spark.read.parquet(vocabPath)
+      .select(col("tok"), lit(1).as("__inv")))
+    batch
+      .select(col(idCol).as("__id"),
+        explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .agg(coalesce(count_distinct(col("__id")), lit(0L)).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("__inv").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_oov"))
+      .select(col("n_docs"), col("n_tokens"), col("n_oov"),
+        round(when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens")).otherwise(0.0), 6)
+          .as("oov_rate"))
+      .withColumn("alert", col("oov_rate") > alertAbove)
+  }
+
+  /** Streaming OOV monitor — the operational face of the x68
+    * vocabulary-coverage signal, against the FROZEN vocabulary a
+    * training run committed to ([[graft.ops.TextAnalysis.fitVocab]]
+    * persisted to `vocabPath`): per micro-batch, the fraction of
+    * arriving tokens (with multiplicity) outside that vocabulary, one
+    * epoch-keyed snapshot row. Distinct from the novelty monitor's
+    * signal: novelty watches CONTENT repetition against everything
+    * seen; this watches TOKENIZER mismatch against a fixed artifact —
+    * a drifting crawl can be 100% novel and still 0% OOV, or vice
+    * versa. Rising OOV means the committed tokenizer will shred the
+    * new data into bytes; `alertAbove` marks the epoch.
+    *
+    * Cost: one broadcast of the O(V) vocab + one pass over the batch's
+    * tokens per epoch — nothing corpus-sized, no state.
+    */
+  def oovMonitorStream(docs: DataFrame, vocabPath: String, outPath: String,
+      checkpoint: String, idCol: String, textCol: String,
+      alertAbove: Double = 0.2): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        oovSnapshot(batch, vocabPath, idCol, textCol, alertAbove)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      }
+      .start()
+
   /** Streaming n-gram novelty monitor — the operational face of the
     * x65 acquisition-health signal: per micro-batch of arriving docs,
     * the fraction of their distinct shingles never seen in any earlier

@@ -784,6 +784,46 @@ class StreamsSpec extends SparkSpec {
     assert(after == before, "replay must rewrite identical flags")
   }
 
+  test("OOV monitor: vocabulary shift raises the rate and alerts; idle epoch clean") {
+    val root = java.nio.file.Files.createTempDirectory("graft-oov").toString
+    // freeze a vocabulary from a base corpus (the artifact a training
+    // run commits to), then stream in-vocab and shifted batches
+    val base = Seq((1L, "the cat and the dog run to the house by the river"))
+      .toDF("doc_id", "text")
+    graft.ops.TextAnalysis.fitVocab(base, "text", vocabSize = 100)
+      .write.mode("overwrite").parquet(s"$root/vocab")
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.oovMonitorStream(input.toDF().select($"doc_id", $"text"),
+      s"$root/vocab", s"$root/out", s"$root/cp", "doc_id", "text",
+      alertAbove = 0.2)
+    try {
+      input.addData(DocEvent(10L, ts(1), "the cat run to the river"))
+      q.processAllAvailable()
+      // shifted batch: 4 of 6 tokens outside the frozen vocabulary
+      input.addData(DocEvent(11L, ts(2), "quantum flux capacitors destabilize the dog"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap(e: Int) = spark.read.parquet(s"$root/out/epoch=$e")
+      .select($"n_docs", $"n_tokens", $"n_oov", $"oov_rate", $"alert")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(snap(0) == ((1L, 6L, 0L, 0.0, false)),
+      s"in-vocab epoch drifted: ${snap(0)}")
+    assert(snap(1) == ((1L, 6L, 4L, 0.666667, true)),
+      s"shifted epoch must alert: ${snap(1)}")
+    // idle epoch + replay purity via the extracted snapshot
+    val idle = Streams.oovSnapshot(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$root/vocab",
+      "doc_id", "text", alertAbove = 0.2)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(idle == ((0L, 0L, 0L, 0.0, false)), s"idle snapshot drifted: $idle")
+    val replay = Streams.oovSnapshot(
+      Seq((11L, "quantum flux capacitors destabilize the dog"))
+        .toDF("doc_id", "text"),
+      s"$root/vocab", "doc_id", "text", alertAbove = 0.2)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(replay == snap(1), s"replay drifted: $replay vs ${snap(1)}")
+  }
+
   test("novelty monitor: re-crawl collapses the curve; novel-only registration; replay-pure") {
     val root = java.nio.file.Files.createTempDirectory("graft-novelty").toString
     val d1 = "the quick brown fox jumps over the lazy dog near the river"
