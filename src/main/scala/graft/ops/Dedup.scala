@@ -947,11 +947,18 @@ object Dedup {
     * Shared by the blocked batch join (a = b = corpus) and the
     * streaming quotation flagger (a = batch, b = committed ∪ batch).
     */
+  /** Lossless contained-side prefix length at `threshold`: if
+    * |A∩B| ≥ t·|A| then at least one of A's first hn−⌈t·hn⌉+1 sorted
+    * hashes is in B (pigeonhole). Shared by the batch join and the
+    * streaming posting-table probe.
+    */
+  private[graft] def containPrefix(threshold: Double): Column =
+    (col("hn") - ceil(col("hn") * lit(threshold)) + 1).cast("int")
+
   private[graft] def containmentPairs(a: DataFrame, b: DataFrame,
       threshold: Double, roundTo: Int): DataFrame = {
-    val prefixLen = (col("hn") - ceil(col("hn") * lit(threshold)) + 1).cast("int")
     val pref = a.select(col("id"), col("block"), col("hn"),
-      explode(slice(col("h"), lit(1), prefixLen)).as("tok"))
+      explode(slice(col("h"), lit(1), containPrefix(threshold))).as("tok"))
     val full = b.select(col("id"), col("block"), col("hn"),
       explode(col("h")).as("tok"))
     val pairs = pref.as("x").join(full.as("y"),

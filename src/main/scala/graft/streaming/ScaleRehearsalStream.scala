@@ -42,6 +42,8 @@ object ScaleRehearsalStream {
     if (args.headOption.contains("--hh")) return runHeavyHitters(
       args.lift(1).map(_.toInt).getOrElse(32),
       args.lift(2).map(_.toInt).getOrElse(64))
+    if (args.headOption.contains("--quote")) return runQuotation(
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 8, 16))
     val epochCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8, 16)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -125,6 +127,75 @@ object ScaleRehearsalStream {
       println(f"""{"epochs":$ec,"docs_indexed":${nDocs * ec},""" +
         f""""probe_sec":$liveSec%.2f,"post_compact_sec":$compactSec%.2f,""" +
         f""""post_compact_parts":$nLive,"kept":$liveKept,"dropped":$liveDropped}""")
+    }
+    spark.stop()
+  }
+
+  /** Fixed quotation-probe batch vs a GROWING committed shingle-set
+    * index ([[Streams.quotationFlagStream]]'s layout): epoch shingle
+    * universes are disjoint (per-epoch token suffix), the probe batch
+    * quotes only epoch-0 content plus a fresh slice, so its flag count
+    * is E-invariant by construction — the correctness face — and the
+    * probe's wall time must stay flat as E grows, because each
+    * committed epoch is a bucketed posting table the batch equi-joins
+    * WITHOUT re-exploding anything committed (the first-cut design
+    * re-exploded every committed hash array per batch: O(corpus) per
+    * epoch, exactly what this curve would have exposed).
+    */
+  private def runQuotation(epochCounts: Seq[Int]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = SparkSession.builder()
+      .appName("graft-scale-quote")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val nDocs = base.count()
+    val stride = base.agg(max($"doc_id")).head().getLong(0) + 1L
+    def epochDocs(e: Int) = {
+      val text =
+        if (e == 0) $"text"
+        else array_join(transform(TextAnalysis.tokens($"text"),
+          x => concat(x, lit("e" + e))), " ")
+      base.select(($"doc_id" + lit(e.toLong * stride)).as("doc_id"),
+        text.as("text"))
+    }
+    // probe: 10% of epoch-0 re-crawled verbatim (containment 1.0 in
+    // epoch 0, whatever E is) + 10% fresh (no flags ever)
+    val batch = base.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + lit(1000L * stride)).as("doc_id"), $"text")
+      .unionByName(base.where($"doc_id" % 10 === 5)
+        .select(($"doc_id" + lit(1001L * stride)).as("doc_id"),
+          array_join(transform(TextAnalysis.tokens($"text"),
+            x => concat(x, lit("fresh"))), " ").as("text")))
+    var expect = -1L
+    epochCounts.foreach { ec =>
+      val idxPath = s"/tmp/graft-scale-quoteidx-$ec"
+      if (!new java.io.File(s"$idxPath/_OK").exists()) {
+        val root = new org.apache.hadoop.fs.Path(idxPath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true): Unit
+        (0 until ec).foreach { e =>
+          Streams.registerQuotationEpoch(epochDocs(e), e.toLong, idxPath,
+            "doc_id", "text", n = 3, nBuckets = 32)
+          Staged.releaseAll()
+        }
+        new java.io.File(s"$idxPath/_OK").createNewFile(): Unit
+      }
+      val t0 = System.nanoTime()
+      val flags = Streams.quotationFlags(batch, Long.MaxValue, idxPath,
+        "doc_id", "text", n = 3, threshold = 0.6).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Staged.releaseAll()
+      if (expect < 0) expect = flags
+      require(flags == expect,
+        s"flag count drifted with epoch count $ec: $flags != $expect")
+      println(f"""{"epochs":$ec,"docs_indexed":${nDocs * ec},""" +
+        f""""probe_sec":$sec%.2f,"flags":$flags}""")
     }
     spark.stop()
   }

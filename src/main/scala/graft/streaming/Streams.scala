@@ -559,38 +559,109 @@ object Streams {
     */
   /** One micro-batch of [[quotationFlagStream]], exposed for crash-
     * replay testing — a pure function of (batch, committed prefix):
-    * build the batch's shingle-set frame, run the directional
-    * containment join of batch docs (contained side, prefix-filtered)
-    * against committed epochs ∪ the batch itself (container side),
-    * keep only containments in EARLIER docs (`id_b < id_a` — the
-    * stream contract is ids increase with arrival, as in the other
-    * incremental faces), and commit (idCol, quoted_from, containment)
-    * flags to `outPath/epoch=<e>`. EVERY batch doc with shingles then
-    * registers into `indexPath/epoch=<e>` — quotation is advisory
-    * (flag, not drop), so a flagged doc is still a valid container
-    * for later arrivals.
+    * the batch's shingle-set frame probes committed epochs ∪ the batch
+    * itself (container side), keeping only containments in EARLIER
+    * docs (`id_b < id_a` — the stream contract is ids increase with
+    * arrival), and commits (idCol, quoted_from, containment) flags to
+    * `outPath/epoch=<e>`. EVERY batch doc with shingles then registers
+    * — quotation is advisory (flag, not drop), so a flagged doc is
+    * still a valid container for later arrivals.
+    *
+    * Index layout (the 100 TB point): each committed epoch holds
+    * `posts/` — the container side EXPLODED ONCE at registration time
+    * into (tok, id, hn) posting rows, a bucketed table on the shingle
+    * key — plus `sets/` (id, h, hn) for verification. The per-epoch
+    * candidate probe is then the batch's O(batch-prefix) explode
+    * equi-joined against bucketed postings (index side never
+    * re-explodes, never crosses an Exchange), and the verify join
+    * re-attaches full sets for the O(candidates) pairs only. A first
+    * cut stored only the sets and re-exploded EVERY committed doc's
+    * hash array on EVERY batch — per-epoch cost O(corpus), the exact
+    * failure the passage/novelty indexes exist to avoid.
     */
+  /** The flag computation alone (no writes, no registration): the
+    * batch's prefix explode probes each committed epoch's bucketed
+    * posting table, per-epoch verify joins re-attach full sets for the
+    * candidates, and the within-batch leg adds lower-id same-batch
+    * containers. Returns (id_a, id_b, containment). Exposed so the
+    * scale rehearsal can measure the probe against a growing index
+    * without mutating it.
+    */
+  private[streaming] def quotationFlags(batch: DataFrame, epoch: Long,
+      indexPath: String, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val D = graft.ops.Dedup
+    val sets = graft.ops.Staged(
+      D.containmentSets(batch, idCol, textCol, None, n).drop("block"))
+    val prefA = graft.ops.Staged(sets.select(col("id"), col("hn"),
+      explode(slice(col("h"), lit(1), D.containPrefix(threshold))).as("tok")))
+    def candidates(posts: DataFrame): DataFrame =
+      prefA.as("x").join(posts.as("y"),
+          col("x.tok") === col("y.tok") && col("x.id") =!= col("y.id") &&
+            col("y.hn") >= col("x.hn") * lit(threshold))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+    def verify(cand: DataFrame, bSets: DataFrame): DataFrame =
+      cand
+        .join(sets.select(col("id").as("id_a"), col("h").as("__ha")),
+          Seq("id_a"))
+        .join(bSets.select(col("id").as("id_b"), col("h").as("__hb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("__ha"), col("__hb")))
+            .cast("double") / size(col("__ha")), 6).as("containment"))
+        .where(col("containment") >= threshold)
+    // committed epochs: bucketed posting probe + per-epoch verify (a
+    // container id lives in exactly one epoch, so the union is
+    // duplicate-free across epochs by construction)
+    val epochFlags = epochsBefore(spark, indexPath, epoch).map { e =>
+      verify(candidates(
+          D.readIndexTable(spark, s"$indexPath/epoch=$e/posts")),
+        spark.read.parquet(s"$indexPath/epoch=$e/sets"))
+    }
+    // within-batch: explode the batch's own container side (O(batch))
+    val fullB = sets.select(col("id"), col("hn"), explode(col("h")).as("tok"))
+    val inBatch = verify(candidates(fullB), sets)
+      .where(col("id_b") < col("id_a"))
+    (epochFlags :+ inBatch).reduce(_ unionByName _)
+  }
+
+  /** Register a batch's shingle sets as committed epoch `epoch`:
+    * `sets/` (id, h, hn) for verification + `posts/` — the container
+    * side exploded ONCE into (tok, id, hn) posting rows as a bucketed
+    * table on the shingle key, so future batches probe it without
+    * re-exploding anything committed.
+    */
+  private[streaming] def registerQuotationEpoch(batch: DataFrame,
+      epoch: Long, indexPath: String, idCol: String, textCol: String,
+      n: Int, nBuckets: Int): Unit = {
+    val D = graft.ops.Dedup
+    val sets = graft.ops.Staged(
+      D.containmentSets(batch, idCol, textCol, None, n).drop("block"))
+    sets.write.mode("overwrite").parquet(s"$indexPath/epoch=$epoch/sets")
+    D.writeBucketedIndex(
+      sets.select(col("id"), col("hn"), explode(col("h")).as("tok"))
+        .select("tok", "id", "hn"),
+      s"$indexPath/epoch=$epoch/posts", Seq("tok"), nBuckets)
+  }
+
   def processQuotationBatch(batch: DataFrame, epoch: Long,
       indexPath: String, outPath: String, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6): Unit = {
+      n: Int = 3, threshold: Double = 0.6, nBuckets: Int = 32): Unit = {
     // same domain guard as the batch operator: outside (0,1] the
     // prefix arithmetic breaks mid-job, and a stream would break on
     // EVERY epoch — validate before the first one
     require(threshold > 0 && threshold <= 1,
       s"containment threshold must be in (0, 1], got $threshold")
     require(n > 0, s"shingle size must be positive, got $n")
-    val spark = batch.sparkSession
-    val sets = graft.ops.Staged(graft.ops.Dedup
-      .containmentSets(batch, idCol, textCol, None, n))
-    val ref = (epochsBefore(spark, indexPath, epoch)
-      .map(e => spark.read.parquet(s"$indexPath/epoch=$e")) :+ sets)
-      .reduce(_ unionByName _)
-    graft.ops.Dedup.containmentPairs(sets, ref, threshold, roundTo = 6)
-      .where(col("id_b") < col("id_a"))
+    require(nBuckets > 0, s"bucket count must be positive, got $nBuckets")
+    quotationFlags(batch, epoch, indexPath, idCol, textCol, n, threshold)
       .select(col("id_a").as(idCol), col("id_b").as("quoted_from"),
         col("containment"))
       .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
-    sets.write.mode("overwrite").parquet(s"$indexPath/epoch=$epoch")
+    registerQuotationEpoch(batch, epoch, indexPath, idCol, textCol, n,
+      nBuckets)
     graft.ops.Staged.release()
   }
 
