@@ -69,16 +69,30 @@ object Bench {
     * dirty" signal. A hot NEW query (no ratchet yet) keeps its
     * measured min, still flagged; and if the contaminated measurement
     * somehow beats the ratchet, the smaller number wins as always.
+    *
+    * Hot sweep + CLEAN rerun (the r13 q45 edge): the rerun is the only
+    * clean measurement, so it is reported ALONE — a hot sweep min that
+    * happens to undercut the clean rerun is still box noise and taking
+    * min-of-two would report it unflagged (q45 reported a hot 0.601 s,
+    * 2.09× its ratchet, over its clean 0.780 s rerun that way).
     */
   def reported(sweepMin: Double, sweepLoad: Double,
       rerun: Option[(Double, Double)], histBest: Option[Double],
       gate: Double): (Double, Boolean) = rerun match {
     case Some((rt, rl)) =>
-      val measured = math.min(sweepMin, rt)
-      if (hotMeasurement(sweepLoad, gate) && hotMeasurement(rl, gate))
+      val sweepHot = hotMeasurement(sweepLoad, gate)
+      val rerunHot = hotMeasurement(rl, gate)
+      if (sweepHot && rerunHot) {
+        val measured = math.min(sweepMin, rt)
         (histBest.filter(_ < measured).getOrElse(measured), true)
-      else (measured, false)
-    case None => (sweepMin, false)
+      } else if (sweepHot) (rt, false)
+      else (math.min(sweepMin, rt), false)
+    // a hot sweep whose rerun never completed has no clean measurement
+    // either — ratchet best + flag, same as both-hot
+    case None =>
+      if (hotMeasurement(sweepLoad, gate))
+        (histBest.filter(_ < sweepMin).getOrElse(sweepMin), true)
+      else (sweepMin, false)
   }
 
   /** Fold this sweep's reportable best into the historical cross-sweep

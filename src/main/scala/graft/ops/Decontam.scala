@@ -150,16 +150,28 @@ object Decontam {
     val spark = bh.sparkSession
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = spark.conf.get(itemsKey, "4000000")
-    val oldBits = spark.conf.get(bitsKey, "67108864")
-    try {
-      spark.conf.set(itemsKey, math.max(est, oldItems.toLong).toString)
-      spark.conf.set(bitsKey, math.max(bits, oldBits.toLong).toString)
-      bh.agg(GraftFunctions.bloomAgg(col("h"), est, bits).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
-    } finally {
-      spark.conf.set(itemsKey, oldItems)
-      spark.conf.set(bitsKey, oldBits)
+    // SERIALIZED on the session: the raise/agg/restore sequence mutates
+    // session-shared confs, so two concurrent builds in one session
+    // could interleave — one build's restore landing before the other's
+    // agg is analyzed would silently re-introduce the clamp this method
+    // exists to lift. The lock makes raise→analyze→restore atomic per
+    // build. Residual (documented, not guarded): UNRELATED queries
+    // analyzed in the same session during a build's window see the
+    // raised caps — harmless for correctness (the caps only bound
+    // runtime-bloom sizing), at worst a transiently larger injected
+    // runtime filter.
+    spark.synchronized {
+      val oldItems = spark.conf.get(itemsKey, "4000000")
+      val oldBits = spark.conf.get(bitsKey, "67108864")
+      try {
+        spark.conf.set(itemsKey, math.max(est, oldItems.toLong).toString)
+        spark.conf.set(bitsKey, math.max(bits, oldBits.toLong).toString)
+        bh.agg(GraftFunctions.bloomAgg(col("h"), est, bits).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+      } finally {
+        spark.conf.set(itemsKey, oldItems)
+        spark.conf.set(bitsKey, oldBits)
+      }
     }
   }
 

@@ -257,8 +257,14 @@ object TextAnalysis {
     // are interpreted (ArrayFilter is CodegenFallback) — both counts
     // restate the per-token predicate as ONE regexp_extract_all, which
     // codegens. Letter-words: a \S+ run containing a letter yields
-    // exactly one greedy \S*[A-Za-z]\S* match (a match can't span
-    // whitespace and greediness swallows the whole run). Stopword
+    // exactly one [A-Za-z]\S* match — the match anchors on the run's
+    // FIRST letter and greedy \S* swallows the rest of the run (it
+    // can't span whitespace), and every non-letter position fails in
+    // O(1) with no quantifier engaged, so a multi-hundred-KB letter-
+    // free blob (base64/digit junk — exactly what a quality gate eats)
+    // scans linearly. The earlier \S*[A-Za-z]\S* form counted the same
+    // runs but backtracked quadratically on long letter-free runs:
+    // each start position re-scanned the rest of the run. Stopword
     // occurrences: a token of tokens() equals a stopword iff the
     // maximal [a-z0-9]+ run equals it — the lookaround fence
     // (?<![a-z0-9])…(?![a-z0-9]) on lower(text) matches exactly those
@@ -270,7 +276,7 @@ object TextAnalysis {
       (length(t) - length(translate(t, "#", ""))).cast("double").as("__nh") :+
       ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
         .cast("double").as("__ne") :+
-      size(regexp_extract_all(t, lit("\\S*[A-Za-z]\\S*"), lit(0)))
+      size(regexp_extract_all(t, lit("[A-Za-z]\\S*"), lit(0)))
         .cast("double").as("__na") :+
       size(regexp_extract_all(lower(t), lit(stopRe), lit(0)))
         .cast("long").as("n_stop"): _*)

@@ -250,14 +250,19 @@ object VectorStreams {
     val bf = Similarity.bruteForceTopKBatch(
         spark.read.parquet(corpusPath), q, idCol, vecCol, idCol, k)
       .select(col("query_id"), col(idCol))
+    // queries arrived but brute-force truth is EMPTY: the corpus path
+    // is empty or mispointed — a broken monitor must read as broken
+    // (recall 0.0 + alert), never as perfectly healthy; the recall=1.0
+    // idle convention is reserved for the n_queries=0 early return
     bf.join(ann.withColumn("__hit", lit(1)),
         Seq("query_id", idCol), "left")
       .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hit"))
       .select(lit(n).as("n_queries"), col("n_truth"), col("n_hit"),
         round(when(col("n_truth") > 0,
-          col("n_hit").cast("double") / col("n_truth")).otherwise(1.0), 6)
+          col("n_hit").cast("double") / col("n_truth")).otherwise(0.0), 6)
           .as("recall"))
-      .withColumn("alert", col("recall") < alertBelow)
+      .withColumn("alert",
+        col("n_truth") === 0 || col("recall") < alertBelow)
   }
 
   /** Streaming ANN recall monitor — the operational face of the a07

@@ -106,8 +106,18 @@ class BenchHistorySpec extends AnyFunSuite {
     // sweep hot but the rerun ran clean → the rerun is a real number
     assert(Bench.reported(2.0, 9.0, Some((0.95, 2.0)), Some(0.9), 4.0)
       === ((0.95, false)))
-    // no rerun fired → plain sweep min, never flagged
+    // THE r13 q45 edge: hot sweep min UNDERCUTS the clean-but-slower
+    // rerun — the rerun is the only clean measurement and must be
+    // reported alone; min-of-two would print the hot 0.601 unflagged
+    // at 2.09x the ratchet
+    assert(Bench.reported(0.601, 4.63, Some((0.780, 2.42)), Some(0.287), 4.0)
+      === ((0.780, false)))
+    // no rerun fired, sweep clean → plain sweep min, never flagged
     assert(Bench.reported(1.0, 2.0, None, Some(0.9), 4.0) === ((1.0, false)))
+    // no rerun COMPLETED but the sweep was hot → no clean measurement
+    // exists; same ratchet-best + flag treatment as both-hot
+    assert(Bench.reported(2.0, 9.0, None, Some(0.9), 4.0) === ((0.9, true)))
+    assert(Bench.reported(2.0, 9.0, None, None, 4.0) === ((2.0, true)))
     // gate disabled (<= 0) → hotMeasurement is always false
     assert(Bench.reported(2.0, 9.0, Some((1.9, 9.5)), Some(0.9), 0.0)
       === ((1.9, false)))

@@ -175,6 +175,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.getAs[Double]("hash_ratio") > 0.1)
   }
 
+  test("gopher alpha count: letter-run semantics exact; linear on a " +
+      "letter-free megablob (the r13 backtracking trap)") {
+    // mixed runs: alpha words are the \S+ runs containing >= 1 letter,
+    // wherever the letter sits in the run
+    val tricky = Seq(
+      (1L, "12ab cd12 1a2b3 123 45,6 ... a"), // 4 alpha of 7 runs
+      (2L, "$$$ ### 123 9.99"),               // 0 alpha of 4 runs
+      (3L, "x")                                // 1 of 1
+    ).toDF("doc_id", "text")
+    val fr = TextAnalysis.gopherRules(tricky, "doc_id", "text", minWords = 1L)
+      .select($"doc_id", $"n_words", $"alpha_frac")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fr(1L) == ((7L, 0.571429)), s"mixed-run alpha drifted: ${fr(1L)}")
+    assert(fr(2L) == ((4L, 0.0)))
+    assert(fr(3L) == ((1L, 1.0)))
+    // a 400 KB letter-free blob — base64/digit junk, exactly what a
+    // quality gate exists to chew through. The pre-r14 \S*[A-Za-z]\S*
+    // pattern backtracked quadratically here (~minutes per row); the
+    // anchored [A-Za-z]\S* form fails each position in O(1). The spec's
+    // assertion is semantic; its completing at all is the perf guard.
+    val blob = ("0123456789" * 40000) + " the of is a"
+    val big = TextAnalysis.gopherRules(
+      Seq((9L, blob)).toDF("doc_id", "text"), "doc_id", "text", minWords = 1L)
+      .select($"n_words", $"alpha_frac").as[(Long, Double)].head()
+    assert(big == ((5L, 0.8)), s"megablob stats drifted: $big")
+  }
+
   test("vocab coverage: hand-checked OOV with multiplicity; lexicographic tie at the cut") {
     // counts: cat=4, dog=3, ant=2, bee=2, fox=1 — at vocabSize=3 the
     // (ant, bee) tie breaks lexicographically: vocab = {cat, dog, ant}

@@ -258,6 +258,20 @@ class VectorStreamsSpec extends SparkSpec {
       .select($"n_queries", $"n_truth", $"n_hit", $"recall", $"alert")
       .as[(Long, Long, Long, Double, Boolean)].head()
     assert(idle == ((0L, 0L, 0L, 1.0, false)), s"idle snapshot drifted: $idle")
+    // queries arrived but the corpus path is EMPTY (mispointed monitor):
+    // truth is empty — must read as broken (recall 0.0 + alert), never
+    // as the healthy 1.0 idle convention
+    val emptyCorpus = s"$root/empty_corpus"
+    Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+      .write.parquet(emptyCorpus)
+    val broken = VectorStreams.recallSnapshot(
+      Seq((903L, v1)).toDF("vec_id", "embedding"),
+      s"$root/base", emptyCorpus, "vec_id", "embedding",
+      k = 2, nprobe = 2, maxQueries = 32, alertBelow = 0.9)
+      .select($"n_queries", $"n_truth", $"n_hit", $"recall", $"alert")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(broken == ((1L, 0L, 0L, 0.0, true)),
+      s"empty-truth epoch must alert, not read healthy: $broken")
   }
 
   test("cross-pair probe: index side partition-prunes and never shuffles") {
