@@ -346,13 +346,17 @@ object CurateMain {
     */
   final case class IncrementalSummary(indexed: Long, batch: Long,
       passageKept: Long, crossPairs: Long, internalPairs: Long,
-      survivors: Long, appendedVecs: Long, probeHit: Boolean, out: String) {
+      survivors: Long, appendedVecs: Long, probeHit: Boolean, out: String,
+      novelty: Double = -1.0, oovRate: Double = -1.0,
+      annRecall: Double = -1.0, monitorAlerts: Long = -1L) {
     def json: String =
       s"""{"incremental":{"indexed":$indexed,"batch":$batch,""" +
         s""""passage_kept":$passageKept,""" +
         s""""cross_pairs":$crossPairs,"internal_pairs":$internalPairs,""" +
         s""""survivors":$survivors,"appended_vecs":$appendedVecs,""" +
-        s""""probe_hit":$probeHit},"out":"$out"}"""
+        s""""probe_hit":$probeHit},"monitors":{"novelty":$novelty,""" +
+        s""""oov_rate":$oovRate,"ann_recall":$annRecall,""" +
+        s""""alerts":$monitorAlerts},"out":"$out"}"""
   }
 
   /** Marker helpers through the Hadoop FileSystem of the path — a
@@ -500,8 +504,60 @@ object CurateMain {
       "vec_id", "embedding", k = 5)
       .select($"vec_id").as[Long].collect()
     val probeHit = hits.contains(probeId)
+    // ---- operational monitors over the SAME day-2 batch (the full
+    // loop: ingest → suppress → monitor). Day-1 freezes the two
+    // artifacts the monitors watch against — the top-V vocabulary
+    // (x68's cut) and the corpus's first-seen gram index (epoch 0 of
+    // the novelty stream's layout), both marker-gated like the dedup
+    // indexes; each day-2 snapshot is then a pure epoch-keyed function
+    // of (batch, committed artifacts), replay-idempotent like every
+    // probe above.
+    val vocabPath = s"$workDir/vocab"
+    if (!hasMarker(spark, s"$vocabPath/_FROZEN")) {
+      TextAnalysis.fitVocab(corpus, "text", vocabSize = 200)
+        .write.mode("overwrite").parquet(vocabPath)
+      touchMarker(spark, s"$vocabPath/_FROZEN")
+    }
+    val novPath = s"$workDir/novelty_index"
+    if (!hasMarker(spark, s"$novPath/_DAY1")) {
+      Dedup.writeBucketedIndex(
+        corpus.select(explode(graft.ops.Shingles($"text", 3)).as("gram"))
+          .distinct(),
+        s"$novPath/epoch=0", Seq("gram"), 32)
+      touchMarker(spark, s"$novPath/_DAY1")
+    }
+    // novelty of the arriving batch vs everything held (epoch 1 of the
+    // monitor stream, computed off-stream — same pure function)
+    graft.streaming.Streams.processNoveltyBatch(
+      batch.select($"doc_id", $"text"), epoch = 1L, novPath,
+      s"$workDir/monitor_novelty", "doc_id", "text", n = 3,
+      alertBelow = 0.1)
+    val novRow = spark.read.parquet(s"$workDir/monitor_novelty/epoch=1")
+      .select($"novelty", $"alert").as[(Double, Boolean)].head()
+    // tokenizer mismatch of the batch vs the frozen vocabulary
+    val oovRow = graft.streaming.Streams.oovSnapshot(
+      batch.select($"doc_id", $"text"), vocabPath, "doc_id", "text",
+      alertAbove = 0.5)
+    oovRow.write.mode("overwrite").parquet(s"$workDir/monitor_oov/epoch=1")
+    val oov = spark.read.parquet(s"$workDir/monitor_oov/epoch=1")
+      .select($"oov_rate", $"alert").as[(Double, Boolean)].head()
+    // recall of the (appended) index vs brute-force truth over the
+    // RE-LISTED corpus — corpus ∪ day-2 appends, written fresh each
+    // run (pure function of its inputs)
+    val vecCorpus = s"$workDir/vec_corpus"
+    embeddings.unionByName(day2Vecs)
+      .write.mode("overwrite").parquet(vecCorpus)
+    val recRow = graft.streaming.VectorStreams.recallSnapshot(
+      day2Vecs, ivfPath, vecCorpus, "vec_id", "embedding",
+      k = 10, nprobe = 4, maxQueries = 32, alertBelow = 0.7)
+    recRow.write.mode("overwrite").parquet(s"$workDir/monitor_recall/epoch=1")
+    val rec = spark.read.parquet(s"$workDir/monitor_recall/epoch=1")
+      .select($"recall", $"alert").as[(Double, Boolean)].head()
+    val alerts = Seq(novRow._2, oov._2, rec._2).count(identity).toLong
     Staged.releaseAll()
     IncrementalSummary(nIndexed, nBatch, nPassaged, nCross, nInternal,
-      nKept, nVecs, probeHit, s"$workDir/day2_curated")
+      nKept, nVecs, probeHit, s"$workDir/day2_curated",
+      novelty = novRow._1, oovRate = oov._1, annRecall = rec._1,
+      monitorAlerts = alerts)
   }
 }

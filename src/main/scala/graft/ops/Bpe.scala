@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic bounded-merge byte-pair-encoding (BPE) tokenizer fit —
+  * completing the tokenizer-sizing family: x68 sizes a WORD vocabulary,
+  * but real pipelines commit a SUBWORD tokenizer, and the artifact that
+  * gets committed is an ordered merge list (Sennrich et al. 2016, the
+  * public BPE recipe).
+  *
+  * 100 TB shape (why this fits a Spark pipeline at all): the corpus is
+  * scanned exactly ONCE — the word-frequency aggregation — and every
+  * merge iteration runs over the VOCABULARY table (one row per distinct
+  * word: symbol array + corpus frequency), bounded by vocabulary size,
+  * not corpus size. Per iteration: one row-local adjacent-pair explode,
+  * one map-side-combining (left, right)-keyed count whose key space is
+  * the live pair vocabulary, one driver argmax of a single row, one
+  * row-local merge application. No joins, no corpus re-reads, nothing
+  * corpus-sized ever shuffles.
+  *
+  * Determinism: pair counts are exact integers over exact word
+  * frequencies; the argmax tie-break is (count desc, left asc, right
+  * asc) — a total order — so the fitted merge sequence is independent
+  * of partitioning (spec-pinned); the per-word application is the
+  * published left-to-right greedy rule (only l==r pairs can overlap,
+  * resolved leftmost-first).
+  *
+  * The per-word symbol rewrite is a typed map — a deliberate use of
+  * the imperative-per-row-logic exception: applying one merge to a
+  * symbol array is inherently sequential per word, and the frame it
+  * runs over is vocabulary-sized. Each generation is
+  * `localCheckpoint`ed (the CC lesson: the plan otherwise re-embeds
+  * every earlier generation's map and re-analysis dominates) with the
+  * retired generation's blocks released immediately and the final one
+  * registered for `Staged.releaseCheckpoints`.
+  */
+object Bpe {
+
+  /** One fitted merge rule: at `step`, the adjacent pair (left, right)
+    * was the corpus's most frequent (weighted by word frequency) and
+    * every occurrence was fused into the symbol `left+right`.
+    */
+  final case class Merge(step: Int, left: String, right: String, freq: Long)
+
+  /** The fitted artifact: the ordered merge list (driver-bounded by
+    * `nMerges` — this IS the tokenizer) plus the final per-word
+    * symbolization table (word, syms, freq), vocabulary-sized, which
+    * [[tokenize]] joins against and the oracle replays from.
+    */
+  final case class Fit(merges: Seq[Merge],
+      words: Dataset[(String, Seq[String], Long)]) {
+    /** (word, syms "a b c", n_syms) — the dumpable/joinable view. */
+    def wordTable: DataFrame = {
+      val spark = words.sparkSession
+      import spark.implicits._
+      words.toDF("word", "__syms", "freq")
+        .select($"word", concat_ws(" ", $"__syms").as("syms"),
+          size($"__syms").cast("long").as("n_syms"))
+    }
+    def mergeTable(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      merges.toDF("step", "left", "right", "freq")
+    }
+  }
+
+  /** Left-to-right greedy application of one merge to one word's
+    * symbols — the published BPE rule. Only l==r can self-overlap
+    * ("aaa" under (a,a) → "aa a", never "a aa").
+    */
+  private[graft] def mergePair(syms: Seq[String], l: String,
+      r: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def checkpointRdds(ds: Dataset[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  def fit(df: DataFrame, textCol: String, nMerges: Int): Fit = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // THE one corpus pass: distinct words + frequencies, seeded with
+    // single-character symbols
+    var words: Dataset[(String, Seq[String], Long)] = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w, w.map(_.toString): Seq[String], f) }
+      .localCheckpoint()
+    var prevRdds = checkpointRdds(words)
+    val merges = Seq.newBuilder[Merge]
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      // adjacent pairs weighted by word frequency; vocabulary-sized
+      val top = words.flatMap { case (_, syms, f) =>
+        if (syms.length < 2) Iterator.empty
+        else syms.iterator.zip(syms.iterator.drop(1))
+          .map { case (a, b) => (a, b, f) }
+      }.toDF("l", "r", "f")
+        .groupBy($"l", $"r").agg(sum($"f").as("n"))
+        .orderBy($"n".desc, $"l", $"r").limit(1)
+        .as[(String, String, Long)].collect()
+      top.headOption match {
+        case None => exhausted = true // every word is one symbol
+        case Some((l, r, n)) =>
+          merges += Merge(step, l, r, n)
+          val next = words
+            .map { case (w, syms, f) => (w, mergePair(syms, l, r), f) }
+            .localCheckpoint()
+          val nextRdds = checkpointRdds(next)
+          prevRdds.foreach(rdd =>
+            try rdd.unpersist(blocking = false)
+            catch { case _: Throwable => () })
+          words = next
+          prevRdds = nextRdds
+          step += 1
+      }
+    }
+    // the surviving generation backs the returned Fit: its truncated
+    // lineage cannot recompute, so it lives in the checkpoint queue —
+    // released only by the caller's post-consumption releaseCheckpoints
+    prevRdds.foreach(Staged.trackRdd)
+    Fit(merges.result(), words)
+  }
+
+  /** Tokenize documents under a fitted BPE: (id, n_words, n_bpe_tokens,
+    * bpe_text) with bpe_text the word-ordered space-joined subword
+    * stream — the context-length planning signal (n_bpe_tokens is what
+    * a context window actually holds; n_words is what x68 counts).
+    * Docs with no tokens have no row (x65's rule). One explode + one
+    * word-keyed join against the vocabulary-sized symbolization table
+    * (broadcast when small — AQE's call) + one doc-keyed re-agg.
+    */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+      fit: Fit): DataFrame = {
+    val m = fit.wordTable
+    df.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "word")))
+      .join(m, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        array_join(sort_array(collect_list(struct(col("__pos"), col("syms"))))
+          .getField("syms"), " ").as("bpe_text"))
+  }
+}

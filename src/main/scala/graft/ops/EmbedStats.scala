@@ -244,6 +244,69 @@ object EmbedStats {
       posexplode(array(cols.toSeq: _*)).as(Seq("component", "value")))
   }
 
+  /** Whitened PCA projection: (id, component, value) with value =
+    * (⟨x, cⱼ⟩ − ⟨μ, cⱼ⟩) / √λⱼ — the decorrelated unit-variance
+    * coordinates downstream ANN / anisotropy repair actually consumes
+    * (raw PCA coordinates keep the dominant component's variance, so
+    * distances are still ruled by it; whitening equalizes them). A
+    * degenerate eigenvalue yields NULL, never ±Inf — x63's
+    * zero-variance convention. "Degenerate" is RELATIVE (rcond-style):
+    * λⱼ ≤ max(10⁻¹², λmax · 10⁻⁶). A rank-deficient direction's λ comes
+    * back from the pipeline as ±O(grid) noise, not exactly 0 — the
+    * covariance lands on the 1e-9 decimal grid, so its eigenvalues
+    * carry O(d·1e-9) perturbation — and dividing by √noise would
+    * launder that noise into enormous coordinates. The 10⁻⁶ condition
+    * cutoff also reflects the float32 inputs: variance ratios below it
+    * are below the data's own precision. Same plan class as
+    * [[pcaProject]]: the 1/√λ scale folds driver-side into per-row
+    * codegen'd dot products against literal arrays — row-local, zero
+    * shuffles at any corpus size.
+    */
+  def pcaWhiten(df: DataFrame, idCol: String, vecCol: String, p: Pca,
+      roundTo: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val offs = p.offsets
+    val floor = math.max(1e-12,
+      (if (p.eigenvalues.isEmpty) 0.0 else p.eigenvalues.max) * 1e-6)
+    val cols = p.components.zipWithIndex.map { case (c, j) =>
+      if (p.eigenvalues(j) > floor)
+        round((graft.functions.GraftFunctions.dotProduct(
+          col(vecCol), typedLit(c.toSeq)) - lit(offs(j))) /
+          lit(math.sqrt(p.eigenvalues(j))), roundTo)
+      else lit(null).cast("double")
+    }
+    df.select(col(idCol),
+      posexplode(array(cols.toSeq: _*)).as(Seq("component", "value")))
+  }
+
+  /** The projection in VECTOR form — (id, proj: array<float>) — the
+    * serving shape a downstream ANN index ingests ([[pcaProject]] and
+    * [[pcaWhiten]] emit the exploded analytic shape). Stored as float:
+    * the inputs were float32, so double coordinates carry no extra
+    * information and the index pays 2× the bytes for them. With
+    * `whiten`, degenerate axes (same rcond cutoff as [[pcaWhiten]])
+    * are DROPPED from the vector rather than NULLed — a serving vector
+    * must stay dense. Row-local, zero shuffles.
+    */
+  def pcaProjectVec(df: DataFrame, idCol: String, vecCol: String, p: Pca,
+      whiten: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val offs = p.offsets
+    val floor = math.max(1e-12,
+      (if (p.eigenvalues.isEmpty) 0.0 else p.eigenvalues.max) * 1e-6)
+    val cols = p.components.zipWithIndex.flatMap { case (c, j) =>
+      val base = graft.functions.GraftFunctions.dotProduct(
+        col(vecCol), typedLit(c.toSeq)) - lit(offs(j))
+      if (!whiten) Some(base)
+      else if (p.eigenvalues(j) > floor)
+        Some(base / lit(math.sqrt(p.eigenvalues(j))))
+      else None
+    }
+    require(cols.nonEmpty, "every fitted component is degenerate")
+    df.select(col(idCol),
+      array(cols.toSeq: _*).cast("array<float>").as("proj"))
+  }
+
   /** Per-component corpus means on the 1e-9 grid (the centering vector
     * for [[pca]]) — one d-key aggregation, collected driver-side.
     */

@@ -2148,7 +2148,113 @@ object ExtensionQueries {
           CAST(sum(per.nv) AS BIGINT) AS n_novel,
           round(CAST(sum(per.nv) AS DOUBLE) / sum(per.ng), 6) AS novelty
         FROM per JOIN documents d USING (doc_id) GROUP BY d.source"""),
-      notes = "micro-average over x65's per-doc attribution; exact integer sums")
+      notes = "micro-average over x65's per-doc attribution; exact integer sums"),
+
+    // ---- whitened PCA projection — the coordinates downstream ANN
+    // actually consumes: raw PCA keeps the dominant component's
+    // variance, so distances are still ruled by it; dividing each
+    // component by √λ equalizes them. Same fitted artifact as x67 with
+    // the eigenvalues riding along; non-positive eigenvalue → NULL
+    // (x63's zero-variance convention), never ±Inf. Row-local
+    // three-node plan, zero shuffles.
+    GraftQuery(
+      "x70_pca_whiten",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val p = graft.ops.EmbedStats.pca(e, "embedding", k = 4)
+        OracleDump.dump(
+          p.components.zipWithIndex.map { case (c, j) =>
+            (j, c.toSeq, p.offsets(j), p.eigenvalues(j))
+          }.toSeq.toDF("component", "vec", "voffset", "eig"),
+          dir, "x70_pca")
+        graft.ops.EmbedStats.pcaWhiten(e, "vec_id", "embedding", p)
+      },
+      Some("""WITH c AS (SELECT component, vec, voffset, eig
+          FROM read_parquet('__SCRATCH__/x70_pca/*.parquet'))
+        SELECT e.vec_id, c.component,
+          CASE WHEN c.eig > greatest(1e-12,
+              1e-6 * (SELECT max(eig) FROM c))
+            THEN round((list_inner_product(
+              list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.vec)
+              - c.voffset) / sqrt(c.eig), 6) + 0.0
+            ELSE NULL END AS value
+        FROM embeddings e CROSS JOIN c"""),
+      notes = "x67's replay with eigenvalues in the dump; both engines run " +
+        "identical scalar math; +0.0 folds DuckDB's -0.0"),
+
+    // ---- per-source OOV slice — the acquisition-facing face of x68
+    // exactly as x69 is of x65: micro-averaged Σoov/Σtokens per source
+    // against the corpus's own top-V cut. The "which source will the
+    // committed tokenizer shred into bytes" table a data-acquisition
+    // review reads next to the novelty slice. One groupBy over the
+    // verified x68 operator; exact integer sums.
+    GraftQuery(
+      "x71_source_oov",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.TextAnalysis.vocabCoverage(docs, "doc_id", "text",
+            vocabSize = 20)
+          .join(docs.select($"doc_id", $"source"), "doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("n_tokens"),
+            sum($"n_oov").as("n_oov"),
+            round(sum($"n_oov").cast("double") / sum($"n_tokens"), 6)
+              .as("oov_rate"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents),
+        tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        vocab AS (SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM tc)
+          WHERE rk <= 20)
+        SELECT d.source, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov,
+          round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v USING (tok)
+        JOIN documents d USING (doc_id) GROUP BY d.source"""),
+      notes = "x68's vocab cut + x69's micro-average shape; n_docs counts " +
+        "docs with tokens (x68 has no row for tokenless docs)"),
+
+    // ---- bounded-merge BPE tokenizer fit + per-doc tokenization —
+    // the subword half of the tokenizer-sizing family (x68 sizes a
+    // WORD vocabulary; the committed artifact of a real pipeline is a
+    // merge list). Fit: ONE corpus scan (word frequencies), then 16
+    // iterations over the vocabulary-sized word table — pair explode,
+    // map-side-combining count, driver argmax with a total-order
+    // tie-break, row-local merge application. The fitted per-word
+    // symbolization is dumped as data; the oracle replays the per-doc
+    // tokenization (word-keyed join + ordered string_agg) and
+    // hash-matches counts AND the subword stream. The fit itself is
+    // spec-verified (BpeSpec: hand-computed Sennrich-style merge
+    // sequence, deterministic ties, l==r leftmost-first overlap,
+    // partitioning invariance).
+    GraftQuery(
+      "x72_bpe_tokenize",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val fit = graft.ops.Bpe.fit(docs, "text", nMerges = 16)
+        OracleDump.dump(fit.wordTable, dir, "x72_bpe")
+        graft.ops.Bpe.tokenize(docs, "doc_id", "text", fit)
+      },
+      Some("""WITH m AS (SELECT word, syms, n_syms
+          FROM read_parquet('__SCRATCH__/x72_bpe/*.parquet')),
+        toks AS (SELECT doc_id, gi, t[gi] AS word FROM (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents), unnest(range(1, len(t) + 1)) AS u(gi))
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(m.n_syms) AS BIGINT) AS n_bpe_tokens,
+          string_agg(m.syms, ' ' ORDER BY t.gi) AS bpe_text
+        FROM toks t JOIN m USING (word) GROUP BY t.doc_id"""),
+      notes = "fitted symbolization dumped as data (x14's convention: the " +
+        "plumbing hash-verifies, the fit is spec-pinned); every corpus word " +
+        "is in the map by construction, so the join is lossless")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

@@ -44,6 +44,8 @@ object ScaleRehearsalStream {
       args.lift(2).map(_.toInt).getOrElse(64))
     if (args.headOption.contains("--quote")) return runQuotation(
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 8, 16))
+    if (args.headOption.contains("--novelty")) return runNovelty(
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 8, 16))
     val epochCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8, 16)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -175,7 +177,13 @@ object ScaleRehearsalStream {
     var expect = -1L
     epochCounts.foreach { ec =>
       val idxPath = s"/tmp/graft-scale-quoteidx-$ec"
-      if (!new java.io.File(s"$idxPath/_OK").exists()) {
+      // rebuild when the cached dir no longer holds the LIVE ec-epoch
+      // chain — the compaction below MUTATES it (the passage
+      // rehearsal's rule), so a rerun trusting _OK alone would measure
+      // the "live chain" probe against an already-compacted index
+      val cachedParts = Option(new java.io.File(idxPath).listFiles()).toSeq
+        .flatten.count(_.getName.startsWith("epoch="))
+      if (!new java.io.File(s"$idxPath/_OK").exists() || cachedParts != ec) {
         val root = new org.apache.hadoop.fs.Path(idxPath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(root)) fs.delete(root, true): Unit
@@ -186,16 +194,122 @@ object ScaleRehearsalStream {
         }
         new java.io.File(s"$idxPath/_OK").createNewFile(): Unit
       }
-      val t0 = System.nanoTime()
-      val flags = Streams.quotationFlags(batch, Long.MaxValue, idxPath,
-        "doc_id", "text", n = 3, threshold = 0.6).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      Staged.releaseAll()
+      def probe(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val flags = Streams.quotationFlags(batch, Long.MaxValue, idxPath,
+          "doc_id", "text", n = 3, threshold = 0.6).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Staged.releaseAll()
+        (sec, flags)
+      }
+      val (sec, flags) = probe()
       if (expect < 0) expect = flags
       require(flags == expect,
         s"flag count drifted with epoch count $ec: $flags != $expect")
+      // the r14 compaction face: fold the chain to <= 2 partitions and
+      // re-probe — the flag set must be invariant (same container set,
+      // one candidates+verify leg instead of ec of them)
+      Streams.compactQuotationIndex(spark, idxPath, upToEpoch = Long.MaxValue)
+      val (cSec, cFlags) = probe()
+      require(cFlags == expect,
+        s"compaction changed the probe result at $ec: $cFlags != $expect")
+      val nLive = Option(new java.io.File(idxPath).listFiles()).toSeq
+        .flatten.count(_.getName.startsWith("epoch="))
       println(f"""{"epochs":$ec,"docs_indexed":${nDocs * ec},""" +
-        f""""probe_sec":$sec%.2f,"flags":$flags}""")
+        f""""probe_sec":$sec%.2f,"post_compact_sec":$cSec%.2f,""" +
+        f""""post_compact_parts":$nLive,"flags":$flags}""")
+    }
+    spark.stop()
+  }
+
+  /** Fixed novelty-probe batch vs a GROWING first-seen gram index
+    * ([[Streams.noveltyMonitorStream]]'s layout): epoch gram universes
+    * are disjoint (per-epoch token suffix), the probe batch re-crawls
+    * only epoch-0 content plus a fresh slice, so its (grams, novel)
+    * counts are E-invariant by construction — the correctness face —
+    * and the per-batch cost curve shows what the chained anti-join fold
+    * costs as E grows LIVE vs after [[Streams.compactNoveltyIndex]]
+    * folds the chain to ≤ 2 partitions (the r14 compaction face: the
+    * residual growth is CHAIN length, and compaction removes it).
+    * Timed work is the full [[Streams.processNoveltyBatch]] — probe +
+    * snapshot write + registration — i.e. the real per-epoch bill.
+    */
+  private def runNovelty(epochCounts: Seq[Int]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = SparkSession.builder()
+      .appName("graft-scale-novelty")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val nDocs = base.count()
+    val stride = base.agg(max($"doc_id")).head().getLong(0) + 1L
+    def epochDocs(e: Int) = {
+      val text =
+        if (e == 0) $"text"
+        else array_join(transform(TextAnalysis.tokens($"text"),
+          x => concat(x, lit("e" + e))), " ")
+      base.select(($"doc_id" + lit(e.toLong * stride)).as("doc_id"),
+        text.as("text"))
+    }
+    val batch = base.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + lit(1000L * stride)).as("doc_id"), $"text")
+      .unionByName(base.where($"doc_id" % 10 === 5)
+        .select(($"doc_id" + lit(1001L * stride)).as("doc_id"),
+          array_join(transform(TextAnalysis.tokens($"text"),
+            x => concat(x, lit("fresh"))), " ").as("text")))
+    var expect = (-1L, -1L)
+    epochCounts.foreach { ec =>
+      val idxPath = s"/tmp/graft-scale-novidx-$ec"
+      val outPath = s"/tmp/graft-scale-novout-$ec"
+      val cachedParts = Option(new java.io.File(idxPath).listFiles()).toSeq
+        .flatten.count(_.getName.startsWith("epoch="))
+      if (!new java.io.File(s"$idxPath/_OK").exists() || cachedParts != ec) {
+        val root = new org.apache.hadoop.fs.Path(idxPath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true): Unit
+        (0 until ec).foreach { e =>
+          Streams.processNoveltyBatch(epochDocs(e), e.toLong, idxPath,
+            outPath, "doc_id", "text", n = 3, alertBelow = 0.0,
+            maxChain = 0)
+        }
+        new java.io.File(s"$idxPath/_OK").createNewFile(): Unit
+      }
+      // measure one probe epoch, then DELETE its registration so the
+      // cached index keeps exactly ec committed partitions
+      def probe(): (Double, Long, Long) = {
+        val probeEpoch = 1000000L
+        val t0 = System.nanoTime()
+        Streams.processNoveltyBatch(batch, probeEpoch, idxPath, outPath,
+          "doc_id", "text", n = 3, alertBelow = 0.0, maxChain = 0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val r = spark.read.parquet(s"$outPath/epoch=$probeEpoch")
+          .select($"n_grams", $"n_novel").as[(Long, Long)].head()
+        val fs = new org.apache.hadoop.fs.Path(idxPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$idxPath/epoch=$probeEpoch"), true): Unit
+        spark.sql("DROP TABLE IF EXISTS " + graft.ops.Dedup
+          .indexTableName(s"$idxPath/epoch=$probeEpoch")): Unit
+        (sec, r._1, r._2)
+      }
+      val (sec, nGrams, nNovel) = probe()
+      if (expect._1 < 0) expect = (nGrams, nNovel)
+      require((nGrams, nNovel) == expect,
+        s"novelty drifted with epoch count $ec: ($nGrams,$nNovel) != $expect")
+      Streams.compactNoveltyIndex(spark, idxPath, upToEpoch = Long.MaxValue)
+      val (cSec, cGrams, cNovel) = probe()
+      require((cGrams, cNovel) == expect,
+        s"compaction changed the probe result at $ec: ($cGrams,$cNovel) != $expect")
+      val nLive = Option(new java.io.File(idxPath).listFiles()).toSeq
+        .flatten.count(_.getName.startsWith("epoch="))
+      println(f"""{"epochs":$ec,"docs_indexed":${nDocs * ec},""" +
+        f""""probe_sec":$sec%.2f,"post_compact_sec":$cSec%.2f,""" +
+        f""""post_compact_parts":$nLive,"grams":$nGrams,"novel":$nNovel}""")
     }
     spark.stop()
   }

@@ -125,6 +125,13 @@ object Streams {
     * with the capstone's stage report) ride every row: a pass-rate
     * cliff names WHICH rule is eating the crawl in the same snapshot
     * that alerts on it.
+    *
+    * Schema note (r13 upgrade): the `fail_g_*` columns changed the
+    * snapshot parquet schema, so an `outPath` holding pre-upgrade
+    * epochs is MIXED-schema — point upgraded monitors at a fresh
+    * `outPath`, or read old roots with `.option("mergeSchema", "true")`
+    * (a plain read samples one footer and may drop or reject the new
+    * columns depending on which it picks).
     */
   private[streaming] def qualityGateSnapshot(batch: DataFrame, idCol: String,
       textCol: String, minWords: Long, alertBelow: Double): DataFrame = {
@@ -495,7 +502,26 @@ object Streams {
     * most failures by returning false, not throwing.
     */
   def compactPassageIndex(spark: SparkSession, indexPath: String,
-      upToEpoch: Long, nBuckets: Int = 32): Unit = {
+      upToEpoch: Long, nBuckets: Int = 32): Unit =
+    compactEpochChain(spark, indexPath, upToEpoch, nBuckets,
+      Seq("chunk_text"), dedup = true)
+
+  /** Offline compaction for the novelty monitor's first-seen gram
+    * index ([[noveltyMonitorStream]]): the passage discipline verbatim
+    * — merge epochs ≤ `upToEpoch` (never the newest) into one bucketed
+    * partition under the max absorbed label with the finish-tmp-first
+    * crash-recoverable swap. No distinct on the merge: novel-only
+    * registration makes epoch gram sets DISJOINT by construction, so
+    * the union is already duplicate-free.
+    */
+  def compactNoveltyIndex(spark: SparkSession, indexPath: String,
+      upToEpoch: Long, nBuckets: Int = 32): Unit =
+    compactEpochChain(spark, indexPath, upToEpoch, nBuckets,
+      Seq("gram"), dedup = false)
+
+  private def compactEpochChain(spark: SparkSession, indexPath: String,
+      upToEpoch: Long, nBuckets: Int, keyCols: Seq[String],
+      dedup: Boolean): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
@@ -543,11 +569,77 @@ object Streams {
     // bucket-spec marker lands just after it, so a crash in that tiny
     // window promotes a partition that reads as PLAIN parquet — correct,
     // merely un-bucketed until the next compaction rebuilds it.
+    val merged = spark.read.parquet(victims.map(_._2.toString): _*)
+      .select(keyCols.map(col): _*)
     graft.ops.Dedup.writeBucketedIndex(
-      spark.read.parquet(victims.map(_._2.toString): _*)
-        .select(col("chunk_text")).distinct(),
-      s"$indexPath/__compact_tmp_$label", Seq("chunk_text"), nBuckets)
+      if (dedup) merged.distinct() else merged,
+      s"$indexPath/__compact_tmp_$label", keyCols, nBuckets)
     promote(new org.apache.hadoop.fs.Path(root, s"__compact_tmp_$label"), label)
+  }
+
+  /** Offline compaction for the quotation index's two-table epochs
+    * ([[quotationFlagStream]]'s `sets/` + `posts/` layout): merge
+    * epochs ≤ `upToEpoch` — never the globally newest, which may be a
+    * restarted stream's replay target — into one partition carrying
+    * the HIGHEST absorbed label, so [[quotationFlags]] for any later
+    * epoch probes exactly the same container set through ONE
+    * candidates+verify leg instead of one per absorbed epoch. Both
+    * unions are duplicate-free by construction (a container id lives
+    * in exactly one epoch). The swap is the passage pattern with one
+    * difference forced by the two-subdir shape: parquet's _SUCCESS
+    * lands per SUBDIR, so the tmp's commit point is an explicit `_OK`
+    * marker created only after both tables are fully written —
+    * recovery promotes a tmp with `_OK` and discards one without
+    * (victims untouched either way).
+    */
+  def compactQuotationIndex(spark: SparkSession, indexPath: String,
+      upToEpoch: Long, nBuckets: Int = 32): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    def mustDelete(p: org.apache.hadoop.fs.Path): Unit =
+      require(fs.delete(p, true), s"quotation compaction: delete failed for $p")
+    def promote(tmp: org.apache.hadoop.fs.Path, label: Long): Unit = {
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch=") &&
+          s.getPath.getName.stripPrefix("epoch=").toLong <= label)
+        .foreach { s =>
+          mustDelete(s.getPath)
+          spark.sql("DROP TABLE IF EXISTS " + graft.ops.Dedup
+            .indexTableName(s"$indexPath/${s.getPath.getName}/posts")): Unit
+        }
+      val dest = new org.apache.hadoop.fs.Path(root, s"epoch=$label")
+      require(fs.rename(tmp, dest),
+        s"quotation compaction: rename $tmp -> $dest failed")
+      spark.sql("DROP TABLE IF EXISTS " + graft.ops.Dedup
+        .indexTableName(s"$indexPath/${tmp.getName}/posts")): Unit
+    }
+    // recovery: finish a committed swap, discard an uncommitted one
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__compact_tmp_"))
+      .foreach { s =>
+        val label = s.getPath.getName.stripPrefix("__compact_tmp_").toLong
+        if (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_OK")))
+          promote(s.getPath, label)
+        else mustDelete(s.getPath)
+      }
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+    if (dirs.isEmpty) return
+    val newest = dirs.max
+    val victims = dirs.filter(l => l <= upToEpoch && l < newest).sorted
+    if (victims.size < 2) return // nothing worth merging
+    val label = victims.max
+    val tmp = s"$indexPath/__compact_tmp_$label"
+    spark.read.parquet(victims.map(e => s"$indexPath/epoch=$e/sets"): _*)
+      .write.mode("overwrite").parquet(s"$tmp/sets")
+    graft.ops.Dedup.writeBucketedIndex(
+      spark.read.parquet(victims.map(e => s"$indexPath/epoch=$e/posts"): _*)
+        .select(col("tok"), col("id"), col("hn")),
+      s"$tmp/posts", Seq("tok"), nBuckets)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_OK"), true).close()
+    promote(new org.apache.hadoop.fs.Path(tmp), label)
   }
 
   /** The union of index partitions committed before `epoch` (empty
@@ -648,7 +740,8 @@ object Streams {
 
   def processQuotationBatch(batch: DataFrame, epoch: Long,
       indexPath: String, outPath: String, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6, nBuckets: Int = 32): Unit = {
+      n: Int = 3, threshold: Double = 0.6, nBuckets: Int = 32,
+      maxChain: Int = 16): Unit = {
     // same domain guard as the batch operator: outside (0,1] the
     // prefix arithmetic breaks mid-job, and a stream would break on
     // EVERY epoch — validate before the first one
@@ -656,12 +749,23 @@ object Streams {
       s"containment threshold must be in (0, 1], got $threshold")
     require(n > 0, s"shingle size must be positive, got $n")
     require(nBuckets > 0, s"bucket count must be positive, got $nBuckets")
+    val committed = epochsBefore(batch.sparkSession, indexPath, epoch)
     quotationFlags(batch, epoch, indexPath, idCol, textCol, n, threshold)
       .select(col("id_a").as(idCol), col("id_b").as("quoted_from"),
         col("containment"))
       .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
     registerQuotationEpoch(batch, epoch, indexPath, idCol, textCol, n,
       nBuckets)
+    // auto-compaction, the passage stream's policy: fires when the NEXT
+    // batch's chain (the epochs just probed plus epoch e's fresh one)
+    // would exceed the bound; runs after this epoch's writes so a crash
+    // inside the compaction replays epoch e against the same — merged
+    // or unmerged — container set. Without it, the per-batch plan grows
+    // one candidates+verify leg per committed epoch forever (the r13
+    // verdict's one named scale gap). 0 disables (manual only).
+    if (maxChain > 0 && committed.size + 1 > maxChain)
+      compactQuotationIndex(batch.sparkSession, indexPath,
+        upToEpoch = epoch - 1, nBuckets = nBuckets)
     graft.ops.Staged.release()
   }
 
@@ -682,13 +786,13 @@ object Streams {
     */
   def quotationFlagStream(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.6): StreamingQuery =
+      n: Int = 3, threshold: Double = 0.6, maxChain: Int = 16): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processQuotationBatch(batch, epoch, indexPath, outPath,
-          idCol, textCol, n, threshold)
+          idCol, textCol, n, threshold, maxChain = maxChain)
       }
       .start()
 
@@ -705,7 +809,7 @@ object Streams {
     */
   def processNoveltyBatch(batch: DataFrame, epoch: Long, indexPath: String,
       outPath: String, idCol: String, textCol: String, n: Int,
-      alertBelow: Double, nBuckets: Int = 32): Unit = {
+      alertBelow: Double, nBuckets: Int = 32, maxChain: Int = 16): Unit = {
     require(n > 0, s"shingle size must be positive, got $n")
     require(nBuckets > 0, s"bucket count must be positive, got $nBuckets")
     val spark = batch.sparkSession
@@ -713,7 +817,8 @@ object Streams {
     val grams = graft.ops.Staged(batch
       .select(explode(graft.ops.Shingles(col(textCol), n)).as("gram"))
       .distinct())
-    val idxParts = epochsBefore(spark, indexPath, epoch).map(e =>
+    val committed = epochsBefore(spark, indexPath, epoch)
+    val idxParts = committed.map(e =>
       graft.ops.Dedup.readIndexTable(spark, s"$indexPath/epoch=$e")
         .select(col("gram")))
     val novel = graft.ops.Staged(
@@ -730,28 +835,39 @@ object Streams {
       .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
     graft.ops.Dedup.writeBucketedIndex(novel, s"$indexPath/epoch=$epoch",
       Seq("gram"), nBuckets)
+    // auto-compaction under `maxChain` (the passage policy): without it
+    // the per-batch anti-join fold grows one plan leg per committed
+    // epoch forever. Runs after this epoch's writes, never absorbs the
+    // newest partition — a crash inside it replays epoch e against the
+    // same gram set, merged or not. 0 disables (manual only).
+    if (maxChain > 0 && committed.size + 1 > maxChain)
+      compactNoveltyIndex(spark, indexPath, upToEpoch = epoch - 1,
+        nBuckets = nBuckets)
     graft.ops.Staged.release()
   }
 
   /** The per-epoch OOV snapshot, extracted for unit/replay testing —
     * a pure function of (batch, vocab files): tokens counted WITH
     * multiplicity against the frozen vocabulary; an idle epoch records
-    * (0, 0, 0, 0.0, false).
+    * (0, 0, 0, 0.0, false). `n_docs` is the FULL batch count (the
+    * quality-gate convention), not the count of docs that yielded
+    * tokens — a batch of all-tokenless (e.g. non-Latin) docs must read
+    * as "N docs arrived, none tokenized", never as an idle epoch.
     */
-  private[streaming] def oovSnapshot(batch: DataFrame, vocabPath: String,
+  private[graft] def oovSnapshot(batch: DataFrame, vocabPath: String,
       idCol: String, textCol: String, alertAbove: Double): DataFrame = {
     val spark = batch.sparkSession
+    val nDocs = batch.count()
     val vocab = broadcast(spark.read.parquet(vocabPath)
       .select(col("tok"), lit(1).as("__inv")))
     batch
       .select(col(idCol).as("__id"),
         explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("tok"))
       .join(vocab, Seq("tok"), "left")
-      .agg(coalesce(count_distinct(col("__id")), lit(0L)).as("n_docs"),
-        count(lit(1)).as("n_tokens"),
+      .agg(count(lit(1)).as("n_tokens"),
         coalesce(sum(when(col("__inv").isNull, 1L).otherwise(0L)), lit(0L))
           .as("n_oov"))
-      .select(col("n_docs"), col("n_tokens"), col("n_oov"),
+      .select(lit(nDocs).as("n_docs"), col("n_tokens"), col("n_oov"),
         round(when(col("n_tokens") > 0,
           col("n_oov").cast("double") / col("n_tokens")).otherwise(0.0), 6)
           .as("oov_rate"))
@@ -796,13 +912,13 @@ object Streams {
     */
   def noveltyMonitorStream(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, idCol: String, textCol: String,
-      n: Int = 3, alertBelow: Double = 0.1): StreamingQuery =
+      n: Int = 3, alertBelow: Double = 0.1, maxChain: Int = 16): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processNoveltyBatch(batch, epoch, indexPath, outPath,
-          idCol, textCol, n, alertBelow)
+          idCol, textCol, n, alertBelow, maxChain = maxChain)
       }
       .start()
 

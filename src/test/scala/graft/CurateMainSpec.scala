@@ -218,6 +218,22 @@ class CurateMainSpec extends SparkSpec {
     assert(incrKept == fullKept,
       s"diverged: only-incr=${(incrKept -- fullKept).take(5)} " +
         s"only-full=${(fullKept -- incrKept).take(5)}")
+    // the r14 operational loop: the same day-2 batch feeds the three
+    // monitors (novelty vs the frozen day-1 gram index, OOV vs the
+    // frozen day-1 vocabulary, ANN recall vs brute-force truth over the
+    // re-listed corpus ∪ appends). All three are deterministic pure
+    // functions of (batch, day-1 artifacts), so the snapshot pins
+    // exactly: the 2/7-recrawl batch sits just above the novelty alert
+    // floor, in-distribution API text keeps OOV low, and the appended
+    // index answers at its measured recall — zero alerts on a healthy
+    // day-2.
+    assert((s.novelty, s.oovRate, s.annRecall, s.monitorAlerts)
+      == ((0.108981, 0.087267, 0.7125, 0L)),
+      s"day-2 monitor snapshot drifted: ${(s.novelty, s.oovRate, s.annRecall, s.monitorAlerts)}")
+    // replay: the monitor epochs are overwrite-committed pure functions
+    // — a second run over the same workDir rewrites identical rows
+    val s2 = CurateMain.runIncremental(spark, "/root/testdata/sf0.001", work)
+    assert(s2 == s, s"incremental re-run drifted: $s2 vs $s")
     graft.ops.Staged.releaseAll()
   }
 

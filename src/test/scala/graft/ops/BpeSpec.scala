@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic fit fixture (Sennrich et al.'s shape): word
+  // frequencies low×5, lower×2, newest×6, widest×3. Hand-computed
+  // merge sequence under the (count desc, left asc, right asc)
+  // tie-break:
+  //   step 0: e-s 9 ties s-t 9 → "e" < "s" → (e, s, 9)
+  //   step 1: (es, t, 9)
+  //   step 2: l-o 7 ties o-w 7 → (l, o, 7)
+  //   step 3: (lo, w, 7)
+  private def corpus = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")
+  ).toDF("doc_id", "text")
+
+  test("fit reproduces the hand-computed merge sequence with deterministic ties") {
+    val f = Bpe.fit(corpus, "text", nMerges = 4)
+    assert(f.merges == Seq(
+      Bpe.Merge(0, "e", "s", 9L), Bpe.Merge(1, "es", "t", 9L),
+      Bpe.Merge(2, "l", "o", 7L), Bpe.Merge(3, "lo", "w", 7L)),
+      s"merge sequence drifted: ${f.merges}")
+    val syms = f.words.collect().map(r => r._1 -> r._2).toMap
+    assert(syms == Map(
+      "low" -> Seq("low"),
+      "lower" -> Seq("low", "e", "r"),
+      "newest" -> Seq("n", "e", "w", "est"),
+      "widest" -> Seq("w", "i", "d", "est")),
+      s"final symbolization drifted: $syms")
+    Staged.releaseAll()
+  }
+
+  test("fit is independent of input partitioning") {
+    val a = Bpe.fit(corpus, "text", nMerges = 4)
+    val b = Bpe.fit(corpus.repartition(7), "text", nMerges = 4)
+    assert(a.merges == b.merges, "merge sequence must not depend on layout")
+    assert(a.words.collect().toSet == b.words.collect().toSet)
+    Staged.releaseAll()
+  }
+
+  test("l==r overlap resolves leftmost-first; fit stops when no pair is left") {
+    // word freqs: aaaa×1, aaa×2. Step 0: a-a occurs 3× in aaaa (freq 1)
+    // + 2× in aaa (freq 2) = 7 → (a, a, 7); leftmost-first application:
+    // aaaa → [aa, aa] (never [a, aa, a]), aaa → [aa, a].
+    // Step 1: aa-aa 1 vs aa-a 2 → (aa, a, 2); aaa → [aaa].
+    // Step 2: (aa, aa, 1); aaaa → [aaaa]. Step 3: no pairs → stop.
+    val docs = Seq((1L, "aaaa"), (2L, "aaa aaa")).toDF("doc_id", "text")
+    val f = Bpe.fit(docs, "text", nMerges = 10)
+    assert(f.merges.head == Bpe.Merge(0, "a", "a", 7L),
+      s"overlap weighting drifted: ${f.merges.head}")
+    assert(f.merges(1) == Bpe.Merge(1, "aa", "a", 2L),
+      s"second merge drifted: ${f.merges(1)}")
+    // merges exhaust long before 10: the fit must stop, not loop
+    assert(f.merges.size < 10, s"fit failed to stop: ${f.merges}")
+    val syms = f.words.collect().map(r => r._1 -> r._2).toMap
+    assert(syms("aaa") == Seq("aaa"), s"aaa symbolization: ${syms("aaa")}")
+    Staged.releaseAll()
+  }
+
+  test("tokenize: word-ordered subword stream, counts exact, tokenless docs absent") {
+    val f = Bpe.fit(corpus, "text", nMerges = 4)
+    val docs = Seq(
+      (10L, "lower newest low"),
+      (11L, "low low"),
+      (12L, "!!!") // tokenless: no row
+    ).toDF("doc_id", "text")
+    val out = Bpe.tokenize(docs, "doc_id", "text", f)
+      .select($"doc_id", $"n_words", $"n_bpe_tokens", $"bpe_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      10L -> ((3L, 8L, "low e r n e w est low")),
+      11L -> ((2L, 2L, "low low"))),
+      s"tokenization drifted: $out")
+    Staged.releaseAll()
+  }
+}

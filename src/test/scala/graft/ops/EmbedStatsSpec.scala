@@ -137,6 +137,47 @@ class EmbedStatsSpec extends SparkSpec {
       "the fitted artifact must be partitioning-independent")
   }
 
+  test("pca whitening: unit variance per live component, degenerate axis NULL") {
+    val pts = Seq(
+      (1L, Seq(3.0f, 3.2f)), (2L, Seq(-3.0f, -2.8f)),
+      (3L, Seq(2.0f, 1.9f)), (4L, Seq(-2.0f, -2.1f)),
+      (5L, Seq(1.0f, 1.1f)), (6L, Seq(-1.0f, -0.9f)))
+      .toDF("vec_id", "embedding")
+    val p = EmbedStats.pca(pts, "embedding", k = 2)
+    val w = EmbedStats.pcaWhiten(pts, "vec_id", "embedding", p, roundTo = 9)
+      .as[(Long, Int, Option[Double])].collect()
+    assert(w.forall(_._3.isDefined), "both axes are live here")
+    // whitening is DEFINED by var(⟨x−μ,cⱼ⟩)/λⱼ = 1: the population
+    // variance of each whitened component must be 1
+    (0 until 2).foreach { j =>
+      val vs = w.collect { case (_, c, Some(v)) if c == j => v }
+      val mean = vs.sum / vs.size
+      val variance = vs.map(v => (v - mean) * (v - mean)).sum / vs.size
+      assert(math.abs(variance - 1.0) < 1e-4,
+        s"whitened component $j variance must be 1: $variance")
+    }
+    // hand-replay one value: whiten = (project − offset)/√λ
+    val proj = EmbedStats.pcaProject(pts, "vec_id", "embedding", p,
+      roundTo = 9)
+      .as[(Long, Int, Double)].collect()
+      .map { case (id, c, v) => (id, c) -> v }.toMap
+    val wm = w.map { case (id, c, v) => (id, c) -> v.get }.toMap
+    wm.foreach { case ((id, j), v) =>
+      assert(math.abs(v - proj((id, j)) / math.sqrt(p.eigenvalues(j))) < 1e-6,
+        s"whiten/project mismatch at ($id,$j)")
+    }
+    // a DEGENERATE direction (rank-1 data: second eigenvalue 0) must
+    // whiten to NULL, never ±Inf — the x63 zero-variance convention
+    val flat = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(2.0f, 4.0f)),
+      (3L, Seq(3.0f, 6.0f))).toDF("vec_id", "embedding")
+    val pf = EmbedStats.pca(flat, "embedding", k = 2)
+    assert(math.abs(pf.eigenvalues(1)) < 1e-6, "rank-1 data: λ2 ≈ 0")
+    val wf = EmbedStats.pcaWhiten(flat, "vec_id", "embedding", pf)
+      .where($"component" === 1).as[(Long, Int, Option[Double])].collect()
+    assert(wf.nonEmpty && wf.forall(_._3.isEmpty),
+      s"degenerate axis must be NULL: ${wf.toSeq}")
+  }
+
   test("gramCov is deterministic across repartitionings (decimal grid)") {
     val df = graft.sources.Tables(spark, sf, "embeddings")
     val a = EmbedStats.gramCov(df, "embedding")

@@ -263,4 +263,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "corpus tokens must never shuffle for the vocab join")
   }
+
+  test("x70: the whitened projection keeps x67's scan-local shape") {
+    // the 1/√λ scale folds driver-side, so whitening must not add a
+    // single plan node class over x67: no exchange, no join, native
+    // dot products, whole-stage codegen
+    val p = plan("x70_pca_whiten")
+    assert(!"""\(\d+\) Exchange\b""".r.findFirstIn(p).isDefined &&
+      !p.contains("Join"),
+      s"whitened projection must be scan-local:\n$p")
+    assert(p.contains("dot_product") && p.contains("[codegen id"),
+      "native dot products against literal components, codegen'd")
+  }
+
+  test("x71: the source slice adds one bounded groupBy over x68's shape") {
+    val p = plan("x71_source_oov")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-V cut must not globally sort")
+    assert(!p.contains("CartesianProduct"), s"no unbounded product:\n$p")
+    // the V-row vocabulary is the one genuinely bounded side: it must
+    // broadcast onto the token stream (corpus tokens never shuffle for
+    // THIS join). The doc→source attachment joins two O(docs) sides on
+    // the doc key — SMJ or BHJ is legitimately stats-dependent there
+    // (at 100 TB documents is corpus-sized and broadcast would be the
+    // WRONG pin), so the strategy is deliberately not asserted.
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      "the vocabulary must broadcast onto the token stream")
+  }
 }

@@ -784,6 +784,139 @@ class StreamsSpec extends SparkSpec {
     assert(after == before, "replay must rewrite identical flags")
   }
 
+  test("quotation auto-compaction: flags invariant under maxChain, chain bounded, " +
+      "crash-recoverable swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft-quotecomp").toString
+    // five epochs of disjoint content, then a quoter of epoch 0's doc
+    val t0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val texts = Seq(t0,
+      "one two three four five six seven eight nine ten",
+      "red orange yellow green blue indigo violet pink brown black",
+      "north south east west up down left right front back",
+      "sun moon star comet planet meteor nebula galaxy cluster void")
+    val quoter = "gamma delta epsilon zeta eta theta" // ⊂ t0's shingles
+    def run(idx: String, out: String, maxChain: Int): Unit = {
+      texts.zipWithIndex.foreach { case (t, e) =>
+        Streams.processQuotationBatch(
+          Seq((e + 1L, t)).toDF("doc_id", "text"), e.toLong,
+          idx, out, "doc_id", "text", n = 3, threshold = 0.6,
+          maxChain = maxChain)
+      }
+      Streams.processQuotationBatch(
+        Seq((100L, quoter)).toDF("doc_id", "text"), 5L,
+        idx, out, "doc_id", "text", n = 3, threshold = 0.6,
+        maxChain = maxChain)
+    }
+    run(s"$root/idx_c", s"$root/out_c", maxChain = 2)
+    run(s"$root/idx_u", s"$root/out_u", maxChain = 0)
+    def flags(out: String): Set[(Long, Long, Long, Double)] =
+      (0 to 5).flatMap { e =>
+        spark.read.parquet(s"$out/epoch=$e")
+          .select($"doc_id", $"quoted_from", $"containment")
+          .as[(Long, Long, Double)].collect()
+          .map(r => (e.toLong, r._1, r._2, r._3))
+      }.toSet
+    // the compacted run's flags — every epoch — equal the uncompacted
+    // run's: compaction preserves the exact container set
+    assert(flags(s"$root/out_c") == flags(s"$root/out_u"),
+      "compaction changed the flag stream")
+    assert(flags(s"$root/out_c").map { case (_, a, b, _) => (a, b) }
+      .contains((100L, 1L)), "the planted quotation must flag")
+    def chain(idx: String): Int =
+      Option(new java.io.File(idx).listFiles()).toSeq.flatten
+        .count(_.getName.startsWith("epoch="))
+    assert(chain(s"$root/idx_u") == 6, "maxChain=0 never compacts")
+    assert(chain(s"$root/idx_c") <= 3,
+      s"auto-compaction failed to bound the chain: ${chain(s"$root/idx_c")}")
+    // crash recovery, uncommitted tmp: a swap that died before its _OK
+    // marker is discarded — victims untouched, probe unchanged
+    val idxU = s"$root/idx_u"
+    val junk = new java.io.File(s"$idxU/__compact_tmp_3/sets")
+    junk.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idxU/__compact_tmp_3/sets/part-junk"),
+      "garbage".getBytes)
+    Streams.compactQuotationIndex(spark, idxU, upToEpoch = 3L)
+    assert(!new java.io.File(s"$idxU/__compact_tmp_3").exists(),
+      "uncommitted tmp must be discarded")
+    assert(chain(idxU) == 3, s"victims 0..3 must have merged: ${chain(idxU)}")
+    val probeAfter = Streams.quotationFlags(
+      Seq((200L, quoter)).toDF("doc_id", "text"), 99L, idxU,
+      "doc_id", "text", n = 3, threshold = 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(probeAfter == Set((200L, 1L), (200L, 100L)),
+      s"post-recovery probe drifted: $probeAfter")
+    // crash recovery, COMMITTED tmp (died after _OK, before the swap):
+    // plant a tmp holding epochs {3,4 merged-equivalent} and assert the
+    // next invocation promotes it and the probe still sees everything
+    val setsDf = spark.read.parquet(s"$idxU/epoch=3/sets", s"$idxU/epoch=4/sets")
+    setsDf.write.mode("overwrite").parquet(s"$idxU/__compact_tmp_4/sets")
+    graft.ops.Dedup.writeBucketedIndex(
+      spark.read.parquet(s"$idxU/epoch=3/posts", s"$idxU/epoch=4/posts")
+        .select($"tok", $"id", $"hn"),
+      s"$idxU/__compact_tmp_4/posts", Seq("tok"), 32)
+    new java.io.File(s"$idxU/__compact_tmp_4/_OK").createNewFile()
+    Streams.compactQuotationIndex(spark, idxU, upToEpoch = -1L) // recovery only
+    assert(new java.io.File(s"$idxU/epoch=4/_OK").exists() &&
+      !new java.io.File(s"$idxU/__compact_tmp_4").exists(),
+      "committed tmp must promote on the next run")
+    assert(chain(idxU) == 2, s"promotion must absorb its victims: ${chain(idxU)}")
+    val probeFinal = Streams.quotationFlags(
+      Seq((201L, quoter)).toDF("doc_id", "text"), 99L, idxU,
+      "doc_id", "text", n = 3, threshold = 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(probeFinal == Set((201L, 1L), (201L, 100L)),
+      s"post-promotion probe drifted: $probeFinal")
+  }
+
+  test("novelty auto-compaction: snapshots invariant under maxChain, chain bounded") {
+    val root = java.nio.file.Files.createTempDirectory("graft-novcomp").toString
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six",
+      "red orange yellow green blue indigo",
+      "north south east west up down",
+      // epoch 4 re-crawls epoch 0 + adds fresh content: its novelty
+      // depends on grams committed in an epoch the compaction MERGED —
+      // the probe-invariance witness
+      "alpha beta gamma delta epsilon zeta sun moon star comet planet")
+    def run(idx: String, out: String, maxChain: Int): Unit =
+      texts.zipWithIndex.foreach { case (t, e) =>
+        Streams.processNoveltyBatch(
+          Seq((e + 1L, t)).toDF("doc_id", "text"), e.toLong,
+          idx, out, "doc_id", "text", n = 3, alertBelow = 0.1,
+          maxChain = maxChain)
+      }
+    run(s"$root/idx_c", s"$root/out_c", maxChain = 2)
+    run(s"$root/idx_u", s"$root/out_u", maxChain = 0)
+    def snaps(out: String) = (0 to 4).map { e =>
+      spark.read.parquet(s"$out/epoch=$e")
+        .select($"n_docs", $"n_grams", $"n_novel", $"novelty", $"alert")
+        .as[(Long, Long, Long, Double, Boolean)].head()
+    }
+    assert(snaps(s"$root/out_c") == snaps(s"$root/out_u"),
+      "compaction changed the novelty curve")
+    // the re-crawl epoch suppressed exactly epoch 0's 4 grams of its 9
+    assert(snaps(s"$root/out_c")(4) == ((1L, 9L, 5L, 0.555556, false)),
+      s"mixed epoch drifted: ${snaps(s"$root/out_c")(4)}")
+    def chain(idx: String): Int =
+      Option(new java.io.File(idx).listFiles()).toSeq.flatten
+        .count(_.getName.startsWith("epoch="))
+    assert(chain(s"$root/idx_u") == 5, "maxChain=0 never compacts")
+    assert(chain(s"$root/idx_c") <= 3,
+      s"auto-compaction failed to bound the chain: ${chain(s"$root/idx_c")}")
+    // the merged index holds exactly the union of first-seen grams: a
+    // full re-crawl of everything earlier still registers nothing
+    Streams.processNoveltyBatch(
+      texts.take(4).zipWithIndex.map { case (t, i) => (50L + i, t) }
+        .toDF("doc_id", "text"), 9L,
+      s"$root/idx_c", s"$root/out_c", "doc_id", "text", n = 3,
+      alertBelow = 0.1, maxChain = 0)
+    val re = spark.read.parquet(s"$root/out_c/epoch=9")
+      .select($"n_novel").as[Long].head()
+    assert(re == 0L, s"re-crawl against the merged index must be 0-novel: $re")
+  }
+
   test("OOV monitor: vocabulary shift raises the rate and alerts; idle epoch clean") {
     val root = java.nio.file.Files.createTempDirectory("graft-oov").toString
     // freeze a vocabulary from a base corpus (the artifact a training
@@ -816,6 +949,15 @@ class StreamsSpec extends SparkSpec {
       "doc_id", "text", alertAbove = 0.2)
       .as[(Long, Long, Long, Double, Boolean)].head()
     assert(idle == ((0L, 0L, 0L, 0.0, false)), s"idle snapshot drifted: $idle")
+    // a batch of all-TOKENLESS docs is not an idle epoch: n_docs counts
+    // the batch itself (the quality-gate convention), not the docs that
+    // yielded tokens — "2 docs arrived, none tokenized" must be visible
+    val tokenless = Streams.oovSnapshot(
+      Seq((20L, "官話 官話"), (21L, "!!! ???")).toDF("doc_id", "text"),
+      s"$root/vocab", "doc_id", "text", alertAbove = 0.2)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(tokenless == ((2L, 0L, 0L, 0.0, false)),
+      s"tokenless batch must report its doc count: $tokenless")
     val replay = Streams.oovSnapshot(
       Seq((11L, "quantum flux capacitors destabilize the dog"))
         .toDF("doc_id", "text"),
