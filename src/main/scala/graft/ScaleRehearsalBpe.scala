@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Bpe, Staged}
+import graft.sources.Tables
+
+/** Scale rehearsal for the BPE fit (round 14): the 100 TB claim is
+  * that the corpus is touched ONCE (the word-frequency pass) and every
+  * merge iteration runs over the VOCABULARY table — so fit cost must
+  * grow far slower than the corpus. Rehearsed by replicating the
+  * documents table m× VERBATIM under shifted ids: the vocabulary is
+  * m-invariant by construction (same words, frequencies ×m), so the
+  * per-iteration work is literally identical across m and only the one
+  * corpus pass grows.
+  *
+  * Correctness face: uniform ×m frequency scaling preserves every pair
+  * count's relative order AND every tie, so the fitted merge SEQUENCE
+  * (pairs, in order) must be m-invariant — the rehearsal REQUIREs it —
+  * while the recorded freqs scale by exactly m.
+  *
+  * Usage: runMain graft.ScaleRehearsalBpe [multipliers...] (default
+  * 1 5 10); SPARK_GRAFT_SF_DIR picks the corpus; 16 merges (the x72
+  * setting).
+  */
+object ScaleRehearsalBpe {
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 5, 10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .appName("graft-scale-bpe")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val nDocs = base.count()
+    require(nDocs > 0, s"no documents under $sfDir")
+    val stride = base.agg(max($"doc_id")).head().getLong(0) + 1L
+
+    var expect: Seq[(String, String)] = null
+    mults.foreach { m =>
+      val corpus = (0 until m).map(i =>
+        base.select(($"doc_id" + lit(i.toLong * stride)).as("doc_id"),
+          $"text")).reduce(_ unionByName _)
+      // warm pass at m=1 only would bias the curve; fit twice and keep
+      // the second measurement so JIT/codegen warm-up is never billed
+      def once(): (Double, Seq[Bpe.Merge]) = {
+        val t0 = System.nanoTime()
+        val f = Bpe.fit(corpus, "text", nMerges = 16)
+        val merges = f.merges
+        val sec = (System.nanoTime() - t0) / 1e9
+        Staged.releaseAll()
+        (sec, merges)
+      }
+      once()
+      val (sec, merges) = once()
+      val pairs = merges.map(mg => (mg.left, mg.right))
+      if (expect == null) expect = pairs
+      require(pairs == expect,
+        s"merge sequence drifted at multiplier $m: $pairs != $expect")
+      println(f"""{"mult":$m,"docs":${nDocs * m},"fit_sec":$sec%.2f,""" +
+        f""""merges":${merges.size}}""")
+    }
+    spark.stop()
+  }
+}
