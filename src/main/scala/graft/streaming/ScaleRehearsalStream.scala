@@ -46,6 +46,9 @@ object ScaleRehearsalStream {
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 8, 16))
     if (args.headOption.contains("--novelty")) return runNovelty(
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 8, 16))
+    if (args.headOption.contains("--qlive")) return runQuotationLive(
+      args.lift(1).map(_.toInt).getOrElse(24),
+      args.lift(2).map(_.toInt).getOrElse(6))
     val epochCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8, 16)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -311,6 +314,86 @@ object ScaleRehearsalStream {
         f""""probe_sec":$sec%.2f,"post_compact_sec":$cSec%.2f,""" +
         f""""post_compact_parts":$nLive,"grams":$nGrams,"novel":$nNovel}""")
     }
+    spark.stop()
+  }
+
+  /** Drive the REAL quotation-flag stream (MemoryStream →
+    * [[Streams.quotationFlagStream]]) `nEpochs` micro-batches under
+    * the r14 auto-compaction policy — the unattended-operation face of
+    * the `--quote` curve. Each epoch ingests a decorrelated fresh
+    * slice (new shingle universe) PLUS a verbatim re-crawl of the same
+    * epoch-0 slice under fresh ids, so every epoch ≥ 1 must flag
+    * exactly that re-crawled slice against epoch 0's containers — a
+    * per-epoch correctness invariant that crosses every compaction
+    * boundary — while the on-disk chain must never exceed maxChain+1
+    * with ZERO manual compaction calls.
+    */
+  private def runQuotationLive(nEpochs: Int, maxChain: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = SparkSession.builder()
+      .appName("graft-scale-qlive")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docsAll = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val fresh = docsAll.where($"doc_id" % 10 === 0)
+    val quoted = docsAll.where($"doc_id" % 50 === 5) // re-crawled every epoch
+    val stride = docsAll.agg(max($"doc_id")).head().getLong(0) + 1L
+    // only docs with >= n tokens have shingles and can flag
+    val nQuoted = quoted
+      .where(size(TextAnalysis.tokens($"text")) >= 3).count()
+    def epochBatch(e: Int): Seq[Doc] = {
+      // fresh content is token-suffixed (new shingle universe per
+      // epoch); epoch 0 ALSO carries the quoted slice VERBATIM at its
+      // original (< stride) ids — the containers every later epoch's
+      // re-crawl must flag against
+      val f = fresh.select(($"doc_id" + lit(e.toLong * 2 * stride)).as("doc_id"),
+        array_join(transform(TextAnalysis.tokens($"text"),
+          x => concat(x, lit("e" + e))), " ").as("text"))
+      val q =
+        if (e == 0) quoted
+        else quoted.select(
+          ($"doc_id" + lit((e.toLong * 2 + 1) * stride)).as("doc_id"), $"text")
+      f.unionByName(q).as[Doc].collect().toSeq
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-qlive").toString
+    val idxPath = s"$root/index"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Doc](spark)
+    val q = Streams.quotationFlagStream(input.toDF(), idxPath, s"$root/out",
+      s"$root/cp", "doc_id", "text", n = 3, threshold = 0.6,
+      maxChain = maxChain)
+    def chain: Int = Option(new java.io.File(idxPath).listFiles()).toSeq
+      .flatten.count(_.getName.startsWith("epoch="))
+    try {
+      (0 until nEpochs).foreach { e =>
+        val batch = epochBatch(e)
+        val t0 = System.nanoTime()
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val c = chain
+        require(c <= maxChain + 1,
+          s"auto-compaction failed to bound the chain: $c at epoch $e")
+        // every epoch >= 1 must flag its whole re-crawled slice against
+        // the ORIGINAL epoch-0 docs (ids < stride), across any number
+        // of compactions of the containers' partition
+        if (e >= 1) {
+          val vsOriginal = spark.read.parquet(s"$root/out/epoch=$e")
+            .where(col("quoted_from") < stride)
+            .select(countDistinct(col("doc_id"))).head().getLong(0)
+          require(vsOriginal == nQuoted,
+            s"epoch $e flagged $vsOriginal of $nQuoted re-crawls vs epoch 0")
+        }
+        println(f"""{"epoch":$e,"batch_docs":${batch.size},""" +
+          f""""batch_sec":$sec%.2f,"chain_parts":$c}""")
+      }
+    } finally q.stop()
     spark.stop()
   }
 
