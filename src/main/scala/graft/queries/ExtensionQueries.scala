@@ -2254,7 +2254,62 @@ object ExtensionQueries {
         FROM toks t JOIN m USING (word) GROUP BY t.doc_id"""),
       notes = "fitted symbolization dumped as data (x14's convention: the " +
         "plumbing hash-verifies, the fit is spec-pinned); every corpus word " +
-        "is in the map by construction, so the join is lossless")
+        "is in the map by construction, so the join is lossless"),
+
+    // ---- per-cluster corpus profile — the semantic-mixing table: for
+    // each cell of the persisted IVF index (the a04 artifact, built
+    // once), the doc count, exact mean quality score, and source/lang
+    // diversity. The table a mixture policy reads to spot a junk
+    // cluster (low quality, one source) or an underrepresented one
+    // before weighting. One id-keyed join (assigned ⋈ documents, both
+    // corpus-sized → co-partitioned) + one k-key aggregation; the mean
+    // rides an EXACT decimal sum of per-doc 1e-6-rounded scores, so it
+    // is partition-order independent.
+    GraftQuery(
+      "x73_cluster_profile",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val docs = Tables(s, dir, "documents")
+        val index = graft.ops.Ivf.buildPersistentCached(e,
+          OracleDump.ivfPath(dir, 16), "vec_id", "embedding", k = 16)
+        index.assigned.select($"vec_id".as("doc_id"), $"cluster")
+          .join(docs.select($"doc_id", $"source", $"lang",
+            round(TextAnalysis.qualityScore($"text"), 6).as("__q")), "doc_id")
+          .groupBy($"cluster")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum($"__q".cast("decimal(18,6)")).cast("double") /
+              count(lit(1)), 6).as("mean_quality"),
+            countDistinct($"source").as("n_sources"),
+            countDistinct($"lang").as("n_langs"))
+      },
+      Some("""WITH a AS (SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        q AS (SELECT doc_id, source, lang,
+            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n,
+            CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) AS nd,
+            CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                         'for','on','with','as','at','by','from','that','this'))) AS DOUBLE) AS stop,
+            CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+            CAST(length(text) AS DOUBLE) AS chars
+          FROM documents),
+        s AS (SELECT doc_id, source, lang, round(
+            (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+            + (CASE WHEN n > 0 THEN nd / n ELSE 0.0 END) * 0.25
+            + least(CASE WHEN n > 0 THEN stop / n ELSE 0.0 END * 5.0, 1.0) * 0.25
+            + (CASE WHEN chars > 0 THEN 1.0 - least(punct / chars * 5.0, 1.0)
+               ELSE 0.0 END) * 0.25, 6) AS qq
+          FROM q)
+        SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_docs,
+          round(CAST(sum(CAST(s.qq AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*), 6) AS mean_quality,
+          CAST(count(DISTINCT s.source) AS BIGINT) AS n_sources,
+          CAST(count(DISTINCT s.lang) AS BIGINT) AS n_langs
+        FROM a JOIN s ON a.vec_id = s.doc_id GROUP BY a.cluster"""),
+      notes = "x07's score CTE + a04's persisted-index replay; exact decimal " +
+        "mean (partition-order independent)")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features
