@@ -80,6 +80,21 @@ object Bpe {
     out.result()
   }
 
+  /** Tokenize ONE word under a committed merge list: sequential
+    * application in fit order — which reproduces the fit's own
+    * segmentation exactly for every in-fit word (each rule's
+    * constituents were formed before the rule, so an earlier rule's
+    * pair can never re-appear after a later one fires; BpeSpec pins
+    * the identity over a whole fitted vocabulary) and extends
+    * deterministically to unseen words. This is the driver/executor
+    * shared primitive the streaming fertility monitor applies to
+    * arriving batch vocabularies.
+    */
+  def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (syms, (l, r)) => if (syms.length < 2) syms else mergePair(syms, l, r)
+    }
+
   private def checkpointRdds(ds: Dataset[_]): Seq[org.apache.spark.rdd.RDD[_]] =
     ds.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd

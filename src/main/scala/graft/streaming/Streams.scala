@@ -901,6 +901,67 @@ object Streams {
       }
       .start()
 
+  /** The per-epoch subword-fertility snapshot, extracted for unit/
+    * replay testing — a pure function of (batch, merges files):
+    * fertility = subword tokens per word under the FROZEN merge list
+    * (an x72 fit the training run committed to, persisted via
+    * `Bpe.Fit.mergeTable`). Rising fertility is THE operational
+    * tokenizer-mismatch metric in the units that bill compute —
+    * context-window slots: a drifted crawl (new language, new domain
+    * jargon, binary junk) shreds into near-character sequences long
+    * before word-level OOV (x68's monitor) saturates. `n_docs` is the
+    * full batch count (the quality-gate convention); an idle epoch
+    * records (0, 0, 0, 0.0, false).
+    *
+    * Cost: the merge list is nMerges-bounded (an O(K) driver read);
+    * the merges apply once per DISTINCT batch word (a typed map over
+    * the batch vocabulary — bounded by the batch) and join back onto
+    * the token stream. Nothing corpus-sized, no state.
+    */
+  private[graft] def fertilitySnapshot(batch: DataFrame, mergesPath: String,
+      idCol: String, textCol: String, alertAbove: Double): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val nDocs = batch.count()
+    val merges = spark.read.parquet(mergesPath)
+      .orderBy(col("step")).select(col("left"), col("right"))
+      .as[(String, String)].collect().toSeq
+    val toks = graft.ops.Staged(batch
+      .select(explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("word")))
+    val sub = toks.select(col("word")).distinct().as[String]
+      .map(w => (w, graft.ops.Bpe.applyMerges(w, merges).size.toLong))
+      .toDF("word", "n_syms")
+    toks.join(sub, "word")
+      .agg(count(lit(1)).as("n_words"),
+        coalesce(sum(col("n_syms")), lit(0L)).as("n_subwords"))
+      .select(lit(nDocs).as("n_docs"), col("n_words"), col("n_subwords"),
+        round(when(col("n_words") > 0,
+          col("n_subwords").cast("double") / col("n_words")).otherwise(0.0), 6)
+          .as("fertility"))
+      .withColumn("alert", col("fertility") > alertAbove)
+  }
+
+  /** Streaming subword-fertility monitor — the x72 family's
+    * operational face, watching arriving batches against the FROZEN
+    * merge list exactly as [[oovMonitorStream]] watches the frozen
+    * word vocabulary. The two signals are independent: OOV counts
+    * whole words the vocabulary lacks; fertility prices what the
+    * committed SUBWORD tokenizer does to them. Epoch-keyed overwrite
+    * snapshots, replay-pure (no evolving state).
+    */
+  def fertilityMonitorStream(docs: DataFrame, mergesPath: String,
+      outPath: String, checkpoint: String, idCol: String, textCol: String,
+      alertAbove: Double = 3.0): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        fertilitySnapshot(batch, mergesPath, idCol, textCol, alertAbove)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        graft.ops.Staged.release()
+      }
+      .start()
+
   /** Streaming n-gram novelty monitor — the operational face of the
     * x65 acquisition-health signal: per micro-batch of arriving docs,
     * the fraction of their distinct shingles never seen in any earlier

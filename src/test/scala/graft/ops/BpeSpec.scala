@@ -64,6 +64,20 @@ class BpeSpec extends SparkSpec {
     Staged.releaseAll()
   }
 
+  test("applyMerges reproduces the fit's own segmentation for every fitted word") {
+    val f = Bpe.fit(corpus, "text", nMerges = 4)
+    val pairs = f.merges.map(m => (m.left, m.right))
+    f.words.collect().foreach { case (w, syms, _) =>
+      assert(Bpe.applyMerges(w, pairs) == syms,
+        s"sequential application diverged from the fit on '$w'")
+    }
+    // unseen words extend deterministically: shared prefixes merge,
+    // foreign material stays at characters
+    assert(Bpe.applyMerges("lowest", pairs) == Seq("low", "est"))
+    assert(Bpe.applyMerges("zzz", pairs) == Seq("z", "z", "z"))
+    Staged.releaseAll()
+  }
+
   test("tokenize: word-ordered subword stream, counts exact, tokenless docs absent") {
     val f = Bpe.fit(corpus, "text", nMerges = 4)
     val docs = Seq(

@@ -966,6 +966,57 @@ class StreamsSpec extends SparkSpec {
     assert(replay == snap(1), s"replay drifted: $replay vs ${snap(1)}")
   }
 
+  test("fertility monitor: drift shreds to characters and alerts; in-fit text stays cheap") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    // freeze a merge list fitted on the classic corpus (low×5 lower×2
+    // newest×6 widest×3 → merges (e,s)(es,t)(l,o)(lo,w))
+    val corpus = Seq(
+      (1L, "low low low low low"), (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    val fit = graft.ops.Bpe.fit(corpus, "text", nMerges = 4)
+    fit.mergeTable(spark).write.mode("overwrite").parquet(s"$root/merges")
+    graft.ops.Staged.releaseAll()
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.fertilityMonitorStream(
+      input.toDF().select($"doc_id", $"text"),
+      s"$root/merges", s"$root/out", s"$root/cp", "doc_id", "text",
+      alertAbove = 3.5)
+    try {
+      // in-distribution: low(1) + lower(3) + newest(4) = 8 subwords / 3
+      input.addData(DocEvent(10L, ts(1), "low lower newest"))
+      q.processAllAvailable()
+      // drifted crawl: nothing merges — near-character shredding
+      input.addData(DocEvent(11L, ts(2), "zzzz qqqqq"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap(e: Int) = spark.read.parquet(s"$root/out/epoch=$e")
+      .select($"n_docs", $"n_words", $"n_subwords", $"fertility", $"alert")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(snap(0) == ((1L, 3L, 8L, 2.666667, false)),
+      s"in-fit epoch drifted: ${snap(0)}")
+    assert(snap(1) == ((1L, 2L, 9L, 4.5, true)),
+      s"drift epoch must alert: ${snap(1)}")
+    // idle + tokenless conventions + replay purity via the snapshot
+    val idle = Streams.fertilitySnapshot(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$root/merges",
+      "doc_id", "text", alertAbove = 3.5)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(idle == ((0L, 0L, 0L, 0.0, false)), s"idle snapshot drifted: $idle")
+    val tokenless = Streams.fertilitySnapshot(
+      Seq((20L, "!!! ???")).toDF("doc_id", "text"), s"$root/merges",
+      "doc_id", "text", alertAbove = 3.5)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(tokenless == ((1L, 0L, 0L, 0.0, false)),
+      s"tokenless batch must report its doc count: $tokenless")
+    val replay = Streams.fertilitySnapshot(
+      Seq((11L, "zzzz qqqqq")).toDF("doc_id", "text"), s"$root/merges",
+      "doc_id", "text", alertAbove = 3.5)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(replay == snap(1), s"replay drifted: $replay vs ${snap(1)}")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("novelty monitor: re-crawl collapses the curve; novel-only registration; replay-pure") {
     val root = java.nio.file.Files.createTempDirectory("graft-novelty").toString
     val d1 = "the quick brown fox jumps over the lazy dog near the river"
