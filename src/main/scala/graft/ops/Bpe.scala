@@ -169,4 +169,31 @@ object Bpe {
         array_join(sort_array(collect_list(struct(col("__pos"), col("syms"))))
           .getField("syms"), " ").as("bpe_text"))
   }
+
+  /** Per-group subword fertility (tokens per word under a committed
+    * fit) — the batch face of the streaming fertility monitor, sliced
+    * the way acquisition decisions are made (per source, per lang):
+    * fertility prices a source in the units that bill compute, context-
+    * window slots. A source the committed tokenizer shreds to
+    * near-characters costs 2-4× its word count to train on.
+    *
+    * One token explode + one word-keyed join against the vocabulary-
+    * sized symbolization table (broadcast-sized for any committed
+    * tokenizer) + one group-keyed agg — no doc-level intermediate, so
+    * the group agg is the only shuffle and its key space is the slice
+    * cardinality. Fertility rides exact integer sums (partition-order
+    * independent); groups whose docs have no tokens have no row (x65's
+    * rule). Lossless when `df` is the fit corpus (every word is in the
+    * table by construction); for OTHER corpora use the streaming
+    * monitor's applyMerges path, which extends to unseen words.
+    */
+  def fertilityBy(df: DataFrame, textCol: String, groupCol: String,
+      fit: Fit): DataFrame =
+    df.select(col(groupCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .join(fit.wordTable.select(col("word"), col("n_syms")), "word")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
 }

@@ -78,6 +78,84 @@ object Sampling {
       weights: Map[String, Double]): DataFrame =
     stratifiedHashSample(df, idCol, strataCol, mixRates(df, strataCol, weights))
 
+  /** Per-stratum keep rates for TEMPERATURE-scaled mixture sampling —
+    * the published multilingual/multi-domain recipe (sample source s
+    * with probability ∝ n_s^α, α < 1 flattening the head so the
+    * biggest crawl slice stops drowning the tail). Downsampling-only,
+    * like [[mixRates]]: the output is the LARGEST corpus realizing the
+    * exact n_s^α mix — w_s = n_s^α, M = min_t(n_t / w_t),
+    * rate_s = w_s·M / n_s, so the argmin stratum (the SMALLEST source
+    * under α < 1) keeps everything and every other source downsamples
+    * to match.
+    *
+    * Engine-portable on purpose: the weights are deliberately left
+    * UN-normalized (the normalizer algebraically cancels in
+    * w_s·M / n_s), so no cross-stratum floating sum exists anywhere —
+    * only sqrt/·/÷/min over per-stratum values, each a correctly
+    * rounded IEEE-754 op a DuckDB oracle replays bit-identically from
+    * the same integer counts. α = 0.5 routes through `math.sqrt`
+    * (correctly rounded, same guarantee in every libm) rather than
+    * `pow`, whose last-ulp behavior is library-specific.
+    *
+    * Scale shape: one k-row count aggregation collected to the driver
+    * (k = #strata, bounded); the gate itself stays a row-local
+    * scan-level filter via [[stratifiedHashSample]].
+    */
+  def temperatureRates(df: DataFrame, strataCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperature sampling over an empty corpus")
+    def weight(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 1.0) n.toDouble
+      else math.pow(n.toDouble, alpha)
+    val m = counts.values.map(n => n.toDouble / weight(n)).min
+    counts.map { case (s, n) =>
+      s -> math.min(1.0, weight(n) * m / n.toDouble)
+    }
+  }
+
+  /** Temperature-resample in one call: [[temperatureRates]] +
+    * [[stratifiedHashSample]].
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double): DataFrame =
+    stratifiedHashSample(df, idCol, strataCol,
+      temperatureRates(df, strataCol, alpha))
+
+  /** Cluster-balanced deterministic sampling: keep the same FRACTION of
+    * every cell (quota_c = ⌈rate·n_c⌉, so no non-empty cell ever drops
+    * to zero), choosing within a cell by md5-of-id rank — the
+    * diversity-preserving subset export (semantic cells from the IVF
+    * index, or any partition label): a global hash gate at the same
+    * rate would eradicate small cells with probability (1−rate)^n,
+    * exactly the rare-topic mass a curated training mix exists to keep.
+    *
+    * Deterministic and engine-portable: the in-cell order is
+    * (md5(id), id) — a total order, so re-runs, re-partitions, and the
+    * DuckDB oracle agree row-for-row — and CONSISTENT across rates:
+    * the rank order is rate-independent, so the 25% export is a strict
+    * subset of the 50% export.
+    *
+    * Scale shape: one hash shuffle on the cell key, then a per-cell
+    * sort for rank — bounded by the largest cell, which the governed
+    * IVF build already caps (hot-cell cap); nothing global, no
+    * driver-side data.
+    */
+  def cellQuotaSample(df: DataFrame, idCol: String, cellCol: String,
+      rate: Double): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, s"rate must be in (0,1], got $rate")
+    import org.apache.spark.sql.expressions.Window
+    val byCell = Window.partitionBy(col(cellCol))
+    val order = byCell.orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(order))
+      .withColumn("__n", count(lit(1)).over(byCell))
+      .where(col("__rn") <= ceil(lit(rate) * col("__n")))
+      .drop("__rn", "__n")
+  }
+
   /** Leakage-safe train/test split: every near-dup CLUSTER lands
     * wholly on one side. Splitting docs independently leaks — a
     * training doc's near-duplicate sitting in the eval slice inflates

@@ -2309,7 +2309,112 @@ object ExtensionQueries {
           CAST(count(DISTINCT s.lang) AS BIGINT) AS n_langs
         FROM a JOIN s ON a.vec_id = s.doc_id GROUP BY a.cluster"""),
       notes = "x07's score CTE + a04's persisted-index replay; exact decimal " +
-        "mean (partition-order independent)")
+        "mean (partition-order independent)"),
+
+    // ---- per-source subword fertility — the x72 family's acquisition
+    // slice (x69/x71's shape): tokens-per-word under the committed
+    // merge list, per source. The table that prices each source in
+    // context-window slots BEFORE a crawl contract is renewed: a
+    // source the tokenizer shreds costs 2-4× its word count to train
+    // on. One explode + one vocab-table join + one source-key agg;
+    // fertility rides exact integer sums.
+    GraftQuery(
+      "x74_fertility_by_source",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val fit = graft.ops.Bpe.fit(docs, "text", nMerges = 16)
+        OracleDump.dump(fit.wordTable, dir, "x74_bpe")
+        val out = graft.ops.Bpe.fertilityBy(
+          docs.select($"source", $"text"), "text", "source", fit)
+        out
+      },
+      Some("""WITH m AS (SELECT word, n_syms
+          FROM read_parquet('__SCRATCH__/x74_bpe/*.parquet')),
+        toks AS (SELECT doc_id, t[gi] AS word FROM (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents), unnest(range(1, len(t) + 1)) AS u(gi))
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(m.n_syms) AS BIGINT) AS n_bpe_tokens,
+          round(CAST(sum(m.n_syms) AS DOUBLE) / count(*), 6) AS fertility
+        FROM toks t JOIN m USING (word) JOIN documents d USING (doc_id)
+        GROUP BY d.source"""),
+      notes = "x72's dumped symbolization replayed per source; integer sums " +
+        "then one rounded division — partition-order independent"),
+
+    // ---- cluster-balanced deterministic sampling — the diversity-
+    // preserving subset export: the same FRACTION of every semantic
+    // cell (quota = ceil(rate·n_cell), md5-rank within cell), where a
+    // flat hash gate at the same rate kills small cells with
+    // probability (1-rate)^n — exactly the rare-topic mass a curated
+    // mix exists to keep. Rank order is rate-independent, so exports
+    // at different rates nest (the 25% set ⊂ the 50% set).
+    GraftQuery(
+      "x75_cluster_quota_sample",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val index = graft.ops.Ivf.buildPersistentCached(e,
+          OracleDump.ivfPath(dir, 16), "vec_id", "embedding", k = 16)
+        val assigned = index.assigned.select($"vec_id".as("doc_id"), $"cluster")
+        graft.ops.Sampling.cellQuotaSample(assigned, "doc_id", "cluster", 0.25)
+          .groupBy($"cluster")
+          .agg(count(lit(1)).as("n_sampled"), sum($"doc_id").as("id_sum"))
+          .join(assigned.groupBy($"cluster").agg(count(lit(1)).as("n_docs")),
+            "cluster")
+          .select($"cluster", $"n_docs", $"n_sampled", $"id_sum")
+      },
+      Some("""WITH a AS (SELECT vec_id AS doc_id, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        k AS (SELECT doc_id, cluster,
+            row_number() OVER (PARTITION BY cluster
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+            count(*) OVER (PARTITION BY cluster) AS n FROM a)
+        SELECT cluster, CAST(max(n) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_sampled,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM k WHERE rn <= ceil(0.25 * n) GROUP BY cluster"""),
+      notes = "a04's persisted-index replay; (md5(id), id) is a total " +
+        "order, so both engines pick identical rows"),
+
+    // ---- temperature-scaled mixture sampling (α = 0.5) — the
+    // published multilingual/multi-domain recipe: sample source s
+    // ∝ n_s^α so the head crawl slice stops drowning the tail.
+    // Downsampling-only: the smallest source keeps everything, every
+    // other source downsamples to the exact n_s^0.5 mix. The rates are
+    // data-derived, so the oracle RECOMPUTES them from the same
+    // integer counts — possible because the weight normalizer cancels
+    // algebraically and what remains (sqrt, ·, ÷, min) is correctly-
+    // rounded IEEE arithmetic both engines share bit-for-bit.
+    GraftQuery(
+      "x76_temperature_mix_sample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Sampling.temperatureSample(docs, "doc_id", "source", 0.5)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+          .join(docs.groupBy($"source").agg(count(lit(1)).as("n_total")),
+            "source")
+          .select($"source", $"n_total", $"n_kept", $"id_sum")
+      },
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY source),
+        r AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+        m AS (SELECT min(CAST(n AS DOUBLE) / w) AS mm FROM r),
+        t AS (SELECT source, n,
+            CAST(floor(least(1.0, w * (SELECT mm FROM m) / CAST(n AS DOUBLE))
+              * 65536 + 0.5) AS INT) AS thr FROM r)
+        SELECT d.source, t.n AS n_total, CAST(count(*) AS BIGINT) AS n_kept,
+          CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        FROM documents d JOIN t ON d.source = t.source
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+              < t.thr
+        GROUP BY d.source, t.n"""),
+      notes = "rates recomputed in SQL from the same counts: weight " +
+        "normalizer cancels, sqrt/mul/div/min are correctly-rounded IEEE, " +
+        "threshold = floor(rate*65536 + 0.5) mirrors gateThreshold")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

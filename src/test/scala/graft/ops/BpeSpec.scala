@@ -78,6 +78,29 @@ class BpeSpec extends SparkSpec {
     Staged.releaseAll()
   }
 
+  test("fertilityBy: per-group tokens-per-word, hand-computed; tokenless groups absent") {
+    // fit over the group fixture itself so the vocab join is lossless
+    // (the x74 contract). Symbolizations under the corpus fit:
+    //   low→1, lower→3 (low e r), newest→4 (n e w est),
+    //   widest→4 (w i d est)
+    val docs = Seq(
+      ("clean", "low low lower"),      // 3 words, 1+1+3 = 5 subwords
+      ("shredded", "widest newest"),   // 2 words, 4+4 = 8 subwords
+      ("silent", "!!!")                // tokenless: no row
+    ).toDF("source", "text")
+    val f = Bpe.fit(corpus.unionByName(
+      docs.withColumn("doc_id", lit(99L)).select($"doc_id", $"text")),
+      "text", nMerges = 4)
+    val out = Bpe.fertilityBy(docs, "text", "source", f)
+      .select($"source", $"n_words", $"n_bpe_tokens", $"fertility")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set("clean", "shredded"), s"groups drifted: $out")
+    assert(out("clean") == ((3L, 5L, 1.666667)), s"clean: ${out("clean")}")
+    assert(out("shredded") == ((2L, 8L, 4.0)), s"shredded: ${out("shredded")}")
+    Staged.releaseAll()
+  }
+
   test("tokenize: word-ordered subword stream, counts exact, tokenless docs absent") {
     val f = Bpe.fit(corpus, "text", nMerges = 4)
     val docs = Seq(

@@ -78,6 +78,58 @@ class SamplingSpec extends SparkSpec {
     assert(ex.getMessage.contains("klingon"))
   }
 
+  test("temperatureRates: smallest source keeps all; realized mix is n^alpha") {
+    val d = (1L to 900L).map(i =>
+      (i, if (i <= 800) "web" else if (i <= 880) "books" else "code"))
+      .toDF("doc_id", "source")
+    val rates = Sampling.temperatureRates(d, "source", 0.5)
+    // weights 28.28/8.94/4.47; argmin n/w = the smallest source (code)
+    assert(rates("code") == 1.0, s"smallest source must keep all: $rates")
+    // closed form: rate_s = sqrt(n_s)*sqrt(n_min)/n_s = sqrt(n_min/n_s)
+    assert(math.abs(rates("web") - math.sqrt(20.0 / 800)) < 1e-12)
+    assert(math.abs(rates("books") - math.sqrt(20.0 / 80)) < 1e-12)
+    // expected kept counts realize the n^0.5 mix: n_s*rate = sqrt(n_s*n_min)
+    // web→126.5, books→40, code→20 — flattened from 800/80/20
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+  }
+
+  test("temperatureRates: alpha=1 is the identity mix (every rate 1)") {
+    val d = (1L to 100L).map(i => (i, if (i <= 70) "a" else "b"))
+      .toDF("doc_id", "source")
+    val rates = Sampling.temperatureRates(d, "source", 1.0)
+    assert(rates.values.forall(_ == 1.0), s"alpha=1 must keep everything: $rates")
+  }
+
+  test("temperatureSample is deterministic and partitioning-independent") {
+    val a = Sampling.temperatureSample(docs, "doc_id", "source", 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    val b = Sampling.temperatureSample(docs.repartition(13), "doc_id", "source", 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(a.nonEmpty && a.sameElements(b),
+      "the temperature sample must not depend on physical layout")
+  }
+
+  test("cellQuotaSample: exact per-cell quota, no empty cell, rates nest") {
+    // cells of very different sizes: 0→60, 1→10, 2→1
+    val d = (1L to 71L).map(i =>
+      (i, if (i <= 60) 0 else if (i <= 70) 1 else 2)).toDF("doc_id", "cell")
+    val kept = Sampling.cellQuotaSample(d, "doc_id", "cell", 0.25)
+    val byCell = kept.groupBy($"cell").count().as[(Int, Long)].collect().toMap
+    assert(byCell == Map(0 -> 15L, 1 -> 3L, 2 -> 1L),
+      s"quota must be ceil(rate*n) exactly: $byCell")
+    // a flat 25% hash gate would likely kill the singleton cell; the
+    // quota keeps it by construction (ceil never rounds to zero)
+    val small = kept.select($"doc_id").as[Long].collect().toSet
+    val large = Sampling.cellQuotaSample(d, "doc_id", "cell", 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large),
+      "rank order is rate-independent, so exports must nest")
+    // determinism under repartitioning
+    val again = Sampling.cellQuotaSample(d.repartition(7), "doc_id", "cell", 0.25)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == small, "the export must not depend on physical layout")
+  }
+
   test("leakageSafeSplit keeps every near-dup family on one side") {
     // planted family: 10, 11, 12 are jaccard-identical near-dups; 20,
     // 21 are unrelated singletons. The family must share ONE split —
