@@ -142,6 +142,19 @@ object ScaleRehearsalAnn {
       val (tProbe8, nProbe8) = time {
         Ivf.topKInt8(spark, idxPath, query, "vec_id", "embedding", k = 50).count()
       }
+      // PQ face (a10): m per-subspace KMeans fits + one row-local
+      // encode projection, then the ADC probe. The fit cost is
+      // codebook-bound (m small fits), the encode is one corpus pass,
+      // and the probe reads m bytes per vector — bytes_pq vs
+      // bytes_float is the scan-bandwidth story the face exists for
+      val (tPqFit, _) = time {
+        graft.ops.Pq.pqAssign(spark, idxPath, "vec_id", "embedding",
+          m = 4, ksub = 16); 0L
+      }
+      val (tProbePq, nProbePq) = time {
+        graft.ops.Pq.topKPq(spark, idxPath, query,
+          "vec_id", "embedding", k = 50).count()
+      }
       Staged.releaseAll()
       // embedding-statistics family (x61/x67): the d²/2 gram/cov
       // aggregation is the corpus-scan-bound member — its cost must be
@@ -171,8 +184,11 @@ object ScaleRehearsalAnn {
         s""""knn_rows":$nKnn,"ivf_build_sec":$tBuild,"ivf_probe_sec":$tProbe,""" +
         s""""probe_rows":$nProbe,"ivf_quant_sec":$tQuant,""" +
         s""""ivf_probe8_sec":$tProbe8,"probe8_rows":$nProbe8,""" +
+        s""""pq_fit_sec":$tPqFit,"pq_probe_sec":$tProbePq,""" +
+        s""""probe_pq_rows":$nProbePq,""" +
         s""""gram_sec":$tGram,"gram_rows":$nGram,"pca_sec":$tPca,""" +
-        s""""bytes_float":${faceBytes("assigned")},"bytes_int8":${faceBytes("assigned_int8")}}""")
+        s""""bytes_float":${faceBytes("assigned")},"bytes_int8":${faceBytes("assigned_int8")},""" +
+        s""""bytes_pq":${faceBytes("assigned_pq")}}""")
     }
     spark.stop()
   }

@@ -131,6 +131,60 @@ object GraftNative {
     out
   }
 
+  /** PQ encode: for each of `m` subspaces of `dsub = |vec|/m` dims,
+    * the code of the nearest codebook centroid by squared Euclidean
+    * distance (strict `<` keeps the LOWER code on exact ties — the
+    * deterministic rule both the spec and the oracle replay).
+    * `books` is the flattened codebook: entry (sub, code, j) at
+    * `(sub·ksub + code)·dsub + j`.
+    */
+  def pqEncode(vec: ArrayData, books: ArrayData, m: Int, ksub: Int,
+      vf: Boolean): ArrayData = {
+    val d = vec.numElements()
+    val dsub = d / m
+    val out = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var code = 0
+      while (code < ksub) {
+        val base = (sub * ksub + code) * dsub
+        var s = 0.0
+        var j = 0
+        while (j < dsub) {
+          val x = if (vf) vec.getFloat(sub * dsub + j).toDouble
+                  else vec.getDouble(sub * dsub + j)
+          val dd = x - books.getDouble(base + j)
+          s += dd * dd
+          j += 1
+        }
+        if (s < bestD) { bestD = s; best = code }
+        code += 1
+      }
+      out(sub) = best.toByte
+      sub += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Σ over subspaces of `lut[sub·ksub + codes[sub]]` — the ADC inner
+    * loop (one table lookup per subspace, fixed sub=0..m−1 order so the
+    * float sum is deterministic). Codes are unsigned byte codebook ids.
+    */
+  def pqLookupSum(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var sub = 0
+    while (sub < m) {
+      s += lut.getDouble(sub * ksub +
+        java.lang.Byte.toUnsignedInt(codes.getByte(sub)))
+      sub += 1
+    }
+    s
+  }
+
   def dotProduct(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
@@ -260,6 +314,85 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Product-quantization encode: vec → array<byte> of per-subspace
+  * nearest-centroid codes. The codebook rides as a foldable literal
+  * (flattened array<double>), so the expression stays row-local and
+  * codegen'd — the encode pass is one narrow projection, no shuffle.
+  */
+case class PqEncode(vec: Expression, books: Expression, m: Int, ksub: Int)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = books
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val booksOk = books.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (vecOk && booksOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<float|double> vec, array<double> books)")
+  }
+
+  private def isFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftNative.pqEncode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      m, ksub, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftNative.pqEncode($a, $b, $m, $ksub, $isFloat);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(vec = l, books = r)
+}
+
+/** ADC lookup-sum: Σ_sub lut[sub·ksub + codes[sub]] — with a
+  * per-query lookup table literal, turns a probed cell scan into one
+  * m-lookup sum per row (no per-row vector arithmetic at all).
+  */
+case class PqLookupSum(codes: Expression, lut: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = lut
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_lookup_sum"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val codesOk = codes.dataType match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    }
+    val lutOk = lut.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (codesOk && lutOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<byte> codes, array<double> lut)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftNative.pqLookupSum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftNative.pqLookupSum($a, $b, $ksub);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLookupSum =
+    copy(codes = l, lut = r)
+}
+
 /** Session registration + Column-level API for the native expressions. */
 object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -269,6 +402,11 @@ object GraftFunctions {
     "ngram_hashes" -> (es => NgramHashes(es.head, es(1))),
     "simhash64" -> (es => SimHash64(es.head)),
     "dot_product" -> (es => DotProduct(es.head, es(1))),
+    "pq_encode" -> (es => PqEncode(es.head, es(1),
+      es(2).asInstanceOf[Literal].value.asInstanceOf[Number].intValue(),
+      es(3).asInstanceOf[Literal].value.asInstanceOf[Number].intValue())),
+    "pq_lookup_sum" -> (es => PqLookupSum(es.head, es(1),
+      es(2).asInstanceOf[Literal].value.asInstanceOf[Number].intValue())),
     // Spark's internal runtime-filter bloom expressions, surfaced for the
     // decontamination prefilter: both are codegen'd, and MightContain
     // deserializes its literal filter once per task, not per row.
@@ -291,6 +429,12 @@ object GraftFunctions {
     call_function("ngram_hashes", tokens, org.apache.spark.sql.functions.lit(n))
   def simhash64(hashes: Column): Column = call_function("simhash64", hashes)
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  def pqEncode(vec: Column, books: Column, m: Int, ksub: Int): Column =
+    call_function("pq_encode", vec, books,
+      org.apache.spark.sql.functions.lit(m), org.apache.spark.sql.functions.lit(ksub))
+  def pqLookupSum(codes: Column, lut: Column, ksub: Int): Column =
+    call_function("pq_lookup_sum", codes, lut,
+      org.apache.spark.sql.functions.lit(ksub))
   def bloomAgg(h: Column, estimatedItems: Long, numBits: Long): Column =
     call_function("bloom_agg", h,
       org.apache.spark.sql.functions.lit(estimatedItems),

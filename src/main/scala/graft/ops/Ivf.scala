@@ -234,6 +234,17 @@ object Ivf {
         .parquet(s"$path/assigned_int8")
       spark.catalog.refreshByPath(s"$path/assigned_int8")
     }
+    // ...and the PQ face: encode the batch under the FROZEN codebooks
+    // (Pq.encodeRows is shared with the initial build, so the encode
+    // rule cannot drift; refitting codebooks on a batch would silently
+    // re-key every previously stored code)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/assigned_pq"))) {
+      Pq.encodeRows(alignedBatch, idCol, vecCol, Pq.readCodebooks(spark, path))
+        .repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster")
+        .parquet(s"$path/assigned_pq")
+      spark.catalog.refreshByPath(s"$path/assigned_pq")
+    }
     alignedBatch.unpersist()
     // this session's cached plans/indexes snapshotted the PRE-append
     // file listing: refresh the path and drop memoized entries so the
@@ -277,6 +288,12 @@ object Ivf {
         fs.exists(new org.apache.hadoop.fs.Path(s"${int8}__compact_old")) ||
         fs.exists(new org.apache.hadoop.fs.Path(s"${int8}__compact_tmp")))
       compactAssignedDir(spark, path, int8)
+    // the PQ face accumulates appended files identically
+    val pq = s"$path/assigned_pq"
+    if (fs.exists(new org.apache.hadoop.fs.Path(pq)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"${pq}__compact_old")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"${pq}__compact_tmp")))
+      compactAssignedDir(spark, path, pq)
   }
 
   private def compactAssignedDir(spark: SparkSession, path: String,
@@ -561,7 +578,7 @@ object Ivf {
     * probed cells for static partition pruning, the output qid name) —
     * one definition so cell selection cannot drift between faces.
     */
-  private def batchProbe(index: Index, queries: DataFrame, qidCol: String,
+  private[ops] def batchProbe(index: Index, queries: DataFrame, qidCol: String,
       vecCol: String, idCol: String, nprobe: Int)
       : (DataFrame, Seq[Int], String) = {
     val spark = queries.sparkSession
@@ -584,7 +601,7 @@ object Ivf {
     (spark.createDataFrame(qRows, qSchema), allCells, qidOut)
   }
 
-  private def rankTopK(scored: DataFrame, qidOut: String, idCol: String,
+  private[ops] def rankTopK(scored: DataFrame, qidOut: String, idCol: String,
       k: Int): DataFrame =
     scored.withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -634,7 +651,7 @@ object Ivf {
       qidOut, idCol, k)
   }
 
-  private def queryVecOf(query: DataFrame, vecCol: String): Array[Double] =
+  private[ops] def queryVecOf(query: DataFrame, vecCol: String): Array[Double] =
     query.select(col(vecCol)).head().getSeq[Any](0).map {
       case f: Float => f.toDouble
       case d: Double => d
@@ -646,7 +663,7 @@ object Ivf {
     * ties toward the lower cell id. Shared by the float and int8
     * probes so cell selection cannot drift between the two faces.
     */
-  private def probeCells(centroids: Array[Array[Double]],
+  private[ops] def probeCells(centroids: Array[Array[Double]],
       qVec: Array[Double], nprobe: Int): Seq[Int] = {
     def d2(c: Array[Double]): Double = {
       var s = 0.0

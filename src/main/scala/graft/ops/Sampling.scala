@@ -156,6 +156,25 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Deterministic EXACT-size global sample: the n rows with the
+    * smallest (md5(id), id) — a rate gate keeps ~rate·N rows with
+    * binomial jitter, but eval sets, human-review batches, and fixed
+    * token budgets need exactly n. The (md5(id), id) key is a total
+    * order, so the sample is reproducible across runs, partitionings,
+    * and engines, and NESTS across sizes (the 1k sample is a strict
+    * prefix of the 10k sample — grow a review batch without redrawing
+    * it).
+    *
+    * Scale shape: orderBy(...).limit(n) plans TakeOrderedAndProject —
+    * per-partition top-n heaps, one driver merge of #partitions·n
+    * keys; never a global sort. Driver memory bounds n (a million-row
+    * sample is fine; for corpus-fraction sampling use the hash gate).
+    */
+  def exactSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+  }
+
   /** Leakage-safe train/test split: every near-dup CLUSTER lands
     * wholly on one side. Splitting docs independently leaks — a
     * training doc's near-duplicate sitting in the eval slice inflates

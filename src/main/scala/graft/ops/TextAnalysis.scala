@@ -247,6 +247,47 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Per-doc TOP-n-gram dominance — Gopher's "fraction of n-grams
+    * taken by the single most common n-gram" repetition signal, with
+    * the winning gram itself reported (the auditable face: a human
+    * reads the gram and knows whether it's boilerplate, a nav bar, or
+    * legitimate chorus). Complements x22: repetition measures how much
+    * of the doc repeats AT ALL; dominance measures whether ONE phrase
+    * owns it — SEO keyword-stuffing scores high dominance at modest
+    * repetition. Ties break to the lexicographically smallest gram
+    * (total order, oracle-replayable). Docs shorter than `n` tokens
+    * have no row (x65's convention).
+    *
+    * 100 TB shape: grams explode once with multiplicity; one
+    * map-side-combining (doc, gram) count, then one doc-keyed window
+    * pass for argmax + total — two shuffles of the exploded gram rows,
+    * window partitions bounded by single-doc gram counts, never a
+    * corpus-wide sort.
+    */
+  def topNgramDominance(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, roundTo: Int = 6): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val counts = df.select(col(idCol).as("__id"), explode(grams).as("gram"))
+      .groupBy(col("__id"), col("gram"))
+      .agg(count(lit(1)).as("n_top"))
+    val byDoc = Window.partitionBy(col("__id"))
+    counts
+      .withColumn("__rk", row_number().over(
+        byDoc.orderBy(col("n_top").desc, col("gram"))))
+      .withColumn("n_ngrams", sum(col("n_top")).over(byDoc))
+      .where(col("__rk") === 1)
+      .select(col("__id").as(idCol), col("gram").as("top_ngram"),
+        col("n_top"), col("n_ngrams"),
+        round(col("n_top").cast("double") / col("n_ngrams"), roundTo)
+          .as("dominance"))
+  }
+
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L,
       roundTo: Int = 6, keep: Seq[String] = Nil,

@@ -382,6 +382,141 @@ object AnalyticsQueries {
         FROM fl f LEFT JOIN i8 i
           ON i.query_id = f.query_id AND i.vec_id = f.vec_id
         GROUP BY f.query_id"""),
-      notes = "both sides replay a06's probe; the int8 side re-ranks the stored qvec")
+      notes = "both sides replay a06's probe; the int8 side re-ranks the stored qvec"),
+
+    // ---- product-quantization ADC probe over the same persisted
+    // index: vectors stored as m=4 one-byte codebook codes (64× fewer
+    // vector bytes than the float face, 16× fewer than int8), ranked
+    // by the exact cosine of the query against each vector's PQ
+    // RECONSTRUCTION — scored as m lookups into two per-query LUTs
+    // (dot(q_sub, c), ‖c‖²), never by decoding vectors. Probe-cell
+    // selection is the shared Ivf.probeCells, so the three faces
+    // (float / int8 / pq) cannot drift. Codes and codebooks are DATA
+    // (a05's philosophy): the oracle reads both back and replays the
+    // LUT build + ADC arithmetic; the encode argmin itself is
+    // spec-pinned exactly (planted codebooks, tie → lower code).
+    GraftQuery(
+      "a10_pq_adc_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        Ivf.buildPersistentCached(e, path, "vec_id", "embedding", k = 16): Unit
+        graft.ops.Pq.pqAssign(s, path, "vec_id", "embedding", m = 4, ksub = 16)
+        graft.ops.Pq.topKPq(s, path, e.filter($"vec_id" === 7L),
+          "vec_id", "embedding", k = 50)
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 7),
+        qn AS (SELECT sqrt(list_inner_product(qv, qv)) AS qnorm FROM q),
+        probes AS (SELECT cluster FROM cents CROSS JOIN q
+          ORDER BY list_distance(centroid, qv) ASC, cluster LIMIT 4),
+        cb AS (SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+            centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/pq_codebooks/*.parquet')),
+        a AS (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_pq/*/*.parquet',
+                            hive_partitioning = 1)),
+        parts AS (SELECT a.vec_id,
+            list_inner_product(
+              list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid) AS dotp,
+            list_inner_product(cb.centroid, cb.centroid) AS n2
+          FROM a JOIN probes p ON a.cluster = p.cluster CROSS JOIN q
+          JOIN cb ON cb.code = CAST(a.codes[cb.sub + 1] AS INTEGER))
+        SELECT vec_id,
+          round(sum(dotp) / ((SELECT qnorm FROM qn) * sqrt(sum(n2))), 6) AS cos_adc
+        FROM parts GROUP BY vec_id HAVING sum(n2) > 0
+        ORDER BY cos_adc DESC, vec_id LIMIT 50"""),
+      notes = "oracle replays probe + the two-LUT ADC cosine over the dumped " +
+        "codebooks and stored codes"),
+
+    // ---- pq-vs-float probe agreement: per query, how much of the
+    // float probe's top-k the 64×-smaller PQ face reproduces at the
+    // SAME cells (batchProbe shared — the gap is pure reconstruction
+    // error, never probe drift) — a09's methodology applied to the
+    // most aggressive face. The go/no-go table for a staged serving
+    // pipeline (PQ candidates → exact re-rank): low agreement says
+    // raise k on the PQ stage before re-ranking, not serve it raw.
+    GraftQuery(
+      "a11_ann_pq_agreement",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        val index = Ivf.buildPersistentCached(e, path,
+          "vec_id", "embedding", k = 16)
+        graft.ops.Pq.pqAssign(s, path, "vec_id", "embedding", m = 4, ksub = 16)
+        val queries = e.filter($"vec_id" % 97 === 0L)
+        val fl = Ivf.topKBatch(index, queries,
+          "vec_id", "embedding", "vec_id", k = 10)
+          .select($"query_id", $"vec_id")
+        val pq = graft.ops.Pq.topKPqBatch(s, path, index, queries,
+          "vec_id", "embedding", "vec_id", k = 10)
+          .select($"query_id", $"vec_id")
+        fl.join(pq.withColumn("__hit", lit(1)),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy($"query_id")
+          .agg(count(lit(1)).as("n_float"),
+            count($"__hit").as("n_pq_agree"),
+            round(count($"__hit").cast("double") / count(lit(1)), 6)
+              .as("agreement"))
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT vec_id AS query_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+            sqrt(list_inner_product(
+              list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS qnorm
+          FROM embeddings WHERE vec_id % 97 = 0),
+        probes AS (SELECT query_id, cluster FROM (
+            SELECT q.query_id, c.cluster,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_distance(c.centroid, q.qv) ASC, c.cluster) AS pr
+            FROM cents c CROSS JOIN q) WHERE pr <= 4),
+        af AS (SELECT vec_id, embedding, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        cb AS (SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+            centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/pq_codebooks/*.parquet')),
+        apq AS (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_pq/*/*.parquet',
+                            hive_partitioning = 1)),
+        fl AS (SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                a.vec_id) AS rk
+            FROM af a JOIN probes p ON a.cluster = p.cluster
+            JOIN q ON q.query_id = p.query_id) WHERE rk <= 10),
+        parts AS (SELECT p.query_id, a.vec_id,
+            list_inner_product(
+              list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid) AS dotp,
+            list_inner_product(cb.centroid, cb.centroid) AS n2
+          FROM apq a JOIN probes p ON a.cluster = p.cluster
+          JOIN q ON q.query_id = p.query_id
+          JOIN cb ON cb.code = CAST(a.codes[cb.sub + 1] AS INTEGER)),
+        pqs AS (SELECT query_id, vec_id FROM (
+            SELECT pa.query_id, pa.vec_id,
+              row_number() OVER (PARTITION BY pa.query_id ORDER BY
+                round(sum(pa.dotp) / (any_value(q.qnorm) * sqrt(sum(pa.n2))), 6)
+                  DESC, pa.vec_id) AS rk
+            FROM parts pa JOIN q ON q.query_id = pa.query_id
+            GROUP BY pa.query_id, pa.vec_id
+            HAVING sum(pa.n2) > 0) WHERE rk <= 10)
+        SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_float,
+          CAST(count(p.vec_id) AS BIGINT) AS n_pq_agree,
+          round(CAST(count(p.vec_id) AS DOUBLE) / count(*), 6) AS agreement
+        FROM fl f LEFT JOIN pqs p
+          ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+        GROUP BY f.query_id"""),
+      notes = "float side replays a06's probe; pq side replays the two-LUT ADC " +
+        "over the dumped codebooks at the SAME probed cells")
   )
 }

@@ -2414,7 +2414,98 @@ object ExtensionQueries {
         GROUP BY d.source, t.n"""),
       notes = "rates recomputed in SQL from the same counts: weight " +
         "normalizer cancels, sqrt/mul/div/min are correctly-rounded IEEE, " +
-        "threshold = floor(rate*65536 + 0.5) mirrors gateThreshold")
+        "threshold = floor(rate*65536 + 0.5) mirrors gateThreshold"),
+
+    // ---- sequence packing under the COMMITTED subword tokenizer —
+    // x19's offset-stride packs priced in real BPE tokens instead of
+    // whitespace words (the unit that actually fills a context
+    // window: a shredded doc takes 2-4× the packing slots its word
+    // count suggests, so word-priced packs systematically overflow).
+    // Composition of two verified operators: x72's tokenize supplies
+    // per-doc subword counts (one explode + vocab-table join + doc
+    // agg), x19's window packs them per language shard. The oracle
+    // replays tokenization from the dumped symbolization, then the
+    // identical window arithmetic.
+    GraftQuery(
+      "x77_bpe_packing",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val fit = graft.ops.Bpe.fit(docs, "text", nMerges = 16)
+        OracleDump.dump(fit.wordTable, dir, "x77_bpe")
+        val counts = graft.ops.Bpe.tokenize(
+          docs.select($"doc_id", $"text"), "doc_id", "text", fit)
+          .select($"doc_id", $"n_bpe_tokens")
+        val packed = graft.ops.Packing.packBy(
+          counts.join(docs.select($"doc_id", $"lang"), "doc_id"),
+          "lang", "doc_id", $"n_bpe_tokens".cast("long"), budget = 1024)
+        graft.ops.Packing.packStats(packed, "lang", 1024)
+      },
+      Some("""WITH m AS (SELECT word, n_syms
+          FROM read_parquet('__SCRATCH__/x77_bpe/*.parquet')),
+        toks AS (SELECT doc_id, t[gi] AS word FROM (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents), unnest(range(1, len(t) + 1)) AS u(gi)),
+        cnt AS (SELECT t.doc_id, CAST(sum(m.n_syms) AS BIGINT) AS n_tok
+          FROM toks t JOIN m USING (word) GROUP BY t.doc_id),
+        j AS (SELECT c.doc_id, d.lang, c.n_tok
+          FROM cnt c JOIN documents d USING (doc_id)),
+        packed AS (SELECT lang, n_tok,
+          CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+            / 1024) AS BIGINT) AS pack_id
+          FROM j)
+        SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          round(CAST(sum(n_tok) AS DOUBLE) / 1024, 6) AS utilization
+        FROM packed GROUP BY lang, pack_id"""),
+      notes = "x72's dumped symbolization prices the docs; x19's window " +
+        "packs them — tokenless docs drop on both sides (inner join)"),
+
+    // ---- deterministic EXACT-size global sample: the n smallest
+    // (md5(id), id) keys — eval sets and human-review batches need
+    // exactly n rows, not ~rate·N with binomial jitter, and the
+    // hash-rank order makes samples NEST across sizes (grow a review
+    // batch without redrawing it). Plans TakeOrderedAndProject
+    // (per-partition heaps), never a global sort.
+    GraftQuery(
+      "x78_exact_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Sampling.exactSample(
+          Tables(s, dir, "documents"), "doc_id", n = 100)
+          .select($"doc_id", $"lang")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"""),
+      notes = "the (md5(id), id) total order is shared with the gate " +
+        "family; both engines pick identical rows"),
+
+    // ---- top-n-gram dominance: the fraction of a doc's word 2-grams
+    // taken by its single most common 2-gram, WITH the winning gram —
+    // Gopher's keyword-stuffing/boilerplate signal, auditable because
+    // a reviewer reads the gram itself. Ties break to the smallest
+    // gram; docs under 2 tokens have no row.
+    GraftQuery(
+      "x79_top_ngram_dominance",
+      (s, dir) => graft.ops.TextAnalysis.topNgramDominance(
+        Tables(s, dir, "documents"), "doc_id", "text", n = 2),
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+          FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)),
+        c AS (SELECT doc_id, gram, count(*) AS n_top
+          FROM g GROUP BY doc_id, gram),
+        r AS (SELECT doc_id, gram, n_top,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY n_top DESC, gram) AS rk,
+            sum(n_top) OVER (PARTITION BY doc_id) AS n_ngrams FROM c)
+        SELECT doc_id, gram AS top_ngram, CAST(n_top AS BIGINT) AS n_top,
+          CAST(n_ngrams AS BIGINT) AS n_ngrams,
+          round(CAST(n_top AS DOUBLE) / n_ngrams, 6) AS dominance
+        FROM r WHERE rk = 1"""),
+      notes = "argmax under (count desc, gram asc) — a total order both " +
+        "engines replay; exact integer sums")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

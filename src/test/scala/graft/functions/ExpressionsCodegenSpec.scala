@@ -58,6 +58,24 @@ class ExpressionsCodegenSpec extends AnyFunSuite {
     assert(j > 0.5 && j < 1.0, s"near-dup jaccard, got $j")
   }
 
+  test("pq expressions compile and evaluate inside strict codegen") {
+    import spark.implicits._
+    // books: m=2, ksub=2, dsub=2 → flat layout [sub][code][j]
+    val books = Seq(0.0, 0.0, 1.0, 1.0, /* sub1 */ 2.0, 0.0, 0.0, 2.0)
+    val lut = Seq(10.0, 20.0, 1.0, 2.0)
+    val rows = Seq((1L, Seq(0.9, 1.1, 1.9, 0.1)), (2L, Seq(0.1, 0.0, 0.1, 1.8)))
+      .toDF("id", "v")
+      .select($"id",
+        GraftFunctions.pqEncode($"v".cast("array<double>"),
+          typedLit(books), 2, 2).as("codes"))
+      .withColumn("s", GraftFunctions.pqLookupSum($"codes", typedLit(lut), 2))
+      .as[(Long, Seq[Byte], Double)].collect().sortBy(_._1)
+    assert(rows(0)._2 == Seq[Byte](1, 0), s"codes row1: ${rows(0)._2}")
+    assert(rows(0)._3 == 21.0, s"lut[1] + lut[2+0] = 20 + 1, got ${rows(0)._3}")
+    assert(rows(1)._2 == Seq[Byte](0, 1), s"codes row2: ${rows(1)._2}")
+    assert(rows(1)._3 == 12.0, s"lut[0] + lut[2+1] = 10 + 2, got ${rows(1)._3}")
+  }
+
   test("codegen filter over jaccard keeps whole-stage codegen working") {
     import spark.implicits._
     val docs = (0 until 100).map(i =>

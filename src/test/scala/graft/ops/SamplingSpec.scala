@@ -27,6 +27,23 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(large.size / n - 0.2) < 0.08, s"got ${large.size / n}")
   }
 
+  test("exactSample: exact n, layout-independent, sizes nest as prefixes") {
+    val a = Sampling.exactSample(docs, "doc_id", 40)
+      .select($"doc_id").as[Long].collect()
+    val b = Sampling.exactSample(docs.repartition(13), "doc_id", 40)
+      .select($"doc_id").as[Long].collect()
+    assert(a.length == 40, s"exactly n rows, got ${a.length}")
+    assert(a.sameElements(b), "the sample must not depend on physical layout")
+    val small = Sampling.exactSample(docs, "doc_id", 15)
+      .select($"doc_id").as[Long].collect()
+    assert(small.sameElements(a.take(15)),
+      "the 15-row sample must be a strict prefix of the 40-row sample")
+    // n larger than the corpus: the whole corpus, no error
+    val all = Sampling.exactSample(docs, "doc_id", 1000000)
+      .select($"doc_id").as[Long].collect()
+    assert(all.length == docs.count(), "oversize n returns everything")
+  }
+
   test("stratified rates apply per stratum; absent strata drop") {
     val sampled = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
       Map("en" -> 0.5, "de" -> 0.1))

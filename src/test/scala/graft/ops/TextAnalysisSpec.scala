@@ -148,6 +148,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(4L), "docs below the gram size have no row")
   }
 
+  test("top-ngram dominance: hand-computed argmax, smallest-gram tie, short docs absent") {
+    val docs = Seq(
+      // "buy now" ×3 of 6 grams → dominance 0.5, beats "now buy" ×2
+      (1L, "buy now buy now buy now cheap"),
+      // all four 2-grams distinct and count 1 → tie → smallest gram
+      // "a b" wins at 1/4
+      (2L, "a b c a e"),
+      (3L, "single"), // 1 token: no 2-grams, no row
+      (4L, "")        // tokenless: no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgramDominance(docs, "doc_id", "text", n = 2)
+      .select($"doc_id", $"top_ngram", $"n_top", $"n_ngrams", $"dominance")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.keySet == Set(1L, 2L), s"short/tokenless docs must be absent: $out")
+    assert(out(1L) == (("buy now", 3L, 6L, 0.5)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == (("a b", 1L, 4L, 0.25)), s"doc 2 tie: ${out(2L)}")
+  }
+
   test("gopher rules: each gate fails for exactly its planted violation") {
     val good = ("the quick brown fox is a fine animal and it runs " +
       "to the forest in the morning light of an autumn day it " +

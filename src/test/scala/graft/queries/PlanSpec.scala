@@ -41,6 +41,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("x34_knn_graph").contains("WindowGroupLimit"))
   }
 
+  test("a10: pq probe prunes cluster partitions and plans a top-k, not a sort") {
+    val p = plan("a10_pq_adc_topk")
+    assert(p.contains("assigned_pq"), s"probe must scan the pq face:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("cluster"),
+      "the cluster predicate must prune partitions on the scan")
+    assert(p.contains("TakeOrderedAndProject"),
+      "k-of-cell ranking must be a top-k, never a global sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "ADC scoring is lookup-only: no join anywhere in the probe")
+  }
+
   test("t03: as-of join plans the custom sort-merge operator, not a join") {
     val p = plan("t03_asof_join")
     assert(p.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$p")
