@@ -255,15 +255,28 @@ object CurateMain {
       Seq("doc_id"), "left_anti"))
     val nKept = kept.count()
 
-    // 6. resample to a uniform language mix (downsample-only)
-    val langs = kept.select($"lang").distinct().as[String].collect().toSeq
-    val mixed = Staged(Sampling.resampleToMix(
-      kept, "doc_id", "lang", langs.map(_ -> 1.0).toMap))
+    // 6. temperature-flatten the language mix (α = 0.5, the published
+    // multilingual recipe — x76's operator: the head crawl language
+    // stops drowning the tail without the hard equalization a uniform
+    // target forces; downsample-only, the smallest language keeps
+    // everything, rates derived from the survivors themselves)
+    val mixed = Staged(Sampling.temperatureSample(kept, "doc_id", "lang", 0.5))
     val nMixed = mixed.count()
 
-    // 7. pack into token-budget sequences per language shard
-    val packed = Packing.packBy(mixed, "lang", "doc_id",
-      size(TextAnalysis.tokens($"text")).cast("long"), budget = 2048)
+    // 7. pack into token-budget sequences per language shard, priced
+    // in REAL subword tokens under a tokenizer fit on the shipped
+    // corpus (x72 × x19, the x77 composition): word-priced packs
+    // systematically overflow on high-fertility docs — the budget is
+    // context-window slots, so the packing unit must be the
+    // tokenizer's, not whitespace's. Tokenless survivors pack at
+    // n_tok = 0 (left join) rather than silently dropping.
+    val bpeFit = Bpe.fit(mixed.select($"doc_id", $"text"), "text", nMerges = 16)
+    val bpeCounts = Bpe.tokenize(mixed.select($"doc_id", $"text"),
+      "doc_id", "text", bpeFit).select($"doc_id", $"n_bpe_tokens")
+    val packed = Packing.packBy(
+      mixed.join(bpeCounts, Seq("doc_id"), "left"),
+      "lang", "doc_id", coalesce($"n_bpe_tokens", lit(0L)).cast("long"),
+      budget = 2048)
     val nPacks = packed.select($"lang", $"pack_id").distinct().count()
 
     // 8. writer metadata: a stride-schedule curriculum position (seq —

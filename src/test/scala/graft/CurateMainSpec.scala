@@ -49,6 +49,10 @@ class CurateMainSpec extends SparkSpec {
   // near-dups ARE shared-boilerplate docs, so the passage stage
   // absorbs them here (near_dedup removes 0 at this sf — the cluster
   // stage is exercised at sf0.01 below, and in its own specs).
+  // Round 14: stage 6 is x76's temperature flattening (α=0.5, keeps
+  // MORE than the old forced-uniform target — 334 vs 283) and stage 7
+  // prices packs in real BPE tokens (x77's composition — fertility
+  // ~2-4 words/token triples the pack count at the same 2048 budget).
   test("curation pipeline is pinned end-to-end at sf0.001") {
     MockTransport.reset()
     val out = java.nio.file.Files.createTempDirectory("graft-curate-spec").toString
@@ -59,12 +63,12 @@ class CurateMainSpec extends SparkSpec {
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 441,
       boilerplate = 441, exact = 441, passage = 440, decontaminated = 436, nearDedup = 436,
-      mixed = 283, packs = 10, shards = 8, out = s"$out/curated",
+      mixed = 334, packs = 34, shards = 8, out = s"$out/curated",
       gateFails = Seq("g_words" -> 0L, "g_word_len" -> 0L, "g_hash" -> 0L,
         "g_ellipsis" -> 0L, "g_alpha" -> 0L, "g_stop" -> 109L,
         "score" -> 0L), quotations = 1L),
       s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "-72368066835835627570",
+    assert(contentHash(s.out) == "-119582989246861780508",
       s"curated content drifted: ${contentHash(s.out)}")
     // writer metadata: seq is a stride-schedule permutation of 1..N,
     // ilw is the DSIR weight toward the top-quality slice
@@ -272,12 +276,12 @@ class CurateMainSpec extends SparkSpec {
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 438,
       boilerplate = 438, exact = 438, passage = 435, decontaminated = 430, nearDedup = 429,
-      mixed = 245, packs = 10, shards = 8, out = s"$out/curated",
+      mixed = 305, packs = 32, shards = 8, out = s"$out/curated",
       gateFails = Seq("g_words" -> 0L, "g_word_len" -> 0L, "g_hash" -> 0L,
         "g_ellipsis" -> 0L, "g_alpha" -> 0L, "g_stop" -> 112L,
         "score" -> 0L), quotations = 2L),
       s"stage counts drifted: $s")
-    assert(contentHash(s.out) == "-47629612468594500742",
+    assert(contentHash(s.out) == "-17687168824452525766",
       s"curated content drifted: ${contentHash(s.out)}")
     assertRetriedOnce()
   }
