@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -183,6 +183,44 @@ object GraftNative {
       sub += 1
     }
     s
+  }
+
+  /** [[pqLookupSum]] with a per-row base offset into a CONCATENATED
+    * lookup table — the residual-PQ case, where the cross-term table
+    * is per IVF cell and the row's `cluster` selects its slab
+    * (offset = cluster·m·ksub).
+    */
+  def pqLookupSumAt(codes: ArrayData, lut: ArrayData, offset: Int,
+      ksub: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var sub = 0
+    while (sub < m) {
+      s += lut.getDouble(offset + sub * ksub +
+        java.lang.Byte.toUnsignedInt(codes.getByte(sub)))
+      sub += 1
+    }
+    s
+  }
+
+  /** vec − centroids[cluster] (flattened centroid table, row-local) —
+    * the residual a real IVF-PQ encodes: residuals are centered and
+    * far smaller than raw vectors, so the same m bytes reconstruct
+    * much closer.
+    */
+  def centroidResidual(vec: ArrayData, cluster: Int, cents: ArrayData,
+      vf: Boolean): ArrayData = {
+    val d = vec.numElements()
+    val out = new Array[Double](d)
+    val base = cluster * d
+    var i = 0
+    while (i < d) {
+      val x = if (vf) vec.getFloat(i).toDouble else vec.getDouble(i)
+      out(i) = x - cents.getDouble(base + i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   def dotProduct(x: ArrayData, y: ArrayData, lf: Boolean, rf: Boolean): Double = {
@@ -393,6 +431,77 @@ case class PqLookupSum(codes: Expression, lut: Expression, ksub: Int)
     copy(codes = l, lut = r)
 }
 
+/** [[PqLookupSum]] with a per-row base offset into a concatenated LUT
+  * (residual PQ: the cross-term table is per IVF cell; the row's
+  * cluster selects its slab).
+  */
+case class PqLookupSumAt(codes: Expression, lut: Expression,
+    offset: Expression, ksub: Int) extends TernaryExpression {
+  override def first: Expression = codes
+  override def second: Expression = lut
+  override def third: Expression = offset
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_lookup_sum_at"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (codes.dataType, lut.dataType, offset.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(DoubleType, _), IntegerType) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<byte>, array<double>, int)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GraftNative.pqLookupSumAt(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[Int], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.GraftNative.pqLookupSumAt($a, $b, $c, $ksub);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): PqLookupSumAt = copy(codes = f, lut = s, offset = t)
+}
+
+/** Row-local residual against a flattened centroid table: the vector
+  * a real IVF-PQ encodes (vec − centroid[cluster]).
+  */
+case class CentroidResidual(vec: Expression, cluster: Expression,
+    cents: Expression) extends TernaryExpression {
+  override def first: Expression = vec
+  override def second: Expression = cluster
+  override def third: Expression = cents
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_residual"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (vec.dataType, cluster.dataType, cents.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType,
+            ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<float|double> vec, int cluster, array<double> cents)")
+  }
+
+  private def isFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GraftNative.centroidResidual(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Int], c.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.GraftNative.centroidResidual($a, $b, $c, $isFloat);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): CentroidResidual = copy(vec = f, cluster = s, cents = t)
+}
+
 /** Session registration + Column-level API for the native expressions. */
 object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -407,6 +516,9 @@ object GraftFunctions {
       es(3).asInstanceOf[Literal].value.asInstanceOf[Number].intValue())),
     "pq_lookup_sum" -> (es => PqLookupSum(es.head, es(1),
       es(2).asInstanceOf[Literal].value.asInstanceOf[Number].intValue())),
+    "pq_lookup_sum_at" -> (es => PqLookupSumAt(es.head, es(1), es(2),
+      es(3).asInstanceOf[Literal].value.asInstanceOf[Number].intValue())),
+    "centroid_residual" -> (es => CentroidResidual(es.head, es(1), es(2))),
     // Spark's internal runtime-filter bloom expressions, surfaced for the
     // decontamination prefilter: both are codegen'd, and MightContain
     // deserializes its literal filter once per task, not per row.
@@ -435,6 +547,11 @@ object GraftFunctions {
   def pqLookupSum(codes: Column, lut: Column, ksub: Int): Column =
     call_function("pq_lookup_sum", codes, lut,
       org.apache.spark.sql.functions.lit(ksub))
+  def pqLookupSumAt(codes: Column, lut: Column, offset: Column, ksub: Int): Column =
+    call_function("pq_lookup_sum_at", codes, lut, offset,
+      org.apache.spark.sql.functions.lit(ksub))
+  def centroidResidual(vec: Column, cluster: Column, cents: Column): Column =
+    call_function("centroid_residual", vec, cluster, cents)
   def bloomAgg(h: Column, estimatedItems: Long, numBits: Long): Column =
     call_function("bloom_agg", h,
       org.apache.spark.sql.functions.lit(estimatedItems),

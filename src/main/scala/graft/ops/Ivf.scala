@@ -239,7 +239,8 @@ object Ivf {
     // rule cannot drift; refitting codebooks on a batch would silently
     // re-key every previously stored code)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/assigned_pq"))) {
-      Pq.encodeRows(alignedBatch, idCol, vecCol, Pq.readCodebooks(spark, path))
+      Pq.encodeRows(alignedBatch, idCol, vecCol, centroids,
+          Pq.readCodebooks(spark, path))
         .repartition(col("cluster"))
         .write.mode("append").partitionBy("cluster")
         .parquet(s"$path/assigned_pq")

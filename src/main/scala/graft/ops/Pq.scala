@@ -6,41 +6,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
-/** Product quantization (PQ) over the persisted IVF index — the
-  * compressed ANN face a 100 TB serving tier actually scans.
-  *
-  * The vector is split into `m` contiguous subvectors of `dsub = d/m`
-  * dims; each subspace gets its own KMeans codebook of `ksub` centroids;
-  * a vector is stored as `m` one-byte codes. Against the int8 face
-  * (a05: 1 byte per DIMENSION) this is 1 byte per SUBSPACE — for the
-  * 64-dim corpus at m=4, 4 bytes/vector vs 64 (int8) vs 256 (float32):
-  * a probed cell reads 64× fewer vector bytes than the float face.
+/** Product quantization (PQ) with RESIDUAL encoding over the persisted
+  * IVF index — the compressed ANN face a 100 TB serving tier actually
+  * scans, in the form real IVF-PQ systems use: each vector is encoded
+  * as its residual against its cell's centroid (residuals are centered
+  * and far smaller than raw vectors, so the same m bytes reconstruct
+  * much closer), split into `m` contiguous subvectors of `dsub = d/m`
+  * dims, each quantized to one byte by its own per-subspace KMeans
+  * codebook of `ksub` centroids. Against the int8 face (a05: 1 byte
+  * per DIMENSION) this is 1 byte per SUBSPACE — for the 64-dim corpus
+  * at m=4, 4 bytes/vector vs 64 (int8) vs 256 (float32).
   *
   * Search is ADC (asymmetric distance computation): the query stays
-  * exact, and per query the driver precomputes two m·ksub lookup
-  * tables — dot(q_sub, centroid) and ‖centroid‖² — so scoring a stored
-  * vector is m table lookups, no arithmetic on decoded vectors:
+  * exact, and per query the driver precomputes small lookup tables so
+  * scoring a stored vector is a handful of table lookups — no decoded
+  * vectors anywhere. With reconstruction x̂ = c_cell + Σ_sub part:
   *
-  *   cos_adc(q, x) = Σ_sub dot(q_sub, c[sub][code]) /
-  *                   (‖q‖ · sqrt(Σ_sub ‖c[sub][code]‖²))
+  *   dot(q, x̂)  = dot(q, c_cell) + Σ_sub dot(q_sub, part)
+  *   ‖x̂‖²       = ‖c_cell‖² + Σ_sub (2·dot(c_cell_sub, part) + ‖part‖²)
+  *   cos_adc    = dot(q, x̂) / (‖q‖ · √‖x̂‖²)
   *
-  * i.e. the exact cosine between q and x's PQ RECONSTRUCTION. Both
-  * lookup sums run in fixed sub=0..m−1 order inside a codegen'd native
-  * expression ([[graft.functions.PqLookupSum]]), so the float math is
-  * deterministic and the DuckDB oracle replays it from the dumped
-  * codebooks + codes.
+  * i.e. the EXACT cosine between q and the reconstruction. Per query
+  * that is one m·ksub dot-LUT + one k-entry dot(q, centroid) table;
+  * the cross/norm table (k·m·ksub) and ‖centroid‖² are
+  * query-independent and shared. All lookup sums run in fixed
+  * sub=0..m−1 order inside codegen'd native expressions
+  * ([[graft.functions.PqLookupSum]] / [[graft.functions.PqLookupSumAt]]),
+  * so the float math is deterministic and the DuckDB oracle replays it
+  * from the dumped codebooks, centroids, and codes.
   *
   * Scale shape: the codebook fit is m KMeans fits over ONE pass each
   * (at 100 TB: over a deterministic hash sample — `fitSampleRate`;
   * codebooks are a property of the distribution, not the corpus);
-  * encode is a row-local projection (no shuffle) written in the same
-  * cluster= partition layout as the base index, so probes prune
-  * identically; a probe reads nprobe/k of the corpus at m bytes per
-  * vector.
+  * encode is a row-local projection (residual + argmin per subspace,
+  * no shuffle) written in the same cluster= partition layout as the
+  * base index, so probes prune identically; a probe reads nprobe/k of
+  * the corpus at m bytes per vector.
   */
 object Pq {
 
-  /** Fitted codebooks: `codebooks(sub)(code)` is a `dsub`-dim centroid. */
+  /** Fitted codebooks over RESIDUALS: `codebooks(sub)(code)` is a
+    * `dsub`-dim residual centroid.
+    */
   final case class Model(m: Int, ksub: Int, dsub: Int,
       codebooks: Array[Array[Array[Double]]]) {
 
@@ -54,7 +61,7 @@ object Pq {
       out
     }
 
-    /** Per-(sub, code) dot(q_sub, centroid) — the ADC numerator LUT. */
+    /** Per-(sub, code) dot(q_sub, part) — the per-query ADC dot LUT. */
     def lutDot(q: Array[Double]): Array[Double] = {
       require(q.length == m * dsub,
         s"query dim ${q.length} != m·dsub = ${m * dsub}")
@@ -70,7 +77,7 @@ object Pq {
       out
     }
 
-    /** Per-(sub, code) ‖centroid‖² — the reconstruction-norm LUT. */
+    /** Per-(sub, code) ‖part‖². */
     def lutN2: Array[Double] = {
       val out = new Array[Double](m * ksub)
       for (sub <- 0 until m; code <- 0 until ksub) {
@@ -85,31 +92,72 @@ object Pq {
     }
   }
 
-  /** Fit per-subspace KMeans codebooks. One pass per subspace over
-    * `df` (optionally a deterministic hash sample — at corpus scale the
-    * codebooks are fit on a sample by construction, like every
-    * published PQ build). Seeds differ per subspace so identical
-    * subspace distributions don't produce identical codebooks.
+  private def dotArr(a: Array[Double], b: Array[Double], aOff: Int): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < b.length) { s += a(aOff + j) * b(j); j += 1 }
+    s
+  }
+
+  /** Query-independent cross/norm table, k·m·ksub entries:
+    * entry(cell, sub, code) = 2·dot(centroid_cell_sub, part) + ‖part‖².
+    * Σ over subs + ‖centroid‖² = the reconstruction's squared norm.
     */
-  def fitCodebooks(df: DataFrame, idCol: String, vecCol: String, m: Int,
-      ksub: Int, seed: Long = 42L, fitSampleRate: Double = 1.0): Model = {
+  def crossLut(model: Model, centroids: Array[Array[Double]]): Array[Double] = {
+    val n2 = model.lutN2
+    val out = new Array[Double](centroids.length * model.m * model.ksub)
+    for (cell <- centroids.indices; sub <- 0 until model.m;
+         code <- 0 until model.ksub) {
+      val part = model.codebooks(sub)(code)
+      out((cell * model.m + sub) * model.ksub + code) =
+        2.0 * dotArr(centroids(cell), part, sub * model.dsub) +
+          n2(sub * model.ksub + code)
+    }
+    out
+  }
+
+  /** Per-cell dot(q, centroid) — the per-query k-entry table. */
+  def centDots(q: Array[Double], centroids: Array[Array[Double]]): Array[Double] =
+    centroids.map { c =>
+      require(c.length == q.length,
+        s"centroid dim ${c.length} != query dim ${q.length}")
+      dotArr(q, c, 0)
+    }
+
+  /** Per-cell ‖centroid‖² — query-independent. */
+  def centNorm2(centroids: Array[Array[Double]]): Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  /** Fit per-subspace KMeans codebooks over residuals
+    * (vec − centroid[cluster]). One pass per subspace over `assigned`
+    * (optionally a deterministic hash sample). Seeds differ per
+    * subspace so identical subspace distributions don't produce
+    * identical codebooks.
+    */
+  def fitCodebooks(assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], m: Int, ksub: Int,
+      seed: Long = 42L, fitSampleRate: Double = 1.0): Model = {
     require(m > 0 && ksub > 1 && ksub <= 256,
       s"need m > 0 and 1 < ksub <= 256 (byte codes), got m=$m ksub=$ksub")
-    val src0 = if (fitSampleRate < 1.0)
-      Sampling.hashSample(df, idCol, fitSampleRate) else df
-    val src = src0.select(col(vecCol).cast("array<double>").as("__v"))
-      .where(col("__v").isNotNull)
-    val d = src.select(size(col("__v"))).head().getInt(0)
+    GraftFunctions.register(assigned.sparkSession)
+    val d = centroids(0).length
     require(d % m == 0, s"vector dim $d not divisible by m=$m")
     val dsub = d / m
+    val src0 = if (fitSampleRate < 1.0)
+      Sampling.hashSample(assigned, idCol, fitSampleRate) else assigned
+    val src = src0
+      .where(col(vecCol).isNotNull)
+      .select(GraftFunctions.centroidResidual(
+        col(vecCol).cast("array<double>"), col("cluster").cast("int"),
+        typedLit(centroids.flatten.toSeq)).as("__r"))
     val books = (0 until m).map { sub =>
       val feats = src.select(array_to_vector(
-        slice(col("__v"), sub * dsub + 1, dsub)).as("__features"))
+        slice(col("__r"), sub * dsub + 1, dsub)).as("__features"))
       val model = new KMeans().setK(ksub).setSeed(seed + sub)
         .setFeaturesCol("__features").setPredictionCol("__c").fit(feats)
       require(model.clusterCenters.length == ksub,
         s"subspace $sub collapsed to ${model.clusterCenters.length} centroids" +
-          s" (< ksub=$ksub): corpus has too few distinct subvectors")
+          s" (< ksub=$ksub): corpus has too few distinct residual subvectors")
       model.clusterCenters.map(_.toArray)
     }.toArray
     Model(m, ksub, dsub, books)
@@ -140,29 +188,34 @@ object Pq {
   }
 
   /** (id, codes array<byte>, cluster) under a FROZEN model — shared by
-    * the initial build and any append path so the encode rule cannot
-    * drift. Zero-norm vectors are excluded (the family's "no zero-norm
-    * vector enters a top-k" rule: their cosine is undefined).
+    * the initial build and the append path so the encode rule cannot
+    * drift. Codes quantize the RESIDUAL against the row's cell
+    * centroid. Zero-norm input vectors are excluded (the family's
+    * "no zero-norm vector enters a top-k" rule: their cosine is
+    * undefined).
     */
   def encodeRows(assigned: DataFrame, idCol: String, vecCol: String,
-      model: Model): DataFrame = {
+      centroids: Array[Array[Double]], model: Model): DataFrame = {
+    GraftFunctions.register(assigned.sparkSession)
     val v = col(vecCol).cast("array<double>")
     assigned
-      .select(col(idCol), v.as("__v"), col("cluster"))
+      .select(col(idCol), v.as("__v"), col("cluster").cast("int").as("cluster"))
       .where(array_max(transform(col("__v"), x => abs(x))) > 0)
       .select(col(idCol),
-        GraftFunctions.pqEncode(col("__v"),
+        GraftFunctions.pqEncode(
+          GraftFunctions.centroidResidual(col("__v"), col("cluster"),
+            typedLit(centroids.flatten.toSeq)),
           typedLit(model.flat.toSeq), model.m, model.ksub).as("codes"),
         col("cluster"))
   }
 
-  /** Fit + encode the PQ face of a persisted IVF index: codebooks to
-    * `path/pq_codebooks` (data — the oracle's replay source), codes to
-    * `path/assigned_pq` in the identical cluster= layout (probes prune
-    * the same partitions). Build-once via marker, matching
-    * [[Ivf.quantizeAssigned]]'s discipline; the marker carries the
-    * params so a stale face with different m/ksub cannot satisfy a
-    * request.
+  /** Fit + encode the residual-PQ face of a persisted IVF index:
+    * codebooks to `path/pq_codebooks` (data — the oracle's replay
+    * source), codes to `path/assigned_pq` in the identical cluster=
+    * layout (probes prune the same partitions). Build-once via a
+    * versioned marker: a face built with DIFFERENT params fails loudly
+    * (readers would mix markers and codes), while a face in the
+    * pre-residual v1 format — derived data — is deleted and rebuilt.
     */
   def pqAssign(spark: SparkSession, path: String, idCol: String,
       vecCol: String, m: Int = 4, ksub: Int = 16, seed: Long = 42L,
@@ -171,37 +224,42 @@ object Pq {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(
-      s"$path/_PQ_OK_${vecCol}_m${m}_k$ksub")
+      s"$path/_PQ_OK_v2_${vecCol}_m${m}_k$ksub")
     if (fs.exists(marker)) return
-    // one PQ face per index path: a face built with different params
-    // must not be silently overwritten while its marker survives
-    // (readers would mix old marker with new codes) — same stale-
-    // artifact discipline as Ivf.buildPersistent
-    val stale = fs.globStatus(
-      new org.apache.hadoop.fs.Path(s"$path/_PQ_OK_${vecCol}_*"))
-    require(stale == null || stale.isEmpty,
+    val stale = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_PQ_OK_*"))).toSeq.flatten
+    val (v2Stale, v1Stale) =
+      stale.partition(_.getPath.getName.startsWith("_PQ_OK_v2_"))
+    require(v2Stale.isEmpty,
       s"index at $path already holds a PQ face with different parameters " +
-        s"(${stale.map(_.getPath.getName).mkString(", ")}) — delete the " +
+        s"(${v2Stale.map(_.getPath.getName).mkString(", ")}) — delete the " +
         "face (pq_codebooks/, assigned_pq/, marker) to rebuild with " +
         s"m=$m ksub=$ksub")
+    if (v1Stale.nonEmpty) {
+      // pre-residual format: derived data, deterministic to rebuild
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/pq_codebooks"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned_pq"), true)
+      v1Stale.foreach(st => fs.delete(st.getPath, false))
+    }
+    val index = Ivf.readIndex(spark, path)
     val assigned = spark.read.parquet(s"$path/assigned")
-    val model = fitCodebooks(assigned, idCol, vecCol, m, ksub, seed,
-      fitSampleRate)
+    val model = fitCodebooks(assigned, idCol, vecCol, index.centroids,
+      m, ksub, seed, fitSampleRate)
     codebookRows(spark, model).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pq_codebooks")
-    encodeRows(assigned, idCol, vecCol, model)
+    encodeRows(assigned, idCol, vecCol, index.centroids, model)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assigned_pq")
     fs.create(marker, true).close()
   }
 
-  /** [[Ivf.topK]] over the PQ face: identical probe-cell selection
-    * (shared [[Ivf.probeCells]] — the three faces cannot drift), but
-    * the per-cell scan reads `assigned_pq` (m bytes per vector) and
-    * ranks by ADC cosine via two lookup-table literals. The scan plan
-    * is scan → codegen'd projection → TakeOrderedAndProject; the only
-    * vector arithmetic anywhere is the driver-side m·ksub LUT build.
+  /** [[Ivf.topK]] over the residual-PQ face: identical probe-cell
+    * selection (shared [[Ivf.probeCells]] — the three faces cannot
+    * drift), but the per-cell scan reads `assigned_pq` (m bytes per
+    * vector) and ranks by ADC cosine via lookup-table literals. The
+    * plan is scan → codegen'd projection → TakeOrderedAndProject; the
+    * only vector arithmetic anywhere is the driver-side LUT build.
     */
   def topKPq(spark: SparkSession, path: String, query: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
@@ -213,30 +271,36 @@ object Pq {
     val model = readCodebooks(spark, path)
     val qnorm = math.sqrt(qvec.map(x => x * x).sum)
     require(qnorm > 0, "zero-norm query has no cosine neighbors")
+    val mk = model.m * model.ksub
     val dotLut = typedLit(model.lutDot(qvec).toSeq)
-    val n2Lut = typedLit(model.lutN2.toSeq)
-    val n2Sum = GraftFunctions.pqLookupSum(col("codes"), n2Lut, model.ksub)
+    val cross = typedLit(crossLut(model, centroids).toSeq)
+    val qc = typedLit(centDots(qvec, centroids).toSeq)
+    val cn2 = typedLit(centNorm2(centroids).toSeq)
+    val off = (col("cluster") * lit(mk)).cast("int")
+    val numer = element_at(qc, col("cluster") + 1) +
+      GraftFunctions.pqLookupSum(col("codes"), dotLut, model.ksub)
+    val denom2 = element_at(cn2, col("cluster") + 1) +
+      GraftFunctions.pqLookupSumAt(col("codes"), cross, off, model.ksub)
     spark.read.parquet(s"$path/assigned_pq")
       .where(col("cluster").isInCollection(probes))
       .select(col(idCol),
-        round(when(n2Sum > 0,
-          GraftFunctions.pqLookupSum(col("codes"), dotLut, model.ksub) /
-            (lit(qnorm) * sqrt(n2Sum))), roundTo).as("cos_adc"))
+        round(when(denom2 > 0, numer / (lit(qnorm) * sqrt(denom2))), roundTo)
+          .as("cos_adc"))
       .where(col("cos_adc").isNotNull)
       .orderBy(col("cos_adc").desc, col(idCol))
       .limit(k)
   }
 
-  /** Batched multi-query probe over the PQ face — a06's exact plan
-    * shape (plan-time probes via the SHARED [[Ivf.batchProbe]], static
-    * partition pruning, broadcast (query, cell) pairs, keyed-window
-    * rank), reading `assigned_pq` (m bytes per vector). Each broadcast
-    * query row carries its own dot-LUT (m·ksub doubles — the per-query
-    * driver precompute); the query-independent ‖c‖² LUT rides once as
-    * a literal. Because cell selection is batchProbe, an agreement
-    * report against the float face measures exactly the PQ
-    * reconstruction effect, never probe drift — a09's methodology.
-    * Zero-norm queries score NULL everywhere and rank nothing.
+  /** Batched multi-query probe over the residual-PQ face — a06's exact
+    * plan shape (plan-time probes via the SHARED [[Ivf.batchProbe]],
+    * static partition pruning, broadcast (query, cell) pairs,
+    * keyed-window rank), reading `assigned_pq` (m bytes per vector).
+    * Each broadcast query row carries its per-query ADC precompute
+    * (dot-LUT + per-cell dot(q, centroid) + ‖q‖); the query-independent
+    * cross/norm tables ride once as literals. Because cell selection
+    * is batchProbe, an agreement report against the float face
+    * measures exactly the reconstruction effect, never probe drift —
+    * a09's methodology. Zero-norm queries rank nothing.
     */
   def topKPqBatch(spark: SparkSession, path: String, index: Ivf.Index,
       queries: DataFrame, qidCol: String, vecCol: String, idCol: String,
@@ -245,30 +309,37 @@ object Pq {
     val (qdf, allCells, qidOut) =
       Ivf.batchProbe(index, queries, qidCol, vecCol, idCol, nprobe)
     val model = readCodebooks(spark, path)
+    val centroids = index.centroids
     // extend the (query, cell) broadcast rows with the per-query ADC
-    // precompute: dot-LUT + query norm (O(Q·nprobe·m·ksub) driver
-    // state — thousands of queries are trivial)
+    // precompute (O(Q·nprobe·(m·ksub + k)) driver state — thousands of
+    // queries are trivial)
     val rows = qdf.collect().toSeq.map { r =>
       val vec = r.getSeq[Double](1).toArray
       org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(
-        model.lutDot(vec).toSeq, math.sqrt(vec.map(x => x * x).sum)))
+        model.lutDot(vec).toSeq, centDots(vec, centroids).toSeq,
+        math.sqrt(vec.map(x => x * x).sum)))
     }
-    val schema = qdf.schema
-      .add("lut_dot", org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType, containsNull = false))
+    val arr = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+    val schema = qdf.schema.add("lut_dot", arr).add("qc_dot", arr)
       .add("qnorm", org.apache.spark.sql.types.DoubleType)
     val qlut = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), schema)
-    val n2Lut = typedLit(model.lutN2.toSeq)
-    val n2Sum = GraftFunctions.pqLookupSum(col("codes"), n2Lut, model.ksub)
+    val mk = model.m * model.ksub
+    val cross = typedLit(crossLut(model, centroids).toSeq)
+    val cn2 = typedLit(centNorm2(centroids).toSeq)
+    val off = (col("cluster") * lit(mk)).cast("int")
+    val numer = element_at(col("qc_dot"), col("cluster") + 1) +
+      GraftFunctions.pqLookupSum(col("codes"), col("lut_dot"), model.ksub)
+    val denom2 = element_at(cn2, col("cluster") + 1) +
+      GraftFunctions.pqLookupSumAt(col("codes"), cross, off, model.ksub)
     Ivf.rankTopK(
       spark.read.parquet(s"$path/assigned_pq")
         .where(col("cluster").isInCollection(allCells))
         .join(broadcast(qlut), "cluster")
         .select(col(qidOut), col(idCol),
-          round(when(n2Sum > 0 && col("qnorm") > 0,
-            GraftFunctions.pqLookupSum(col("codes"), col("lut_dot"), model.ksub) /
-              (col("qnorm") * sqrt(n2Sum))), roundTo).as("cos_sim"))
+          round(when(denom2 > 0 && col("qnorm") > 0,
+            numer / (col("qnorm") * sqrt(denom2))), roundTo).as("cos_sim"))
         .where(col("cos_sim").isNotNull),
       qidOut, idCol, k)
   }

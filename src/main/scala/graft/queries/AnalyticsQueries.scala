@@ -408,9 +408,11 @@ object AnalyticsQueries {
       },
       Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
           FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
-        q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+            sqrt(list_inner_product(
+              list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS qnorm
           FROM embeddings WHERE vec_id = 7),
-        qn AS (SELECT sqrt(list_inner_product(qv, qv)) AS qnorm FROM q),
         probes AS (SELECT cluster FROM cents CROSS JOIN q
           ORDER BY list_distance(centroid, qv) ASC, cluster LIMIT 4),
         cb AS (SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
@@ -419,19 +421,28 @@ object AnalyticsQueries {
         a AS (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
           FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_pq/*/*.parquet',
                             hive_partitioning = 1)),
-        parts AS (SELECT a.vec_id,
+        parts AS (SELECT a.vec_id, a.cluster,
             list_inner_product(
               list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
               cb.centroid) AS dotp,
-            list_inner_product(cb.centroid, cb.centroid) AS n2
-          FROM a JOIN probes p ON a.cluster = p.cluster CROSS JOIN q
-          JOIN cb ON cb.code = CAST(a.codes[cb.sub + 1] AS INTEGER))
-        SELECT vec_id,
-          round(sum(dotp) / ((SELECT qnorm FROM qn) * sqrt(sum(n2))), 6) AS cos_adc
-        FROM parts GROUP BY vec_id HAVING sum(n2) > 0
-        ORDER BY cos_adc DESC, vec_id LIMIT 50"""),
-      notes = "oracle replays probe + the two-LUT ADC cosine over the dumped " +
-        "codebooks and stored codes"),
+            2 * list_inner_product(
+              list_slice(c.centroid, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid)
+              + list_inner_product(cb.centroid, cb.centroid) AS cr
+          FROM a JOIN probes p ON a.cluster = p.cluster
+          JOIN cents c ON c.cluster = a.cluster CROSS JOIN q
+          JOIN cb ON cb.code = CAST(a.codes[cb.sub + 1] AS INTEGER)),
+        agg AS (SELECT vec_id, cluster, sum(dotp) AS sdot, sum(cr) AS scr
+          FROM parts GROUP BY vec_id, cluster)
+        SELECT g.vec_id,
+          round((list_inner_product(q.qv, c.centroid) + g.sdot) /
+            (q.qnorm * sqrt(list_inner_product(c.centroid, c.centroid) + g.scr)),
+            6) AS cos_adc
+        FROM agg g JOIN cents c ON c.cluster = g.cluster CROSS JOIN q
+        WHERE list_inner_product(c.centroid, c.centroid) + g.scr > 0
+        ORDER BY cos_adc DESC, g.vec_id LIMIT 50"""),
+      notes = "oracle replays probe + the residual-ADC cosine (centroid + " +
+        "codebook parts) over the dumped centroids, codebooks, and codes"),
 
     // ---- pq-vs-float probe agreement: per query, how much of the
     // float probe's top-k the 64×-smaller PQ face reproduces at the
@@ -494,22 +505,31 @@ object AnalyticsQueries {
                 a.vec_id) AS rk
             FROM af a JOIN probes p ON a.cluster = p.cluster
             JOIN q ON q.query_id = p.query_id) WHERE rk <= 10),
-        parts AS (SELECT p.query_id, a.vec_id,
+        parts AS (SELECT p.query_id, a.vec_id, a.cluster,
             list_inner_product(
               list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
               cb.centroid) AS dotp,
-            list_inner_product(cb.centroid, cb.centroid) AS n2
+            2 * list_inner_product(
+              list_slice(c.centroid, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid)
+              + list_inner_product(cb.centroid, cb.centroid) AS cr
           FROM apq a JOIN probes p ON a.cluster = p.cluster
+          JOIN cents c ON c.cluster = a.cluster
           JOIN q ON q.query_id = p.query_id
           JOIN cb ON cb.code = CAST(a.codes[cb.sub + 1] AS INTEGER)),
+        pqagg AS (SELECT query_id, vec_id, cluster,
+            sum(dotp) AS sdot, sum(cr) AS scr
+          FROM parts GROUP BY query_id, vec_id, cluster),
         pqs AS (SELECT query_id, vec_id FROM (
-            SELECT pa.query_id, pa.vec_id,
-              row_number() OVER (PARTITION BY pa.query_id ORDER BY
-                round(sum(pa.dotp) / (any_value(q.qnorm) * sqrt(sum(pa.n2))), 6)
-                  DESC, pa.vec_id) AS rk
-            FROM parts pa JOIN q ON q.query_id = pa.query_id
-            GROUP BY pa.query_id, pa.vec_id
-            HAVING sum(pa.n2) > 0) WHERE rk <= 10)
+            SELECT g.query_id, g.vec_id,
+              row_number() OVER (PARTITION BY g.query_id ORDER BY
+                round((list_inner_product(q.qv, c.centroid) + g.sdot) /
+                  (q.qnorm * sqrt(list_inner_product(c.centroid, c.centroid)
+                    + g.scr)), 6) DESC, g.vec_id) AS rk
+            FROM pqagg g JOIN cents c ON c.cluster = g.cluster
+            JOIN q ON q.query_id = g.query_id
+            WHERE list_inner_product(c.centroid, c.centroid) + g.scr > 0)
+          WHERE rk <= 10)
         SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_float,
           CAST(count(p.vec_id) AS BIGINT) AS n_pq_agree,
           round(CAST(count(p.vec_id) AS DOUBLE) / count(*), 6) AS agreement

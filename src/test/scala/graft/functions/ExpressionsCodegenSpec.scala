@@ -76,6 +76,27 @@ class ExpressionsCodegenSpec extends AnyFunSuite {
     assert(rows(1)._3 == 12.0, s"lut[0] + lut[2+1] = 10 + 2, got ${rows(1)._3}")
   }
 
+  test("residual-pq expressions compile and evaluate inside strict codegen") {
+    import spark.implicits._
+    // two cells, flattened centroid table (d=4)
+    val cents = Seq(0.0, 0.0, 0.0, 0.0, /* cell1 */ 1.0, 1.0, 1.0, 1.0)
+    // concatenated per-cell LUT, m=2 ksub=2 → 4 entries per cell
+    val lut = Seq(1.0, 2.0, 3.0, 4.0, /* cell1 */ 10.0, 20.0, 30.0, 40.0)
+    val rows = Seq((1L, Seq(2.0, 1.0, 3.0, 1.0), 1), (2L, Seq(0.5, 0.0, 0.0, 0.0), 0))
+      .toDF("id", "v", "cluster")
+      .select($"id", $"cluster",
+        GraftFunctions.centroidResidual($"v".cast("array<double>"),
+          $"cluster", typedLit(cents)).as("r"))
+      .withColumn("s", GraftFunctions.pqLookupSumAt(
+        typedLit(Seq(1.toByte, 0.toByte)), typedLit(lut),
+        ($"cluster" * 4).cast("int"), 2))
+      .as[(Long, Int, Seq[Double], Double)].collect().sortBy(_._1)
+    assert(rows(0)._3 == Seq(1.0, 0.0, 2.0, 0.0), s"residual: ${rows(0)._3}")
+    assert(rows(0)._4 == 50.0, s"lut[4+1] + lut[4+2+0] = 20 + 30, got ${rows(0)._4}")
+    assert(rows(1)._3 == Seq(0.5, 0.0, 0.0, 0.0), s"residual: ${rows(1)._3}")
+    assert(rows(1)._4 == 5.0, s"lut[1] + lut[2] = 2 + 3, got ${rows(1)._4}")
+  }
+
   test("codegen filter over jaccard keeps whole-stage codegen working") {
     import spark.implicits._
     val docs = (0 until 100).map(i =>

@@ -52,68 +52,103 @@ class PqSpec extends SparkSpec {
   }
 
   test("fitCodebooks: shapes, dim divisibility guard, byte-code cap") {
+    val zeroCents = Array(Array(0.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0, 0.0))
     val vecs = (0 until 60).map(i =>
-      (i.toLong, Seq(i % 5 * 1.0, i % 3 * 1.0, i % 7 * 1.0, i % 2 * 1.0)))
-      .toDF("id", "v")
-    val m = Pq.fitCodebooks(vecs, "id", "v", m = 2, ksub = 4)
+      (i.toLong, Seq(i % 5 * 1.0, i % 3 * 1.0, i % 7 * 1.0, i % 2 * 1.0), i % 2))
+      .toDF("id", "v", "cluster")
+    val m = Pq.fitCodebooks(vecs, "id", "v", zeroCents, m = 2, ksub = 4)
     assert(m.m == 2 && m.ksub == 4 && m.dsub == 2)
     assert(m.codebooks.length == 2 && m.codebooks.forall(_.length == 4))
     assert(m.codebooks.forall(_.forall(_.length == 2)))
     intercept[IllegalArgumentException] {
-      Pq.fitCodebooks(vecs, "id", "v", m = 3, ksub = 4) // 4 % 3 != 0
+      Pq.fitCodebooks(vecs, "id", "v", zeroCents, m = 3, ksub = 4) // 4 % 3 != 0
     }
     intercept[IllegalArgumentException] {
-      Pq.fitCodebooks(vecs, "id", "v", m = 2, ksub = 300) // > byte range
+      Pq.fitCodebooks(vecs, "id", "v", zeroCents, m = 2, ksub = 300) // > byte range
     }
   }
 
-  test("encodeRows excludes zero-norm vectors; codes land in cluster layout") {
+  test("crossLut/centDots/centNorm2 match hand math; residual ADC is exact cosine") {
+    // one cell with centroid (1,0,2,2): reconstruction for codes (1,1)
+    // = centroid + ((1,0) ++ (-1,0)) = (2, 0, 1, 2)
+    val cents = Array(Array(1.0, 0.0, 2.0, 2.0))
+    val cross = Pq.crossLut(planted, cents)
+    // entry(0, sub0, code1): 2·dot((1,0),(1,0)) + 1 = 3
+    assert(cross(0 * 3 + 1) == 3.0, cross.toSeq)
+    // entry(0, sub1, code1): 2·dot((2,2),(-1,0)) + 1 = -3
+    assert(cross(1 * 3 + 1) == -3.0, cross.toSeq)
+    val q = Array(1.0, 0.0, 0.0, 1.0)
+    assert(Pq.centDots(q, cents).toSeq == Seq(3.0)) // 1 + 0 + 0 + 2
+    assert(Pq.centNorm2(cents).toSeq == Seq(9.0))   // 1 + 4 + 4
+    // ADC from the tables vs exact cosine(q, (2,0,1,2))
+    val dot = planted.lutDot(q)
+    val numer = 3.0 + dot(0 * 3 + 1) + dot(1 * 3 + 1)
+    val denom2 = 9.0 + cross(0 * 3 + 1) + cross(1 * 3 + 1)
+    val adc = numer / (math.sqrt(2.0) * math.sqrt(denom2))
+    val recon = Array(2.0, 0.0, 1.0, 2.0)
+    val exact = recon.zip(q).map { case (a, b) => a * b }.sum /
+      (math.sqrt(2.0) * math.sqrt(recon.map(x => x * x).sum))
+    assert(math.abs(adc - exact) < 1e-15, s"adc $adc vs exact $exact")
+  }
+
+  test("encodeRows excludes zero-norm vectors; codes quantize the RESIDUAL") {
+    val cents = Array(Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 0.0, 2.0, 2.0))
     val assigned = Seq(
       (1L, Seq(1.0, 0.0, 0.0, 1.0), 0),
       (2L, Seq(0.0, 0.0, 0.0, 0.0), 0), // zero-norm: dropped
-      (3L, Seq(2.0, 2.0, 2.0, 2.0), 1)
+      (3L, Seq(2.0, 0.0, 1.0, 2.0), 1)  // residual vs cell 1 = (1,0,-1,0)
     ).toDF("vec_id", "embedding", "cluster")
-    val out = Pq.encodeRows(assigned, "vec_id", "embedding", planted)
-      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val out = Pq.encodeRows(assigned, "vec_id", "embedding", cents, planted)
+      .select($"vec_id", $"cluster", $"codes")
+      .as[(Long, Int, Seq[Byte])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out.keySet == Set(1L, 3L), s"zero-norm row must drop: $out")
-    assert(out(3L) == 1, "cluster column must ride through encode")
+    assert(out(3L)._1 == 1, "cluster column must ride through encode")
+    // residual (1,0 | -1,0): sub0 → code 1 exactly, sub1 → code 1 exactly
+    assert(out(3L)._2 == Seq[Byte](1, 1), s"residual codes: ${out(3L)._2}")
+    // zero-centroid cell: residual = vec, q=(1,0|0,1) → codes (1, 1)
+    // (sub1 (0,1): d² to (2,2)=5, (-1,0)=2, (2,2)=5 → code 1)
+    assert(out(1L)._2 == Seq[Byte](1, 1), s"raw-residual codes: ${out(1L)._2}")
   }
 
-  test("topKPq end-to-end: exact reconstructions rank exactly as brute-force cosine") {
+  test("topKPq end-to-end: ADC ranking matches an exact driver-side replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-spec").toString
-    // corpus = exact codebook reconstructions under a fitted model, so
-    // ADC == exact cosine and the PQ top-k must equal brute force.
-    // Fit on a grid-shaped corpus first, then rebuild that corpus FROM
-    // the fitted codebooks so every vector is exactly representable.
-    val raw = (0 until 48).map { i =>
-      (i.toLong, Seq((i % 4).toDouble, ((i / 4) % 2).toDouble,
-        (i % 3).toDouble, ((i / 3) % 2).toDouble))
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Seq(math.sin(i * 1.0) + 2.0, math.cos(i * 1.3),
+        math.sin(i * 0.7) - 1.0, math.cos(i * 0.4)))
     }.toDF("vec_id", "embedding")
-    val fitted = Pq.fitCodebooks(raw, "vec_id", "embedding", m = 2, ksub = 4)
-    val recon = (0 until 16).map { i =>
-      val c0 = fitted.codebooks(0)(i % 4)
-      val c1 = fitted.codebooks(1)(i / 4)
-      (i.toLong, (c0 ++ c1).toSeq)
-    }.filter(_._2.exists(_ != 0.0))
-    val corpus = recon.toDF("vec_id", "embedding")
-    Ivf.buildPersistent(corpus, dir, "vec_id", "embedding", k = 2): Unit
+    val index = Ivf.buildPersistent(corpus, dir, "vec_id", "embedding", k = 2)
     Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
-    val q = corpus.filter($"vec_id" === recon.head._1)
-    val got = Pq.topKPq(spark, dir, q, "vec_id", "embedding",
-      k = recon.size, nprobe = 2)
+    val qid = 7L
+    val got = Pq.topKPq(spark, dir, corpus.filter($"vec_id" === qid),
+      "vec_id", "embedding", k = 60, nprobe = 2)
       .as[(Long, Double)].collect().toSeq
-    // brute force over the same corpus, identical rounding + tie rule
-    val qv = recon.head._2.toArray
+    // exact replay from the persisted artifacts: codes + codebooks +
+    // centroids fully determine every ADC score
+    val model = Pq.readCodebooks(spark, dir)
+    val cents = index.centroids
+    val codes = spark.read.parquet(s"$dir/assigned_pq")
+      .select($"vec_id", $"cluster", $"codes")
+      .as[(Long, Int, Seq[Byte])].collect()
+    val qv = corpus.filter($"vec_id" === qid)
+      .select($"embedding").as[Seq[Double]].head().toArray
     val qn = math.sqrt(qv.map(x => x * x).sum)
-    def cos(v: Seq[Double]): Double = {
-      val d = v.toArray.zip(qv).map { case (a, b) => a * b }.sum
-      val n = math.sqrt(v.map(x => x * x).sum)
-      BigDecimal(d / (qn * n)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val want = recon.map { case (id, v) => (id, cos(v)) }
-      .sortBy { case (id, c) => (-c, id) }
-    assert(got == want, s"PQ over exact reconstructions must equal brute force\n" +
-      s"got:  $got\nwant: $want")
+    val dotLut = model.lutDot(qv)
+    val cross = Pq.crossLut(model, cents)
+    val qc = Pq.centDots(qv, cents)
+    val cn2 = Pq.centNorm2(cents)
+    val mk = model.m * model.ksub
+    val want = codes.toSeq.map { case (id, cl, cs) =>
+      var numer = qc(cl); var den = cn2(cl)
+      for (sub <- 0 until model.m) {
+        val code = java.lang.Byte.toUnsignedInt(cs(sub))
+        numer += dotLut(sub * model.ksub + code)
+        den += cross(cl * mk + sub * model.ksub + code)
+      }
+      (id, BigDecimal(numer / (qn * math.sqrt(den)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, c) => (-c, id) }
+    assert(got == want, s"ADC diverged from the artifact replay\n" +
+      s"got:  ${got.take(5)}…\nwant: ${want.take(5)}…")
   }
 
   test("topKPqBatch ≡ the single-query probe, per query of the batch") {
@@ -144,7 +179,7 @@ class PqSpec extends SparkSpec {
     val corpus = (0 until 40).map(i =>
       (i.toLong, Seq(math.sin(i * 1.0), math.cos(i * 1.0),
         math.sin(i * 0.5), math.cos(i * 0.5)))).toDF("vec_id", "embedding")
-    Ivf.buildPersistent(corpus, dir, "vec_id", "embedding", k = 2): Unit
+    val idx = Ivf.buildPersistent(corpus, dir, "vec_id", "embedding", k = 2)
     Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
     val booksBefore = spark.read.parquet(s"$dir/pq_codebooks")
       .orderBy("sub", "code").collect().toSeq
@@ -159,7 +194,7 @@ class PqSpec extends SparkSpec {
     val model = Pq.readCodebooks(spark, dir)
     val expect = Pq.encodeRows(
       face.where($"vec_id" >= 100L).select($"vec_id", $"cluster")
-        .join(batch, "vec_id"), "vec_id", "embedding", model)
+        .join(batch, "vec_id"), "vec_id", "embedding", idx.centroids, model)
       .select($"vec_id", $"codes").as[(Long, Seq[Byte])].collect().toMap
     val got = face.where($"vec_id" >= 100L)
       .select($"vec_id", $"codes").as[(Long, Seq[Byte])].collect().toMap
@@ -194,5 +229,24 @@ class PqSpec extends SparkSpec {
       Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 8)
     }
     assert(e.getMessage.contains("different parameters"), e.getMessage)
+  }
+
+  test("a pre-residual (v1) face is deleted and rebuilt, not served stale") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-v1").toString
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.0), math.cos(i * 1.0),
+        math.sin(i * 0.5), math.cos(i * 0.5)))).toDF("vec_id", "embedding")
+    Ivf.buildPersistent(corpus, dir, "vec_id", "embedding", k = 2): Unit
+    // plant a v1-format face: dummy dirs + the unversioned marker
+    new java.io.File(s"$dir/assigned_pq/cluster=0").mkdirs()
+    new java.io.File(s"$dir/assigned_pq/cluster=0/stale.parquet").createNewFile()
+    new java.io.File(s"$dir/_PQ_OK_embedding_m2_k4").createNewFile()
+    Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
+    assert(new java.io.File(s"$dir/_PQ_OK_v2_embedding_m2_k4").exists(),
+      "rebuild must commit the v2 marker")
+    assert(!new java.io.File(s"$dir/_PQ_OK_embedding_m2_k4").exists(),
+      "the v1 marker must be gone")
+    assert(spark.read.parquet(s"$dir/assigned_pq").count() == 40,
+      "the face must be rebuilt from the index, not the stale dirs")
   }
 }
