@@ -74,7 +74,10 @@ object Bench {
     * clean measurement, so it is reported ALONE — a hot sweep min that
     * happens to undercut the clean rerun is still box noise and taking
     * min-of-two would report it unflagged (q45 reported a hot 0.601 s,
-    * 2.09× its ratchet, over its clean 0.780 s rerun that way).
+    * 2.09× its ratchet, over its clean 0.780 s rerun that way). The
+    * mirror quadrant (clean sweep + HOT rerun) reports the sweep min
+    * alone for the same reason — a hot measurement never enters a
+    * clean report from either side.
     */
   def reported(sweepMin: Double, sweepLoad: Double,
       rerun: Option[(Double, Double)], histBest: Option[Double],
@@ -86,6 +89,7 @@ object Bench {
         val measured = math.min(sweepMin, rt)
         (histBest.filter(_ < measured).getOrElse(measured), true)
       } else if (sweepHot) (rt, false)
+      else if (rerunHot) (sweepMin, false)
       else (math.min(sweepMin, rt), false)
     // a hot sweep whose rerun never completed has no clean measurement
     // either — ratchet best + flag, same as both-hot

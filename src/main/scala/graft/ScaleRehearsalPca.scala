@@ -95,7 +95,10 @@ object ScaleRehearsalPca {
           f""""nprobe":$nprobe,"recall":$recall%.4f,""" +
           f""""index_bytes":${bytesOf(path)},"probe_sec":$sec%.2f}""")
       }
-      Staged.release()
+      // no Staged.release() here: the queue is GLOBAL, and draining it
+      // would unpersist the shared brute-force `truth` (and the
+      // projected corpora), silently billing a full raw brute-force
+      // pass to every later face's probe_sec
     }
 
     println(f"""{"fit_dims":$dims,"variance_kept":$varKept%.4f,"n_queries":$nQueries,"corpus":$n}""")
@@ -108,6 +111,7 @@ object ScaleRehearsalPca {
     val whQ = Staged(EmbedStats.pcaProjectVec(queries, "vec_id", "embedding", fit,
       whiten = true))
     face("pca_whitened", whC, whQ, "proj")
+    Staged.release()
     spark.stop()
   }
 }

@@ -223,23 +223,27 @@ object Pq {
     GraftFunctions.register(spark)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the marker carries EVERY parameter the stored face depends on —
+    // m/ksub (layout), seed and fitSampleRate (which codebooks were
+    // fit) — so no parameter change can ever be served a stale face
     val marker = new org.apache.hadoop.fs.Path(
-      s"$path/_PQ_OK_v2_${vecCol}_m${m}_k$ksub")
+      s"$path/_PQ_OK_v3_${vecCol}_m${m}_k${ksub}_s${seed}_r$fitSampleRate")
     if (fs.exists(marker)) return
     val stale = Option(fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$path/_PQ_OK_*"))).toSeq.flatten
-    val (v2Stale, v1Stale) =
-      stale.partition(_.getPath.getName.startsWith("_PQ_OK_v2_"))
-    require(v2Stale.isEmpty,
+    val (current, legacy) =
+      stale.partition(_.getPath.getName.startsWith("_PQ_OK_v3_"))
+    require(current.isEmpty,
       s"index at $path already holds a PQ face with different parameters " +
-        s"(${v2Stale.map(_.getPath.getName).mkString(", ")}) — delete the " +
+        s"(${current.map(_.getPath.getName).mkString(", ")}) — delete the " +
         "face (pq_codebooks/, assigned_pq/, marker) to rebuild with " +
-        s"m=$m ksub=$ksub")
-    if (v1Stale.nonEmpty) {
-      // pre-residual format: derived data, deterministic to rebuild
+        s"m=$m ksub=$ksub seed=$seed fitSampleRate=$fitSampleRate")
+    if (legacy.nonEmpty) {
+      // pre-v3 formats (raw-vector codes, or param-incomplete marker):
+      // derived data, deterministic to rebuild
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/pq_codebooks"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned_pq"), true)
-      v1Stale.foreach(st => fs.delete(st.getPath, false))
+      legacy.foreach(st => fs.delete(st.getPath, false))
     }
     val index = Ivf.readIndex(spark, path)
     val assigned = spark.read.parquet(s"$path/assigned")

@@ -126,8 +126,12 @@ object Sampling {
       temperatureRates(df, strataCol, alpha))
 
   /** Cluster-balanced deterministic sampling: keep the same FRACTION of
-    * every cell (quota_c = ⌈rate·n_c⌉, so no non-empty cell ever drops
-    * to zero), choosing within a cell by md5-of-id rank — the
+    * every cell (quota_c = ⌈fl(rate·n_c)⌉ where fl is the IEEE-double
+    * product — both engines compute the identical value; for rates
+    * whose true product lands exactly on an integer the double
+    * rounding can admit one extra row, e.g. fl(0.07·100) = 7.0000…01 →
+    * quota 8 — deterministic, engine-portable, and never zero for a
+    * non-empty cell), choosing within a cell by md5-of-id rank — the
     * diversity-preserving subset export (semantic cells from the IVF
     * index, or any partition label): a global hash gate at the same
     * rate would eradicate small cells with probability (1−rate)^n,

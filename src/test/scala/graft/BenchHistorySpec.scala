@@ -112,6 +112,12 @@ class BenchHistorySpec extends AnyFunSuite {
     // at 2.09x the ratchet
     assert(Bench.reported(0.601, 4.63, Some((0.780, 2.42)), Some(0.287), 4.0)
       === ((0.780, false)))
+    // the MIRROR quadrant (r14): clean sweep + HOT rerun that undercuts
+    // it — the hot rerun is box noise and must not enter the report;
+    // min-of-two would print the hot 0.601 unflagged, the exact q45
+    // shape from the other side
+    assert(Bench.reported(0.780, 2.0, Some((0.601, 9.0)), Some(0.287), 4.0)
+      === ((0.780, false)))
     // no rerun fired, sweep clean → plain sweep min, never flagged
     assert(Bench.reported(1.0, 2.0, None, Some(0.9), 4.0) === ((1.0, false)))
     // no rerun COMPLETED but the sweep was hot → no clean measurement

@@ -224,11 +224,16 @@ class PqSpec extends SparkSpec {
       .orderBy("vec_id").collect().toSeq
     assert(before == after, "second pqAssign must not rewrite the face")
     // different params must fail loudly, never overwrite under the
-    // surviving old marker
+    // surviving old marker — including FIT params (seed/sample rate),
+    // which select which codebooks were learned
     val e = intercept[IllegalArgumentException] {
       Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 8)
     }
     assert(e.getMessage.contains("different parameters"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4, seed = 7L)
+    }
+    assert(e2.getMessage.contains("different parameters"), e2.getMessage)
   }
 
   test("a pre-residual (v1) face is deleted and rebuilt, not served stale") {
@@ -242,10 +247,10 @@ class PqSpec extends SparkSpec {
     new java.io.File(s"$dir/assigned_pq/cluster=0/stale.parquet").createNewFile()
     new java.io.File(s"$dir/_PQ_OK_embedding_m2_k4").createNewFile()
     Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
-    assert(new java.io.File(s"$dir/_PQ_OK_v2_embedding_m2_k4").exists(),
-      "rebuild must commit the v2 marker")
+    assert(new java.io.File(s"$dir/_PQ_OK_v3_embedding_m2_k4_s42_r1.0").exists(),
+      "rebuild must commit the v3 marker")
     assert(!new java.io.File(s"$dir/_PQ_OK_embedding_m2_k4").exists(),
-      "the v1 marker must be gone")
+      "the legacy marker must be gone")
     assert(spark.read.parquet(s"$dir/assigned_pq").count() == 40,
       "the face must be rebuilt from the index, not the stale dirs")
   }
