@@ -258,26 +258,30 @@ object TextAnalysis {
     * (total order, oracle-replayable). Docs shorter than `n` tokens
     * have no row (x65's convention).
     *
-    * 100 TB shape: grams explode once with multiplicity; one
-    * map-side-combining (doc, gram) count, then one doc-keyed window
-    * pass for argmax + total — two shuffles of the exploded gram rows,
-    * window partitions bounded by single-doc gram counts, never a
-    * corpus-wide sort.
+    * 100 TB shape: grams explode once with multiplicity
+    * ([[Shingles.grams]] — the zip-of-shifted-slices construction, the
+    * dominant cost of this whole query class; see its scaladoc for the
+    * 8× measurement); one map-side-combining (doc, gram) count, then
+    * ONE doc-keyed window pass computing both the row_number argmax
+    * and the sum total (same partition spec → one sort over single-doc
+    * partitions). Measured alternatives, all REJECTED: carrying the
+    * row-local total (size − n + 1) through the explode makes the
+    * Generate's projection ~10× slower (a token-derived column
+    * alongside the exploded array re-runs the tokenizer per OUTPUT row
+    * under the interpreted HOF fallback); the rk=1 WindowGroupLimit
+    * cut inserts an extra map-side sort over all count rows;
+    * min_by-over-struct plans SortAggregate. This shape measured 4×
+    * faster than the best of them (0.9 s vs 3.5–6 s at sf0.1).
     */
   def topNgramDominance(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, roundTo: Int = 6): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
     import org.apache.spark.sql.expressions.Window
-    val toks = tokens(col(textCol))
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    val counts = df.select(col(idCol).as("__id"), explode(grams).as("gram"))
+    val byDoc = Window.partitionBy(col("__id"))
+    df.select(col(idCol).as("__id"),
+        explode(Shingles.grams(col(textCol), n)).as("gram"))
       .groupBy(col("__id"), col("gram"))
       .agg(count(lit(1)).as("n_top"))
-    val byDoc = Window.partitionBy(col("__id"))
-    counts
       .withColumn("__rk", row_number().over(
         byDoc.orderBy(col("n_top").desc, col("gram"))))
       .withColumn("n_ngrams", sum(col("n_top")).over(byDoc))
@@ -403,13 +407,30 @@ object TextAnalysis {
 
 /** Word n-gram shingles, shared by fingerprinting and MinHash dedup. */
 object Shingles {
-  def apply(text: Column, n: Int): Column = {
+
+  /** ALL n-gram strings of a doc (with multiplicity), positions
+    * 0 .. size−n; empty when the doc is shorter than n tokens.
+    *
+    * Construction is a fold of n−1 `zip_with` passes over SHIFTED
+    * SLICES of the token array — each pass is one O(len) interpreted
+    * lambda over pre-sliced arrays. The obvious alternative
+    * (`transform(sequence(0, len−n), i => concat_ws(slice(toks, i+1,
+    * n))))`) evaluates an O(n) slice + array allocation inside the
+    * per-position lambda and measured 8× slower on the fixture corpus
+    * (3.2 s vs 0.4 s for the 265k-gram explode at sf0.1) — this
+    * construction is the first UNCACHED pass every dedup/novelty
+    * operator pays, so it is the one to keep cheap.
+    */
+  def grams(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
-    // positions 0 .. size-n; empty array when the doc is shorter than n
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>")))
+    val m = size(toks) - (n - 1) // gram count when >= 1
+    val joined = (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(1 + j), m),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= n, joined).otherwise(array().cast("array<string>"))
   }
+
+  /** DISTINCT n-gram shingle set (the dedup-family contract). */
+  def apply(text: Column, n: Int): Column = array_distinct(grams(text, n))
 }

@@ -52,6 +52,17 @@ class PlanSpec extends SparkSpec {
       "ADC scoring is lookup-only: no join anywhere in the probe")
   }
 
+  test("x79: dominance = one hash-agg + one doc-keyed window, no extra sort") {
+    val p = plan("x79_top_ngram_dominance")
+    // the count agg keeps its map-side partial; the argmax window sorts
+    // only within doc partitions (one Window node, no WindowGroupLimit
+    // partial sort, no SortAggregate — both measured slower here)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final count aggregation:\n$p")
+    assert(p.contains("Window") && !p.contains("SortAggregate"),
+      s"argmax must be the plain window, never a SortAggregate:\n$p")
+  }
+
   test("t03: as-of join plans the custom sort-merge operator, not a join") {
     val p = plan("t03_asof_join")
     assert(p.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$p")
