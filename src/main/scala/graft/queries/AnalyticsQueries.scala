@@ -537,6 +537,98 @@ object AnalyticsQueries {
           ON p.query_id = f.query_id AND p.vec_id = f.vec_id
         GROUP BY f.query_id"""),
       notes = "float side replays a06's probe; pq side replays the two-LUT ADC " +
-        "over the dumped codebooks at the SAME probed cells")
+        "over the dumped codebooks at the SAME probed cells"),
+
+    // ---- staged retrieval: PQ candidates → exact float re-rank — the
+    // serving pipeline the compressed face exists FOR (a11's agreement
+    // table says raw PQ@10 loses ~60% on this fixture; this query
+    // shows the cure): stage 1 scans m bytes/vector over the probed
+    // cells for 5× the final k, stage 2 reads full floats for ONLY
+    // those candidates and re-ranks by exact cosine. `in_direct` marks
+    // overlap with the direct float probe's top-10 — the recovery
+    // scoreboard (how much of the expensive answer the cheap pipeline
+    // reproduces, on the PQ-worst-case fixture).
+    GraftQuery(
+      "a12_ann_staged_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        val index = Ivf.buildPersistentCached(e, path,
+          "vec_id", "embedding", k = 16)
+        graft.ops.Pq.pqAssign(s, path, "vec_id", "embedding", m = 4, ksub = 16)
+        val q = e.filter($"vec_id" === 7L)
+        val cand = graft.ops.Pq.topKPq(s, path, q,
+          "vec_id", "embedding", k = 50).select($"vec_id")
+        val qv = broadcast(q.select($"embedding".cast("array<double>")
+          .as("query_vec")))
+        val staged = e.join(cand, "vec_id")
+          .crossJoin(qv)
+          .select($"vec_id",
+            round(graft.ops.Similarity.cosine(
+              $"embedding".cast("array<double>"), $"query_vec"), 6)
+              .as("cos_sim"))
+          .orderBy($"cos_sim".desc, $"vec_id")
+          .limit(10)
+        val direct = Ivf.topK(index, q, "vec_id", "embedding", k = 10)
+          .select($"vec_id", lit(1).as("__d"))
+        staged.join(direct, Seq("vec_id"), "left")
+          .select($"vec_id", $"cos_sim",
+            coalesce($"__d", lit(0)).as("in_direct"))
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+            sqrt(list_inner_product(
+              list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS qnorm
+          FROM embeddings WHERE vec_id = 7),
+        probes AS (SELECT cluster FROM cents CROSS JOIN q
+          ORDER BY list_distance(centroid, qv) ASC, cluster LIMIT 4),
+        cb AS (SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+            centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/pq_codebooks/*.parquet')),
+        apq AS (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_pq/*/*.parquet',
+                            hive_partitioning = 1)),
+        parts AS (SELECT a.vec_id, a.cluster,
+            list_inner_product(
+              list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid) AS dotp,
+            2 * list_inner_product(
+              list_slice(c.centroid, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid)
+              + list_inner_product(cb.centroid, cb.centroid) AS cr
+          FROM apq a JOIN probes p ON a.cluster = p.cluster
+          JOIN cents c ON c.cluster = a.cluster CROSS JOIN q
+          JOIN cb ON cb.code = CAST(a.codes[cb.sub + 1] AS INTEGER)),
+        agg AS (SELECT vec_id, cluster, sum(dotp) AS sdot, sum(cr) AS scr
+          FROM parts GROUP BY vec_id, cluster),
+        cand AS (SELECT g.vec_id FROM agg g
+          JOIN cents c ON c.cluster = g.cluster CROSS JOIN q
+          WHERE list_inner_product(c.centroid, c.centroid) + g.scr > 0
+          ORDER BY round((list_inner_product(q.qv, c.centroid) + g.sdot) /
+            (q.qnorm * sqrt(list_inner_product(c.centroid, c.centroid) + g.scr)),
+            6) DESC, g.vec_id LIMIT 50),
+        staged AS (SELECT e.vec_id,
+            round(list_cosine_similarity(
+              list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6)
+              AS cos_sim
+          FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+          ORDER BY cos_sim DESC, e.vec_id LIMIT 10),
+        af AS (SELECT vec_id, embedding, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        direct AS (SELECT a.vec_id FROM af a JOIN probes p ON a.cluster = p.cluster
+          CROSS JOIN q
+          ORDER BY round(list_cosine_similarity(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+            a.vec_id LIMIT 10)
+        SELECT s.vec_id, s.cos_sim,
+          CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+            AS in_direct
+        FROM staged s LEFT JOIN direct d USING (vec_id)"""),
+      notes = "stage 1 = a10's ADC top-50 replay; stage 2 = exact cosine over " +
+        "only those candidates; direct = a04's probe top-10 for the overlap flag")
   )
 }

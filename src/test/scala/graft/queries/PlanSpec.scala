@@ -81,6 +81,7 @@ class PlanSpec extends SparkSpec {
         val nlOk = Set("x10_sim_bruteforce_topk", "x12_sim_lsh_topk",
           "x40_hybrid_rrf", // vector face = x10's 1-row query broadcast
           "a05_sim_ivfpq_topk", // 1-row int8 query vector broadcast
+          "a12_ann_staged_rerank", // 1-row query vector broadcast ×2 (re-rank + direct legs)
           "q15_above_avg_balance",
           // deliberate broadcast cross joins of generated/scalar sides:
           // dense month axis (~80 rows), funnel step counts (1 row),
