@@ -203,6 +203,25 @@ object Ivf {
     require(idCastLossless,
       s"append batch id column $idCol is ${batchIdType.simpleString} but the " +
         s"index stores ${idType.simpleString} — refusing a lossy/NULLing cast")
+    // PQ-face integrity gate, checked BEFORE any write so a refused
+    // append leaves the index untouched: a stored `assigned_pq` without
+    // the param-complete `_PQ_OK_v3_<vecCol>_*` marker is a pre-v3
+    // (raw-vector-coded or param-incomplete) face that Pq.pqAssign has
+    // not yet rebuilt — appending residual-encoded codes into it would
+    // interleave two incompatible code rules in one table, and
+    // topKPq/topKPqBatch would serve silently wrong rankings until a
+    // rebuild. Fail loudly instead; Pq.pqAssign deletes + rebuilds the
+    // legacy face deterministically.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pqV3Markers = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$path/_PQ_OK_v3_${vecCol}_*"))).toSeq.flatten
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/assigned_pq")) ||
+      pqV3Markers.nonEmpty,
+      s"index at $path holds a PQ face with no _PQ_OK_v3_${vecCol}_* marker " +
+        "(pre-v3 format, or built for a different vector column) — run " +
+        "Pq.pqAssign to rebuild it before appending, or delete the face " +
+        "(pq_codebooks/, assigned_pq/, _PQ_OK_* markers)")
     val batch = newVecs.select(
       col(idCol).cast(idType).as(idCol),
       col(vecCol).cast(vecType).as(vecCol))
@@ -225,8 +244,6 @@ object Ivf {
     // keep the int8 probe face in step when it exists: an appended
     // vector missing from assigned_int8 would be invisible to the
     // production probe path while present in the float table
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/assigned_int8"))) {
       quantizedRows(alignedBatch, idCol, vecCol)
         .repartition(col("cluster"))
@@ -237,8 +254,11 @@ object Ivf {
     // ...and the PQ face: encode the batch under the FROZEN codebooks
     // (Pq.encodeRows is shared with the initial build, so the encode
     // rule cannot drift; refitting codebooks on a batch would silently
-    // re-key every previously stored code)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/assigned_pq"))) {
+    // re-key every previously stored code). Gated on the v3 marker
+    // (verified present above whenever the face exists), not on the
+    // directory alone.
+    if (pqV3Markers.nonEmpty &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/assigned_pq"))) {
       Pq.encodeRows(alignedBatch, idCol, vecCol, centroids,
           Pq.readCodebooks(spark, path))
         .repartition(col("cluster"))

@@ -295,6 +295,75 @@ object Pq {
       .limit(k)
   }
 
+  /** Staged retrieval, single query: PQ ADC top-`kCand` candidates →
+    * exact float cosine over ONLY those candidates → top-`k`. The
+    * serving pipeline the compressed face exists FOR: stage 1 scans
+    * m bytes/vector over the probed cells, stage 2 reads full floats
+    * for just the candidate rows — and reads them from the index's
+    * CLUSTER-PRUNED float face (`assigned`, `cluster IN probes` — every
+    * candidate lives in a probed cell by construction, and the probe
+    * set is plan-time static), never from the full corpus table: a
+    * full-corpus float scan in the re-rank stage would cost exactly
+    * what the compressed face is there to avoid at 100 TB. The
+    * candidate filter is a broadcast semi-join on the kCand ids; the
+    * query vector rides as a literal (stage 1 already collected it),
+    * so stage 2 is scan → semi-join → codegen'd cosine → top-k with
+    * no nested-loop anywhere.
+    */
+  def topKStaged(spark: SparkSession, path: String, query: DataFrame,
+      idCol: String, vecCol: String, k: Int, kCand: Int, nprobe: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    require(kCand >= k, s"stage-1 candidate count $kCand must cover k=$k")
+    GraftFunctions.register(spark)
+    val centroids = Ivf.readIndex(spark, path).centroids
+    val qvec = Ivf.queryVecOf(query, vecCol)
+    val probes = Ivf.probeCells(centroids, qvec, nprobe)
+    val cand = topKPq(spark, path, query, idCol, vecCol, kCand, nprobe,
+      roundTo).select(col(idCol))
+    spark.read.parquet(s"$path/assigned")
+      .where(col("cluster").isInCollection(probes))
+      .join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(Similarity.cosine(col(vecCol).cast("array<double>"),
+          typedLit(qvec.toSeq)), roundTo).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Staged retrieval, batched: [[topKPqBatch]] supplies `kCand` PQ
+    * candidates per query, then the exact float re-rank reads the
+    * cluster-pruned float face (same static `cluster IN allCells`
+    * pruning as stage 1 — the union of every query's probed cells,
+    * which by construction contains every candidate) and keeps only
+    * candidate rows via a broadcast equi-join on (id). A candidate
+    * shared by several queries fans out once per query — exactly the
+    * (query, candidate) pairs stage 2 must score — and per-query
+    * ranking is the shared keyed window ([[Ivf.rankTopK]],
+    * WindowGroupLimit). Cell selection is [[Ivf.batchProbe]] on both
+    * stages, so a recall report against the float probe measures
+    * exactly what staging recovers, never probe drift.
+    */
+  def topKStagedBatch(spark: SparkSession, path: String, index: Ivf.Index,
+      queries: DataFrame, qidCol: String, vecCol: String, idCol: String,
+      k: Int, kCand: Int, nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    require(kCand >= k, s"stage-1 candidate count $kCand must cover k=$k")
+    GraftFunctions.register(spark)
+    val (qdf, allCells, qidOut) =
+      Ivf.batchProbe(index, queries, qidCol, vecCol, idCol, nprobe)
+    val cand = topKPqBatch(spark, path, index, queries, qidCol, vecCol,
+      idCol, kCand, nprobe, roundTo).select(col(qidOut), col(idCol))
+    val qvecs = qdf.select(col(qidOut), col("query_vec")).distinct()
+    Ivf.rankTopK(
+      spark.read.parquet(s"$path/assigned")
+        .where(col("cluster").isInCollection(allCells))
+        .join(broadcast(cand), Seq(idCol))
+        .join(broadcast(qvecs), Seq(qidOut))
+        .select(col(qidOut), col(idCol),
+          round(Similarity.cosine(col(vecCol).cast("array<double>"),
+            col("query_vec")), roundTo).as("cos_sim")),
+      qidOut, idCol, k)
+  }
+
   /** Batched multi-query probe over the residual-PQ face — a06's exact
     * plan shape (plan-time probes via the SHARED [[Ivf.batchProbe]],
     * static partition pruning, broadcast (query, cell) pairs,

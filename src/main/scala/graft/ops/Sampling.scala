@@ -104,7 +104,14 @@ object Sampling {
   def temperatureRates(df: DataFrame, strataCol: String,
       alpha: Double): Map[String, Double] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    // null strata are excluded like mixRates' explicit weight-key
+    // filtering: a null stratum's count would otherwise enter the
+    // argmin of n/w (deflating every real stratum's keep rate) while
+    // its rows are silently dropped by stratifiedHashSample's
+    // when-chain (col === null is never true) — the realized corpus
+    // would be smaller than the documented mix AND skewed
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperature sampling over an empty corpus")
     def weight(n: Long): Double =

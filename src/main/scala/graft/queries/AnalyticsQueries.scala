@@ -421,7 +421,7 @@ object AnalyticsQueries {
         a AS (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
           FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_pq/*/*.parquet',
                             hive_partitioning = 1)),
-        parts AS (SELECT a.vec_id, a.cluster,
+        parts AS (SELECT a.vec_id, a.cluster, cb.sub,
             list_inner_product(
               list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
               cb.centroid) AS dotp,
@@ -431,8 +431,10 @@ object AnalyticsQueries {
               + list_inner_product(cb.centroid, cb.centroid) AS cr
           FROM a JOIN probes p ON a.cluster = p.cluster
           JOIN cents c ON c.cluster = a.cluster CROSS JOIN q
-          JOIN cb ON cb.code = CAST(a.codes[cb.sub + 1] AS INTEGER)),
-        agg AS (SELECT vec_id, cluster, sum(dotp) AS sdot, sum(cr) AS scr
+          JOIN cb ON cb.code = ((CAST(a.codes[cb.sub + 1] AS INTEGER) + 256) % 256)),
+        agg AS (SELECT vec_id, cluster,
+            list_reduce(list(dotp ORDER BY sub), (a, b) -> a + b) AS sdot,
+            list_reduce(list(cr ORDER BY sub), (a, b) -> a + b) AS scr
           FROM parts GROUP BY vec_id, cluster)
         SELECT g.vec_id,
           round((list_inner_product(q.qv, c.centroid) + g.sdot) /
@@ -505,7 +507,7 @@ object AnalyticsQueries {
                 a.vec_id) AS rk
             FROM af a JOIN probes p ON a.cluster = p.cluster
             JOIN q ON q.query_id = p.query_id) WHERE rk <= 10),
-        parts AS (SELECT p.query_id, a.vec_id, a.cluster,
+        parts AS (SELECT p.query_id, a.vec_id, a.cluster, cb.sub,
             list_inner_product(
               list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
               cb.centroid) AS dotp,
@@ -516,9 +518,10 @@ object AnalyticsQueries {
           FROM apq a JOIN probes p ON a.cluster = p.cluster
           JOIN cents c ON c.cluster = a.cluster
           JOIN q ON q.query_id = p.query_id
-          JOIN cb ON cb.code = CAST(a.codes[cb.sub + 1] AS INTEGER)),
+          JOIN cb ON cb.code = ((CAST(a.codes[cb.sub + 1] AS INTEGER) + 256) % 256)),
         pqagg AS (SELECT query_id, vec_id, cluster,
-            sum(dotp) AS sdot, sum(cr) AS scr
+            list_reduce(list(dotp ORDER BY sub), (a, b) -> a + b) AS sdot,
+            list_reduce(list(cr ORDER BY sub), (a, b) -> a + b) AS scr
           FROM parts GROUP BY query_id, vec_id, cluster),
         pqs AS (SELECT query_id, vec_id FROM (
             SELECT g.query_id, g.vec_id,
@@ -544,10 +547,12 @@ object AnalyticsQueries {
     // table says raw PQ@10 loses ~60% on this fixture; this query
     // shows the cure): stage 1 scans m bytes/vector over the probed
     // cells for 5× the final k, stage 2 reads full floats for ONLY
-    // those candidates and re-ranks by exact cosine. `in_direct` marks
-    // overlap with the direct float probe's top-10 — the recovery
-    // scoreboard (how much of the expensive answer the cheap pipeline
-    // reproduces, on the PQ-worst-case fixture).
+    // those candidates — from the index's CLUSTER-PRUNED float face,
+    // never the full corpus table (Pq.topKStaged; a full-corpus float
+    // scan in the re-rank would defeat the compressed face at 100 TB).
+    // `in_direct` marks overlap with the direct float probe's top-10 —
+    // the recovery scoreboard (how much of the expensive answer the
+    // cheap pipeline reproduces, on the PQ-worst-case fixture).
     GraftQuery(
       "a12_ann_staged_rerank",
       (s, dir) => {
@@ -558,18 +563,8 @@ object AnalyticsQueries {
           "vec_id", "embedding", k = 16)
         graft.ops.Pq.pqAssign(s, path, "vec_id", "embedding", m = 4, ksub = 16)
         val q = e.filter($"vec_id" === 7L)
-        val cand = graft.ops.Pq.topKPq(s, path, q,
-          "vec_id", "embedding", k = 50).select($"vec_id")
-        val qv = broadcast(q.select($"embedding".cast("array<double>")
-          .as("query_vec")))
-        val staged = e.join(cand, "vec_id")
-          .crossJoin(qv)
-          .select($"vec_id",
-            round(graft.ops.Similarity.cosine(
-              $"embedding".cast("array<double>"), $"query_vec"), 6)
-              .as("cos_sim"))
-          .orderBy($"cos_sim".desc, $"vec_id")
-          .limit(10)
+        val staged = graft.ops.Pq.topKStaged(s, path, q,
+          "vec_id", "embedding", k = 10, kCand = 50)
         val direct = Ivf.topK(index, q, "vec_id", "embedding", k = 10)
           .select($"vec_id", lit(1).as("__d"))
         staged.join(direct, Seq("vec_id"), "left")
@@ -591,7 +586,7 @@ object AnalyticsQueries {
         apq AS (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
           FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_pq/*/*.parquet',
                             hive_partitioning = 1)),
-        parts AS (SELECT a.vec_id, a.cluster,
+        parts AS (SELECT a.vec_id, a.cluster, cb.sub,
             list_inner_product(
               list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
               cb.centroid) AS dotp,
@@ -601,8 +596,10 @@ object AnalyticsQueries {
               + list_inner_product(cb.centroid, cb.centroid) AS cr
           FROM apq a JOIN probes p ON a.cluster = p.cluster
           JOIN cents c ON c.cluster = a.cluster CROSS JOIN q
-          JOIN cb ON cb.code = CAST(a.codes[cb.sub + 1] AS INTEGER)),
-        agg AS (SELECT vec_id, cluster, sum(dotp) AS sdot, sum(cr) AS scr
+          JOIN cb ON cb.code = ((CAST(a.codes[cb.sub + 1] AS INTEGER) + 256) % 256)),
+        agg AS (SELECT vec_id, cluster,
+            list_reduce(list(dotp ORDER BY sub), (a, b) -> a + b) AS sdot,
+            list_reduce(list(cr ORDER BY sub), (a, b) -> a + b) AS scr
           FROM parts GROUP BY vec_id, cluster),
         cand AS (SELECT g.vec_id FROM agg g
           JOIN cents c ON c.cluster = g.cluster CROSS JOIN q
@@ -629,6 +626,142 @@ object AnalyticsQueries {
             AS in_direct
         FROM staged s LEFT JOIN direct d USING (vec_id)"""),
       notes = "stage 1 = a10's ADC top-50 replay; stage 2 = exact cosine over " +
-        "only those candidates; direct = a04's probe top-10 for the overlap flag")
+        "only those candidates; direct = a04's probe top-10 for the overlap flag"),
+
+    // ---- staged recall report, batched: the go/no-go table for
+    // serving the 64×-smaller PQ face. ONE brute-force ground-truth
+    // pass over the a06 query sample (the a08 discipline), then
+    // micro-averaged recall@10 for the three serving options — the
+    // float probe (what full-fidelity IVF returns), the raw PQ probe
+    // (a11's face, served unre-ranked), and the staged pipeline
+    // (batched PQ top-50 → cluster-pruned exact float re-rank,
+    // Pq.topKStagedBatch). Cell selection is Ivf.batchProbe on every
+    // face, so the three rows differ only in what gets scored: the
+    // table reads directly as "staging recovers what raw PQ loses at
+    // the same bytes scanned in stage 1". Micro-average = exact
+    // integer Σhit/Σbf, no order-dependent float accumulation.
+    GraftQuery(
+      "a13_ann_staged_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        val index = Ivf.buildPersistentCached(e, path,
+          "vec_id", "embedding", k = 16)
+        graft.ops.Pq.pqAssign(s, path, "vec_id", "embedding", m = 4, ksub = 16)
+        val queries = e.filter($"vec_id" % 97 === 0L)
+        val bf = graft.ops.Staged(
+          graft.ops.Similarity.bruteForceTopKBatch(e, queries,
+            "vec_id", "embedding", "vec_id", k = 10)
+            .select($"query_id", $"vec_id"))
+        def recallOf(face: String,
+            ann: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          bf.join(ann.select($"query_id", $"vec_id")
+              .withColumn("__hit", lit(1)),
+              Seq("query_id", "vec_id"), "left")
+            .agg(count(lit(1)).as("n_bf"), count($"__hit").as("n_hit"))
+            .select(lit(face).as("face"), $"n_bf", $"n_hit",
+              round($"n_hit".cast("double") / $"n_bf", 6).as("recall"))
+        val fl = Ivf.topKBatch(index, queries,
+          "vec_id", "embedding", "vec_id", k = 10)
+        val pq = graft.ops.Pq.topKPqBatch(s, path, index, queries,
+          "vec_id", "embedding", "vec_id", k = 10)
+        val staged = graft.ops.Pq.topKStagedBatch(s, path, index, queries,
+          "vec_id", "embedding", "vec_id", k = 10, kCand = 50)
+        Seq(("float", fl), ("pq_raw", pq), ("staged", staged))
+          .map { case (n, a) => recallOf(n, a) }
+          .reduce(_ unionByName _)
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT vec_id AS query_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+            sqrt(list_inner_product(
+              list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS qnorm
+          FROM embeddings WHERE vec_id % 97 = 0),
+        probes AS (SELECT query_id, cluster FROM (
+            SELECT q.query_id, c.cluster,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_distance(c.centroid, q.qv) ASC, c.cluster) AS pr
+            FROM cents c CROSS JOIN q) WHERE pr <= 4),
+        af AS (SELECT vec_id, embedding, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        cb AS (SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+            centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/pq_codebooks/*.parquet')),
+        apq AS (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_pq/*/*.parquet',
+                            hive_partitioning = 1)),
+        fl AS (SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+              row_number() OVER (PARTITION BY p.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                a.vec_id) AS rk
+            FROM af a JOIN probes p ON a.cluster = p.cluster
+            JOIN q ON q.query_id = p.query_id) WHERE rk <= 10),
+        parts AS (SELECT p.query_id, a.vec_id, a.cluster, cb.sub,
+            list_inner_product(
+              list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid) AS dotp,
+            2 * list_inner_product(
+              list_slice(c.centroid, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid)
+              + list_inner_product(cb.centroid, cb.centroid) AS cr
+          FROM apq a JOIN probes p ON a.cluster = p.cluster
+          JOIN cents c ON c.cluster = a.cluster
+          JOIN q ON q.query_id = p.query_id
+          JOIN cb ON cb.code = ((CAST(a.codes[cb.sub + 1] AS INTEGER) + 256) % 256)),
+        pqagg AS (SELECT query_id, vec_id, cluster,
+            list_reduce(list(dotp ORDER BY sub), (a, b) -> a + b) AS sdot,
+            list_reduce(list(cr ORDER BY sub), (a, b) -> a + b) AS scr
+          FROM parts GROUP BY query_id, vec_id, cluster),
+        pqranked AS (SELECT g.query_id, g.vec_id,
+            row_number() OVER (PARTITION BY g.query_id ORDER BY
+              round((list_inner_product(q.qv, c.centroid) + g.sdot) /
+                (q.qnorm * sqrt(list_inner_product(c.centroid, c.centroid)
+                  + g.scr)), 6) DESC, g.vec_id) AS rk
+          FROM pqagg g JOIN cents c ON c.cluster = g.cluster
+          JOIN q ON q.query_id = g.query_id
+          WHERE list_inner_product(c.centroid, c.centroid) + g.scr > 0),
+        pq10 AS (SELECT query_id, vec_id FROM pqranked WHERE rk <= 10),
+        cand AS (SELECT query_id, vec_id FROM pqranked WHERE rk <= 50),
+        staged AS (SELECT query_id, vec_id FROM (
+            SELECT cd.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY cd.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                e.vec_id) AS rk
+            FROM cand cd JOIN embeddings e USING (vec_id)
+            JOIN q ON q.query_id = cd.query_id) WHERE rk <= 10),
+        bf AS (SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN q) WHERE rk <= 10)
+        SELECT 'float' AS face, CAST(count(*) AS BIGINT) AS n_bf,
+          CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+          round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall
+        FROM bf b LEFT JOIN fl a
+          ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+        UNION ALL
+        SELECT 'pq_raw' AS face, CAST(count(*) AS BIGINT) AS n_bf,
+          CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+          round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall
+        FROM bf b LEFT JOIN pq10 a
+          ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+        UNION ALL
+        SELECT 'staged' AS face, CAST(count(*) AS BIGINT) AS n_bf,
+          CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+          round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall
+        FROM bf b LEFT JOIN staged a
+          ON a.query_id = b.query_id AND a.vec_id = b.vec_id"""),
+      notes = "bf = a07's corpus rank per query; fl = a06's replay; pq/staged " +
+        "replay the two-LUT ADC rank once and cut it at 10 (raw) and 50 " +
+        "(candidates), the candidates re-ranked by exact cosine")
   )
 }

@@ -236,6 +236,96 @@ class PqSpec extends SparkSpec {
     assert(e2.getMessage.contains("different parameters"), e2.getMessage)
   }
 
+  test("topKStaged: stage 2 = exact cosine over EXACTLY stage 1's candidates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-staged").toString
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.0) + 2.0, math.cos(i * 1.3),
+        math.sin(i * 0.7) - 1.0, math.cos(i * 0.4)))).toDF("vec_id", "embedding")
+    Ivf.buildPersistent(corpus, dir, "vec_id", "embedding", k = 2): Unit
+    Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
+    val q = corpus.filter($"vec_id" === 7L)
+    val got = Pq.topKStaged(spark, dir, q, "vec_id", "embedding",
+      k = 5, kCand = 12, nprobe = 2).as[(Long, Double)].collect().toSeq
+    // replay: stage-1 candidate ids, then exact cosine from the corpus
+    val cand = Pq.topKPq(spark, dir, q, "vec_id", "embedding",
+      k = 12, nprobe = 2).select($"vec_id").as[Long].collect().toSet
+    val qv = q.select($"embedding").as[Seq[Double]].head().toArray
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val want = corpus.as[(Long, Seq[Double])].collect().toSeq
+      .filter(r => cand(r._1))
+      .map { case (id, v) =>
+        val dot = v.toArray.zip(qv).map { case (a, b) => a * b }.sum
+        val vn = math.sqrt(v.map(x => x * x).sum)
+        (id, BigDecimal(dot / (vn * qn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got == want, s"staged re-rank diverged\ngot:  $got\nwant: $want")
+    // scale shape: stage 2 must read the pruned float face, never the
+    // input corpus frame (which could be a 100 TB table)
+    val p = Pq.topKStaged(spark, dir, q, "vec_id", "embedding",
+        k = 5, kCand = 12, nprobe = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains(s"$dir/assigned") &&
+      p.contains("PartitionFilters: [cluster"),
+      s"stage 2 must scan the cluster-pruned float face:\n$p")
+  }
+
+  test("topKStagedBatch ≡ the single-query staged pipeline, per query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-stagedb").toString
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.0), math.cos(i * 1.0),
+        math.sin(i * 0.7), math.cos(i * 0.7)))).toDF("vec_id", "embedding")
+    val index = Ivf.buildPersistent(corpus, dir, "vec_id", "embedding", k = 2)
+    Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
+    val qids = Seq(0L, 17L, 41L)
+    val batch = Pq.topKStagedBatch(spark, dir, index,
+      corpus.filter($"vec_id".isin(qids: _*)), "vec_id", "embedding",
+      "vec_id", k = 5, kCand = 12, nprobe = 2)
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    qids.foreach { qid =>
+      val single = Pq.topKStaged(spark, dir,
+        corpus.filter($"vec_id" === qid), "vec_id", "embedding",
+        k = 5, kCand = 12, nprobe = 2).as[(Long, Double)].collect().toSeq
+      assert(batch(qid).sortBy(t => (-t._2, t._1)) == single,
+        s"batched staged face diverged from single-query on q=$qid")
+    }
+  }
+
+  test("appendToIndex refuses a pq face with no v3 marker, BEFORE any write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-gate").toString
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.0), math.cos(i * 1.0),
+        math.sin(i * 0.5), math.cos(i * 0.5)))).toDF("vec_id", "embedding")
+    Ivf.buildPersistent(corpus, dir, "vec_id", "embedding", k = 2): Unit
+    val nBefore = spark.read.parquet(s"$dir/assigned").count()
+    // plant a legacy face: dir present, only a pre-v3 marker — the
+    // state Pq.pqAssign would rebuild but an append must never feed
+    new java.io.File(s"$dir/assigned_pq/cluster=0").mkdirs()
+    new java.io.File(s"$dir/assigned_pq/cluster=0/stale.parquet").createNewFile()
+    new java.io.File(s"$dir/_PQ_OK_embedding_m2_k4").createNewFile()
+    val batch = (100L until 105L).map(i =>
+      (i, Seq(math.sin(i * 1.0), math.cos(i * 1.0),
+        math.sin(i * 0.5), math.cos(i * 0.5)))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(batch, dir, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("_PQ_OK_v3"), e.getMessage)
+    // the refusal happened before ANY write: the float table is intact
+    spark.catalog.refreshByPath(s"$dir/assigned")
+    assert(spark.read.parquet(s"$dir/assigned").count() == nBefore,
+      "a refused append must leave the float table untouched")
+    // a face whose marker names a DIFFERENT vector column is refused too
+    new java.io.File(s"$dir/_PQ_OK_embedding_m2_k4").delete()
+    new java.io.File(s"$dir/_PQ_OK_v3_other_m2_k4_s42_r1.0").createNewFile()
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(batch, dir, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("_PQ_OK_v3"), e2.getMessage)
+  }
+
   test("a pre-residual (v1) face is deleted and rebuilt, not served stale") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-v1").toString
     val corpus = (0 until 40).map(i =>

@@ -117,6 +117,23 @@ class SamplingSpec extends SparkSpec {
     assert(rates.values.forall(_ == 1.0), s"alpha=1 must keep everything: $rates")
   }
 
+  test("temperatureRates: null strata are excluded, not counted into the argmin") {
+    // a tiny null stratum would otherwise become the argmin of n/w and
+    // deflate every real stratum's keep rate — while its own rows are
+    // silently dropped by the sampling gate anyway
+    val clean = (1L to 900L).map(i =>
+      (i, if (i <= 800) "web" else if (i <= 880) "books" else "code"))
+      .toDF("doc_id", "source")
+    val dirty = clean.unionByName(
+      Seq((901L, null.asInstanceOf[String]), (902L, null.asInstanceOf[String]))
+        .toDF("doc_id", "source"))
+    val rates = Sampling.temperatureRates(dirty, "source", 0.5)
+    assert(!rates.keySet.contains(null),
+      s"null must not be a stratum: ${rates.keySet}")
+    assert(rates == Sampling.temperatureRates(clean, "source", 0.5),
+      "null rows must not move any real stratum's rate")
+  }
+
   test("temperatureSample is deterministic and partitioning-independent") {
     val a = Sampling.temperatureSample(docs, "doc_id", "source", 0.5)
       .select($"doc_id").as[Long].collect().sorted

@@ -63,6 +63,37 @@ class PlanSpec extends SparkSpec {
       s"argmax must be the plain window, never a SortAggregate:\n$p")
   }
 
+  test("a12: BOTH staged stages prune cluster partitions; no corpus-table scan") {
+    val p = plan("a12_ann_staged_rerank")
+    // stage 1 scans the pq face, stage 2 the float face — each pruned
+    // to the probed cells (the re-rank must never pay a full-corpus
+    // float scan: that is what the compressed face exists to avoid)
+    assert(p.contains("assigned_pq"), s"stage 1 must scan the pq face:\n$p")
+    val pruned = p.linesIterator
+      .filter(_.contains("PartitionFilters: [cluster")).size
+    assert(pruned >= 3, // stage 1 (pq), stage 2 (float), direct leg (float)
+      s"expected >=3 cluster-pruned scans, saw $pruned:\n$p")
+    // the base embeddings table appears ONLY as the direct leg's 1-row
+    // query-vector fetch (vec_id = 7 pushed to the scan) — the staged
+    // legs themselves read index faces exclusively, so the re-rank
+    // never pays a corpus-table scan
+    val embScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("embeddings.parquet"))
+    assert(embScans <= 1 && p.contains("EqualTo(vec_id,7)"),
+      s"corpus table may only serve the pushed 1-row query fetch:\n$p")
+  }
+
+  test("a13: staged stage-2 reads the pruned float face; ranking is keyed windows") {
+    val p = plan("a13_ann_staged_recall")
+    assert(p.contains("assigned_pq"), s"stage 1 must scan the pq face:\n$p")
+    val pruned = p.linesIterator
+      .filter(_.contains("PartitionFilters: [cluster")).size
+    assert(pruned >= 3, // float probe, pq probe, staged stage 2 (+ stage 1)
+      s"expected >=3 cluster-pruned scans, saw $pruned:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query ranking must be a keyed window, never a global sort")
+  }
+
   test("t03: as-of join plans the custom sort-merge operator, not a join") {
     val p = plan("t03_asof_join")
     assert(p.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$p")
@@ -81,7 +112,7 @@ class PlanSpec extends SparkSpec {
         val nlOk = Set("x10_sim_bruteforce_topk", "x12_sim_lsh_topk",
           "x40_hybrid_rrf", // vector face = x10's 1-row query broadcast
           "a05_sim_ivfpq_topk", // 1-row int8 query vector broadcast
-          "a12_ann_staged_rerank", // 1-row query vector broadcast ×2 (re-rank + direct legs)
+          "a12_ann_staged_rerank", // direct leg = topK's 1-row query broadcast
           "q15_above_avg_balance",
           // deliberate broadcast cross joins of generated/scalar sides:
           // dense month axis (~80 rows), funnel step counts (1 row),
@@ -95,7 +126,7 @@ class PlanSpec extends SparkSpec {
           // broadcasts into one corpus pass by design (the corpus is
           // never shuffled; per-query rank is a keyed window) — the
           // baseline an ANN recall report is DEFINED against
-          "a07_ann_recall", "a08_ann_nprobe_sweep")
+          "a07_ann_recall", "a08_ann_nprobe_sweep", "a13_ann_staged_recall")
         if (!nlOk(q.name))
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans a nested-loop join")
