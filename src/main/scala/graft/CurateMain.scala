@@ -361,7 +361,8 @@ object CurateMain {
       passageKept: Long, crossPairs: Long, internalPairs: Long,
       survivors: Long, appendedVecs: Long, probeHit: Boolean, out: String,
       novelty: Double = -1.0, oovRate: Double = -1.0,
-      annRecall: Double = -1.0, monitorAlerts: Long = -1L) {
+      annRecall: Double = -1.0, monitorAlerts: Long = -1L,
+      pqAgreement: Double = -1.0, stagedAgreement: Double = -1.0) {
     def json: String =
       s"""{"incremental":{"indexed":$indexed,"batch":$batch,""" +
         s""""passage_kept":$passageKept,""" +
@@ -369,7 +370,8 @@ object CurateMain {
         s""""survivors":$survivors,"appended_vecs":$appendedVecs,""" +
         s""""probe_hit":$probeHit},"monitors":{"novelty":$novelty,""" +
         s""""oov_rate":$oovRate,"ann_recall":$annRecall,""" +
-        s""""alerts":$monitorAlerts},"out":"$out"}"""
+        s""""alerts":$monitorAlerts},"serving":{"pq_agreement":$pqAgreement,""" +
+        s""""staged_agreement":$stagedAgreement},"out":"$out"}"""
   }
 
   /** Marker helpers through the Hadoop FileSystem of the path — a
@@ -567,10 +569,42 @@ object CurateMain {
     val rec = spark.read.parquet(s"$workDir/monitor_recall/epoch=1")
       .select($"recall", $"alert").as[(Double, Boolean)].head()
     val alerts = Seq(novRow._2, oov._2, rec._2).count(identity).toLong
+    // ---- serving epilogue: build the residual-PQ face over THIS
+    // corpus's (appended) IVF index and QC-gate it before anything
+    // serves the 64×-smaller face — the capstone's final artifact.
+    // The gate is the a11/a13 methodology micro-averaged over a
+    // deterministic query sample at shared probe cells: pq_agreement
+    // = how much of the float probe's top-10 raw ADC ranking keeps
+    // (the reconstruction loss), staged_agreement = how much the
+    // PQ-top-50 → cluster-pruned exact re-rank recovers (staged hits
+    // ⊇ raw hits per query by construction, so staged ≥ pq always —
+    // the number an operator reads to decide raw-vs-staged serving).
+    // Build-once: pqAssign is marker-gated like every day-1 artifact,
+    // and the fit runs AFTER the day-2 append so the codebooks cover
+    // the corpus the face serves.
+    graft.ops.Pq.pqAssign(spark, ivfPath, "vec_id", "embedding",
+      m = 4, ksub = 16)
+    val servIndex = Ivf.readIndex(spark, ivfPath)
+    val qSample = embeddings.orderBy($"vec_id").limit(16)
+    val flProbe = Staged(Ivf.topKBatch(servIndex, qSample,
+      "vec_id", "embedding", "vec_id", k = 10)
+      .select($"query_id", $"vec_id"))
+    val nFl = flProbe.count()
+    def agreeWith(ann: org.apache.spark.sql.DataFrame): Double = {
+      val hits = flProbe.join(ann.select($"query_id", $"vec_id"),
+        Seq("query_id", "vec_id"), "left_semi").count()
+      BigDecimal(hits.toDouble / math.max(1L, nFl))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pqAgree = agreeWith(graft.ops.Pq.topKPqBatch(spark, ivfPath,
+      servIndex, qSample, "vec_id", "embedding", "vec_id", k = 10))
+    val stagedAgree = agreeWith(graft.ops.Pq.topKStagedBatch(spark, ivfPath,
+      servIndex, qSample, "vec_id", "embedding", "vec_id", k = 10, kCand = 50))
     Staged.releaseAll()
     IncrementalSummary(nIndexed, nBatch, nPassaged, nCross, nInternal,
       nKept, nVecs, probeHit, s"$workDir/day2_curated",
       novelty = novRow._1, oovRate = oov._1, annRecall = rec._1,
-      monitorAlerts = alerts)
+      monitorAlerts = alerts, pqAgreement = pqAgree,
+      stagedAgreement = stagedAgree)
   }
 }

@@ -19,12 +19,25 @@ import graft.sources.Tables
   * (pairs, in order) must be m-invariant — the rehearsal REQUIREs it —
   * while the recorded freqs scale by exactly m.
   *
+  * Second axis (round 15): MERGE COUNT. The fit schedules one
+  * driver-sequenced Spark job per merge over the vocabulary table, so
+  * fit time is ~linear in nMerges with a per-merge constant that must
+  * stay FLAT as the merge generation grows (each generation's word
+  * table is localCheckpoint'ed, so plan analysis never re-embeds
+  * earlier generations — the CC lesson; if the constant grew with
+  * generation count, a real 32k-merge fit would be quadratic).
+  * `nmerges` mode measures fit time at several merge counts and
+  * reports the per-merge constant — the honest price of a production
+  * tokenizer fit is that constant × 32k.
+  *
   * Usage: runMain graft.ScaleRehearsalBpe [multipliers...] (default
-  * 1 5 10); SPARK_GRAFT_SF_DIR picks the corpus; 16 merges (the x72
-  * setting).
+  * 1 5 10); or runMain graft.ScaleRehearsalBpe nmerges [counts...]
+  * (default 16 64 256). SPARK_GRAFT_SF_DIR picks the corpus; corpus
+  * mode fits 16 merges (the x72 setting).
   */
 object ScaleRehearsalBpe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("nmerges")) { runMergeCurve(args.drop(1)); return }
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 5, 10)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -65,6 +78,46 @@ object ScaleRehearsalBpe {
         s"merge sequence drifted at multiplier $m: $pairs != $expect")
       println(f"""{"mult":$m,"docs":${nDocs * m},"fit_sec":$sec%.2f,""" +
         f""""merges":${merges.size}}""")
+    }
+    spark.stop()
+  }
+
+  /** nMerges curve: fit time at several merge counts, per-merge
+    * constant reported. The fixture's ~31-word vocabulary exhausts
+    * after a few dozen merges, so the corpus is widened with one
+    * 32-hex-char pseudo-word per doc (deterministic md5 of the id) —
+    * thousands of distinct long words, so even 256 merges have pairs
+    * to consume. What must hold: per_merge_sec FLAT across counts
+    * (each generation is checkpointed, so analysis cost cannot grow
+    * with generation number); the 32k-merge bill is then the constant
+    * × 32k, linear and honest.
+    */
+  private def runMergeCurve(args: Array[String]): Unit = {
+    val counts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(16, 64, 256)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .appName("graft-scale-bpe-nmerges")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val corpus = Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        concat($"text", lit(" w"), md5($"doc_id".cast("string"))).as("text"))
+    // one warm fit so JIT/codegen warm-up is never billed to a count
+    Bpe.fit(corpus, "text", nMerges = 8): Unit
+    Staged.releaseAll()
+    counts.foreach { n =>
+      val t0 = System.nanoTime()
+      val f = Bpe.fit(corpus, "text", nMerges = n)
+      val done = f.merges.size
+      val sec = (System.nanoTime() - t0) / 1e9
+      Staged.releaseAll()
+      println(f"""{"nmerges":$n,"merges_done":$done,"fit_sec":$sec%.2f,""" +
+        f""""per_merge_sec":${sec / math.max(1, done)}%.4f}""")
     }
     spark.stop()
   }

@@ -37,14 +37,28 @@ import graft.sources.Tables
   * same table reads as near-raw recall at a quarter of the bytes —
   * run the rehearsal on the actual corpus before committing a dims.
   *
-  * Usage: runMain graft.ScaleRehearsalPca [dims] [k] [queries]
-  * (default 16 10 64); SPARK_GRAFT_SF_DIR picks the corpus.
+  * Anisotropic mode (round 15): the fixture prices the WORST case, so
+  * the rehearsal could never show the regime PCA exists for. `aniso`
+  * mode derives a decaying-spectrum corpus from the same embeddings —
+  * dimension j scaled by 1/(1+j), so λ_j falls ~1/(1+j)² and the top
+  * 16 of 64 dims carry the bulk of the variance (the shape real text
+  * embeddings have) — and runs the identical three-face protocol.
+  * Ground truth is brute force over the ANISO corpus (that IS the
+  * corpus being served). Same instrument, the other regime: together
+  * the two tables say "run this rehearsal on YOUR corpus; the answer
+  * is a property of the spectrum, not of the operator".
+  *
+  * Usage: runMain graft.ScaleRehearsalPca [dims] [k] [queries] [aniso]
+  * (default 16 10 64; add "aniso" for the decaying-spectrum corpus);
+  * SPARK_GRAFT_SF_DIR picks the corpus.
   */
 object ScaleRehearsalPca {
   def main(args: Array[String]): Unit = {
-    val dims = args.lift(0).map(_.toInt).getOrElse(16)
-    val k = args.lift(1).map(_.toInt).getOrElse(10)
-    val nQueries = args.lift(2).map(_.toInt).getOrElse(64)
+    val aniso = args.contains("aniso")
+    val posArgs = args.filterNot(_ == "aniso")
+    val dims = posArgs.lift(0).map(_.toInt).getOrElse(16)
+    val k = posArgs.lift(1).map(_.toInt).getOrElse(10)
+    val nQueries = posArgs.lift(2).map(_.toInt).getOrElse(64)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .appName("graft-scale-pca")
@@ -56,7 +70,13 @@ object ScaleRehearsalPca {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val emb = Tables(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val raw = Tables(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    // aniso: scale dim j by 1/(1+j) — a row-local projection, so the
+    // derived corpus is deterministic and both regimes share fixtures
+    val emb = if (!aniso) raw else raw.select($"vec_id",
+      transform($"embedding",
+        (x, j) => x.cast("double") / (j.cast("double") + lit(1.0)))
+        .as("embedding"))
     val n = emb.count()
     require(n > 0, s"no embeddings under $sfDir")
     // deterministic query sample: lowest ids (replay-stable)
@@ -67,7 +87,7 @@ object ScaleRehearsalPca {
       math.max(EmbedStats.gramCov(emb, "embedding", roundTo = 9)
         .where($"i" === $"j").agg(sum($"cov")).head().getDouble(0), 1e-12)
 
-    val root = s"/tmp/graft-scale-pca-$dims"
+    val root = s"/tmp/graft-scale-pca-$dims${if (aniso) "-aniso" else ""}"
     def bytesOf(path: String): Long = {
       val p = new org.apache.hadoop.fs.Path(s"$path/assigned")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -101,7 +121,7 @@ object ScaleRehearsalPca {
       // pass to every later face's probe_sec
     }
 
-    println(f"""{"fit_dims":$dims,"variance_kept":$varKept%.4f,"n_queries":$nQueries,"corpus":$n}""")
+    println(f"""{"fit_dims":$dims,"aniso":$aniso,"variance_kept":$varKept%.4f,"n_queries":$nQueries,"corpus":$n}""")
     face("raw", emb, queries, "embedding")
     val projC = Staged(EmbedStats.pcaProjectVec(emb, "vec_id", "embedding", fit))
     val projQ = Staged(EmbedStats.pcaProjectVec(queries, "vec_id", "embedding", fit))

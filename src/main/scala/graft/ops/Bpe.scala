@@ -149,6 +149,64 @@ object Bpe {
     Fit(merges.result(), words)
   }
 
+  /** [[fit]] persisted as a BUILD-ONCE artifact — the real tokenizer
+    * lifecycle: a pipeline fits ONCE and every consumer (per-doc
+    * tokenization, fertility slices, packing, streaming monitors)
+    * reads the committed artifact; re-running the fit per consumer
+    * both wastes a corpus scan each time and risks serving two
+    * different tokenizers if the corpus moved between fits.
+    *
+    * Layout under `path`: `merges/` (step, left, right, freq — the
+    * tokenizer itself, the oracle's replay source) and `words/`
+    * (word, syms, freq — the fit corpus's symbolization table
+    * [[tokenize]] joins). Build-once via a PARAM-COMPLETE versioned
+    * marker (the PQ face's discipline): the marker carries textCol and
+    * nMerges plus the caller's `corpusTag` (a fingerprint of the fit
+    * corpus — a regenerated corpus must invalidate the artifact, or
+    * both engines would replay the same STALE symbolization and
+    * hash-agree on wrong data). A marker mismatch deletes every stale
+    * marker and rebuilds both tables — unlike the PQ face there is no
+    * mixed-state hazard to fail loudly over, because the artifact is
+    * rewritten whole (mode overwrite) and nothing appends to it.
+    */
+  def fitCached(df: DataFrame, textCol: String, nMerges: Int, path: String,
+      corpusTag: String = ""): Fit = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = if (corpusTag.isEmpty) "" else s"_f$corpusTag"
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_BPE_OK_v1_${textCol}_m$nMerges$tag")
+    if (!fs.exists(marker)) {
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/_BPE_OK_*")))
+        .toSeq.flatten.foreach(st => fs.delete(st.getPath, false))
+      val f = fit(df, textCol, nMerges)
+      f.mergeTable(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/merges")
+      f.words.toDF("word", "syms", "freq")
+        .write.mode("overwrite").parquet(s"$path/words")
+      fs.create(marker, true).close()
+      // the fit's checkpointed generation is now safely on disk; its
+      // blocks are released with the caller's next releaseCheckpoints
+    }
+    readFit(spark, path)
+  }
+
+  /** Reload a persisted fit. The merge list is driver-bounded
+    * (nMerges rows); the symbolization table stays a lazy scan.
+    */
+  def readFit(spark: SparkSession, path: String): Fit = {
+    import spark.implicits._
+    val merges = spark.read.parquet(s"$path/merges")
+      .select(col("step").cast("int"), col("left"), col("right"),
+        col("freq").cast("long"))
+      .as[Merge].collect().toSeq.sortBy(_.step)
+    val words = spark.read.parquet(s"$path/words")
+      .select(col("word"), col("syms"), col("freq"))
+      .as[(String, Seq[String], Long)]
+    Fit(merges, words)
+  }
+
   /** Tokenize documents under a fitted BPE: (id, n_words, n_bpe_tokens,
     * bpe_text) with bpe_text the word-ordered space-joined subword
     * stream — the context-length planning signal (n_bpe_tokens is what
@@ -163,6 +221,45 @@ object Bpe {
     df.select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "word")))
       .join(m, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        array_join(sort_array(collect_list(struct(col("__pos"), col("syms"))))
+          .getField("syms"), " ").as("bpe_text"))
+  }
+
+  /** Tokenize an ARBITRARY corpus under a committed merge list — the
+    * batch face of what the streaming fertility monitor already does
+    * per batch. [[tokenize]] joins the FIT corpus's symbolization
+    * table, so words the fit never saw silently vanish — lossless by
+    * construction for the fit corpus, wrong for the committed
+    * tokenizer's main consumer: NEW data. Here each distinct word of
+    * THIS corpus is segmented from the merge list itself
+    * ([[applyMerges]] — which reproduces the fit's own segmentation
+    * exactly for in-fit words and extends deterministically to unseen
+    * ones), so no word can drop.
+    *
+    * Scale shape: one distinct over the corpus's words (vocabulary-
+    * sized output; the per-word rewrite is the documented
+    * imperative-per-row exception over that bounded frame, with the
+    * driver-bounded merge list riding the closure), Staged so the
+    * join side never recomputes the segmentation, then x72's
+    * explode + word-keyed join + doc-keyed re-agg. Two corpus passes
+    * total (distinct-words + join) — the price of not having a
+    * precomputed symbolization for this corpus.
+    */
+  def tokenizeWith(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "word")))
+    val vocab = Staged(toks.select($"word").distinct().as[String]
+      .map(w => (w, applyMerges(w, merges)))
+      .toDF("word", "__syms")
+      .select($"word", concat_ws(" ", $"__syms").as("syms"),
+        size($"__syms").cast("long").as("n_syms")))
+    toks.join(vocab, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_syms")).as("n_bpe_tokens"),

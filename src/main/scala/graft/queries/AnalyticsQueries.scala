@@ -762,6 +762,113 @@ object AnalyticsQueries {
           ON a.query_id = b.query_id AND a.vec_id = b.vec_id"""),
       notes = "bf = a07's corpus rank per query; fl = a06's replay; pq/staged " +
         "replay the two-LUT ADC rank once and cut it at 10 (raw) and 50 " +
-        "(candidates), the candidates re-ranked by exact cosine")
+        "(candidates), the candidates re-ranked by exact cosine"),
+
+    // ---- staged kCand tuning sweep: a13's table says "raise the
+    // PQ-stage candidate count before re-ranking" — this is the knob's
+    // measured curve (a08's discipline applied to staging): recall@10
+    // per kCand over the same query sample against ONE brute-force
+    // truth pass. Stage-2 bytes grow linearly in kCand (256·kCand
+    // float bytes per query) while stage-1 bytes are constant, so the
+    // curve's knee IS the serving configuration decision. The ADC
+    // ranking is computed once per query batch and cut at each kCand —
+    // candidate sets nest, so recall is monotone in kCand by
+    // construction (the spec-free structural read; the oracle replays
+    // every cut).
+    GraftQuery(
+      "a14_staged_kcand_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        val index = Ivf.buildPersistentCached(e, path,
+          "vec_id", "embedding", k = 16)
+        graft.ops.Pq.pqAssign(s, path, "vec_id", "embedding", m = 4, ksub = 16)
+        val queries = e.filter($"vec_id" % 97 === 0L)
+        val bf = graft.ops.Staged(
+          graft.ops.Similarity.bruteForceTopKBatch(e, queries,
+            "vec_id", "embedding", "vec_id", k = 10)
+            .select($"query_id", $"vec_id"))
+        Seq(10, 25, 50, 100).map { kc =>
+          val staged = graft.ops.Pq.topKStagedBatch(s, path, index, queries,
+            "vec_id", "embedding", "vec_id", k = 10, kCand = kc)
+          bf.join(staged.select($"query_id", $"vec_id")
+              .withColumn("__hit", lit(1)),
+              Seq("query_id", "vec_id"), "left")
+            .agg(count(lit(1)).as("n_bf"), count($"__hit").as("n_hit"))
+            .select(lit(kc).as("k_cand"), $"n_bf", $"n_hit",
+              round($"n_hit".cast("double") / $"n_bf", 6).as("recall"))
+        }.reduce(_ unionByName _)
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT vec_id AS query_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+            sqrt(list_inner_product(
+              list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS qnorm
+          FROM embeddings WHERE vec_id % 97 = 0),
+        probes AS (SELECT query_id, cluster FROM (
+            SELECT q.query_id, c.cluster,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_distance(c.centroid, q.qv) ASC, c.cluster) AS pr
+            FROM cents c CROSS JOIN q) WHERE pr <= 4),
+        cb AS (SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+            centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/pq_codebooks/*.parquet')),
+        apq AS (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_pq/*/*.parquet',
+                            hive_partitioning = 1)),
+        parts AS (SELECT p.query_id, a.vec_id, a.cluster, cb.sub,
+            list_inner_product(
+              list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid) AS dotp,
+            2 * list_inner_product(
+              list_slice(c.centroid, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid)
+              + list_inner_product(cb.centroid, cb.centroid) AS cr
+          FROM apq a JOIN probes p ON a.cluster = p.cluster
+          JOIN cents c ON c.cluster = a.cluster
+          JOIN q ON q.query_id = p.query_id
+          JOIN cb ON cb.code = ((CAST(a.codes[cb.sub + 1] AS INTEGER) + 256) % 256)),
+        pqagg AS (SELECT query_id, vec_id, cluster,
+            list_reduce(list(dotp ORDER BY sub), (a, b) -> a + b) AS sdot,
+            list_reduce(list(cr ORDER BY sub), (a, b) -> a + b) AS scr
+          FROM parts GROUP BY query_id, vec_id, cluster),
+        pqranked AS (SELECT g.query_id, g.vec_id,
+            row_number() OVER (PARTITION BY g.query_id ORDER BY
+              round((list_inner_product(q.qv, c.centroid) + g.sdot) /
+                (q.qnorm * sqrt(list_inner_product(c.centroid, c.centroid)
+                  + g.scr)), 6) DESC, g.vec_id) AS rk
+          FROM pqagg g JOIN cents c ON c.cluster = g.cluster
+          JOIN q ON q.query_id = g.query_id
+          WHERE list_inner_product(c.centroid, c.centroid) + g.scr > 0),
+        kc AS (SELECT unnest([10, 25, 50, 100]) AS k_cand),
+        staged AS (SELECT k_cand, query_id, vec_id FROM (
+            SELECT kc.k_cand, cd.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY kc.k_cand, cd.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                e.vec_id) AS rk
+            FROM kc JOIN pqranked cd ON cd.rk <= kc.k_cand
+            JOIN embeddings e USING (vec_id)
+            JOIN q ON q.query_id = cd.query_id) WHERE rk <= 10),
+        bf AS (SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN q) WHERE rk <= 10)
+        SELECT kc.k_cand, CAST(count(*) AS BIGINT) AS n_bf,
+          CAST(count(s.vec_id) AS BIGINT) AS n_hit,
+          round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 6) AS recall
+        FROM kc CROSS JOIN bf b LEFT JOIN staged s
+          ON s.k_cand = kc.k_cand AND s.query_id = b.query_id
+          AND s.vec_id = b.vec_id
+        GROUP BY kc.k_cand"""),
+      notes = "a08's sweep discipline on the staging knob: one ADC rank per " +
+        "query, cut at each kCand, each cut exactly re-ranked; candidate " +
+        "sets nest so recall is monotone in kCand")
   )
 }

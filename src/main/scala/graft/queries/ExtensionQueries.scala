@@ -2239,7 +2239,9 @@ object ExtensionQueries {
       "x72_bpe_tokenize",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val fit = graft.ops.Bpe.fit(docs, "text", nMerges = 16)
+        val fit = graft.ops.Bpe.fitCached(docs, "text", nMerges = 16,
+          OracleDump.bpePath(dir, 16),
+          OracleDump.tableFingerprint(dir, "documents"))
         OracleDump.dump(fit.wordTable, dir, "x72_bpe")
         graft.ops.Bpe.tokenize(docs, "doc_id", "text", fit)
       },
@@ -2323,7 +2325,9 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables(s, dir, "documents")
-        val fit = graft.ops.Bpe.fit(docs, "text", nMerges = 16)
+        val fit = graft.ops.Bpe.fitCached(docs, "text", nMerges = 16,
+          OracleDump.bpePath(dir, 16),
+          OracleDump.tableFingerprint(dir, "documents"))
         OracleDump.dump(fit.wordTable, dir, "x74_bpe")
         val out = graft.ops.Bpe.fertilityBy(
           docs.select($"source", $"text"), "text", "source", fit)
@@ -2431,7 +2435,9 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables(s, dir, "documents")
-        val fit = graft.ops.Bpe.fit(docs, "text", nMerges = 16)
+        val fit = graft.ops.Bpe.fitCached(docs, "text", nMerges = 16,
+          OracleDump.bpePath(dir, 16),
+          OracleDump.tableFingerprint(dir, "documents"))
         OracleDump.dump(fit.wordTable, dir, "x77_bpe")
         val counts = graft.ops.Bpe.tokenize(
           docs.select($"doc_id", $"text"), "doc_id", "text", fit)
@@ -2505,7 +2511,131 @@ object ExtensionQueries {
           round(CAST(n_top AS DOUBLE) / n_ngrams, 6) AS dominance
         FROM r WHERE rk = 1"""),
       notes = "argmax under (count desc, gram asc) — a total order both " +
-        "engines replay; exact integer sums")
+        "engines replay; exact integer sums"),
+
+    // ---- tokenize NEW data under the committed merge list — the
+    // committed tokenizer's main consumer is data the fit never saw,
+    // and x72's symbolization join silently drops unseen words (right
+    // for the fit corpus, wrong for arriving data). This face derives
+    // every distinct word's segmentation from the MERGE LIST itself
+    // (Bpe.tokenizeWith / applyMerges — identical on in-fit words,
+    // deterministic on unseen ones), exercised over the corpus with a
+    // PLANTED vocabulary-novel word per doc. The oracle replays
+    // tokenization from the dumped merge list alone (never the
+    // symbolization table): a recursive CTE applies each merge
+    // leftmost-first in fit order — the published BPE rule, pinned
+    // here engine-independently.
+    GraftQuery(
+      "x80_bpe_tokenize_unseen",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val fit = graft.ops.Bpe.fitCached(docs, "text", nMerges = 16,
+          OracleDump.bpePath(dir, 16),
+          OracleDump.tableFingerprint(dir, "documents"))
+        OracleDump.dump(fit.mergeTable(s), dir, "x80_bpe_merges")
+        val incoming = docs.select($"doc_id",
+          concat($"text", lit(" zzqx"), ($"doc_id" % 23).cast("string"))
+            .as("text"))
+        graft.ops.Bpe.tokenizeWith(incoming, "doc_id", "text",
+          fit.merges.map(m => (m.left, m.right)))
+      },
+      Some("""WITH RECURSIVE
+        mg AS (SELECT CAST(step AS INTEGER) AS step, "left" AS l, "right" AS r
+          FROM read_parquet('__SCRATCH__/x80_bpe_merges/*.parquet')),
+        nm AS (SELECT CAST(count(*) AS INTEGER) AS n FROM mg),
+        docs2 AS (SELECT doc_id,
+            text || ' zzqx' || CAST(doc_id % 23 AS VARCHAR) AS text
+          FROM documents),
+        toks AS (SELECT doc_id, gi, t[gi] AS word FROM (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM docs2), unnest(range(1, len(t) + 1)) AS u(gi)),
+        w AS (SELECT DISTINCT word FROM toks),
+        seg AS (
+          SELECT word,
+            list_transform(range(1, length(word) + 1), i -> word[i]) AS syms,
+            0 AS st
+          FROM w
+          UNION ALL
+          SELECT word,
+            CASE WHEN pos IS NULL THEN syms
+                 ELSE list_concat(list_concat(syms[1:pos-1], [l || r]),
+                                  syms[pos+2:]) END,
+            CASE WHEN pos IS NULL THEN st + 1 ELSE st END
+          FROM (SELECT s.word, s.syms, s.st, m.l, m.r,
+              list_filter(range(1, len(s.syms)),
+                i -> s.syms[i] = m.l AND s.syms[i+1] = m.r)[1] AS pos
+            FROM seg s JOIN mg m ON m.step = s.st)),
+        fin AS (SELECT word, array_to_string(syms, ' ') AS syms,
+            CAST(len(syms) AS BIGINT) AS n_syms
+          FROM seg, nm WHERE st = nm.n)
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(f.n_syms) AS BIGINT) AS n_bpe_tokens,
+          string_agg(f.syms, ' ' ORDER BY t.gi) AS bpe_text
+        FROM toks t JOIN fin f USING (word) GROUP BY t.doc_id"""),
+      notes = "oracle replays the merge list itself: one recursive leftmost-" +
+        "first application per step (provably ≡ the single greedy pass — a " +
+        "replacement can never create an occurrence of its own pair to its " +
+        "left or right), unseen words included"),
+
+    // ---- packing budget sweep — the context-window sizing table:
+    // pack count and fill rate of the BPE-priced corpus at budgets
+    // 512/1024/2048/4096, computed from ONE tokenization pass (the
+    // committed x72 artifact) with one window per budget. The table an
+    // operator reads before committing a sequence length: fill rate
+    // falls as the window grows past the doc-length distribution (big
+    // windows strand capacity behind short docs under contiguous
+    // fill), and the pack count IS the training-step bill. Exact
+    // integer sums; fill_rate = Σtokens / (packs·budget), one rounded
+    // division per row.
+    GraftQuery(
+      "x81_packing_budget_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val fit = graft.ops.Bpe.fitCached(docs, "text", nMerges = 16,
+          OracleDump.bpePath(dir, 16),
+          OracleDump.tableFingerprint(dir, "documents"))
+        OracleDump.dump(fit.wordTable, dir, "x81_bpe")
+        val priced = graft.ops.Staged(graft.ops.Bpe.tokenize(
+          docs.select($"doc_id", $"text"), "doc_id", "text", fit)
+          .select($"doc_id", $"n_bpe_tokens")
+          .join(docs.select($"doc_id", $"lang"), "doc_id"))
+        Seq(512, 1024, 2048, 4096).map { b =>
+          graft.ops.Packing.packBy(priced, "lang", "doc_id",
+              $"n_bpe_tokens".cast("long"), budget = b)
+            .agg(countDistinct($"lang", $"pack_id").as("n_packs"),
+              count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+            .select(lit(b).as("budget"), $"n_packs", $"n_docs", $"n_tokens",
+              round($"n_tokens".cast("double") / ($"n_packs" * lit(b)), 6)
+                .as("fill_rate"))
+        }.reduce(_ unionByName _)
+      },
+      Some("""WITH m AS (SELECT word, n_syms
+          FROM read_parquet('__SCRATCH__/x81_bpe/*.parquet')),
+        toks AS (SELECT doc_id, t[gi] AS word FROM (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents), unnest(range(1, len(t) + 1)) AS u(gi)),
+        cnt AS (SELECT t.doc_id, CAST(sum(m.n_syms) AS BIGINT) AS n_tok
+          FROM toks t JOIN m USING (word) GROUP BY t.doc_id),
+        j AS (SELECT c.doc_id, d.lang, c.n_tok
+          FROM cnt c JOIN documents d USING (doc_id)),
+        b AS (SELECT unnest([512, 1024, 2048, 4096]) AS budget),
+        packed AS (SELECT b.budget, j.lang, j.n_tok,
+          CAST(floor((sum(j.n_tok) OVER (PARTITION BY b.budget, j.lang
+            ORDER BY j.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - j.n_tok)
+            / b.budget) AS BIGINT) AS pack_id
+          FROM j CROSS JOIN b)
+        SELECT budget, CAST(count(DISTINCT (lang, pack_id)) AS BIGINT)
+            AS n_packs,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          round(CAST(sum(n_tok) AS DOUBLE)
+            / (count(DISTINCT (lang, pack_id)) * budget), 6) AS fill_rate
+        FROM packed GROUP BY budget"""),
+      notes = "x77's pricing at four window sizes from one tokenization " +
+        "pass; pack identity = (lang, pack_id) exactly as x19/x77")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

@@ -59,6 +59,15 @@ object OracleDump {
   def ivfPath(dir: String, k: Int): String =
     s"${sys.props("java.io.tmpdir")}/graft-ivf-${sfTag(dir)}-k$k"
 
+  /** The persisted BPE tokenizer artifact path (fit once per sfDir,
+    * shared by x72/x74/x77/x80 — the real fit-once/serve-everywhere
+    * lifecycle). The corpus fingerprint goes into the MARKER (via
+    * Bpe.fitCached's corpusTag), not the path, so a regenerated
+    * fixture rebuilds in place.
+    */
+  def bpePath(dir: String, nMerges: Int): String =
+    s"${sys.props("java.io.tmpdir")}/graft-bpe-${sfTag(dir)}-m$nMerges"
+
   /** Filesystem-metadata fingerprint of a source table (file names +
     * lengths + mtimes — NO Spark job). Goes into persisted-index
     * marker names so a regenerated fixture invalidates the cached

@@ -118,4 +118,58 @@ class BpeSpec extends SparkSpec {
       s"tokenization drifted: $out")
     Staged.releaseAll()
   }
+
+  test("fitCached: builds once, serves the artifact, rebuilds on a param change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-cache").toString
+    val f1 = Bpe.fitCached(corpus, "text", nMerges = 4, dir, corpusTag = "t1")
+    assert(f1.merges == Bpe.fit(corpus, "text", nMerges = 4).merges,
+      "the persisted fit must equal a direct fit")
+    assert(new java.io.File(s"$dir/_BPE_OK_v1_text_m4_ft1").exists(),
+      "param-complete marker must be committed")
+    // second call with a DIFFERENT corpus but the same marker must serve
+    // the persisted artifact — proof that no re-fit happened
+    val other = Seq((1L, "zz zz zz")).toDF("doc_id", "text")
+    val f2 = Bpe.fitCached(other, "text", nMerges = 4, dir, corpusTag = "t1")
+    assert(f2.merges == f1.merges, "a matching marker must skip the fit")
+    assert(f2.words.collect().sortBy(_._1).toSeq ==
+      f1.words.collect().sortBy(_._1).toSeq,
+      "the served symbolization must be the persisted one")
+    // a param change (nMerges) invalidates: stale marker deleted, new
+    // artifact fit from THIS call's corpus
+    val f3 = Bpe.fitCached(corpus, "text", nMerges = 2, dir, corpusTag = "t1")
+    assert(f3.merges == f1.merges.take(2), s"rebuilt fit drifted: ${f3.merges}")
+    assert(!new java.io.File(s"$dir/_BPE_OK_v1_text_m4_ft1").exists(),
+      "the stale marker must be gone")
+    assert(new java.io.File(s"$dir/_BPE_OK_v1_text_m2_ft1").exists())
+    // a corpus-fingerprint change invalidates the same way
+    val f4 = Bpe.fitCached(other, "text", nMerges = 2, dir, corpusTag = "t2")
+    assert(f4.merges == Seq(Bpe.Merge(0, "z", "z", 3L)),
+      s"regenerated-corpus refit drifted: ${f4.merges}")
+    Staged.releaseAll()
+  }
+
+  test("tokenizeWith ≡ tokenize on the fit corpus; extends to unseen words") {
+    val f = Bpe.fit(corpus, "text", nMerges = 4)
+    val merges = f.merges.map(m => (m.left, m.right))
+    // identity on the fit corpus: both faces produce identical rows
+    val a = Bpe.tokenize(corpus, "doc_id", "text", f)
+      .orderBy($"doc_id").collect().toSeq
+    val b = Bpe.tokenizeWith(corpus, "doc_id", "text", merges)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b, s"merge-list tokenization diverged on the fit corpus:\n$a\n$b")
+    // unseen words segment by applyMerges, never drop: "lowest" was
+    // never fit but its pieces were — merges give low + est
+    val incoming = Seq((20L, "lowest low zzz")).toDF("doc_id", "text")
+    val out = Bpe.tokenizeWith(incoming, "doc_id", "text", merges)
+      .select($"doc_id", $"n_words", $"n_bpe_tokens", $"bpe_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((20L, 3L, 6L, "low est low z z z")),
+      s"unseen-word tokenization drifted: $out")
+    // ...while the symbolization-join face silently DROPS the unseen
+    // words — the gap this operator exists to close
+    val dropped = Bpe.tokenize(incoming, "doc_id", "text", f)
+      .select($"n_words").as[Long].head()
+    assert(dropped == 1L, "tokenize keeps only fit-corpus words (documented)")
+    Staged.releaseAll()
+  }
 }

@@ -126,7 +126,8 @@ class PlanSpec extends SparkSpec {
           // broadcasts into one corpus pass by design (the corpus is
           // never shuffled; per-query rank is a keyed window) — the
           // baseline an ANN recall report is DEFINED against
-          "a07_ann_recall", "a08_ann_nprobe_sweep", "a13_ann_staged_recall")
+          "a07_ann_recall", "a08_ann_nprobe_sweep", "a13_ann_staged_recall",
+          "a14_staged_kcand_sweep")
         if (!nlOk(q.name))
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans a nested-loop join")
