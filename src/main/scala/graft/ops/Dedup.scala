@@ -105,6 +105,40 @@ object Dedup {
     verifyJaccard(candidates, docs, threshold)
   }
 
+  /** EXACT near-dup pairs — the ground truth the LSH band-tuning sweep
+    * (x82) measures recall against: every (id_a < id_b) pair with
+    * shingle-set Jaccard ≥ threshold, found via the inverted shingle
+    * index (pairs sharing at least one shingle; a pair sharing none has
+    * Jaccard 0, so nothing above a positive threshold is lost) and
+    * verified by the SAME native sorted-merge Jaccard as [[minHashLsh]]
+    * — truth and subject share one definition of the metric, so the
+    * sweep's gap is pure banding recall, never metric drift. Never a
+    * cartesian: one shingle-key equi-self-join + pair distinct, the
+    * hot-shingle cap bounding the join exactly like the LSH bucket cap
+    * (set it above the corpus's hottest shingle for a truth pass — a
+    * capped shingle silently removes its pairs from the truth). At
+    * 100 TB this is the INSTRUMENT's truth pass and runs on a sample
+    * by construction (a07's discipline); the production dedup path
+    * stays LSH.
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val docs = stage(df
+      .select(col(idCol).as("id"),
+        shingleHashSet(col(textCol), shingleSize).as("h"))
+      .where(size(col("h")) > 0))
+    val inv = docs.select(col("id"), explode(col("h")).as("s"))
+    val capped = dropHotBuckets(inv, Seq("s"), maxBucket)
+    val candidates = capped.as("x")
+      .join(capped.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, docs, threshold)
+  }
+
   /** Drop rows of buckets larger than `maxBucket`: count per bucket via
     * an aggregation (map-side partials, tiny result — only hot buckets
     * survive the filter) broadcast back as an anti-join. A count Window

@@ -2635,7 +2635,89 @@ object ExtensionQueries {
             / (count(DISTINCT (lang, pack_id)) * budget), 6) AS fill_rate
         FROM packed GROUP BY budget"""),
       notes = "x77's pricing at four window sizes from one tokenization " +
-        "pass; pack identity = (lang, pack_id) exactly as x19/x77")
+        "pass; pack identity = (lang, pack_id) exactly as x19/x77"),
+
+    // ---- LSH band tuning sweep — the (bands, rowsPerBand) S-curve
+    // measured, not assumed (a08/a14's discipline applied to the dedup
+    // index): recall of minHashLsh at four band splits of the SAME
+    // 128-hash signature family against the exact inverted-index
+    // ground truth, which shares minHashLsh's own verify metric so the
+    // gap is pure banding recall. The published knob: more rows per
+    // band sharpens the S-curve (fewer candidates, lower recall below
+    // the knee) — (4,32) deliberately sits past the fixture's jaccard
+    // mass to show the drop. Precision is 1.0 on every row (exact
+    // verify), so found ⊆ truth and recall is the only moving number.
+    // The per-config banded tables are dumped as data (x05/x25's
+    // convention): the oracle replays candidate join + exact verify +
+    // recall per config, and the truth side pairwise-joins shingle
+    // sets directly.
+    GraftQuery(
+      "x82_lsh_band_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val truth = graft.ops.Staged(graft.ops.Dedup.exactJaccardPairs(
+          docs, "doc_id", "text", threshold = 0.8)
+          .select($"id_a", $"id_b"))
+        Seq((32, 4), (16, 8), (8, 16), (4, 32)).map { case (b, r) =>
+          if (OracleDump.enabled) {
+            val banded = docs
+              .select($"doc_id",
+                graft.ops.Dedup.shingleHashSet($"text", 3).as("__h"))
+              .where(size($"__h") > 0)
+              .select($"doc_id", posexplode(graft.ops.Dedup.bandKeys(
+                graft.ops.Dedup.minHashSignatureFromHashes($"__h", b * r),
+                b, r)).as(Seq("band_idx", "band_key")))
+            OracleDump.dump(banded, dir, s"x82_bands_${b}_$r")
+          }
+          val found = graft.ops.Dedup.minHashLsh(docs, "doc_id", "text",
+            threshold = 0.8, bands = b, rowsPerBand = r)
+            .select($"id_a", $"id_b")
+          truth.join(found.withColumn("__hit", lit(1)),
+              Seq("id_a", "id_b"), "left")
+            .agg(count(lit(1)).as("n_true"), count($"__hit").as("n_found"))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              $"n_true", $"n_found",
+              round($"n_found".cast("double") / $"n_true", 6).as("recall"))
+        }.reduce(_ unionByName _)
+      },
+      Some(s"""$shingleCte,
+        truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        tn AS (SELECT count(*) AS n FROM truth),
+        ${Seq((32, 4), (16, 8), (8, 16), (4, 32)).map { case (b, r) =>
+          s"""c_${b}_$r AS (SELECT $b AS bands, $r AS rows_per_band,
+            x.doc_id AS id_a, y.doc_id AS id_b
+          FROM read_parquet('__SCRATCH__/x82_bands_${b}_$r/*.parquet') x
+          JOIN read_parquet('__SCRATCH__/x82_bands_${b}_$r/*.parquet') y
+            ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id
+          GROUP BY ALL)"""
+        }.mkString(",\n        ")},
+        cands AS (SELECT * FROM c_32_4 UNION ALL SELECT * FROM c_16_8
+          UNION ALL SELECT * FROM c_8_16 UNION ALL SELECT * FROM c_4_32),
+        found AS (SELECT c.bands, c.rows_per_band, c.id_a, c.id_b
+          FROM cands c JOIN nz a ON a.doc_id = c.id_a
+          JOIN nz b ON b.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        cfg AS (SELECT * FROM (VALUES (32, 4), (16, 8), (8, 16), (4, 32))
+          c(bands, rows_per_band)),
+        hits AS (SELECT f.bands, f.rows_per_band, f.id_a, f.id_b
+          FROM found f JOIN truth USING (id_a, id_b))
+        SELECT cfg.bands, cfg.rows_per_band,
+          CAST(tn.n AS BIGINT) AS n_true,
+          CAST(count(h.id_a) AS BIGINT) AS n_found,
+          round(CAST(count(h.id_a) AS DOUBLE) / tn.n, 6) AS recall
+        FROM cfg CROSS JOIN tn
+        LEFT JOIN hits h ON h.bands = cfg.bands
+          AND h.rows_per_band = cfg.rows_per_band
+        GROUP BY cfg.bands, cfg.rows_per_band, tn.n"""),
+      notes = "truth = exact inverted-index pairwise jaccard (same verify " +
+        "metric as the subject); per-config banded tables dumped as data, " +
+        "oracle replays candidate join + verify + recall")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

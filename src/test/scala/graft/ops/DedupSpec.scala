@@ -45,6 +45,31 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("exactJaccardPairs: complete ground truth, same metric as the LSH verify") {
+    // truth must hold every pair >= t regardless of banding — on the
+    // fixture it equals the LSH result at a full-recall config, and it
+    // must CONTAIN any aggressive config's result (found ⊆ truth)
+    val truth = Dedup.exactJaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val lsh = Dedup.minHashLsh(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(lsh.subsetOf(truth),
+      s"LSH found a pair the exact truth misses: ${lsh -- truth}")
+    assert(truth == lsh, // full-recall config on this fixture
+      s"truth drifted from the full-recall LSH result: $truth vs $lsh")
+    // jaccard values ride the identical native verify — the (0,1)
+    // exact-dup pair reads 1.0 from both
+    assert(truth.exists(t => t._1 == 0L && t._2 == 1L && t._3 == 1.0))
+    // partitioning-independent (inverted-index join + distinct)
+    val re = Dedup.exactJaccardPairs(corpus.repartition(7), "doc_id", "text",
+      threshold = 0.5).select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(re == truth)
+    Staged.releaseAll()
+  }
+
   test("minhash signature is deterministic across runs and partitionings") {
     val sig1 = corpus.repartition(4).select($"doc_id", Dedup.minHashSignature($"text").as("s"))
       .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
