@@ -155,6 +155,15 @@ object ScaleRehearsalAnn {
         graft.ops.Pq.topKPq(spark, idxPath, query,
           "vec_id", "embedding", k = 50).count()
       }
+      // staged pipeline (a12/a13, round 15): PQ top-50 → exact float
+      // re-rank off the CLUSTER-PRUNED float face. Stage 2's cost is
+      // candidate-bound (kCand rows), so staged_probe_sec must stay
+      // flat in K like the other probes — the 100× claim the pruned
+      // re-rank exists for
+      val (tStaged, nStaged) = time {
+        graft.ops.Pq.topKStaged(spark, idxPath, query,
+          "vec_id", "embedding", k = 10, kCand = 50).count()
+      }
       Staged.releaseAll()
       // embedding-statistics family (x61/x67): the d²/2 gram/cov
       // aggregation is the corpus-scan-bound member — its cost must be
@@ -186,6 +195,7 @@ object ScaleRehearsalAnn {
         s""""ivf_probe8_sec":$tProbe8,"probe8_rows":$nProbe8,""" +
         s""""pq_fit_sec":$tPqFit,"pq_probe_sec":$tProbePq,""" +
         s""""probe_pq_rows":$nProbePq,""" +
+        s""""staged_probe_sec":$tStaged,"staged_rows":$nStaged,""" +
         s""""gram_sec":$tGram,"gram_rows":$nGram,"pca_sec":$tPca,""" +
         s""""bytes_float":${faceBytes("assigned")},"bytes_int8":${faceBytes("assigned_int8")},""" +
         s""""bytes_pq":${faceBytes("assigned_pq")}}""")

@@ -295,4 +295,88 @@ object VectorStreams {
           .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
       }
       .start()
+
+  /** One epoch's compressed-face QC snapshot — pure function of
+    * (batch, persisted index + PQ face): sample up to `maxQueries` of
+    * the batch's queries (lowest ids, replay-deterministic), probe the
+    * float face, the raw PQ face, and the staged pipeline at SHARED
+    * cells, micro-average raw and staged agreement against the float
+    * probe's top-k. Returns one row: (n_queries, n_float, n_pq,
+    * n_staged, pq_agreement, staged_agreement, alert).
+    *
+    * Alert semantics mirror [[recallSnapshot]]: an idle epoch reads
+    * healthy (agreements 1.0, no alert); queries arriving against an
+    * EMPTY float probe (mispointed index, empty faces) read broken
+    * (0.0 + alert), never healthy; otherwise alert fires when the
+    * STAGED agreement — the number actually served — drops below
+    * `alertBelow` (staged ⊇ raw per query, so a raw-only threshold
+    * would alert on reconstruction noise staging already absorbs).
+    */
+  def pqAgreementSnapshot(batch: DataFrame, basePath: String,
+      idCol: String, vecCol: String, k: Int, kCand: Int,
+      maxQueries: Int, alertBelow: Double): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val q = batch.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(maxQueries).localCheckpoint()
+    val n = q.count()
+    if (n == 0L)
+      return Seq((0L, 0L, 0L, 0L, 1.0, 1.0, false))
+        .toDF("n_queries", "n_float", "n_pq", "n_staged",
+          "pq_agreement", "staged_agreement", "alert")
+    val index = Ivf.readIndex(spark, basePath)
+    val fl = Ivf.topKBatch(index, q, idCol, vecCol, idCol, k)
+      .select(col("query_id"), col(idCol))
+    val pq = graft.ops.Pq.topKPqBatch(spark, basePath, index, q,
+        idCol, vecCol, idCol, k)
+      .select(col("query_id"), col(idCol))
+    val st = graft.ops.Pq.topKStagedBatch(spark, basePath, index, q,
+        idCol, vecCol, idCol, k, kCand)
+      .select(col("query_id"), col(idCol))
+    fl.join(pq.withColumn("__p", lit(1)), Seq("query_id", idCol), "left")
+      .join(st.withColumn("__s", lit(1)), Seq("query_id", idCol), "left")
+      .agg(count(lit(1)).as("n_float"), count(col("__p")).as("n_pq"),
+        count(col("__s")).as("n_staged"))
+      .select(lit(n).as("n_queries"), col("n_float"), col("n_pq"),
+        col("n_staged"),
+        round(when(col("n_float") > 0,
+          col("n_pq").cast("double") / col("n_float")).otherwise(0.0), 6)
+          .as("pq_agreement"),
+        round(when(col("n_float") > 0,
+          col("n_staged").cast("double") / col("n_float")).otherwise(0.0), 6)
+          .as("staged_agreement"))
+      .withColumn("alert",
+        col("n_float") === 0 || col("staged_agreement") < alertBelow)
+  }
+
+  /** Streaming compressed-face QC monitor — the operational face of
+    * the a11/a13 reports and the capstone's serving epilogue: per
+    * micro-batch of ARRIVING queries, raw-PQ and staged agreement@k
+    * vs the float probe over the persisted index, one epoch-keyed
+    * overwrite-committed snapshot row. What it watches for: appends
+    * register new vectors under FROZEN codebooks
+    * ([[Ivf.appendToIndex]] + `Pq.encodeRows`), so as the corpus
+    * drifts away from the fit distribution the reconstructions
+    * degrade and agreement falls — THE signal that the codebooks need
+    * an explicit refit, invisible to the recall monitor (which reads
+    * the float face) and to any point-in-time report.
+    *
+    * 100 TB shape: all three probes partition-prune to the sampled
+    * queries' cells, the staged re-rank reads only candidate rows off
+    * the pruned float face, and nothing corpus-sized shuffles — cost
+    * knob is `maxQueries`, independent of arrival rate.
+    */
+  def pqAgreementStream(queries: DataFrame, basePath: String,
+      outPath: String, checkpoint: String, idCol: String, vecCol: String,
+      k: Int = 10, kCand: Int = 50, maxQueries: Int = 32,
+      alertBelow: Double = 0.5): StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
+          maxQueries, alertBelow)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      }
+      .start()
 }

@@ -274,6 +274,89 @@ class VectorStreamsSpec extends SparkSpec {
       s"empty-truth epoch must alert, not read healthy: $broken")
   }
 
+  test("PQ agreement monitor: exhaustive staging reads 1.0; snapshot is replay-pure; idle/broken conventions hold") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vpq").toString
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.0).toFloat, math.cos(i * 1.0).toFloat,
+        math.sin(i * 0.7).toFloat, math.cos(i * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val index = graft.ops.Ivf.buildPersistent(corpus, s"$root/base",
+      "vec_id", "embedding", k = 2)
+    graft.ops.Pq.pqAssign(spark, s"$root/base", "vec_id", "embedding",
+      m = 2, ksub = 4)
+    val input = MemoryStream[VecEvent](spark)
+    // kCand = corpus size ⇒ stage 1's candidates cover every probed
+    // row, so the staged top-k EQUALS the float probe's — agreement
+    // exactly 1.0, structurally (the exact top-k of a superset of the
+    // float probe's scored rows is the float answer itself)
+    val q = VectorStreams.pqAgreementStream(input.toDF(), s"$root/base",
+      s"$root/out", s"$root/cp", "vec_id", "embedding",
+      k = 5, kCand = 60, alertBelow = 0.9)
+    try {
+      input.addData(VecEvent(0L, Seq(math.sin(0.0).toFloat,
+        math.cos(0.0).toFloat, math.sin(0.0).toFloat, math.cos(0.0).toFloat)),
+        VecEvent(17L, Seq(math.sin(17.0).toFloat, math.cos(17.0).toFloat,
+          math.sin(11.9).toFloat, math.cos(11.9).toFloat)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val e0 = spark.read.parquet(s"$root/out/epoch=0")
+      .select($"n_queries", $"n_float", $"n_pq", $"n_staged",
+        $"pq_agreement", $"staged_agreement", $"alert")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].head()
+    assert(e0._1 == 2L && e0._2 == 10L, s"2 queries × k=5 float rows: $e0")
+    assert(e0._6 == 1.0 && !e0._7,
+      s"exhaustive staging must reproduce the float probe exactly: $e0")
+    assert(e0._5 <= e0._6, s"staged must dominate raw ADC: $e0")
+    // replay purity: the committed row ≡ the snapshot recomputed
+    // off-stream from the same (batch, persisted artifacts)
+    val batch = Seq((0L, Seq(math.sin(0.0).toFloat, math.cos(0.0).toFloat,
+        math.sin(0.0).toFloat, math.cos(0.0).toFloat)),
+      (17L, Seq(math.sin(17.0).toFloat, math.cos(17.0).toFloat,
+        math.sin(11.9).toFloat, math.cos(11.9).toFloat)))
+      .toDF("vec_id", "embedding")
+    val replay = VectorStreams.pqAgreementSnapshot(batch, s"$root/base",
+      "vec_id", "embedding", k = 5, kCand = 60, maxQueries = 32,
+      alertBelow = 0.9)
+      .select($"n_queries", $"n_float", $"n_pq", $"n_staged",
+        $"pq_agreement", $"staged_agreement", $"alert")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].head()
+    assert(replay == e0, s"replay drifted: $replay vs $e0")
+    // a TIGHT stage (kCand = k) can only lose agreement, never gain —
+    // and its staged face still dominates its own raw face
+    val tight = VectorStreams.pqAgreementSnapshot(batch, s"$root/base",
+      "vec_id", "embedding", k = 5, kCand = 5, maxQueries = 32,
+      alertBelow = 0.9)
+      .select($"pq_agreement", $"staged_agreement")
+      .as[(Double, Double)].head()
+    assert(tight._2 <= e0._6 && tight._1 <= tight._2,
+      s"tight staging must sit between raw and exhaustive: $tight vs $e0")
+    // idle epoch: no queries → healthy by convention
+    val idle = VectorStreams.pqAgreementSnapshot(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      s"$root/base", "vec_id", "embedding", k = 5, kCand = 60,
+      maxQueries = 32, alertBelow = 0.9)
+      .select($"n_queries", $"pq_agreement", $"staged_agreement", $"alert")
+      .as[(Long, Double, Double, Boolean)].head()
+    assert(idle == ((0L, 1.0, 1.0, false)), s"idle snapshot drifted: $idle")
+    // queries against an EMPTY float face (mispointed/torn index) must
+    // read broken — 0.0 + alert — never the healthy idle convention
+    val root2 = java.nio.file.Files.createTempDirectory("graft-vpq2").toString
+    graft.ops.Ivf.buildPersistent(corpus, s"$root2/base",
+      "vec_id", "embedding", k = 2): Unit
+    graft.ops.Pq.pqAssign(spark, s"$root2/base", "vec_id", "embedding",
+      m = 2, ksub = 4)
+    spark.read.parquet(s"$root/base/assigned").limit(0)
+      .write.mode("overwrite").parquet(s"$root2/base/assigned")
+    val broken = VectorStreams.pqAgreementSnapshot(batch, s"$root2/base",
+      "vec_id", "embedding", k = 5, kCand = 60, maxQueries = 32,
+      alertBelow = 0.9)
+      .select($"n_float", $"pq_agreement", $"staged_agreement", $"alert")
+      .as[(Long, Double, Double, Boolean)].head()
+    assert(broken == ((0L, 0.0, 0.0, true)),
+      s"empty-float-face epoch must alert, not read healthy: $broken")
+    index.hashCode(): Unit
+  }
+
   test("cross-pair probe: index side partition-prunes and never shuffles") {
     val root = java.nio.file.Files.createTempDirectory("graft-vplan").toString
     buildBase(s"$root/base")
