@@ -584,22 +584,20 @@ object CurateMain {
     // the corpus the face serves.
     graft.ops.Pq.pqAssign(spark, ivfPath, "vec_id", "embedding",
       m = 4, ksub = 16)
-    val servIndex = Ivf.readIndex(spark, ivfPath)
-    val qSample = embeddings.orderBy($"vec_id").limit(16)
-    val flProbe = Staged(Ivf.topKBatch(servIndex, qSample,
-      "vec_id", "embedding", "vec_id", k = 10)
-      .select($"query_id", $"vec_id"))
-    val nFl = flProbe.count()
-    def agreeWith(ann: org.apache.spark.sql.DataFrame): Double = {
-      val hits = flProbe.join(ann.select($"query_id", $"vec_id"),
-        Seq("query_id", "vec_id"), "left_semi").count()
-      BigDecimal(hits.toDouble / math.max(1L, nFl))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val pqAgree = agreeWith(graft.ops.Pq.topKPqBatch(spark, ivfPath,
-      servIndex, qSample, "vec_id", "embedding", "vec_id", k = 10))
-    val stagedAgree = agreeWith(graft.ops.Pq.topKStagedBatch(spark, ivfPath,
-      servIndex, qSample, "vec_id", "embedding", "vec_id", k = 10, kCand = 50))
+    // ONE definition with the streaming monitor
+    // (VectorStreams.pqAgreementSnapshot): the capstone's gate and the
+    // continuous monitor compute the identical number, so a policy
+    // threshold tuned on one applies to the other. The snapshot also
+    // lands as monitor epoch 1 — the day-2 loop's fourth signal.
+    val servRow = graft.streaming.VectorStreams.pqAgreementSnapshot(
+      embeddings, ivfPath, "vec_id", "embedding",
+      k = 10, kCand = 50, maxQueries = 16, alertBelow = 0.5)
+      .localCheckpoint()
+    servRow.write.mode("overwrite")
+      .parquet(s"$workDir/monitor_pq_agreement/epoch=1")
+    val (pqAgree, stagedAgree) = servRow
+      .select($"pq_agreement", $"staged_agreement")
+      .as[(Double, Double)].head()
     Staged.releaseAll()
     IncrementalSummary(nIndexed, nBatch, nPassaged, nCross, nInternal,
       nKept, nVecs, probeHit, s"$workDir/day2_curated",
