@@ -423,6 +423,41 @@ object Ivf {
     * quantized vectors. `PartitionFilters` prune identically; the
     * bytes read per probed cell drop ~4×.
     */
+  /** Per-cell quantization-health profile of a persisted index — the
+    * table that decides WHEN to refit centroids (and with them the PQ
+    * codebooks): per cluster, the member count and the mean/max L2
+    * norm of the residual vec − centroid[cell]. Appends register under
+    * FROZEN centroids ([[appendToIndex]]), so as ingest drifts away
+    * from the fit distribution the residual norms grow — cell by cell,
+    * so a drifting SOURCE shows up in its cells before the corpus
+    * average moves. Reads next to the streaming pq-agreement monitor:
+    * that one says "the compressed face degraded", this one says
+    * WHERE and by how much in raw geometry.
+    *
+    * Scale shape: one scan of the cluster-partitioned float face, the
+    * residual a row-local codegen'd expression against the literal
+    * k×dim centroid matrix, then a k-key aggregation (map-side
+    * partials). The mean rides an exact decimal sum of per-row
+    * 1e-6-rounded norms — partition-order independent; max is
+    * order-free. Nothing corpus-sized shuffles.
+    */
+  def cellResidualProfile(spark: SparkSession, path: String,
+      vecCol: String, roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(spark)
+    val centroids = readIndex(spark, path).centroids
+    val res = GraftFunctions.centroidResidual(
+      col(vecCol).cast("array<double>"), col("cluster").cast("int"),
+      typedLit(centroids.flatten.toSeq))
+    spark.read.parquet(s"$path/assigned")
+      .select(col("cluster").cast("int").as("cluster"),
+        round(sqrt(GraftFunctions.dotProduct(res, res)), roundTo).as("__rn"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("__rn").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), roundTo).as("mean_res_norm"),
+        max(col("__rn")).as("max_res_norm"))
+  }
+
   def topKInt8(spark: SparkSession, path: String, query: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
       roundTo: Int = 6): DataFrame = {

@@ -347,21 +347,59 @@ object Pq {
       queries: DataFrame, qidCol: String, vecCol: String, idCol: String,
       k: Int, kCand: Int, nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
     require(kCand >= k, s"stage-1 candidate count $kCand must cover k=$k")
+    val (sc, qidOut) = stagedCandidates(spark, path, index, queries,
+      qidCol, vecCol, idCol, kCand, nprobe, roundTo)
+    Ivf.rankTopK(sc.select(col(qidOut), col(idCol), col("cos_sim")),
+      qidOut, idCol, k)
+  }
+
+  /** The staged pipeline's shared intermediate: per (query, candidate)
+    * — candidates = the per-query ADC top-`kCand` — both the stage-1
+    * ADC rank (`adc_rank`, the order PQ serving would cut at) and the
+    * stage-2 exact float cosine (`cos_sim`, read off the cluster-pruned
+    * float face). [[topKStagedBatch]] is one keyed window over it; a
+    * kCand TUNING SWEEP (a14) filters `adc_rank <= kc` per setting and
+    * re-ranks — nested candidate sets mean ONE ADC pass + ONE pruned
+    * float pass serve every cut, instead of re-running both stages per
+    * setting. Returns (frame, qid column name).
+    */
+  def stagedCandidates(spark: SparkSession, path: String, index: Ivf.Index,
+      queries: DataFrame, qidCol: String, vecCol: String, idCol: String,
+      kCand: Int, nprobe: Int = 4, roundTo: Int = 6)
+      : (DataFrame, String) = {
     GraftFunctions.register(spark)
     val (qdf, allCells, qidOut) =
       Ivf.batchProbe(index, queries, qidCol, vecCol, idCol, nprobe)
+    // adc_rank re-derives topKPqBatch's own ranking order (rounded ADC
+    // desc, id asc — the total order rankTopK cut the kCand list with)
     val cand = topKPqBatch(spark, path, index, queries, qidCol, vecCol,
-      idCol, kCand, nprobe, roundTo).select(col(qidOut), col(idCol))
+        idCol, kCand, nprobe, roundTo)
+      .select(col(qidOut), col(idCol), col("cos_sim").as("__adc"))
+      .withColumn("adc_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(qidOut))
+          .orderBy(col("__adc").desc, col(idCol))))
+      .drop("__adc")
     val qvecs = qdf.select(col(qidOut), col("query_vec")).distinct()
-    Ivf.rankTopK(
-      spark.read.parquet(s"$path/assigned")
-        .where(col("cluster").isInCollection(allCells))
-        .join(broadcast(cand), Seq(idCol))
-        .join(broadcast(qvecs), Seq(qidOut))
-        .select(col(qidOut), col(idCol),
-          round(Similarity.cosine(col(vecCol).cast("array<double>"),
-            col("query_vec")), roundTo).as("cos_sim")),
-      qidOut, idCol, k)
+    (spark.read.parquet(s"$path/assigned")
+      .where(col("cluster").isInCollection(allCells))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(qvecs), Seq(qidOut))
+      .select(col(qidOut), col(idCol), col("adc_rank"),
+        round(Similarity.cosine(col(vecCol).cast("array<double>"),
+          col("query_vec")), roundTo).as("cos_sim")),
+      qidOut)
+  }
+
+  /** Per-query staged top-`k` from a [[stagedCandidates]] frame cut at
+    * `adc_rank <= kCand` — the sweep's per-setting step: a filter +
+    * the shared keyed window, no re-probe of either face.
+    */
+  def topKFromCandidates(sc: DataFrame, qidOut: String, idCol: String,
+      k: Int, kCand: Int): DataFrame = {
+    require(kCand >= k, s"stage-1 candidate count $kCand must cover k=$k")
+    Ivf.rankTopK(sc.where(col("adc_rank") <= kCand)
+      .select(col(qidOut), col(idCol), col("cos_sim")), qidOut, idCol, k)
   }
 
   /** Batched multi-query probe over the residual-PQ face — a06's exact

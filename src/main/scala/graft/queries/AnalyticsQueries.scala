@@ -770,11 +770,13 @@ object AnalyticsQueries {
     // per kCand over the same query sample against ONE brute-force
     // truth pass. Stage-2 bytes grow linearly in kCand (256·kCand
     // float bytes per query) while stage-1 bytes are constant, so the
-    // curve's knee IS the serving configuration decision. The ADC
-    // ranking is computed once per query batch and cut at each kCand —
-    // candidate sets nest, so recall is monotone in kCand by
-    // construction (the spec-free structural read; the oracle replays
-    // every cut).
+    // curve's knee IS the serving configuration decision. Candidate
+    // sets NEST, so the whole sweep runs off ONE staged-candidate
+    // frame (Pq.stagedCandidates at the largest kCand: one ADC pass +
+    // one pruned float pass, carrying adc_rank + exact cosine per
+    // pair) — each setting is a filter `adc_rank <= kc` + keyed-window
+    // re-rank, never a re-probe; recall is monotone in kCand by
+    // construction and the oracle replays every cut.
     GraftQuery(
       "a14_staged_kcand_sweep",
       (s, dir) => {
@@ -789,9 +791,12 @@ object AnalyticsQueries {
           graft.ops.Similarity.bruteForceTopKBatch(e, queries,
             "vec_id", "embedding", "vec_id", k = 10)
             .select($"query_id", $"vec_id"))
+        val (sc0, qidOut) = graft.ops.Pq.stagedCandidates(s, path, index,
+          queries, "vec_id", "embedding", "vec_id", kCand = 100)
+        val sc = graft.ops.Staged(sc0)
         Seq(10, 25, 50, 100).map { kc =>
-          val staged = graft.ops.Pq.topKStagedBatch(s, path, index, queries,
-            "vec_id", "embedding", "vec_id", k = 10, kCand = kc)
+          val staged = graft.ops.Pq.topKFromCandidates(
+            sc, qidOut, "vec_id", k = 10, kCand = kc)
           bf.join(staged.select($"query_id", $"vec_id")
               .withColumn("__hit", lit(1)),
               Seq("query_id", "vec_id"), "left")
@@ -869,6 +874,46 @@ object AnalyticsQueries {
         GROUP BY kc.k_cand"""),
       notes = "a08's sweep discipline on the staging knob: one ADC rank per " +
         "query, cut at each kCand, each cut exactly re-ranked; candidate " +
-        "sets nest so recall is monotone in kCand")
+        "sets nest so recall is monotone in kCand"),
+
+    // ---- per-cell quantization health: member count + mean/max
+    // residual norm (‖vec − centroid[cell]‖) per cluster of the
+    // persisted index — the WHEN-to-refit table. Appends register
+    // under FROZEN centroids, so drifting ingest inflates residual
+    // norms cell by cell long before any corpus average moves; reads
+    // next to the pq-agreement monitor (that one says the compressed
+    // face degraded, this one says WHERE, in raw geometry). One pruned
+    // -layout scan + row-local codegen'd residual against the literal
+    // centroid matrix + k-key agg; the mean rides an exact decimal sum
+    // of 1e-6-rounded norms, the per-row square-sum folds left in
+    // fixed dim order on BOTH engines (no bare float sum()).
+    GraftQuery(
+      "a15_cell_residual_health",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        Ivf.buildPersistentCached(e, path, "vec_id", "embedding", k = 16): Unit
+        Ivf.cellResidualProfile(s, path, "embedding")
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        a AS (SELECT embedding, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        rn AS (SELECT a.cluster,
+            round(sqrt(list_reduce(
+              list_transform(range(1, len(c.centroid) + 1),
+                i -> pow(CAST(a.embedding[i] AS DOUBLE) - c.centroid[i], 2)),
+              (x, y) -> x + y)), 6) AS r
+          FROM a JOIN cents c ON c.cluster = a.cluster)
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+          round(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+            AS mean_res_norm,
+          max(r) AS max_res_norm
+        FROM rn GROUP BY cluster"""),
+      notes = "oracle replays the residual arithmetic from the dumped " +
+        "centroids + assigned face; square-sum is an ordered left fold " +
+        "on both sides, mean an exact decimal sum of rounded norms")
   )
 }
