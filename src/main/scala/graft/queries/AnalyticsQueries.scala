@@ -664,10 +664,16 @@ object AnalyticsQueries {
               round($"n_hit".cast("double") / $"n_bf", 6).as("recall"))
         val fl = Ivf.topKBatch(index, queries,
           "vec_id", "embedding", "vec_id", k = 10)
-        val pq = graft.ops.Pq.topKPqBatch(s, path, index, queries,
-          "vec_id", "embedding", "vec_id", k = 10)
-        val staged = graft.ops.Pq.topKStagedBatch(s, path, index, queries,
-          "vec_id", "embedding", "vec_id", k = 10, kCand = 50)
+        // pq_raw and staged share ONE candidate frame (a14's plan):
+        // the raw face is the adc_rank <= 10 cut, staged the exact
+        // re-rank of all 50 — one ADC pass + one pruned float pass
+        val (sc0, qidOut) = graft.ops.Pq.stagedCandidates(s, path, index,
+          queries, "vec_id", "embedding", "vec_id", kCand = 50)
+        val sc = graft.ops.Staged(sc0)
+        val pq = sc.where($"adc_rank" <= 10)
+          .select(col(qidOut), $"vec_id")
+        val staged = graft.ops.Pq.topKFromCandidates(
+          sc, qidOut, "vec_id", k = 10, kCand = 50)
         Seq(("float", fl), ("pq_raw", pq), ("staged", staged))
           .map { case (n, a) => recallOf(n, a) }
           .reduce(_ unionByName _)

@@ -327,12 +327,15 @@ object VectorStreams {
     val index = Ivf.readIndex(spark, basePath)
     val fl = Ivf.topKBatch(index, q, idCol, vecCol, idCol, k)
       .select(col("query_id"), col(idCol))
-    val pq = graft.ops.Pq.topKPqBatch(spark, basePath, index, q,
-        idCol, vecCol, idCol, k)
-      .select(col("query_id"), col(idCol))
-    val st = graft.ops.Pq.topKStagedBatch(spark, basePath, index, q,
-        idCol, vecCol, idCol, k, kCand)
-      .select(col("query_id"), col(idCol))
+    // raw and staged faces off ONE candidate frame (a13/a14's plan):
+    // the raw face is the adc_rank <= k cut of the same kCand frame
+    val (sc0, qidOut) = graft.ops.Pq.stagedCandidates(spark, basePath,
+      index, q, idCol, vecCol, idCol, kCand)
+    val sc = Staged(sc0)
+    val pq = sc.where(col("adc_rank") <= k)
+      .select(col(qidOut).as("query_id"), col(idCol))
+    val st = graft.ops.Pq.topKFromCandidates(sc, qidOut, idCol, k, kCand)
+      .select(col(qidOut).as("query_id"), col(idCol))
     fl.join(pq.withColumn("__p", lit(1)), Seq("query_id", idCol), "left")
       .join(st.withColumn("__s", lit(1)), Seq("query_id", idCol), "left")
       .agg(count(lit(1)).as("n_float"), count(col("__p")).as("n_pq"),
