@@ -362,14 +362,15 @@ object CurateMain {
       survivors: Long, appendedVecs: Long, probeHit: Boolean, out: String,
       novelty: Double = -1.0, oovRate: Double = -1.0,
       annRecall: Double = -1.0, monitorAlerts: Long = -1L,
-      pqAgreement: Double = -1.0, stagedAgreement: Double = -1.0) {
+      pqAgreement: Double = -1.0, stagedAgreement: Double = -1.0,
+      fertility: Double = -1.0) {
     def json: String =
       s"""{"incremental":{"indexed":$indexed,"batch":$batch,""" +
         s""""passage_kept":$passageKept,""" +
         s""""cross_pairs":$crossPairs,"internal_pairs":$internalPairs,""" +
         s""""survivors":$survivors,"appended_vecs":$appendedVecs,""" +
         s""""probe_hit":$probeHit},"monitors":{"novelty":$novelty,""" +
-        s""""oov_rate":$oovRate,"ann_recall":$annRecall,""" +
+        s""""oov_rate":$oovRate,"ann_recall":$annRecall,"fertility":$fertility,""" +
         s""""alerts":$monitorAlerts},"serving":{"pq_agreement":$pqAgreement,""" +
         s""""staged_agreement":$stagedAgreement},"out":"$out"}"""
   }
@@ -556,6 +557,23 @@ object CurateMain {
     oovRow.write.mode("overwrite").parquet(s"$workDir/monitor_oov/epoch=1")
     val oov = spark.read.parquet(s"$workDir/monitor_oov/epoch=1")
       .select($"oov_rate", $"alert").as[(Double, Boolean)].head()
+    // subword fertility of the batch vs the day-1 COMMITTED tokenizer
+    // (the fitCached artifact — merges/ + words/ under its
+    // param-complete marker; fitCached itself is the idempotence
+    // gate, so this is one fit ever per workDir): a drifted crawl
+    // shreds to near-characters long before word-OOV saturates —
+    // the context-window-slots alarm, priced by the same merge list
+    // x72/x74/x77 serve
+    val bpePath = s"$workDir/bpe"
+    Bpe.fitCached(corpus, "text", nMerges = 16, bpePath,
+      corpusTag = "day1"): Unit
+    val fertRow = graft.streaming.Streams.fertilitySnapshot(
+      batch.select($"doc_id", $"text"), s"$bpePath/merges",
+      "doc_id", "text", alertAbove = 4.0)
+    fertRow.write.mode("overwrite")
+      .parquet(s"$workDir/monitor_fertility/epoch=1")
+    val fert = spark.read.parquet(s"$workDir/monitor_fertility/epoch=1")
+      .select($"fertility", $"alert").as[(Double, Boolean)].head()
     // recall of the (appended) index vs brute-force truth over the
     // RE-LISTED corpus — corpus ∪ day-2 appends, written fresh each
     // run (pure function of its inputs)
@@ -568,7 +586,8 @@ object CurateMain {
     recRow.write.mode("overwrite").parquet(s"$workDir/monitor_recall/epoch=1")
     val rec = spark.read.parquet(s"$workDir/monitor_recall/epoch=1")
       .select($"recall", $"alert").as[(Double, Boolean)].head()
-    val alerts = Seq(novRow._2, oov._2, rec._2).count(identity).toLong
+    val alerts = Seq(novRow._2, oov._2, rec._2, fert._2)
+      .count(identity).toLong
     // ---- serving epilogue: build the residual-PQ face over THIS
     // corpus's (appended) IVF index and QC-gate it before anything
     // serves the 64×-smaller face — the capstone's final artifact.
@@ -603,6 +622,6 @@ object CurateMain {
       nKept, nVecs, probeHit, s"$workDir/day2_curated",
       novelty = novRow._1, oovRate = oov._1, annRecall = rec._1,
       monitorAlerts = alerts, pqAgreement = pqAgree,
-      stagedAgreement = stagedAgree)
+      stagedAgreement = stagedAgree, fertility = fert._1)
   }
 }

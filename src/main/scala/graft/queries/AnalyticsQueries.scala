@@ -910,7 +910,8 @@ object AnalyticsQueries {
         rn AS (SELECT a.cluster,
             round(sqrt(list_reduce(
               list_transform(range(1, len(c.centroid) + 1),
-                i -> pow(CAST(a.embedding[i] AS DOUBLE) - c.centroid[i], 2)),
+                i -> (CAST(a.embedding[i] AS DOUBLE) - c.centroid[i])
+                     * (CAST(a.embedding[i] AS DOUBLE) - c.centroid[i])),
               (x, y) -> x + y)), 6) AS r
           FROM a JOIN cents c ON c.cluster = a.cluster)
         SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,

@@ -231,9 +231,10 @@ class CurateMainSpec extends SparkSpec {
     // floor, in-distribution API text keeps OOV low, and the appended
     // index answers at its measured recall — zero alerts on a healthy
     // day-2.
-    assert((s.novelty, s.oovRate, s.annRecall, s.monitorAlerts)
-      == ((0.108981, 0.087267, 0.7125, 0L)),
-      s"day-2 monitor snapshot drifted: ${(s.novelty, s.oovRate, s.annRecall, s.monitorAlerts)}")
+    assert((s.novelty, s.oovRate, s.annRecall, s.fertility, s.monitorAlerts)
+      == ((0.108981, 0.087267, 0.7125, 3.378042, 0L)),
+      s"day-2 monitor snapshot drifted: " +
+        s"${(s.novelty, s.oovRate, s.annRecall, s.fertility, s.monitorAlerts)}")
     // the serving epilogue's QC gate (r15): the residual-PQ face built
     // over the appended index, judged by the a11/a13 methodology at
     // shared probe cells. NOT pinned to exact values: the sub-quantizer
