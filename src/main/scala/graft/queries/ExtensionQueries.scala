@@ -2717,7 +2717,44 @@ object ExtensionQueries {
         GROUP BY cfg.bands, cfg.rows_per_band, tn.n"""),
       notes = "truth = exact inverted-index pairwise jaccard (same verify " +
         "metric as the subject); per-config banded tables dumped as data, " +
-        "oracle replays candidate join + verify + recall")
+        "oracle replays candidate join + verify + recall"),
+
+    // ---- shard balance report — the loader-facing health table for
+    // the x36 export rule: docs AND bytes (char mass) per md5 shard,
+    // with each shard's deviation from the uniform share. A skewed
+    // shard skews training step time (loaders consume shards in
+    // lockstep), so this is the table read BEFORE committing an
+    // export's shard count; the md5 rule makes balance a property of
+    // the id distribution, checkable WITHOUT writing the export. One
+    // row-local shard projection + one nShards-key agg; the uniform
+    // share rides a driver count (one bounded aggregate).
+    GraftQuery(
+      "x83_shard_balance",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val nShards = 8
+        val total = docs.count()
+        docs.select(
+            graft.ops.Sharding.shardId($"doc_id", nShards).as("shard"),
+            length($"text").cast("long").as("__chars"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"__chars").as("n_chars"))
+          .select($"shard", $"n_docs", $"n_chars",
+            round($"n_docs".cast("double") /
+              (lit(total).cast("double") / nShards), 6).as("load_factor"))
+      },
+      Some("""WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        sh AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS shard,
+            CAST(length(text) AS BIGINT) AS chars
+          FROM documents)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(chars) AS BIGINT) AS n_chars,
+          round(CAST(count(*) AS DOUBLE) / (t.n / 8), 6) AS load_factor
+        FROM sh CROSS JOIN t GROUP BY shard, t.n"""),
+      notes = "x36's md5 shard rule replayed (first 8 hex chars mod " +
+        "nShards); load_factor = n_docs / uniform share")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features
