@@ -565,8 +565,12 @@ object CurateMain {
     // the context-window-slots alarm, priced by the same merge list
     // x72/x74/x77 serve
     val bpePath = s"$workDir/bpe"
+    // corpusTag = the fit corpus's file fingerprint (fitCached's
+    // contract): a regenerated sfDir under a reused workDir must
+    // invalidate the artifact, not serve a stale tokenizer
     Bpe.fitCached(corpus, "text", nMerges = 16, bpePath,
-      corpusTag = "day1"): Unit
+      corpusTag = graft.queries.OracleDump
+        .tableFingerprint(sfDir, "documents")): Unit
     val fertRow = graft.streaming.Streams.fertilitySnapshot(
       batch.select($"doc_id", $"text"), s"$bpePath/merges",
       "doc_id", "text", alertAbove = 4.0)
@@ -586,8 +590,6 @@ object CurateMain {
     recRow.write.mode("overwrite").parquet(s"$workDir/monitor_recall/epoch=1")
     val rec = spark.read.parquet(s"$workDir/monitor_recall/epoch=1")
       .select($"recall", $"alert").as[(Double, Boolean)].head()
-    val alerts = Seq(novRow._2, oov._2, rec._2, fert._2)
-      .count(identity).toLong
     // ---- serving epilogue: build the residual-PQ face over THIS
     // corpus's (appended) IVF index and QC-gate it before anything
     // serves the 64×-smaller face — the capstone's final artifact.
@@ -614,9 +616,14 @@ object CurateMain {
       .localCheckpoint()
     servRow.write.mode("overwrite")
       .parquet(s"$workDir/monitor_pq_agreement/epoch=1")
-    val (pqAgree, stagedAgree) = servRow
-      .select($"pq_agreement", $"staged_agreement")
-      .as[(Double, Double)].head()
+    val (pqAgree, stagedAgree, servAlert) = servRow
+      .select($"pq_agreement", $"staged_agreement", $"alert")
+      .as[(Double, Double, Boolean)].head()
+    // the alert count covers ALL five day-2 signals — a failed serving
+    // gate must surface in the summary's alerts, not only in the
+    // monitor_pq_agreement epoch row
+    val alerts = Seq(novRow._2, oov._2, rec._2, fert._2, servAlert)
+      .count(identity).toLong
     Staged.releaseAll()
     IncrementalSummary(nIndexed, nBatch, nPassaged, nCross, nInternal,
       nKept, nVecs, probeHit, s"$workDir/day2_curated",

@@ -272,6 +272,17 @@ object Pq {
     val centroids = Ivf.readIndex(spark, path).centroids
     val qvec = Ivf.queryVecOf(query, vecCol)
     val probes = Ivf.probeCells(centroids, qvec, nprobe)
+    topKPqWith(spark, path, centroids, qvec, probes, idCol, k, roundTo)
+  }
+
+  /** [[topKPq]]'s core with the probe artifacts precomputed — so a
+    * staged pipeline that already read the index and ranked the probes
+    * ([[topKStaged]]) never pays a second centroid read or probe
+    * computation for identical results.
+    */
+  private def topKPqWith(spark: SparkSession, path: String,
+      centroids: Array[Array[Double]], qvec: Array[Double],
+      probes: Seq[Int], idCol: String, k: Int, roundTo: Int): DataFrame = {
     val model = readCodebooks(spark, path)
     val qnorm = math.sqrt(qvec.map(x => x * x).sum)
     require(qnorm > 0, "zero-norm query has no cosine neighbors")
@@ -318,8 +329,9 @@ object Pq {
     val centroids = Ivf.readIndex(spark, path).centroids
     val qvec = Ivf.queryVecOf(query, vecCol)
     val probes = Ivf.probeCells(centroids, qvec, nprobe)
-    val cand = topKPq(spark, path, query, idCol, vecCol, kCand, nprobe,
-      roundTo).select(col(idCol))
+    // one index read + one probe computation serve BOTH stages
+    val cand = topKPqWith(spark, path, centroids, qvec, probes, idCol,
+      kCand, roundTo).select(col(idCol))
     spark.read.parquet(s"$path/assigned")
       .where(col("cluster").isInCollection(probes))
       .join(broadcast(cand), Seq(idCol), "left_semi")
@@ -371,9 +383,10 @@ object Pq {
     val (qdf, allCells, qidOut) =
       Ivf.batchProbe(index, queries, qidCol, vecCol, idCol, nprobe)
     // adc_rank re-derives topKPqBatch's own ranking order (rounded ADC
-    // desc, id asc — the total order rankTopK cut the kCand list with)
-    val cand = topKPqBatch(spark, path, index, queries, qidCol, vecCol,
-        idCol, kCand, nprobe, roundTo)
+    // desc, id asc — the total order rankTopK cut the kCand list with);
+    // the ONE batchProbe above serves stage 1 and stage 2 both
+    val cand = topKPqBatchWith(spark, path, index, qdf, allCells, qidOut,
+        idCol, kCand, roundTo)
       .select(col(qidOut), col(idCol), col("cos_sim").as("__adc"))
       .withColumn("adc_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -419,6 +432,18 @@ object Pq {
     GraftFunctions.register(spark)
     val (qdf, allCells, qidOut) =
       Ivf.batchProbe(index, queries, qidCol, vecCol, idCol, nprobe)
+    topKPqBatchWith(spark, path, index, qdf, allCells, qidOut, idCol,
+      k, roundTo)
+  }
+
+  /** [[topKPqBatch]]'s core with the batch probe precomputed — shared
+    * with [[stagedCandidates]] so a staged pipeline runs
+    * [[Ivf.batchProbe]] (a driver collect of the query frame + per-
+    * query probe ranking) exactly once.
+    */
+  private def topKPqBatchWith(spark: SparkSession, path: String,
+      index: Ivf.Index, qdf: DataFrame, allCells: Seq[Int],
+      qidOut: String, idCol: String, k: Int, roundTo: Int): DataFrame = {
     val model = readCodebooks(spark, path)
     val centroids = index.centroids
     // extend the (query, cell) broadcast rows with the per-query ADC

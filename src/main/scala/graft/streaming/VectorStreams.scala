@@ -380,6 +380,10 @@ object VectorStreams {
         pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
           maxQueries, alertBelow)
           .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        // the snapshot stages its candidate frame; a continuous monitor
+        // must not pin one persisted plan per epoch forever (the
+        // fertility monitor's discipline)
+        Staged.release()
       }
       .start()
 }
