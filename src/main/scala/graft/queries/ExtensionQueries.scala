@@ -2754,7 +2754,62 @@ object ExtensionQueries {
           round(CAST(count(*) AS DOUBLE) / (t.n / 8), 6) AS load_factor
         FROM sh CROSS JOIN t GROUP BY shard, t.n"""),
       notes = "x36's md5 shard rule replayed (first 8 hex chars mod " +
-        "nShards); load_factor = n_docs / uniform share")
+        "nShards); load_factor = n_docs / uniform share"),
+
+    // ---- per-source duplication rate — the acquisition table behind
+    // the dedup stage: for each source, how much of it the near-dup
+    // pass SUPPRESSES (keep-reps rule: a doc dies iff it is in a
+    // cluster and not the min-id representative — exactly the
+    // capstone's stage-5 rule). A source paying a high dup rate is
+    // re-crawling content the corpus already holds — the renew/cut
+    // signal x69 (novelty) reads from the content side, here read from
+    // the dedup verdicts themselves. Composes the verified LSH + CC
+    // path; the suppressed set is cluster-sized (small), broadcast
+    // back onto the corpus; the agg key space is #sources.
+    GraftQuery(
+      "x84_source_dup_rate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val pairs = graft.ops.Dedup.minHashLsh(docs, "doc_id", "text",
+          threshold = 0.8)
+        val clusters = graft.ops.Dedup.connectedComponents(pairs)
+        docs.select($"doc_id", $"source")
+          .join(broadcast(clusters.where($"doc_id" =!= $"cluster_rep")
+            .select($"doc_id", lit(1).as("__supp"))), Seq("doc_id"), "left")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            count($"__supp").as("n_suppressed"),
+            round(count($"__supp").cast("double") / count(lit(1)), 6)
+              .as("dup_rate"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s FROM toks),
+          nz AS (SELECT * FROM sh WHERE len(s) > 0),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT DISTINCT u AS id FROM edges),
+          reach AS (
+            WITH RECURSIVE r(id, lab) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.v, r.lab FROM r JOIN edges e ON e.u = r.id
+            ) SELECT * FROM r),
+          supp AS (SELECT id AS doc_id FROM reach GROUP BY id
+            HAVING CAST(min(lab) AS BIGINT) <> id)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(sp.doc_id) AS BIGINT) AS n_suppressed,
+          round(CAST(count(sp.doc_id) AS DOUBLE) / count(*), 6) AS dup_rate
+        FROM documents d LEFT JOIN supp sp USING (doc_id)
+        GROUP BY d.source"""),
+      notes = "x20's recursive-CTE closure + the keep-reps rule, sliced " +
+        "per source; suppressed ⊂ clustered docs, so the slice is exact")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features
