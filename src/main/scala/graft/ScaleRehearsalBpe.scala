@@ -38,6 +38,7 @@ import graft.sources.Tables
 object ScaleRehearsalBpe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("nmerges")) { runMergeCurve(args.drop(1)); return }
+    if (args.headOption.contains("local")) { runLocalCurve(args.drop(1)); return }
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 5, 10)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -118,6 +119,54 @@ object ScaleRehearsalBpe {
       Staged.releaseAll()
       println(f"""{"nmerges":$n,"merges_done":$done,"fit_sec":$sec%.2f,""" +
         f""""per_merge_sec":${sec / math.max(1, done)}%.4f}""")
+    }
+    spark.stop()
+  }
+
+  /** The round-16 answer to the nMerges bill: the same merge counts
+    * (and the 32k production count) under [[Bpe.fitLocal]] — the
+    * driver-local loop over the bounded word table. Correctness face:
+    * the local fit's merge sequence is REQUIREd identical to the
+    * distributed fit's at the smallest count (the BpeSpec identity,
+    * re-proven at rehearsal scale). What must hold: total seconds, not
+    * hours — the per-merge cost is incremental-update work over
+    * affected words, not a scheduled Spark job.
+    *
+    * Usage: runMain graft.ScaleRehearsalBpe local [counts...]
+    * (default 256 4096 32768).
+    */
+  private def runLocalCurve(args: Array[String]): Unit = {
+    val counts = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(256, 4096, 32768)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .appName("graft-scale-bpe-local")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val corpus = Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        concat($"text", lit(" w"), md5($"doc_id".cast("string"))).as("text"))
+    // the scale-level identity check (the spec's differential, on the
+    // rehearsal corpus): distributed and local agree merge-for-merge
+    val dist = Bpe.fit(corpus, "text", nMerges = 64).merges
+    Staged.releaseAll()
+    val loc = Bpe.fitLocal(corpus, "text", nMerges = 64).merges
+    require(loc == dist,
+      s"local fit drifted from distributed at 64 merges: $loc != $dist")
+    val vocab = Bpe.wordFreqs(corpus, "text").count()
+    counts.foreach { n =>
+      val t0 = System.nanoTime()
+      val f = Bpe.fitLocal(corpus, "text", nMerges = n)
+      val done = f.merges.size
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"mode":"local","vocab":$vocab,"nmerges":$n,""" +
+        f""""merges_done":$done,"fit_sec":$sec%.2f,""" +
+        f""""per_merge_ms":${sec * 1000 / math.max(1, done)}%.3f}""")
     }
     spark.stop()
   }

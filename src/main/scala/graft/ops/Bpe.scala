@@ -100,18 +100,39 @@ object Bpe {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** THE one corpus pass shared by every fit path: distinct words +
+    * exact frequencies. Everything downstream is vocabulary-sized.
+    */
+  private[graft] def wordFreqs(df: DataFrame, textCol: String)
+      : Dataset[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+  }
+
   def fit(df: DataFrame, textCol: String, nMerges: Int): Fit = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = df.sparkSession
     import spark.implicits._
-    // THE one corpus pass: distinct words + frequencies, seeded with
-    // single-character symbols
-    var words: Dataset[(String, Seq[String], Long)] = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("f"))
-      .as[(String, Long)]
+    // seed the word table with single-character symbols
+    val seed: Dataset[(String, Seq[String], Long)] =
+      wordFreqs(df, textCol)
       .map { case (w, f) => (w, w.map(_.toString): Seq[String], f) }
       .localCheckpoint()
+    fitLoop(seed, nMerges)
+  }
+
+  /** The distributed merge loop over a seeded (word, syms, freq)
+    * generation — one Spark job per merge; [[fit]] and [[fitAuto]]'s
+    * fallback both land here.
+    */
+  private def fitLoop(seed: Dataset[(String, Seq[String], Long)],
+      nMerges: Int): Fit = {
+    val spark = seed.sparkSession
+    import spark.implicits._
+    var words = seed
     var prevRdds = checkpointRdds(words)
     val merges = Seq.newBuilder[Merge]
     var step = 0
@@ -149,6 +170,175 @@ object Bpe {
     Fit(merges.result(), words)
   }
 
+  /** Default driver-side vocabulary bound for [[fitLocal]]/[[fitAuto]]:
+    * 2^20 distinct words ≈ tens of MB of driver state — the same class
+    * of bounded collect as the PQ codebook fit. Web-scale tokenizer
+    * fits already frequency-floor/sample the word table to this order
+    * (a tokenizer is a property of the distribution, not the corpus),
+    * so the bound is a policy statement, not a capability limit; an
+    * unboundable vocabulary takes the distributed path.
+    */
+  val DefaultMaxLocalVocab: Int = 1 << 20
+
+  /** Unsigned-UTF-8-byte string order — EXACTLY the order Spark's
+    * `orderBy` puts on a string column (UTF8String compares bytes
+    * unsigned), so the local argmax tie-break cannot drift from the
+    * distributed one even off ASCII.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The sequential Sennrich merge loop over a DRIVER-HELD word table —
+    * the identical recipe as [[fit]]'s per-iteration Spark jobs
+    * (adjacent-pair counts weighted by word frequency, argmax with the
+    * (count desc, left asc, right asc) total-order tie-break, leftmost-
+    * first merge application), so the fitted merge SEQUENCE is exactly
+    * the distributed fit's (BpeSpec pins the identity; exact integer
+    * counts + a total order make it provable, not probabilistic).
+    *
+    * Cost shape — why this collapses the 32k-merge bill: pair counts
+    * update INCREMENTALLY (only words containing the merged pair are
+    * re-counted, via a pair → affected-words index), so a merge costs
+    * O(affected symbols), not O(vocabulary); the per-merge argmax scans
+    * the live pair table. The distributed fit schedules one Spark job
+    * per merge (~0.3 s of driver-sequenced latency each — SCALE.md's
+    * measured constant, a ~2.2 h bill at 32k merges); here the same
+    * 32k merges are pure driver compute over the bounded table,
+    * seconds-to-minutes total.
+    */
+  private[graft] def fitWords(table: Array[(String, Long)], nMerges: Int)
+      : (Seq[Merge], Array[(String, Seq[String], Long)]) = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val syms = table.map { case (w, _) => w.map(_.toString).toArray }
+    val freqs = table.map(_._2)
+    // stats: live adjacent-pair counts (overlap-inclusive, matching the
+    // distributed zip(drop(1)) count); index: pair -> words holding it
+    val stats = new java.util.HashMap[(String, String), Long]()
+    val index =
+      new java.util.HashMap[(String, String), java.util.HashSet[Int]]()
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val n = stats.getOrDefault(p, 0L) + sign * freqs(i)
+        if (n == 0L) stats.remove(p) else stats.put(p, n)
+        if (sign > 0)
+          index.computeIfAbsent(p, _ => new java.util.HashSet[Int]()).add(i)
+        j += 1
+      }
+      // stale index entries (words that no longer hold a pair) are
+      // dropped lazily when the pair is merged — cheaper than eager
+      // removal and harmless: a stale word contributes zero occurrences
+    }
+    var i = 0
+    while (i < syms.length) { addWord(i, 1L); i += 1 }
+    val merges = Seq.newBuilder[Merge]
+    var step = 0
+    while (step < nMerges && !stats.isEmpty) {
+      // argmax under the distributed total order
+      var bestP: (String, String) = null
+      var bestN = Long.MinValue
+      val it = stats.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val better = e.getValue > bestN ||
+          (e.getValue == bestN && (utf8Lt(e.getKey._1, bestP._1) ||
+            (e.getKey._1 == bestP._1 && utf8Lt(e.getKey._2, bestP._2))))
+        if (better) { bestP = e.getKey; bestN = e.getValue }
+      }
+      merges += Merge(step, bestP._1, bestP._2, bestN)
+      val holders = index.remove(bestP)
+      if (holders != null) {
+        val hit = holders.iterator()
+        while (hit.hasNext) {
+          val w = hit.next()
+          val before = syms(w)
+          // re-count exactly like one distributed iteration: remove the
+          // word's old adjacent pairs, apply the merge, add the new ones
+          var j = 0
+          var holds = false
+          while (!holds && j + 1 < before.length) {
+            holds = before(j) == bestP._1 && before(j + 1) == bestP._2
+            j += 1
+          }
+          if (holds) {
+            addWord(w, -1L)
+            syms(w) = mergePair(before.toSeq, bestP._1, bestP._2).toArray
+            addWord(w, 1L)
+          }
+        }
+      }
+      stats.remove(bestP) // merged away; defensive (addWord removed it)
+      step += 1
+    }
+    (merges.result(),
+      table.indices.map(j => (table(j)._1, syms(j).toSeq, freqs(j))).toArray)
+  }
+
+  /** [[fit]] with the merge loop run DRIVER-SIDE over the collected
+    * word-frequency table — identical merge sequence and symbolization
+    * (spec-pinned), at none of the one-Spark-job-per-merge latency.
+    * The collect is bounded: at most `maxVocab + 1` rows ever reach the
+    * driver (a `limit`, not a full collect), and a vocabulary over the
+    * bound fails loudly — callers with unboundable vocabularies use
+    * [[fit]] (or [[fitAuto]], which falls back automatically).
+    */
+  def fitLocal(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = DefaultMaxLocalVocab): Fit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = wordFreqs(df, textCol).limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab distinct words — use fit() " +
+        "(distributed merge loop) or raise the bound")
+    val (merges, words) = fitWords(rows, nMerges)
+    Fit(merges, spark.createDataset(words.toSeq))
+  }
+
+  /** Vocabulary-adaptive fit: ONE corpus pass computes the word table;
+    * if it fits the driver bound the merge loop runs locally
+    * ([[fitWords]] — seconds at 32k merges), else the distributed
+    * per-merge jobs take over from the SAME checkpointed table (no
+    * second corpus scan). Both paths produce the identical artifact.
+    */
+  def fitAuto(df: DataFrame, textCol: String, nMerges: Int,
+      maxLocalVocab: Int = DefaultMaxLocalVocab): Fit = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = wordFreqs(df, textCol).localCheckpoint()
+    val wfRdds = checkpointRdds(wf)
+    val rows = wf.limit(maxLocalVocab + 1).collect()
+    if (rows.length <= maxLocalVocab) {
+      wfRdds.foreach(rdd =>
+        try rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () })
+      val (merges, words) = fitWords(rows, nMerges)
+      Fit(merges, spark.createDataset(words.toSeq))
+    } else {
+      // unboundable vocabulary: distributed merge loop, seeded from the
+      // already-computed word table
+      var words: Dataset[(String, Seq[String], Long)] = wf
+        .map { case (w, f) => (w, w.map(_.toString): Seq[String], f) }
+        .localCheckpoint()
+      wfRdds.foreach(rdd =>
+        try rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () })
+      fitLoop(words, nMerges)
+    }
+  }
+
   /** [[fit]] persisted as a BUILD-ONCE artifact — the real tokenizer
     * lifecycle: a pipeline fits ONCE and every consumer (per-doc
     * tokenization, fertility slices, packing, streaming monitors)
@@ -164,23 +354,40 @@ object Bpe {
     * nMerges plus the caller's `corpusTag` (a fingerprint of the fit
     * corpus — a regenerated corpus must invalidate the artifact, or
     * both engines would replay the same STALE symbolization and
-    * hash-agree on wrong data). A marker mismatch deletes every stale
-    * marker and rebuilds both tables — unlike the PQ face there is no
-    * mixed-state hazard to fail loudly over, because the artifact is
-    * rewritten whole (mode overwrite) and nothing appends to it.
+    * hash-agree on wrong data; the tag is REQUIRED non-empty for
+    * exactly that reason — an untagged marker would be param-complete
+    * for textCol/nMerges but blind to the corpus itself). A marker
+    * mismatch deletes every stale marker and rebuilds both tables —
+    * unlike the PQ face there is no mixed-state hazard to fail loudly
+    * over, because the artifact is rewritten whole (mode overwrite)
+    * and nothing appends to it.
+    *
+    * SINGLE-WRITER assumption (shared with [[Ivf.buildPersistent]] /
+    * `Pq.pqAssign`): the check-delete-fit-write-mark sequence is not
+    * safe against two concurrent drivers sharing one artifact path —
+    * both can miss the marker and interleave overwrites with the
+    * other's [[readFit]]. One pipeline owns an artifact directory;
+    * concurrent READERS of a committed artifact are fine.
     */
   def fitCached(df: DataFrame, textCol: String, nMerges: Int, path: String,
-      corpusTag: String = ""): Fit = {
+      corpusTag: String): Fit = {
+    require(corpusTag.nonEmpty,
+      "corpusTag must be a non-empty fingerprint of the fit corpus — " +
+        "an untagged marker would serve a stale tokenizer after the " +
+        "corpus at the same path is regenerated")
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tag = if (corpusTag.isEmpty) "" else s"_f$corpusTag"
     val marker = new org.apache.hadoop.fs.Path(
-      s"$path/_BPE_OK_v1_${textCol}_m$nMerges$tag")
+      s"$path/_BPE_OK_v1_${textCol}_m${nMerges}_f$corpusTag")
     if (!fs.exists(marker)) {
       Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/_BPE_OK_*")))
         .toSeq.flatten.foreach(st => fs.delete(st.getPath, false))
-      val f = fit(df, textCol, nMerges)
+      // vocabulary-adaptive: the driver-local merge loop when the word
+      // table fits the bound (identical artifact, spec-pinned — so the
+      // committed marker/hashes are path-independent), distributed jobs
+      // otherwise
+      val f = fitAuto(df, textCol, nMerges)
       f.mergeTable(spark).coalesce(1)
         .write.mode("overwrite").parquet(s"$path/merges")
       f.words.toDF("word", "syms", "freq")

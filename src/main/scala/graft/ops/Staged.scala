@@ -37,6 +37,22 @@ object Staged {
   def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
     trackedRdds.add(rdd): Unit
 
+  /** `localCheckpoint` + [[trackRdd]] the resulting leaf blocks in one
+    * step — for per-epoch driver samples inside monitors: a
+    * long-running stream that checkpoints a small frame every
+    * micro-batch without tracking it accumulates one unreleasable
+    * block set per epoch. Caller contract is [[releaseCheckpoints]]'s:
+    * release only after every result built on the frame is consumed
+    * (for a monitor, after the epoch's snapshot write).
+    */
+  def checkpointed(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    c.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(trackRdd)
+    c
+  }
+
   /** Unpersist every DataFrame staged since the last release. Safe to
     * call while results are still lazily defined — downstream plans
     * simply recompute — but intended to run after the consuming

@@ -234,8 +234,12 @@ object VectorStreams {
       maxQueries: Int, alertBelow: Double): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val q = batch.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(maxQueries).localCheckpoint()
+    // checkpoint via Staged so the per-epoch sample blocks are tracked:
+    // a continuous monitor's foreachBatch calls Staged.releaseAll()
+    // after the snapshot write, instead of accumulating one
+    // unreleasable block set per epoch
+    val q = Staged.checkpointed(batch.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(maxQueries))
     val n = q.count()
     if (n == 0L)
       // idle epoch: nothing measured means nothing degraded — recall
@@ -293,6 +297,9 @@ object VectorStreams {
         recallSnapshot(batch, basePath, corpusPath, idCol, vecCol,
           k, nprobe, maxQueries, alertBelow)
           .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        // the snapshot's checkpointed query sample is consumed by the
+        // write above; release it (and any staged frames) per epoch
+        Staged.releaseAll()
       }
       .start()
 
@@ -317,8 +324,10 @@ object VectorStreams {
       maxQueries: Int, alertBelow: Double): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val q = batch.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(maxQueries).localCheckpoint()
+    // tracked checkpoint — see recallSnapshot: the monitor's
+    // foreachBatch releases the sample per epoch via releaseAll()
+    val q = Staged.checkpointed(batch.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(maxQueries))
     val n = q.count()
     if (n == 0L)
       return Seq((0L, 0L, 0L, 0L, 1.0, 1.0, false))
@@ -380,10 +389,11 @@ object VectorStreams {
         pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
           maxQueries, alertBelow)
           .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
-        // the snapshot stages its candidate frame; a continuous monitor
-        // must not pin one persisted plan per epoch forever (the
-        // fertility monitor's discipline)
-        Staged.release()
+        // the snapshot stages its candidate frame AND checkpoints its
+        // query sample; a continuous monitor must not pin one
+        // persisted plan — or one checkpointed block set — per epoch
+        // forever (the fertility monitor's discipline)
+        Staged.releaseAll()
       }
       .start()
 }

@@ -148,6 +148,54 @@ class BpeSpec extends SparkSpec {
     Staged.releaseAll()
   }
 
+  test("fitLocal ≡ fit: identical merge sequence and symbolization (both fixtures)") {
+    // the driver-local merge loop must be indistinguishable from the
+    // distributed one — exact integer counts + the (count desc, left
+    // asc, right asc) total order make the identity exact, including
+    // the tie at step 0 and the l==r overlap fixture
+    for (docs <- Seq(corpus,
+        Seq((1L, "aaaa"), (2L, "aaa aaa")).toDF("doc_id", "text"),
+        graft.sources.Tables(spark, sf, "documents")
+          .select($"doc_id", $"text"))) {
+      val d = Bpe.fit(docs, "text", nMerges = 10)
+      val l = Bpe.fitLocal(docs, "text", nMerges = 10)
+      assert(l.merges == d.merges,
+        s"local merge sequence drifted: ${l.merges} != ${d.merges}")
+      assert(l.words.collect().toSet == d.words.collect().toSet,
+        "local symbolization table drifted")
+    }
+    Staged.releaseAll()
+  }
+
+  test("fitLocal bounds the collect; fitAuto picks the local path under the bound") {
+    // vocabulary = 7 distinct words > maxVocab=4 → loud failure, and
+    // the failure happens off a LIMITed collect (never an unbounded one)
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.fitLocal(corpus.unionByName(
+        Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")),
+        "text", nMerges = 2, maxVocab = 4)
+    }
+    assert(ex.getMessage.contains("maxVocab"), ex.getMessage)
+    // fitAuto under the bound ≡ fit; over the bound it falls back to
+    // the distributed loop and still produces the identical artifact
+    val d = Bpe.fit(corpus, "text", nMerges = 4)
+    val auto = Bpe.fitAuto(corpus, "text", nMerges = 4)
+    val fallback = Bpe.fitAuto(corpus, "text", nMerges = 4, maxLocalVocab = 2)
+    assert(auto.merges == d.merges && fallback.merges == d.merges,
+      s"fitAuto drifted: ${auto.merges} / ${fallback.merges}")
+    assert(auto.words.collect().toSet == d.words.collect().toSet)
+    assert(fallback.words.collect().toSet == d.words.collect().toSet)
+    Staged.releaseAll()
+  }
+
+  test("fitCached requires a corpus fingerprint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-notag").toString
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.fitCached(corpus, "text", nMerges = 2, dir, corpusTag = "")
+    }
+    assert(ex.getMessage.contains("corpusTag"), ex.getMessage)
+  }
+
   test("tokenizeWith ≡ tokenize on the fit corpus; extends to unseen words") {
     val f = Bpe.fit(corpus, "text", nMerges = 4)
     val merges = f.merges.map(m => (m.left, m.right))
