@@ -139,6 +139,39 @@ object Dedup {
     verifyJaccard(candidates, docs, threshold)
   }
 
+  /** The accounting face of [[exactJaccardPairs]]'s hot-shingle cap
+    * ([[SemanticDedup.droppedCells]]'s pattern): (shingle hash, n_docs)
+    * for every shingle whose inverted-index bucket exceeds `maxBucket`
+    * — i.e. the shingles whose pairs the TRUTH instrument silently
+    * removed from the truth set. A truth pass is only trustworthy when
+    * this table is EMPTY (set `maxBucket` above the corpus's hottest
+    * shingle); a non-empty table makes a mis-set cap auditable instead
+    * of advisory — read it BEFORE quoting a recall number against the
+    * truth. Same tiny aggregated count the cap itself broadcasts
+    * (map-side partials, only hot shingles survive), so the accounting
+    * can never drift from the drop rule.
+    */
+  def droppedShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val inv = df
+      .select(col(idCol).as("id"),
+        shingleHashSet(col(textCol), shingleSize).as("h"))
+      .where(size(col("h")) > 0)
+      .select(col("id"), explode(col("h")).as("s"))
+    hotBuckets(inv, Seq("s"), maxBucket)
+      .withColumnRenamed("s", "shingle_hash")
+      .withColumnRenamed("n", "n_docs")
+  }
+
+  /** Buckets larger than `maxBucket`: the tiny aggregated count shared
+    * by the drop rule and its accounting faces.
+    */
+  private def hotBuckets(df: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    df.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
+
   /** Drop rows of buckets larger than `maxBucket`: count per bucket via
     * an aggregation (map-side partials, tiny result — only hot buckets
     * survive the filter) broadcast back as an anti-join. A count Window
@@ -148,8 +181,8 @@ object Dedup {
   private def dropHotBuckets(df: DataFrame, bucketCols: Seq[String],
       maxBucket: Int): DataFrame = {
     val keys = bucketCols.map(col)
-    val hot = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBucket).select(keys: _*)
+    val hot = hotBuckets(df, bucketCols, maxBucket)
+      .select(keys: _*)
     df.join(broadcast(hot), bucketCols, "left_anti")
   }
 

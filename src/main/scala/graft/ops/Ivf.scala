@@ -367,6 +367,191 @@ object Ivf {
     invalidate()
   }
 
+  /** The faces a refit rebuilds/swaps, in swap order. */
+  private val RefitFaces =
+    Seq("centroids", "assigned", "assigned_int8", "pq_codebooks", "assigned_pq")
+
+  /** REPAIR the drift the monitoring family detects — the missing
+    * half of the detect→decide→repair loop: [[cellResidualProfile]]
+    * (a15) says residual norms inflated, the streaming pq-agreement
+    * monitor says the compressed face degraded; the answer so far was
+    * "rebuild by hand". This refits centroids over the CURRENT corpus
+    * (including every [[appendToIndex]] batch), reassigns every
+    * vector, and re-derives whichever derived faces the index holds —
+    * the int8 probe face, and the residual-PQ face with codebooks
+    * REFIT over the new residuals — all under the index's OWN
+    * committed parameters (k/seed parsed from the `_INDEX_OK` marker,
+    * m/ksub/seed/rate from the `_PQ_OK_v3` marker), so every marker
+    * name is unchanged and readers' param checks keep holding.
+    *
+    * Crash-recoverable versioned swap (the compaction family's
+    * discipline, extended to a MULTI-face commit): every new face is
+    * built under `__refit_tmp/`, the commit point is the
+    * `_REFIT_COMMIT` file written LAST — until it exists, probes read
+    * the untouched old faces and a crashed build is discarded whole;
+    * after it exists the swap (live → `__refit_old_*`, tmp → live,
+    * delete old, delete tmp) is idempotent and any invocation first
+    * rolls a torn swap FORWARD ([[recoverRefit]] — the PQ face can
+    * never be left keyed to pre-refit cells longer than the next
+    * maintenance call). Single-writer, like compaction: one pipeline
+    * owns index maintenance.
+    *
+    * 100 TB shape: one KMeans fit over the corpus (the same job the
+    * original build paid — optionally over a hash sample at scale, as
+    * the codebook fit already does), one assignment pass, one write
+    * per face in the identical `cluster=` layout; probes and their
+    * plans are untouched. Refit cost ≈ build cost; the monitors exist
+    * so it is paid WHEN drift says so, not on a timer.
+    */
+  def refitIndex(spark: SparkSession, path: String, idCol: String,
+      vecCol: String): Unit = {
+    recoverRefit(spark, path)
+    buildRefitTmp(spark, path, idCol, vecCol)
+    swapRefit(spark, path)
+  }
+
+  /** [[refitIndex]]'s build phase: everything up to and including the
+    * `_REFIT_COMMIT` file — exposed to the spec as the crash point
+    * (after this, the old face is still fully live on disk; the next
+    * [[recoverRefit]] rolls the swap forward).
+    */
+  private[ops] def buildRefitTmp(spark: SparkSession, path: String,
+      idCol: String, vecCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the index's own committed parameters, from the marker names
+    val idxMarkers = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$path/_INDEX_OK_*"))).toSeq.flatten.map(_.getPath.getName)
+    val IdxRe = ("""_INDEX_OK_k(\d+)_s(-?\d+)_""" +
+      java.util.regex.Pattern.quote(vecCol) + "$").r
+    val parsed = idxMarkers.flatMap {
+      case n @ IdxRe(k, s) => Some((n, k.toInt, s.toLong))
+      case _ => None
+    }
+    require(parsed.length == 1,
+      s"index at $path needs exactly one _INDEX_OK_k*_s*_$vecCol marker " +
+        s"to refit under its own parameters; found: $idxMarkers")
+    val (_, k, seed) = parsed.head
+    val tmp = s"$path/__refit_tmp"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp))
+    // refit over the CURRENT corpus — base build plus every append
+    val corpus = spark.read.parquet(s"$path/assigned")
+      .select(col(idCol), col(vecCol))
+    val idx = build(corpus, idCol, vecCol, k, seed)
+    idx.assigned.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$tmp/assigned")
+    import spark.implicits._
+    idx.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    val newAssigned = spark.read.parquet(s"$tmp/assigned")
+    // gate on marker OR directory: a marker-less int8 face left live
+    // while `assigned` swaps would serve quantized rows keyed to the
+    // RETIRED cells — rebuild whenever the face exists in any form
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_INT8_OK_$vecCol")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/assigned_int8")))
+      quantizedRows(newAssigned, idCol, vecCol)
+        .repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$tmp/assigned_int8")
+    // PQ face: codebooks refit over the NEW residuals (frozen codebooks
+    // against moved centroids would re-key every stored code — the
+    // whole point of the refit is that reconstructions track the
+    // corpus again), under the face's committed parameters
+    val PqRe = ("_PQ_OK_v3_" + java.util.regex.Pattern.quote(vecCol) +
+      """_m(\d+)_k(\d+)_s(-?\d+)_r([0-9.Ee+-]+)$""").r
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/_PQ_OK_v3_${vecCol}_*"))).toSeq.flatten
+      .map(_.getPath.getName).collectFirst {
+        case PqRe(m, ksub, pqSeed, rate) =>
+          (m.toInt, ksub.toInt, pqSeed.toLong, rate.toDouble)
+      }.foreach { case (m, ksub, pqSeed, rate) =>
+        val model = Pq.fitCodebooks(newAssigned, idCol, vecCol,
+          idx.centroids, m, ksub, pqSeed, rate)
+        Pq.codebookRows(spark, model).coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/pq_codebooks")
+        Pq.encodeRows(newAssigned, idCol, vecCol, idx.centroids, model)
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$tmp/assigned_pq")
+      }
+    // the commit point: everything above is invisible until this file
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_REFIT_COMMIT"), true)
+      .close()
+  }
+
+  /** Finish (committed) or discard (uncommitted) a refit a crashed run
+    * left behind — called first by [[refitIndex]] and safe to call any
+    * time: a no-op when no refit debris exists. Returns true when a
+    * committed swap was rolled forward.
+    */
+  private[ops] def recoverRefit(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/__refit_tmp")
+    if (fs.exists(tmp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_REFIT_COMMIT"))) {
+        swapRefit(spark, path); true
+      } else {
+        // crash BEFORE commit: the old face never stopped serving;
+        // the partial build is debris
+        require(fs.delete(tmp, true), s"ivf refit: delete failed for $tmp")
+        false
+      }
+    } else {
+      // defensive: stray per-face debris without a tmp can only mean a
+      // crash inside the (post-commit) swap's final cleanup — live
+      // faces are authoritative, olds are retired copies
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$path/__refit_old_*"))).toSeq.flatten.foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(path,
+          st.getPath.getName.stripPrefix("__refit_old_"))
+        if (fs.exists(live))
+          require(fs.delete(st.getPath, true),
+            s"ivf refit: delete failed for ${st.getPath}")
+        else require(fs.rename(st.getPath, live),
+          s"ivf refit: rollback rename ${st.getPath} -> $live failed")
+      }
+      false
+    }
+  }
+
+  /** The idempotent post-commit swap: per face (fixed order), retire
+    * live to `__refit_old_<face>`, promote `__refit_tmp/<face>`; then
+    * delete retired copies and the tmp. Every state a crash can leave
+    * maps to exactly one resume action, so re-running completes it.
+    */
+  private def swapRefit(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RefitFaces.foreach { face =>
+      val tmpSub = new org.apache.hadoop.fs.Path(s"$path/__refit_tmp/$face")
+      val live = new org.apache.hadoop.fs.Path(s"$path/$face")
+      val old = new org.apache.hadoop.fs.Path(s"$path/__refit_old_$face")
+      if (fs.exists(tmpSub)) {
+        if (fs.exists(live) && !fs.exists(old))
+          require(fs.rename(live, old),
+            s"ivf refit: rename $live -> $old failed")
+        if (!fs.exists(live))
+          require(fs.rename(tmpSub, live),
+            s"ivf refit: rename $tmpSub -> $live failed")
+        else require(fs.delete(tmpSub, true), // live+old: already promoted
+          s"ivf refit: delete failed for $tmpSub")
+      }
+    }
+    RefitFaces.foreach { face =>
+      val old = new org.apache.hadoop.fs.Path(s"$path/__refit_old_$face")
+      if (fs.exists(old))
+        require(fs.delete(old, true), s"ivf refit: delete failed for $old")
+      spark.catalog.refreshByPath(s"$path/$face")
+    }
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/__refit_tmp"), true),
+      s"ivf refit: delete failed for $path/__refit_tmp")
+    // memoized Index entries snapshotted pre-refit listings/centroids
+    cache.keySet.removeIf(_.contains(s"|disk|$path|")): Unit
+  }
+
   /** Derive the int8 probe face of a persisted index: `assigned_int8`,
     * the assigned table with each vector symmetrically quantized to
     * int8 ([[Quantize]]'s rule: q_i = clamp(round(x_i·127/max|x|))) and
@@ -423,6 +608,24 @@ object Ivf {
     * quantized vectors. `PartitionFilters` prune identically; the
     * bytes read per probed cell drop ~4×.
     */
+  def topKInt8(spark: SparkSession, path: String, query: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    GraftFunctions.register(spark)
+    val centroids = readIndex(spark, path).centroids
+    val probes = probeCells(centroids, queryVecOf(query, vecCol), nprobe)
+    val q = broadcast(query
+      .select(col(vecCol).cast("array<double>").as("query_vec")))
+    spark.read.parquet(s"$path/assigned_int8")
+      .where(col("cluster").isInCollection(probes))
+      .crossJoin(q)
+      .select(col(idCol),
+        round(Similarity.cosine(col("qvec").cast("array<double>"),
+          col("query_vec")), roundTo).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-cell quantization-health profile of a persisted index — the
     * table that decides WHEN to refit centroids (and with them the PQ
     * codebooks): per cluster, the member count and the mean/max L2
@@ -432,7 +635,8 @@ object Ivf {
     * so a drifting SOURCE shows up in its cells before the corpus
     * average moves. Reads next to the streaming pq-agreement monitor:
     * that one says "the compressed face degraded", this one says
-    * WHERE and by how much in raw geometry.
+    * WHERE and by how much in raw geometry. [[refitIndex]] is the
+    * repair this table decides on.
     *
     * Scale shape: one scan of the cluster-partitioned float face, the
     * residual a row-local codegen'd expression against the literal
@@ -456,24 +660,6 @@ object Ivf {
         round(sum(col("__rn").cast("decimal(18,6)")).cast("double") /
           count(lit(1)), roundTo).as("mean_res_norm"),
         max(col("__rn")).as("max_res_norm"))
-  }
-
-  def topKInt8(spark: SparkSession, path: String, query: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
-      roundTo: Int = 6): DataFrame = {
-    GraftFunctions.register(spark)
-    val centroids = readIndex(spark, path).centroids
-    val probes = probeCells(centroids, queryVecOf(query, vecCol), nprobe)
-    val q = broadcast(query
-      .select(col(vecCol).cast("array<double>").as("query_vec")))
-    spark.read.parquet(s"$path/assigned_int8")
-      .where(col("cluster").isInCollection(probes))
-      .crossJoin(q)
-      .select(col(idCol),
-        round(Similarity.cosine(col("qvec").cast("array<double>"),
-          col("query_vec")), roundTo).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col(idCol))
-      .limit(k)
   }
 
   /** Fit centroids and assign every row to its cell. */

@@ -70,6 +70,33 @@ class DedupSpec extends SparkSpec {
     Staged.releaseAll()
   }
 
+  test("droppedShingles: a capped hot shingle is accounted, and its pairs leave the truth") {
+    // two near-identical docs (the planted pair) plus filler docs that
+    // all share ONE hot shingle ("x y z") — cap at 4 so the filler
+    // shingle trips the cap while the pair's other shingles survive
+    val planted = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta")) ++
+      (2L to 9L).map(i => (i, s"x y z unique$i marker$i"))
+    val docs = planted.toDF("doc_id", "text")
+    // maxBucket=4: the "x y z" shingle occurs in 8 docs -> dropped;
+    // the accounting row must surface exactly it
+    val acct = Dedup.droppedShingles(docs, "doc_id", "text", maxBucket = 4)
+      .select($"shingle_hash", $"n_docs").as[(Long, Long)].collect()
+    assert(acct.length == 1 && acct.head._2 == 8L,
+      s"hot-shingle accounting drifted: ${acct.toSeq}")
+    // an adequate cap reads empty — the "trust the truth pass" check
+    assert(Dedup.droppedShingles(docs, "doc_id", "text", maxBucket = 100)
+      .isEmpty, "an adequate cap must account nothing")
+    // the planted pair survives the cap (its shingles are cold); pairs
+    // that ONLY shared the hot shingle never reach the verify
+    val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.3, maxBucket = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(truth == Set((0L, 1L)), s"truth drifted under the cap: $truth")
+    Staged.releaseAll()
+  }
+
   test("minhash signature is deterministic across runs and partitionings") {
     val sig1 = corpus.repartition(4).select($"doc_id", Dedup.minHashSignature($"text").as("s"))
       .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
