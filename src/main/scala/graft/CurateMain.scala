@@ -568,9 +568,9 @@ object CurateMain {
     // corpusTag = the fit corpus's file fingerprint (fitCached's
     // contract): a regenerated sfDir under a reused workDir must
     // invalidate the artifact, not serve a stale tokenizer
-    Bpe.fitCached(corpus, "text", nMerges = 16, bpePath,
+    val bpeFit = Bpe.fitCached(corpus, "text", nMerges = 16, bpePath,
       corpusTag = graft.queries.OracleDump
-        .tableFingerprint(sfDir, "documents")): Unit
+        .tableFingerprint(sfDir, "documents"))
     val fertRow = graft.streaming.Streams.fertilitySnapshot(
       batch.select($"doc_id", $"text"), s"$bpePath/merges",
       "doc_id", "text", alertAbove = 4.0)
@@ -619,6 +619,22 @@ object CurateMain {
     val (pqAgree, stagedAgree, servAlert) = servRow
       .select($"pq_agreement", $"staged_agreement", $"alert")
       .as[(Double, Double, Boolean)].head()
+    // ---- acquisition epilogue: the x85 per-source health table over
+    // corpus ∪ day-2 batch under the committed tokenizer — the ONE
+    // table the renew/cut review reads, emitted by the same day-2 run
+    // that produced the verdicts. The recrawl sources indict
+    // themselves from their own columns (novelty ≈ 0: every gram
+    // first-occurred in the corpus; dup_rate ≈ 1: the keep-reps rule
+    // suppresses them), the connector feed reads as novel. dup_rate
+    // composes the registered x84 rule (full LSH + CC over the union)
+    // — at 100 TB the same slice reads from the incremental probe
+    // verdicts above instead of re-shingling the corpus; the sf-scale
+    // capstone keeps the oracle-verified composition.
+    graft.ops.Acquisition.sourceHealth(
+        corpus.select($"doc_id", $"text", $"source")
+          .unionByName(batch.select($"doc_id", $"text", $"source")),
+        "doc_id", "text", "source", bpeFit)
+      .write.mode("overwrite").parquet(s"$workDir/source_health")
     // the alert count covers ALL five day-2 signals — a failed serving
     // gate must surface in the summary's alerts, not only in the
     // monitor_pq_agreement epoch row

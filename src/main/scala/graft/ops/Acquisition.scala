@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The per-source acquisition review table — ONE frame joining the
+  * five per-source verdicts the registry already computes separately
+  * (x69 novelty, x71 OOV, x74 fertility, x84 dup rate, x62's quality
+  * score aggregated as in x73), because the renew/cut decision they
+  * exist for reads ONE table per source, not five reports:
+  *
+  *   - `novelty`   — first-occurrence 3-gram fraction: near zero ⇒ the
+  *     source re-crawls what the corpus already holds (content side);
+  *   - `dup_rate`  — fraction the near-dup pass SUPPRESSES: the same
+  *     signal read from the dedup verdicts themselves;
+  *   - `oov_rate`  — micro-averaged OOV against the corpus top-V cut:
+  *     what a WORD vocabulary would miss;
+  *   - `fertility` — subword tokens per word under the committed BPE:
+  *     what the source costs in context-window slots;
+  *   - `mean_quality` — the x07 heuristic score, exact decimal mean.
+  *
+  * No new math: each signal is the registered operator's own staged
+  * frame, joined on the source key. Scale shape: five independent
+  * source-keyed aggregations (the heaviest, dup_rate, is the verified
+  * LSH+CC path with its broadcast suppressed set) joined on a
+  * #sources-sized key — the joins are trivia next to the signals.
+  * Sources whose docs have no tokens carry NULL token-derived columns
+  * (left joins from the all-docs quality frame — a silent inner-join
+  * drop would hide exactly the degenerate source a review must see).
+  */
+object Acquisition {
+
+  def sourceHealth(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, fit: Bpe.Fit, vocabSize: Int = 20,
+      dupThreshold: Double = 0.8): DataFrame = {
+    val ids = docs.select(col(idCol), col(srcCol))
+    // x62/x73's quality face: per-source exact decimal mean over the
+    // per-doc 1e-6-rounded score (partition-order independent)
+    val quality = docs
+      .select(col(srcCol),
+        round(TextAnalysis.qualityScore(col(textCol)), 6).as("__q"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("__q").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_quality"))
+    // x69: micro-averaged first-occurrence 3-gram fraction
+    val novelty = TextAnalysis.ngramNovelty(docs, idCol, textCol, n = 3)
+      .join(ids, idCol)
+      .groupBy(col(srcCol))
+      .agg(round(sum(col("n_novel")).cast("double") /
+        sum(col("n_grams")), 6).as("novelty"))
+    // x71: micro-averaged OOV against the corpus's own top-V cut
+    val oov = TextAnalysis.vocabCoverage(docs, idCol, textCol, vocabSize)
+      .join(ids, idCol)
+      .groupBy(col(srcCol))
+      .agg(round(sum(col("n_oov")).cast("double") /
+        sum(col("n_tokens")), 6).as("oov_rate"))
+    // x74: subword fertility under the committed tokenizer
+    val fert = Bpe.fertilityBy(docs.select(col(srcCol), col(textCol)),
+        textCol, srcCol, fit)
+      .select(col(srcCol), col("fertility"))
+    // x84: keep-reps suppression verdicts sliced per source
+    val clusters = Dedup.connectedComponents(
+      Dedup.minHashLsh(docs, idCol, textCol, threshold = dupThreshold))
+    val dup = ids
+      .join(broadcast(clusters.where(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id").as("__dead"), lit(1).as("__supp"))),
+        col(idCol) === col("__dead"), "left")
+      .groupBy(col(srcCol))
+      .agg(round(count(col("__supp")).cast("double") /
+        count(lit(1)), 6).as("dup_rate"))
+    quality
+      .join(novelty, Seq(srcCol), "left")
+      .join(oov, Seq(srcCol), "left")
+      .join(fert, Seq(srcCol), "left")
+      .join(dup, Seq(srcCol), "left")
+  }
+}

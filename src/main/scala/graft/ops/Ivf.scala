@@ -831,14 +831,21 @@ object Ivf {
       (r.get(0), vec, probeCells(index.centroids, vec, nprobe))
     }
     val allCells = probed.flatMap(_._3).distinct.toSeq
+    // probe_rank = 1-based rank of the cell among this query's probes
+    // (probeCells returns them distance-ascending): a probe-width sweep
+    // filters `probe_rank <= np` per setting — probe sets NEST in
+    // nprobe, so ONE batchProbe at the widest setting serves every cut
     val qSchema = types.StructType(Seq(
       types.StructField(qidOut, idField.dataType, idField.nullable),
       types.StructField("query_vec",
         types.ArrayType(types.DoubleType, containsNull = false), nullable = false),
-      types.StructField("cluster", types.IntegerType, nullable = false)))
+      types.StructField("cluster", types.IntegerType, nullable = false),
+      types.StructField("probe_rank", types.IntegerType, nullable = false)))
     val qRows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(probed.flatMap { case (qid, vec, cells) =>
-        cells.map(c => org.apache.spark.sql.Row(qid, vec.toSeq, c))
+        cells.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(qid, vec.toSeq, c, i + 1)
+        }
       }: _*)
     (spark.createDataFrame(qRows, qSchema), allCells, qidOut)
   }

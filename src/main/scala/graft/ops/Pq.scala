@@ -443,7 +443,22 @@ object Pq {
     */
   private def topKPqBatchWith(spark: SparkSession, path: String,
       index: Ivf.Index, qdf: DataFrame, allCells: Seq[Int],
-      qidOut: String, idCol: String, k: Int, roundTo: Int): DataFrame = {
+      qidOut: String, idCol: String, k: Int, roundTo: Int): DataFrame =
+    Ivf.rankTopK(
+      pqScoredBatch(spark, path, index, qdf, allCells, qidOut, idCol, roundTo)
+        .select(col(qidOut), col(idCol), col("cos_sim")),
+      qidOut, idCol, k)
+
+  /** The uncut ADC-scored frame behind every batched PQ probe:
+    * (qidOut, idCol, probe_rank, cos_sim) for EVERY stored vector in a
+    * probed cell × every query probing that cell — one pruned pass
+    * over the m-bytes-per-vector face; `probe_rank` is the cell's rank
+    * among the query's probes (from [[Ivf.batchProbe]]), so a
+    * probe-width sweep filters it per setting instead of re-scanning.
+    */
+  private def pqScoredBatch(spark: SparkSession, path: String,
+      index: Ivf.Index, qdf: DataFrame, allCells: Seq[Int],
+      qidOut: String, idCol: String, roundTo: Int): DataFrame = {
     val model = readCodebooks(spark, path)
     val centroids = index.centroids
     // extend the (query, cell) broadcast rows with the per-query ADC
@@ -469,14 +484,69 @@ object Pq {
       GraftFunctions.pqLookupSum(col("codes"), col("lut_dot"), model.ksub)
     val denom2 = element_at(cn2, col("cluster") + 1) +
       GraftFunctions.pqLookupSumAt(col("codes"), cross, off, model.ksub)
-    Ivf.rankTopK(
-      spark.read.parquet(s"$path/assigned_pq")
-        .where(col("cluster").isInCollection(allCells))
-        .join(broadcast(qlut), "cluster")
-        .select(col(qidOut), col(idCol),
-          round(when(denom2 > 0 && col("qnorm") > 0,
-            numer / (col("qnorm") * sqrt(denom2))), roundTo).as("cos_sim"))
-        .where(col("cos_sim").isNotNull),
-      qidOut, idCol, k)
+    spark.read.parquet(s"$path/assigned_pq")
+      .where(col("cluster").isInCollection(allCells))
+      .join(broadcast(qlut), "cluster")
+      .select(col(qidOut), col(idCol), col("probe_rank"),
+        round(when(denom2 > 0 && col("qnorm") > 0,
+          numer / (col("qnorm") * sqrt(denom2))), roundTo).as("cos_sim"))
+      .where(col("cos_sim").isNotNull)
+  }
+
+  /** [[stagedCandidates]] widened to a PROBE-WIDTH sweep axis — the
+    * shared frame behind a (kCand × nprobe) serving-configuration
+    * grid (a16): per nprobe cut, per (query, candidate) — candidates
+    * = the per-query ADC top-`kCandMax` WITHIN the cut's probed cells
+    * — the stage-1 ADC rank and the stage-2 exact float cosine.
+    * a14 showed staged recall saturating below the float probe at
+    * nprobe=4: the residual gap is CELL SELECTION, not
+    * reconstruction, and stage 1 is m bytes/vector — so widening
+    * stage 1 is nearly free next to stage 2, and the grid is the
+    * table that decision reads.
+    *
+    * One-pass discipline, both stages: probe sets NEST in nprobe
+    * ([[Ivf.probeCells]] is distance-ascending, so cut np is the
+    * first np cells), so ONE batchProbe + ONE ADC pass at
+    * `max(nprobes)` serve every cut — each cut is a `probe_rank <=
+    * np` filter + per-query rank over the Staged scored frame; and
+    * ONE cluster-pruned float pass scores each DISTINCT (query,
+    * candidate) pair across the whole grid, joined back per cut.
+    * Returns (frame with nprobe/adc_rank/cos_sim, qid column name);
+    * per-(np, kCand) serving = `where(nprobe === np)` through
+    * [[topKFromCandidates]].
+    */
+  def stagedCandidatesGrid(spark: SparkSession, path: String,
+      index: Ivf.Index, queries: DataFrame, qidCol: String, vecCol: String,
+      idCol: String, kCandMax: Int, nprobes: Seq[Int], roundTo: Int = 6)
+      : (DataFrame, String) = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be >= 1")
+    GraftFunctions.register(spark)
+    val (qdf, allCells, qidOut) =
+      Ivf.batchProbe(index, queries, qidCol, vecCol, idCol, nprobes.max)
+    val scored = Staged(pqScoredBatch(spark, path, index, qdf, allCells,
+      qidOut, idCol, roundTo))
+    // per nprobe cut: ADC rank within the cut's cells (the order PQ
+    // serving would cut at under that probe width), kept to kCandMax
+    val cand = nprobes.map { np =>
+      scored.where(col("probe_rank") <= np)
+        .withColumn("adc_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(qidOut))
+            .orderBy(col("cos_sim").desc, col(idCol))))
+        .where(col("adc_rank") <= kCandMax)
+        .select(lit(np).as("nprobe"), col(qidOut), col(idCol), col("adc_rank"))
+    }.reduce(_ unionByName _)
+    // ONE pruned float pass scores each distinct candidate pair, then
+    // fans back out per cut via the broadcast candidate frame
+    val pairs = cand.select(col(qidOut), col(idCol)).distinct()
+    val qvecs = qdf.select(col(qidOut), col("query_vec")).distinct()
+    val exact = spark.read.parquet(s"$path/assigned")
+      .where(col("cluster").isInCollection(allCells))
+      .join(broadcast(pairs), Seq(idCol))
+      .join(broadcast(qvecs), Seq(qidOut))
+      .select(col(qidOut), col(idCol),
+        round(Similarity.cosine(col(vecCol).cast("array<double>"),
+          col("query_vec")), roundTo).as("cos_sim"))
+    (cand.join(exact, Seq(qidOut, idCol)), qidOut)
   }
 }

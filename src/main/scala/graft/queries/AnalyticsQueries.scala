@@ -921,6 +921,125 @@ object AnalyticsQueries {
         FROM rn GROUP BY cluster"""),
       notes = "oracle replays the residual arithmetic from the dumped " +
         "centroids + assigned face; square-sum is an ordered left fold " +
-        "on both sides, mean an exact decimal sum of rounded norms")
+        "on both sides, mean an exact decimal sum of rounded norms"),
+
+    // ---- staged serving-configuration grid: recall@10 over the FULL
+    // (nprobe × kCand) grid — a14's answer said "the residual gap at
+    // kCand=100 is cell selection, not reconstruction"; this is the
+    // table that decides the serving config along BOTH axes at once.
+    // Stage-1 bytes scale with nprobe (m bytes/vector per probed
+    // cell), stage-2 bytes with kCand (full floats per candidate), so
+    // the grid prices widening the cheap axis against deepening the
+    // expensive one. One-pass discipline throughout: probe sets nest
+    // in nprobe and candidate sets nest in kCand, so ONE batchProbe +
+    // ONE ADC pass at (nprobe=8) + ONE pruned float pass over the
+    // distinct candidates serve all 16 settings; each setting is two
+    // filters + a keyed window over the shared Staged frame; ONE
+    // brute-force truth pass grades them all. Recall is monotone in
+    // BOTH axes by construction; the oracle replays every cut.
+    GraftQuery(
+      "a16_staged_nprobe_grid",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        val index = Ivf.buildPersistentCached(e, path,
+          "vec_id", "embedding", k = 16)
+        graft.ops.Pq.pqAssign(s, path, "vec_id", "embedding", m = 4, ksub = 16)
+        val queries = e.filter($"vec_id" % 97 === 0L)
+        val bf = graft.ops.Staged(
+          graft.ops.Similarity.bruteForceTopKBatch(e, queries,
+            "vec_id", "embedding", "vec_id", k = 10)
+            .select($"query_id", $"vec_id"))
+        val (sc0, qidOut) = graft.ops.Pq.stagedCandidatesGrid(s, path,
+          index, queries, "vec_id", "embedding", "vec_id",
+          kCandMax = 100, nprobes = Seq(1, 2, 4, 8))
+        val sc = graft.ops.Staged(sc0)
+        (for (np <- Seq(1, 2, 4, 8); kc <- Seq(10, 25, 50, 100)) yield {
+          val staged = graft.ops.Pq.topKFromCandidates(
+            sc.where($"nprobe" === np), qidOut, "vec_id", k = 10, kCand = kc)
+          bf.join(staged.select($"query_id", $"vec_id")
+              .withColumn("__hit", lit(1)),
+              Seq("query_id", "vec_id"), "left")
+            .agg(count(lit(1)).as("n_bf"), count($"__hit").as("n_hit"))
+            .select(lit(np).as("nprobe"), lit(kc).as("k_cand"),
+              $"n_bf", $"n_hit",
+              round($"n_hit".cast("double") / $"n_bf", 6).as("recall"))
+        }).reduce(_ unionByName _)
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT vec_id AS query_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+            sqrt(list_inner_product(
+              list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS qnorm
+          FROM embeddings WHERE vec_id % 97 = 0),
+        probes AS (SELECT query_id, cluster, pr FROM (
+            SELECT q.query_id, c.cluster,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_distance(c.centroid, q.qv) ASC, c.cluster) AS pr
+            FROM cents c CROSS JOIN q) WHERE pr <= 8),
+        cb AS (SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+            centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/pq_codebooks/*.parquet')),
+        apq AS (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_pq/*/*.parquet',
+                            hive_partitioning = 1)),
+        parts AS (SELECT p.query_id, a.vec_id, a.cluster, p.pr, cb.sub,
+            list_inner_product(
+              list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid) AS dotp,
+            2 * list_inner_product(
+              list_slice(c.centroid, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid)
+              + list_inner_product(cb.centroid, cb.centroid) AS cr
+          FROM apq a JOIN probes p ON a.cluster = p.cluster
+          JOIN cents c ON c.cluster = a.cluster
+          JOIN q ON q.query_id = p.query_id
+          JOIN cb ON cb.code = ((CAST(a.codes[cb.sub + 1] AS INTEGER) + 256) % 256)),
+        pqagg AS (SELECT query_id, vec_id, cluster, pr,
+            list_reduce(list(dotp ORDER BY sub), (a, b) -> a + b) AS sdot,
+            list_reduce(list(cr ORDER BY sub), (a, b) -> a + b) AS scr
+          FROM parts GROUP BY query_id, vec_id, cluster, pr),
+        npg AS (SELECT unnest([1, 2, 4, 8]) AS np),
+        pqranked AS (SELECT npg.np, g.query_id, g.vec_id,
+            row_number() OVER (PARTITION BY npg.np, g.query_id ORDER BY
+              round((list_inner_product(q.qv, c.centroid) + g.sdot) /
+                (q.qnorm * sqrt(list_inner_product(c.centroid, c.centroid)
+                  + g.scr)), 6) DESC, g.vec_id) AS rk
+          FROM npg JOIN pqagg g ON g.pr <= npg.np
+          JOIN cents c ON c.cluster = g.cluster
+          JOIN q ON q.query_id = g.query_id
+          WHERE list_inner_product(c.centroid, c.centroid) + g.scr > 0),
+        cand AS (SELECT np, query_id, vec_id, rk FROM pqranked WHERE rk <= 100),
+        kcg AS (SELECT unnest([10, 25, 50, 100]) AS k_cand),
+        staged AS (SELECT np, k_cand, query_id, vec_id FROM (
+            SELECT cd.np, kcg.k_cand, cd.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY cd.np, kcg.k_cand, cd.query_id
+                ORDER BY round(list_cosine_similarity(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6)
+                  DESC, e.vec_id) AS rk
+            FROM kcg JOIN cand cd ON cd.rk <= kcg.k_cand
+            JOIN embeddings e USING (vec_id)
+            JOIN q ON q.query_id = cd.query_id) WHERE rk <= 10),
+        bf AS (SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN q) WHERE rk <= 10)
+        SELECT npg.np AS nprobe, kcg.k_cand,
+          CAST(count(*) AS BIGINT) AS n_bf,
+          CAST(count(s.vec_id) AS BIGINT) AS n_hit,
+          round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 6) AS recall
+        FROM npg CROSS JOIN kcg CROSS JOIN bf b
+        LEFT JOIN staged s ON s.np = npg.np AND s.k_cand = kcg.k_cand
+          AND s.query_id = b.query_id AND s.vec_id = b.vec_id
+        GROUP BY npg.np, kcg.k_cand"""),
+      notes = "a14's sweep discipline on BOTH serving axes: probe sets nest " +
+        "in nprobe, candidate sets in kCand, so one ADC rank per (np, query) " +
+        "cut at each kCand, each cut exactly re-ranked; 16 grid rows")
   )
 }

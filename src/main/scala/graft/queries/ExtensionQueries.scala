@@ -2809,7 +2809,138 @@ object ExtensionQueries {
         FROM documents d LEFT JOIN supp sp USING (doc_id)
         GROUP BY d.source"""),
       notes = "x20's recursive-CTE closure + the keep-reps rule, sliced " +
-        "per source; suppressed ⊂ clustered docs, so the slice is exact")
+        "per source; suppressed ⊂ clustered docs, so the slice is exact"),
+
+    // ---- per-source acquisition health — the ONE table the renew/cut
+    // review reads: x69 (novelty), x71 (OOV), x74 (fertility), x84
+    // (dup rate) and the x62/x73 quality mean were five separately
+    // computed per-source verdicts; this joins the five signals on
+    // source (each from its existing operator — no new math; left
+    // joins from the all-docs quality frame so a degenerate tokenless
+    // source surfaces as NULLs, never silently drops). Oracle = the
+    // five existing oracles' CTEs joined the same way. The capstone's
+    // day-2 report emits this exact frame (CurateMain.runIncremental).
+    GraftQuery(
+      "x85_source_health",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val fit = graft.ops.Bpe.fitCached(docs, "text", nMerges = 16,
+          OracleDump.bpePath(dir, 16),
+          OracleDump.tableFingerprint(dir, "documents"))
+        OracleDump.dump(fit.wordTable, dir, "x85_bpe")
+        graft.ops.Acquisition.sourceHealth(docs, "doc_id", "text",
+          "source", fit)
+      },
+      Some("""WITH q AS (SELECT doc_id, source,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n,
+          CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) AS nd,
+          CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+            x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                       'for','on','with','as','at','by','from','that','this'))) AS DOUBLE) AS stop,
+          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+          CAST(length(text) AS DOUBLE) AS chars
+        FROM documents),
+      sc AS (SELECT doc_id, source, round(
+          (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+          + (CASE WHEN n > 0 THEN nd / n ELSE 0.0 END) * 0.25
+          + least(CASE WHEN n > 0 THEN stop / n ELSE 0.0 END * 5.0, 1.0) * 0.25
+          + (CASE WHEN chars > 0 THEN 1.0 - least(punct / chars * 5.0, 1.0)
+             ELSE 0.0 END) * 0.25, 6) AS qq
+        FROM q),
+      qual AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          round(CAST(sum(CAST(qq AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+            AS mean_quality
+        FROM sc GROUP BY source),
+      toks AS (SELECT doc_id,
+          regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      nvz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3),
+      gg AS (SELECT DISTINCT doc_id, gram FROM (
+          SELECT doc_id, array_to_string(t[gi : gi + 2], ' ') AS gram
+          FROM nvz, unnest(range(1, n - 1)) AS u(gi))),
+      firsts AS (SELECT gram, min(doc_id) AS first_doc FROM gg GROUP BY gram),
+      pernov AS (SELECT gg.doc_id, count(*) AS ng,
+          sum(CASE WHEN f.first_doc = gg.doc_id THEN 1 ELSE 0 END) AS nv
+        FROM gg JOIN firsts f USING (gram) GROUP BY gg.doc_id),
+      nov AS (SELECT d.source,
+          round(CAST(sum(pernov.nv) AS DOUBLE) / sum(pernov.ng), 6) AS novelty
+        FROM pernov JOIN documents d USING (doc_id) GROUP BY d.source),
+      wtoks AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM wtoks GROUP BY tok),
+      vocab AS (SELECT tok FROM (
+          SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM tc)
+        WHERE rk <= 20),
+      oov AS (SELECT d.source,
+          round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS oov_rate
+        FROM wtoks w LEFT JOIN vocab v USING (tok)
+        JOIN documents d USING (doc_id) GROUP BY d.source),
+      bm AS (SELECT word, n_syms
+        FROM read_parquet('__SCRATCH__/x85_bpe/*.parquet')),
+      fert AS (SELECT d.source,
+          round(CAST(sum(bm.n_syms) AS DOUBLE) / count(*), 6) AS fertility
+        FROM wtoks w JOIN bm ON bm.word = w.tok
+        JOIN documents d USING (doc_id) GROUP BY d.source),
+      dsh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s FROM toks),
+      dnz AS (SELECT * FROM dsh WHERE len(s) > 0),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM dnz a JOIN dnz b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT u AS id FROM edges),
+      reach AS (
+        WITH RECURSIVE r(id, lab) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.v, r.lab FROM r JOIN edges e ON e.u = r.id
+        ) SELECT * FROM r),
+      supp AS (SELECT id AS doc_id FROM reach GROUP BY id
+        HAVING CAST(min(lab) AS BIGINT) <> id),
+      dup AS (SELECT d.source,
+          round(CAST(count(sp.doc_id) AS DOUBLE) / count(*), 6) AS dup_rate
+        FROM documents d LEFT JOIN supp sp USING (doc_id)
+        GROUP BY d.source)
+      SELECT qual.source, qual.n_docs, qual.mean_quality,
+        nov.novelty, oov.oov_rate, fert.fertility, dup.dup_rate
+      FROM qual
+      LEFT JOIN nov USING (source)
+      LEFT JOIN oov USING (source)
+      LEFT JOIN fert USING (source)
+      LEFT JOIN dup USING (source)"""),
+      notes = "the x69/x71/x74/x84/x62 oracles' CTEs joined on source; " +
+        "fertility replays the dumped x85_bpe symbolization; left joins " +
+        "keep a tokenless source visible as NULLs"),
+
+    // ---- truth-instrument cap audit — the accounting face of x82's
+    // exact-Jaccard ground truth (Dedup.droppedShingles): the bucket
+    // sizes of every shingle the hot-shingle cap REMOVED from the
+    // truth set. A recall number quoted against the truth is only
+    // trustworthy when this table is empty; a mis-set cap is now
+    // auditable instead of advisory (SemanticDedup.droppedCells'
+    // pattern). The cap here (5) is set BELOW the fixture's hottest
+    // shingles on purpose so the audit has rows to verify; x82's own
+    // truth pass runs uncapped-in-effect (its 100k default clears the
+    // fixture) and its spec asserts the empty-audit case. Output is
+    // the bucket-size multiset — the shingle key itself is an
+    // engine-internal xxhash64, so the oracle replays the STRING-side
+    // bucket sizes (1:1 with the hashed sets by construction).
+    GraftQuery(
+      "x86_truth_cap_audit",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Dedup.droppedShingles(
+            Tables(s, dir, "documents"), "doc_id", "text", maxBucket = 5)
+          .select($"n_docs")
+      },
+      Some(s"""$shingleCte,
+        inv AS (SELECT doc_id, unnest(s) AS sh FROM nz)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs
+        FROM inv GROUP BY sh HAVING count(*) > 5"""),
+      notes = "string-side replay of the hashed inverted index's hot " +
+        "buckets; multiset of bucket sizes (hash keys are engine-internal)")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

@@ -361,6 +361,57 @@ object VectorStreams {
         col("n_float") === 0 || col("staged_agreement") < alertBelow)
   }
 
+  /** One epoch of [[stagedServeStream]], exposed so the spec can
+    * replay it and pin the stream ≡ batch differential: answer the
+    * whole arriving QUERY batch from the persisted index's staged
+    * pipeline ([[graft.ops.Pq.topKStagedBatch]] — one ADC pass over
+    * the m-bytes/vector face at the batch's probed cells, one
+    * cluster-pruned float re-rank of the candidates), one epoch-keyed
+    * overwrite-committed result table (query_id, id, cos_sim) — a
+    * pure function of (batch, persisted faces), so crash replay
+    * rewrites identical bytes. An empty epoch commits an empty (but
+    * schema-complete) result — serving an empty request batch.
+    */
+  def stagedServeBatch(batch: DataFrame, epoch: Long, basePath: String,
+      outPath: String, idCol: String, vecCol: String, k: Int,
+      kCand: Int, nprobe: Int): Unit = {
+    val spark = batch.sparkSession
+    val index = Ivf.readIndex(spark, basePath)
+    graft.ops.Pq.topKStagedBatch(spark, basePath, index,
+        batch.select(col(idCol), col(vecCol)), idCol, vecCol, idCol,
+        k, kCand, nprobe)
+      .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+  }
+
+  /** The ONLINE form of a13's batched staged retrieval — the serving
+    * path itself as a stream, where [[pqAgreementStream]] is only its
+    * monitor: arriving query batches are answered from the persisted
+    * index (epoch-keyed snapshots, overwrite ⇒ replay-idempotent),
+    * k/kCand/nprobe the a14/a16-tuned serving configuration. The
+    * index is re-read per epoch, so maintenance lands without a
+    * restart: an [[Ivf.appendToIndex]] batch is servable next epoch,
+    * and an [[Ivf.refitIndex]] swap takes effect atomically at the
+    * next epoch boundary (epochs read either the old or the new
+    * committed face, never a torn one).
+    *
+    * 100 TB shape: per epoch, stage 1 scans m bytes/vector over ONLY
+    * the batch's probed cells (static partition filters from the
+    * plan-time probe), stage 2 reads full floats for candidate rows
+    * via broadcast joins; per-epoch network is O(batch · kCand),
+    * independent of index size.
+    */
+  def stagedServeStream(queries: DataFrame, basePath: String,
+      outPath: String, checkpoint: String, idCol: String, vecCol: String,
+      k: Int = 10, kCand: Int = 50, nprobe: Int = 4): StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        stagedServeBatch(batch, epoch, basePath, outPath, idCol, vecCol,
+          k, kCand, nprobe)
+      }
+      .start()
+
   /** Streaming compressed-face QC monitor — the operational face of
     * the a11/a13 reports and the capstone's serving epilogue: per
     * micro-batch of ARRIVING queries, raw-PQ and staged agreement@k

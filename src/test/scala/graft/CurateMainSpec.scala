@@ -252,6 +252,25 @@ class CurateMainSpec extends SparkSpec {
     assert(s.stagedAgreement >= math.max(0.5, s.pqAgreement),
       s"staged serving must dominate raw ADC and recover most of the " +
         s"float answer: ${(s.pqAgreement, s.stagedAgreement)}")
+    // the acquisition epilogue (r16): the x85 per-source health table
+    // over corpus ∪ day-2 batch — the re-crawl sources indict
+    // themselves from their own columns: exact re-crawls have ZERO
+    // novelty (every gram first-occurred under a corpus id) and
+    // dup_rate 1.0 (each doc loses keep-reps to its original); the
+    // near re-crawls' prepended token adds a sliver of novelty but
+    // they still all die to their originals
+    val health = spark.read.parquet(s"$work/source_health")
+      .select(col("source"), col("novelty"), col("dup_rate"))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(health.contains("api") && health.contains("recrawl") &&
+      health.contains("recrawl_near"), s"health sources: ${health.keySet}")
+    assert(health("recrawl") == ((0.0, 1.0)),
+      s"exact re-crawl row must read (novelty 0, dup_rate 1): ${health("recrawl")}")
+    assert(health("recrawl_near")._2 == 1.0 &&
+      health("recrawl_near")._1 < health("api")._1,
+      s"near re-crawl must die whole and read less novel than the feed: " +
+        s"${health("recrawl_near")} vs api ${health("api")}")
     // replay: the monitor epochs are overwrite-committed pure functions
     // — a second run over the same workDir rewrites identical rows
     val s2 = CurateMain.runIncremental(spark, "/root/testdata/sf0.001", work)

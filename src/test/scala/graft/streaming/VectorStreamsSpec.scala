@@ -357,6 +357,83 @@ class VectorStreamsSpec extends SparkSpec {
     index.hashCode(): Unit
   }
 
+  test("staged serving stream: per-epoch ≡ topKStagedBatch, replay-pure, maintenance lands at the epoch boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vserve").toString
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.0).toFloat, math.cos(i * 1.0).toFloat,
+        math.sin(i * 0.7).toFloat, math.cos(i * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    graft.ops.Ivf.buildPersistent(corpus, s"$root/base",
+      "vec_id", "embedding", k = 2): Unit
+    graft.ops.Pq.pqAssign(spark, s"$root/base", "vec_id", "embedding",
+      m = 2, ksub = 4)
+    def ev(i: Long) = VecEvent(i, Seq(math.sin(i * 1.0).toFloat,
+      math.cos(i * 1.0).toFloat, math.sin(i * 0.7).toFloat,
+      math.cos(i * 0.7).toFloat))
+    val input = MemoryStream[VecEvent](spark)
+    val q = VectorStreams.stagedServeStream(input.toDF(), s"$root/base",
+      s"$root/out", s"$root/cp", "vec_id", "embedding",
+      k = 5, kCand = 10, nprobe = 2)
+    try {
+      input.addData(ev(3), ev(41))
+      q.processAllAvailable()
+      // maintenance between epochs: append a new vector, then query
+      // FOR it — the next epoch serves it with no restart
+      graft.ops.Ivf.appendToIndex(
+        Seq((1000L, Seq(math.sin(3.0).toFloat + 0.001f,
+          math.cos(3.0).toFloat, math.sin(2.1).toFloat,
+          math.cos(2.1).toFloat))).toDF("vec_id", "embedding"),
+        s"$root/base", "vec_id", "embedding"): Unit
+      input.addData(ev(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    // epoch 0 ≡ the batch face over the SAME persisted faces... but the
+    // index has since been appended to — so the differential replays
+    // epoch 1 (the current face) and pins epoch 0's structure instead
+    val e0 = spark.read.parquet(s"$root/out/epoch=0")
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(e0.map(_._1) == Set(3L, 41L) &&
+      e0.count(_._1 == 3L) == 5 && e0.count(_._1 == 41L) == 5,
+      s"epoch 0 must hold top-5 per query: $e0")
+    // each query's own vector is its best hit (cos 1.0, id tiebreak)
+    assert(e0.contains((3L, 3L, 1.0)) && e0.contains((41L, 41L, 1.0)),
+      s"self-hit missing: $e0")
+    val e1 = spark.read.parquet(s"$root/out/epoch=1")
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(e1.exists(r => r._2 == 1000L),
+      s"the appended vector must be servable next epoch: $e1")
+    // stream ≡ batch: replay epoch 1 off-stream from the same faces
+    val batch = Seq((3L, Seq(math.sin(3.0).toFloat, math.cos(3.0).toFloat,
+      math.sin(2.1).toFloat, math.cos(2.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val index = graft.ops.Ivf.readIndex(spark, s"$root/base")
+    val want = graft.ops.Pq.topKStagedBatch(spark, s"$root/base", index,
+        batch, "vec_id", "embedding", "vec_id", k = 5, kCand = 10,
+        nprobe = 2)
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(e1 == want, s"stream diverged from the batch face: $e1 vs $want")
+    // replay purity: re-running the epoch rewrites identical rows
+    VectorStreams.stagedServeBatch(batch, 1L, s"$root/base", s"$root/out",
+      "vec_id", "embedding", k = 5, kCand = 10, nprobe = 2)
+    val again = spark.read.parquet(s"$root/out/epoch=1")
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == e1, s"epoch replay drifted: $again vs $e1")
+    // an empty epoch commits an empty, schema-complete result
+    VectorStreams.stagedServeBatch(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+      99L, s"$root/base", s"$root/out", "vec_id", "embedding",
+      k = 5, kCand = 10, nprobe = 2)
+    val e99 = spark.read.parquet(s"$root/out/epoch=99")
+    assert(e99.isEmpty && e99.columns.toSeq ==
+      Seq("query_id", "vec_id", "cos_sim"),
+      s"empty epoch must commit schema-complete: ${e99.columns.toSeq}")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("cross-pair probe: index side partition-prunes and never shuffles") {
     val root = java.nio.file.Files.createTempDirectory("graft-vplan").toString
     buildBase(s"$root/base")
