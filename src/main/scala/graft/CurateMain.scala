@@ -363,7 +363,8 @@ object CurateMain {
       novelty: Double = -1.0, oovRate: Double = -1.0,
       annRecall: Double = -1.0, monitorAlerts: Long = -1L,
       pqAgreement: Double = -1.0, stagedAgreement: Double = -1.0,
-      fertility: Double = -1.0) {
+      fertility: Double = -1.0, refitRan: Boolean = false,
+      postRefitStagedAgreement: Double = -1.0) {
     def json: String =
       s"""{"incremental":{"indexed":$indexed,"batch":$batch,""" +
         s""""passage_kept":$passageKept,""" +
@@ -372,7 +373,9 @@ object CurateMain {
         s""""probe_hit":$probeHit},"monitors":{"novelty":$novelty,""" +
         s""""oov_rate":$oovRate,"ann_recall":$annRecall,"fertility":$fertility,""" +
         s""""alerts":$monitorAlerts},"serving":{"pq_agreement":$pqAgreement,""" +
-        s""""staged_agreement":$stagedAgreement},"out":"$out"}"""
+        s""""staged_agreement":$stagedAgreement,"refit_ran":$refitRan,""" +
+        s""""post_refit_staged_agreement":$postRefitStagedAgreement},""" +
+        s""""out":"$out"}"""
   }
 
   /** Marker helpers through the Hadoop FileSystem of the path — a
@@ -433,7 +436,8 @@ object CurateMain {
     * running both sides.
     */
   def runIncremental(spark: SparkSession, sfDir: String,
-      workDir: String): IncrementalSummary = {
+      workDir: String, refitOnAlert: Boolean = true,
+      servingAlertBelow: Double = 0.5): IncrementalSummary = {
     import spark.implicits._
     val corpus = Tables(spark, sfDir, "documents")
       .select($"doc_id", $"text", $"lang", $"source")
@@ -612,13 +616,33 @@ object CurateMain {
     // lands as monitor epoch 1 — the day-2 loop's fourth signal.
     val servRow = graft.streaming.VectorStreams.pqAgreementSnapshot(
       embeddings, ivfPath, "vec_id", "embedding",
-      k = 10, kCand = 50, maxQueries = 16, alertBelow = 0.5)
+      k = 10, kCand = 50, maxQueries = 16, alertBelow = servingAlertBelow)
       .localCheckpoint()
     servRow.write.mode("overwrite")
       .parquet(s"$workDir/monitor_pq_agreement/epoch=1")
     val (pqAgree, stagedAgree, servAlert) = servRow
       .select($"pq_agreement", $"staged_agreement", $"alert")
       .as[(Double, Double, Boolean)].head()
+    // ---- detect→repair: a firing serving gate means the compressed
+    // face no longer reconstructs the corpus the probes serve — the
+    // drift a15 + the pq-agreement monitor exist to catch. When
+    // `refitOnAlert`, the capstone ACTS on its own alarm:
+    // Ivf.refitIndex refits centroids over the appended corpus and
+    // re-encodes every face under the crash-recoverable versioned
+    // swap, then the SAME gate re-measures the promoted face
+    // (refit_qc/ + summary) — the repair is judged by the instrument
+    // that demanded it. The pre-refit snapshot stays in the monitor
+    // epoch (the alarm is part of the day's record).
+    val (refitRan, postStaged) =
+      if (servAlert && refitOnAlert) {
+        Ivf.refitIndex(spark, ivfPath, "vec_id", "embedding")
+        val post = graft.streaming.VectorStreams.pqAgreementSnapshot(
+          embeddings, ivfPath, "vec_id", "embedding",
+          k = 10, kCand = 50, maxQueries = 16,
+          alertBelow = servingAlertBelow).localCheckpoint()
+        post.write.mode("overwrite").parquet(s"$workDir/refit_qc")
+        (true, post.select($"staged_agreement").as[Double].head())
+      } else (false, -1.0)
     // ---- acquisition epilogue: the x85 per-source health table over
     // corpus ∪ day-2 batch under the committed tokenizer — the ONE
     // table the renew/cut review reads, emitted by the same day-2 run
@@ -645,6 +669,7 @@ object CurateMain {
       nKept, nVecs, probeHit, s"$workDir/day2_curated",
       novelty = novRow._1, oovRate = oov._1, annRecall = rec._1,
       monitorAlerts = alerts, pqAgreement = pqAgree,
-      stagedAgreement = stagedAgree, fertility = fert._1)
+      stagedAgreement = stagedAgree, fertility = fert._1,
+      refitRan = refitRan, postRefitStagedAgreement = postStaged)
   }
 }

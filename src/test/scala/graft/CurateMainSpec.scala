@@ -271,10 +271,49 @@ class CurateMainSpec extends SparkSpec {
       health("recrawl_near")._1 < health("api")._1,
       s"near re-crawl must die whole and read less novel than the feed: " +
         s"${health("recrawl_near")} vs api ${health("api")}")
+    // a healthy day-2 never repairs: the gate didn't fire, so the
+    // refit leg stayed idle
+    assert(!s.refitRan && s.postRefitStagedAgreement == -1.0,
+      s"refit must not run on a healthy serving gate: $s")
     // replay: the monitor epochs are overwrite-committed pure functions
     // — a second run over the same workDir rewrites identical rows
     val s2 = CurateMain.runIncremental(spark, "/root/testdata/sf0.001", work)
     assert(s2 == s, s"incremental re-run drifted: $s2 vs $s")
+    graft.ops.Staged.releaseAll()
+  }
+
+  test("serving-gate alert triggers the capstone's refit loop: detect → repair → re-measure") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-curate-refit").toString
+    // alertBelow > 1 makes the serving gate fire on ANY agreement —
+    // the wiring test for refit-on-alert (the repair's effectiveness
+    // differential is IvfRefitSpec's planted-drift test; here the pin
+    // is that the capstone ACTS on its own alarm and re-measures with
+    // the same instrument)
+    val s = CurateMain.runIncremental(spark, "/root/testdata/sf0.001", work,
+      refitOnAlert = true, servingAlertBelow = 1.01)
+    assert(s.monitorAlerts >= 1L, s"the forced gate must alert: $s")
+    assert(s.refitRan, s"the gate fired but no refit ran: $s")
+    assert(s.postRefitStagedAgreement >= 0.0 &&
+      s.postRefitStagedAgreement <= 1.0, s"post-refit gate out of range: $s")
+    // the re-measurement is persisted next to the day's monitors
+    val qc = spark.read.parquet(s"$work/refit_qc")
+      .select(col("staged_agreement")).head().getDouble(0)
+    assert(qc == s.postRefitStagedAgreement, s"refit_qc drifted: $qc vs $s")
+    // the swap completed cleanly and kept every vector (corpus +
+    // day-2 appends) across all faces
+    val fs = new org.apache.hadoop.fs.Path(s"$work/ivf_index")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$work/ivf_index/__refit_tmp")), "refit debris left behind")
+    val nCorpusVecs = graft.sources.Tables(
+      spark, "/root/testdata/sf0.001", "embeddings").count()
+    assert(spark.read.parquet(s"$work/ivf_index/assigned").count() ==
+      nCorpusVecs + s.appendedVecs,
+      "the refit index must keep corpus + appended vectors")
+    assert(spark.read.parquet(s"$work/ivf_index/assigned_pq").count() ==
+      nCorpusVecs + s.appendedVecs,
+      "the PQ face must be re-encoded over the full refit assignment")
     graft.ops.Staged.releaseAll()
   }
 
