@@ -404,9 +404,9 @@ object Ivf {
     * so it is paid WHEN drift says so, not on a timer.
     */
   def refitIndex(spark: SparkSession, path: String, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String, resizeTo: Option[Int] = None): Unit = {
     recoverRefit(spark, path)
-    buildRefitTmp(spark, path, idCol, vecCol)
+    buildRefitTmp(spark, path, idCol, vecCol, resizeTo)
     swapRefit(spark, path)
   }
 
@@ -414,9 +414,19 @@ object Ivf {
     * `_REFIT_COMMIT` file — exposed to the spec as the crash point
     * (after this, the old face is still fully live on disk; the next
     * [[recoverRefit]] rolls the swap forward).
+    *
+    * `resizeTo` RE-SIZES the index as part of the refit — the growth
+    * half of the index lifecycle: [[kForCells]] keeps the EXPECTED
+    * cell population constant, so a corpus that grew 10× under
+    * appends wants ~10× the cells (same per-cell probe bytes, same
+    * linear within-cell pair work), and a refit is exactly when k can
+    * change (every face re-derives anyway). A resize changes the
+    * `_INDEX_OK_k<k>_…` marker name; the new marker is staged INSIDE
+    * the tmp and promoted by the same committed swap, so readers'
+    * param checks flip atomically with the faces they describe.
     */
   private[ops] def buildRefitTmp(spark: SparkSession, path: String,
-      idCol: String, vecCol: String): Unit = {
+      idCol: String, vecCol: String, resizeTo: Option[Int] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the index's own committed parameters, from the marker names
@@ -431,9 +441,16 @@ object Ivf {
     require(parsed.length == 1,
       s"index at $path needs exactly one _INDEX_OK_k*_s*_$vecCol marker " +
         s"to refit under its own parameters; found: $idxMarkers")
-    val (_, k, seed) = parsed.head
+    val (_, oldK, seed) = parsed.head
+    resizeTo.foreach(nk => require(nk >= 1, s"resizeTo must be >= 1, got $nk"))
+    val k = resizeTo.getOrElse(oldK)
     val tmp = s"$path/__refit_tmp"
     fs.mkdirs(new org.apache.hadoop.fs.Path(tmp))
+    // a resize stages the NEW param marker in the tmp; the swap
+    // retires the old one and promotes this in the same committed pass
+    if (k != oldK)
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$tmp/_INDEX_OK_k${k}_s${seed}_$vecCol"), true).close()
     // refit over the CURRENT corpus — base build plus every append
     val corpus = spark.read.parquet(s"$path/assigned")
       .select(col(idCol), col(vecCol))
@@ -545,6 +562,26 @@ object Ivf {
       if (fs.exists(old))
         require(fs.delete(old, true), s"ivf refit: delete failed for $old")
       spark.catalog.refreshByPath(s"$path/$face")
+    }
+    // a resize staged the new `_INDEX_OK_*` marker in the tmp: retire
+    // every differing root marker, then promote it. Crash-safe in both
+    // directions — before the promote rename, recovery re-enters here
+    // with the tmp marker intact; after it, the rename target exists
+    // and the stale tmp copy is just deleted.
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/__refit_tmp/_INDEX_OK_*"))).toSeq.flatten.foreach { st =>
+      val name = st.getPath.getName
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$path/_INDEX_OK_*"))).toSeq.flatten
+        .filter(_.getPath.getName != name)
+        .foreach(o => require(fs.delete(o.getPath, false),
+          s"ivf refit: delete failed for ${o.getPath}"))
+      val dest = new org.apache.hadoop.fs.Path(path, name)
+      if (fs.exists(dest))
+        require(fs.delete(st.getPath, false),
+          s"ivf refit: delete failed for ${st.getPath}")
+      else require(fs.rename(st.getPath, dest),
+        s"ivf refit: rename ${st.getPath} -> $dest failed")
     }
     require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/__refit_tmp"), true),
       s"ivf refit: delete failed for $path/__refit_tmp")

@@ -1040,6 +1040,83 @@ object AnalyticsQueries {
         GROUP BY npg.np, kcg.k_cand"""),
       notes = "a14's sweep discipline on BOTH serving axes: probe sets nest " +
         "in nprobe, candidate sets in kCand, so one ADC rank per (np, query) " +
-        "cut at each kCand, each cut exactly re-ranked; 16 grid rows")
+        "cut at each kCand, each cut exactly re-ranked; 16 grid rows"),
+
+    // ---- semantic-dedup threshold pricing sweep — x82's discipline
+    // applied to the VECTOR dedup face: before committing a cosine
+    // threshold corpus-wide, the table that prices each setting in
+    // pair volume, cluster count, and corpus mass killed (keep-reps
+    // rule — the same verdicts x31/the capstone apply). One blocked
+    // pair pass at the loosest threshold serves every setting (pair
+    // sets NEST in the threshold: strict-> cuts of one rounded cosine
+    // column); per setting the keep-reps verdict is a CC run over the
+    // filtered pairs — pair-set-sized, not corpus-sized. The per-
+    // setting stat rows are 1-row scalar aggregates cross-joined (the
+    // q37 class). Oracle replays all four closures from the dumped
+    // governed assignment in ONE threshold-keyed recursive CTE.
+    GraftQuery(
+      "a17_semdedup_threshold_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val idx = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, 16),
+          "vec_id", "embedding", k = 16)
+        val kept = graft.ops.SemanticDedup.keptCells(idx.assigned)
+        if (OracleDump.enabled)
+          OracleDump.dump(kept.select($"vec_id", $"cluster"),
+            dir, "a17_assigned")
+        val pairs = graft.ops.Staged(graft.ops.Similarity.cosinePairsBlocked(
+          kept, "vec_id", "embedding", "cluster", threshold = 0.2))
+        Seq(0.2, 0.3, 0.4, 0.5).map { t =>
+          val pt = pairs.where($"cos_sim" > t).select($"id_a", $"id_b")
+          val comp = graft.ops.Dedup.connectedComponents(pt)
+          pt.agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(comp.agg(
+              countDistinct($"cluster_rep").as("n_clusters"),
+              sum(when($"doc_id" =!= $"cluster_rep", 1L).otherwise(0L))
+                .as("n_dropped")))
+            .select(lit(t).as("threshold"), $"n_pairs",
+              coalesce($"n_clusters", lit(0L)).as("n_clusters"),
+              coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+        }.reduce(_ unionByName _)
+      },
+      Some("""WITH a AS (SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
+            FROM read_parquet('__SCRATCH__/a17_assigned/*.parquet')),
+          e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          p AS (SELECT id_a, id_b, c FROM (
+              SELECT a1.vec_id AS id_a, a2.vec_id AS id_b,
+                round(list_cosine_similarity(e1.v, e2.v), 6) AS c
+              FROM a a1 JOIN a a2
+                ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+              JOIN e e1 ON a1.vec_id = e1.vec_id
+              JOIN e e2 ON a2.vec_id = e2.vec_id) WHERE c > 0.2),
+          tg AS (SELECT unnest([0.2, 0.3, 0.4, 0.5]) AS t),
+          ed AS (SELECT tg.t, p.id_a AS u, p.id_b AS v
+                 FROM tg JOIN p ON p.c > tg.t
+                 UNION ALL
+                 SELECT tg.t, p.id_b, p.id_a FROM tg JOIN p ON p.c > tg.t),
+          nodes AS (SELECT DISTINCT t, u AS id FROM ed),
+          reach AS (
+            WITH RECURSIVE r(t, id, lab) AS (
+              SELECT t, id, id FROM nodes
+              UNION
+              SELECT ed.t, ed.v, r.lab FROM r
+              JOIN ed ON ed.t = r.t AND ed.u = r.id
+            ) SELECT * FROM r),
+          comp AS (SELECT t, id, CAST(min(lab) AS BIGINT) AS rep
+            FROM reach GROUP BY t, id),
+          st AS (SELECT t, CAST(count(DISTINCT rep) AS BIGINT) AS nc,
+              CAST(sum(CASE WHEN id <> rep THEN 1 ELSE 0 END) AS BIGINT) AS nd
+            FROM comp GROUP BY t),
+          np AS (SELECT tg.t, CAST(count(p.id_a) AS BIGINT) AS n
+            FROM tg LEFT JOIN p ON p.c > tg.t GROUP BY tg.t)
+        SELECT np.t AS threshold, np.n AS n_pairs,
+          COALESCE(st.nc, 0) AS n_clusters, COALESCE(st.nd, 0) AS n_dropped
+        FROM np LEFT JOIN st ON st.t = np.t"""),
+      notes = "x31's within-cell cosine + x20's closure replayed per " +
+        "threshold from one dumped governed assignment; pair sets nest, " +
+        "so one pair pass serves every cut; keep-reps verdicts exact")
   )
 }

@@ -2940,7 +2940,49 @@ object ExtensionQueries {
         SELECT CAST(count(*) AS BIGINT) AS n_docs
         FROM inv GROUP BY sh HAVING count(*) > 5"""),
       notes = "string-side replay of the hashed inverted index's hot " +
-        "buckets; multiset of bucket sizes (hash keys are engine-internal)")
+        "buckets; multiset of bucket sizes (hash keys are engine-internal)"),
+
+    // ---- per-source quality-gate calibration — the table that turns
+    // x85's mean_quality into an actionable CUT: exact p10/p50/p90 of
+    // the per-doc quality score WITHIN each source (x62 normalizes a
+    // doc against its source; this prices the gate itself — "drop the
+    // bottom decile of every source" reads its threshold per source
+    // straight off q10). Exact, not approximate: the shared
+    // Quantiles.exact histogram machinery (group per (source, rounded
+    // score), one running-sum window over the domain-bounded
+    // histogram, shared interpolation expressions) with its generated
+    // oracle over the x07 score subquery — the interpolation
+    // arithmetic is byte-identical on both engines by construction.
+    GraftQuery(
+      "x87_source_quality_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Quantiles.exact(
+          Tables(s, dir, "documents").select($"source",
+            round(TextAnalysis.qualityScore($"text"), 6).as("quality")),
+          Seq("source"), "quality",
+          Seq("q10" -> 0.1, "q50" -> 0.5, "q90" -> 0.9))
+      },
+      Some(graft.ops.Quantiles.oracleSql(
+        """(SELECT source, round(
+             (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+             + (CASE WHEN n > 0 THEN nd / n ELSE 0.0 END) * 0.25
+             + least(CASE WHEN n > 0 THEN stop / n ELSE 0.0 END * 5.0, 1.0) * 0.25
+             + (CASE WHEN chars > 0 THEN 1.0 - least(punct / chars * 5.0, 1.0)
+                ELSE 0.0 END) * 0.25, 6) AS quality
+           FROM (SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n,
+             CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) AS nd,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+               x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                          'for','on','with','as','at','by','from','that','this'))) AS DOUBLE) AS stop,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+             CAST(length(text) AS DOUBLE) AS chars
+           FROM documents))""",
+        Seq("source"), "quality",
+        Seq("q10" -> 0.1, "q50" -> 0.5, "q90" -> 0.9))),
+      notes = "x07's score CTE feeding the shared exact-quantile replay " +
+        "(q45/q46's generated oracle); per-source gate thresholds")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

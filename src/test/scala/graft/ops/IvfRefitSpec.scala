@@ -102,6 +102,39 @@ class IvfRefitSpec extends SparkSpec {
     Staged.releaseAll()
   }
 
+  test("refit with resizeTo grows the index; the param marker swaps atomically with the faces") {
+    val dir = buildDriftedIndex() // k=3, 160 vectors, int8 + PQ faces
+    Ivf.refitIndex(spark, dir, "vec_id", "embedding", resizeTo = Some(5))
+    val idx = Ivf.readIndex(spark, dir)
+    assert(idx.centroids.length == 5, "resize must take effect")
+    assert(idx.assigned.count() == 160L)
+    assert(spark.read.parquet(s"$dir/assigned_pq").count() == 160L,
+      "the PQ face must re-encode under the resized geometry")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_INDEX_OK_k5_s42_embedding")), "new param marker must commit")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_INDEX_OK_k3_s42_embedding")), "old param marker must retire")
+    // readers' param checks hold against the new marker: a k=5 request
+    // is a no-op serve, a k=3 request fails loudly (stale-params rule)
+    assert(Ivf.buildPersistent(baseCorpus, dir, "vec_id", "embedding",
+      k = 5).centroids.length == 5)
+    // a resize staged mid-crash promotes with the faces: build a second
+    // resize tmp, 'crash', recover — marker and centroids flip together
+    Ivf.buildRefitTmp(spark, dir, "vec_id", "embedding", resizeTo = Some(4))
+    assert(Ivf.readIndex(spark, dir).centroids.length == 5,
+      "pre-recovery the old face (and marker) must still serve")
+    assert(Ivf.recoverRefit(spark, dir))
+    assert(Ivf.readIndex(spark, dir).centroids.length == 4)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_INDEX_OK_k4_s42_embedding")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/_INDEX_OK_k5_s42_embedding")),
+      "recovery must promote the staged marker with the faces")
+    Staged.releaseAll()
+  }
+
   test("crash BEFORE commit: the partial build is discarded, the old face never moves") {
     val dir = buildDriftedIndex()
     val pre = Ivf.readIndex(spark, dir).centroids.map(_.toSeq).toSeq

@@ -127,7 +127,9 @@ class PlanSpec extends SparkSpec {
           // never shuffled; per-query rank is a keyed window) — the
           // baseline an ANN recall report is DEFINED against
           "a07_ann_recall", "a08_ann_nprobe_sweep", "a13_ann_staged_recall",
-          "a14_staged_kcand_sweep", "a16_staged_nprobe_grid")
+          "a14_staged_kcand_sweep", "a16_staged_nprobe_grid",
+          // per-setting 1-row scalar aggregates cross-joined (q37's class)
+          "a17_semdedup_threshold_sweep")
         if (!nlOk(q.name))
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans a nested-loop join")
