@@ -55,6 +55,7 @@ object ScaleRehearsalAnn {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("refit")) { runRefitCurve(args.drop(1)); return }
     val multipliers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10, 20)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -199,6 +200,88 @@ object ScaleRehearsalAnn {
         s""""gram_sec":$tGram,"gram_rows":$nGram,"pca_sec":$tPca,""" +
         s""""bytes_float":${faceBytes("assigned")},"bytes_int8":${faceBytes("assigned_int8")},""" +
         s""""bytes_pq":${faceBytes("assigned_pq")}}""")
+    }
+    spark.stop()
+  }
+
+  /** Refit-cost curve (round 16): the `Ivf.refitIndex` scale claim is
+    * "refit cost ≈ build cost, linear in the corpus" — one KMeans fit,
+    * one assignment pass, one write per face, under the committed
+    * swap. Rehearsed per multiplier: build the full three-face index,
+    * append a 10%-of-corpus DRIFT batch (every dim shifted +30 — far
+    * outside the fit distribution), read a15's alarm (max per-cell
+    * mean residual norm), time the refit, and REQUIRE the repair
+    * (drifted residual ≥ 10× the refit residual; all vectors + faces
+    * kept). What must hold in the numbers: refit_sec tracks
+    * build+faces_sec (same class, linear in vecs), never the append
+    * count or anything superlinear.
+    *
+    * Usage: runMain graft.ScaleRehearsalAnn refit [multipliers...]
+    * (default 1 2 5 10).
+    */
+  private def runRefitCurve(args: Array[String]): Unit = {
+    val multipliers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    multipliers.foreach { k =>
+      val path = s"/tmp/graft-scale-vecs-${graft.queries.OracleDump.sfTag(sfDir)}-${k}x"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        scaledVecs(base, k, dim).repartition(32).write.mode("overwrite").parquet(path)
+      val vecs = spark.read.parquet(path)
+      val n = vecs.count()
+      val idxPath = s"/tmp/graft-scale-refit-${k}x"
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(idxPath))
+      val tBuild = time {
+        Ivf.buildPersistent(vecs, idxPath, "vec_id", "embedding", k = 16): Unit
+        Ivf.quantizeAssigned(spark, idxPath, "vec_id", "embedding")
+        graft.ops.Pq.pqAssign(spark, idxPath, "vec_id", "embedding",
+          m = 4, ksub = 16)
+      }
+      // the drift: 10% of the corpus re-ingested far from the fit
+      // distribution, registered under frozen centroids
+      val stride = vecs.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val drift = vecs.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(stride)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x + lit(30.0))
+            .cast("array<float>").as("embedding"))
+      val nDrift = drift.count()
+      val tAppend = time {
+        Ivf.appendToIndex(drift, idxPath, "vec_id", "embedding"): Unit
+      }
+      def maxRes(): Double =
+        Ivf.cellResidualProfile(spark, idxPath, "embedding")
+          .agg(max(col("mean_res_norm"))).head().getDouble(0)
+      val resDrifted = maxRes()
+      val tRefit = time {
+        Ivf.refitIndex(spark, idxPath, "vec_id", "embedding")
+      }
+      val resRefit = maxRes()
+      val kept = spark.read.parquet(s"$idxPath/assigned").count()
+      val keptPq = spark.read.parquet(s"$idxPath/assigned_pq").count()
+      require(kept == n + nDrift && keptPq == n + nDrift,
+        s"refit lost vectors at mult $k: $kept/$keptPq vs ${n + nDrift}")
+      require(resDrifted >= 10 * resRefit,
+        s"refit failed to repair at mult $k: $resDrifted -> $resRefit")
+      Staged.releaseAll()
+      println(f"""{"mult":$k,"vecs":$n,"drift":$nDrift,""" +
+        f""""build_faces_sec":$tBuild%.2f,"append_sec":$tAppend%.2f,""" +
+        f""""res_drifted":$resDrifted%.3f,"res_refit":$resRefit%.3f,""" +
+        f""""refit_sec":$tRefit%.2f}""")
     }
     spark.stop()
   }

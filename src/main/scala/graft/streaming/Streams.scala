@@ -983,6 +983,123 @@ object Streams {
       }
       .start()
 
+  /** The per-epoch PER-SOURCE health snapshot — the streaming face of
+    * x85's acquisition table, for the question the global monitors
+    * structurally cannot answer: WHICH source went bad this epoch. A
+    * batch-global novelty of 0.4 can hide one source at 0.0 (a crawler
+    * re-reading held content) behind nine healthy ones; this slices
+    * the same three frozen-artifact signals (novelty vs the committed
+    * gram index, OOV vs the frozen vocabulary, fertility vs the
+    * committed merge list) plus the quality mean BY SOURCE, one row
+    * per source of the arriving batch, alert per source.
+    *
+    * READ-ONLY against the committed artifacts (unlike
+    * [[processNoveltyBatch]], nothing registers — the novelty stream
+    * owns gram registration), so the snapshot is a pure function of
+    * (batch, committed files) and trivially replay-pure; it reads
+    * EVERY epoch partition of the gram index (its own epoch counter
+    * is unrelated to the index owner's — pass a committed artifact,
+    * e.g. the day-1 index or a quiesced novelty index). Per-source
+    * novelty counts each source's own distinct grams against the
+    * committed index only — batchmate sources do not suppress each
+    * other (two sources discovering the same new gram both read
+    * novel). A source whose docs are tokenless carries NULL
+    * token-derived columns and cannot alert on them (x85's left-join
+    * convention); an idle epoch commits an empty, schema-complete
+    * table. Cost per epoch: four source-keyed aggregations over the
+    * batch, one anti-join fold against the bucketed gram index (only
+    * the O(batch) gram side shuffles), one O(V) vocab broadcast, one
+    * merge-list application over the batch vocabulary — nothing
+    * corpus-sized, no state.
+    */
+  private[graft] def sourceHealthSnapshot(batch: DataFrame,
+      gramIndexPath: String, vocabPath: String, mergesPath: String,
+      textCol: String, srcCol: String, n: Int = 3,
+      alertBelowNovelty: Double = 0.02, alertAboveOov: Double = 0.5,
+      alertAboveFertility: Double = 4.0): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val src = col(srcCol).as("source")
+    val quality = batch
+      .select(src, round(graft.ops.TextAnalysis.qualityScore(col(textCol)), 6)
+        .as("__q"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"__q".cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_quality"))
+    val grams = graft.ops.Staged(batch
+      .select(src, explode(graft.ops.Shingles(col(textCol), n)).as("gram"))
+      .distinct())
+    val committed = epochsBefore(spark, gramIndexPath, Long.MaxValue)
+    val novel = committed.foldLeft(grams.toDF)((g, e) =>
+      g.join(graft.ops.Dedup.readIndexTable(spark, s"$gramIndexPath/epoch=$e")
+        .select(col("gram")), Seq("gram"), "left_anti"))
+    val nov = grams.groupBy($"source").agg(count(lit(1)).as("n_grams"))
+      .join(novel.groupBy($"source").agg(count(lit(1)).as("n_novel")),
+        Seq("source"), "left")
+      .select($"source", $"n_grams",
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        round(coalesce($"n_novel", lit(0L)).cast("double") / $"n_grams", 6)
+          .as("novelty"))
+    val vocab = broadcast(spark.read.parquet(vocabPath)
+      .select(col("tok"), lit(1).as("__inv")))
+    val oov = batch
+      .select(src, explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("tok"))
+      .join(vocab, Seq("tok"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"__inv".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"source",
+        round($"n_oov".cast("double") / $"n_tokens", 6).as("oov_rate"))
+    val merges = spark.read.parquet(mergesPath)
+      .orderBy(col("step")).select(col("left"), col("right"))
+      .as[(String, String)].collect().toSeq
+    val toks = graft.ops.Staged(batch
+      .select(src, explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("word")))
+    val sub = toks.select($"word").distinct().as[String]
+      .map(w => (w, graft.ops.Bpe.applyMerges(w, merges).size.toLong))
+      .toDF("word", "n_syms")
+    val fert = toks.join(sub, "word")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"), sum($"n_syms").as("n_subwords"))
+      .select($"source",
+        round($"n_subwords".cast("double") / $"n_words", 6).as("fertility"))
+    quality
+      .join(nov, Seq("source"), "left")
+      .join(oov, Seq("source"), "left")
+      .join(fert, Seq("source"), "left")
+      .withColumn("alert",
+        coalesce($"novelty" < alertBelowNovelty, lit(false)) ||
+        coalesce($"oov_rate" > alertAboveOov, lit(false)) ||
+        coalesce($"fertility" > alertAboveFertility, lit(false)))
+  }
+
+  /** Streaming per-source acquisition-health monitor — x85's table as
+    * a continuous slice: per micro-batch, one row PER SOURCE with
+    * novelty/OOV/fertility against the same frozen day-1 artifacts the
+    * global monitors watch, plus the quality mean; alert per source.
+    * The global monitors say "this epoch drifted"; this one names the
+    * source — the renew/cut signal at monitoring latency instead of
+    * review latency. Epoch-keyed overwrite-committed snapshots,
+    * replay-pure (read-only against the committed artifacts).
+    */
+  def sourceHealthStream(docs: DataFrame, gramIndexPath: String,
+      vocabPath: String, mergesPath: String, outPath: String,
+      checkpoint: String, textCol: String, srcCol: String, n: Int = 3,
+      alertBelowNovelty: Double = 0.02, alertAboveOov: Double = 0.5,
+      alertAboveFertility: Double = 4.0): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sourceHealthSnapshot(batch, gramIndexPath, vocabPath, mergesPath,
+          textCol, srcCol, n, alertBelowNovelty, alertAboveOov,
+          alertAboveFertility)
+          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        graft.ops.Staged.release()
+      }
+      .start()
+
   /** Epoch labels of the index partitions committed before `epoch`,
     * ascending. Listed through the Hadoop FileSystem API, not
     * java.io.File: at cluster scale the index lives on HDFS/S3, where

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 final case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+final case class SrcDocEvent(doc_id: Long, text: String, source: String)
 
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
@@ -1066,6 +1067,85 @@ class StreamsSpec extends SparkSpec {
       alertBelow = 0.1)
     assert(snap(2) == ((2L, g1 + g3, g3, 0.444444, false)),
       "replay must rewrite the identical snapshot")
+  }
+
+  test("per-source health monitor: the drifting source is NAMED; frozen-artifact slices exact; replay-pure") {
+    val root = java.nio.file.Files.createTempDirectory("graft-srchealth").toString
+    // day-1 committed artifacts: gram index (novelty), vocabulary
+    // (OOV), merge list (fertility) — all frozen from one base corpus
+    val base = Seq((1L, "the cat and the dog run to the house by the river"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.writeBucketedIndex(
+      base.select(explode(graft.ops.Shingles($"text", 3)).as("gram")).distinct(),
+      s"$root/grams/epoch=0", Seq("gram"), 8)
+    graft.ops.TextAnalysis.fitVocab(base, "text", vocabSize = 100)
+      .write.mode("overwrite").parquet(s"$root/vocab")
+    graft.ops.Bpe.fit(base, "text", nMerges = 4)
+      .mergeTable(spark).write.mode("overwrite").parquet(s"$root/merges")
+    graft.ops.Staged.releaseAll()
+    val input = MemoryStream[SrcDocEvent](spark)
+    val q = Streams.sourceHealthStream(input.toDF(),
+      s"$root/grams", s"$root/vocab", s"$root/merges",
+      s"$root/out", s"$root/cp", "text", "source",
+      alertBelowNovelty = 0.02, alertAboveOov = 0.5)
+    try {
+      input.addData(
+        // healthy: base words in a NEW order — novel grams, zero OOV
+        SrcDocEvent(10L, "the dog run by the cat to the river and the house", "fresh"),
+        // re-crawl: byte-identical to held content — novelty exactly 0
+        SrcDocEvent(11L, "the cat and the dog run to the house by the river", "recrawl"),
+        // vocabulary drift: every word outside the frozen vocab
+        SrcDocEvent(12L, "quantum flux capacitors destabilize everything", "alien"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$root/out/epoch=0")
+      .select($"source", $"novelty", $"oov_rate", $"alert")
+      .as[(String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows.keySet == Set("fresh", "recrawl", "alien"),
+      s"one row per source: ${rows.keySet}")
+    assert(rows("recrawl") == ((0.0, 0.0, true)),
+      s"the re-crawl source must be NAMED at novelty 0: ${rows("recrawl")}")
+    assert(rows("fresh")._1 > 0.5 && rows("fresh")._2 == 0.0 && !rows("fresh")._3,
+      s"the healthy source must not alert: ${rows("fresh")}")
+    assert(rows("alien")._2 == 1.0 && rows("alien")._3,
+      s"the OOV source must alert: ${rows("alien")}")
+    // the global novelty over this batch would read healthy — the
+    // whole point of the slice: (fresh+alien novel grams) dwarf the
+    // recrawl's zeros in one averaged number
+    val novAll = spark.read.parquet(s"$root/out/epoch=0")
+      .agg(sum($"n_novel"), sum($"n_grams")).as[(Long, Long)].head()
+    assert(novAll._1.toDouble / novAll._2 > 0.3,
+      s"fixture sanity: the batch-global average hides the re-crawl: $novAll")
+    // replay purity: the snapshot is a pure function of (batch, files)
+    val replay = Streams.sourceHealthSnapshot(
+      Seq((10L, "the dog run by the cat to the river and the house", "fresh"),
+        (11L, "the cat and the dog run to the house by the river", "recrawl"),
+        (12L, "quantum flux capacitors destabilize everything", "alien"))
+        .toDF("doc_id", "text", "source"),
+      s"$root/grams", s"$root/vocab", s"$root/merges", "text", "source",
+      alertBelowNovelty = 0.02, alertAboveOov = 0.5)
+    val committed = spark.read.parquet(s"$root/out/epoch=0")
+    assert(replay.collect().toSet == committed.collect().toSet,
+      "replay drifted from the committed epoch")
+    // a tokenless source carries NULL token-derived columns (x85's
+    // left-join convention) and cannot alert on them; an idle epoch is
+    // an empty, schema-complete table
+    val tokenless = Streams.sourceHealthSnapshot(
+      Seq((20L, "!!! ???", "binary")).toDF("doc_id", "text", "source"),
+      s"$root/grams", s"$root/vocab", s"$root/merges", "text", "source")
+      .select($"source", $"novelty", $"oov_rate", $"fertility", $"alert")
+      .collect().toSeq
+    assert(tokenless.length == 1 && tokenless.head.getString(0) == "binary" &&
+      tokenless.head.isNullAt(1) && tokenless.head.isNullAt(2) &&
+      tokenless.head.isNullAt(3) && !tokenless.head.getBoolean(4),
+      s"tokenless source must surface as NULLs, never alert: $tokenless")
+    val idle = Streams.sourceHealthSnapshot(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),
+      s"$root/grams", s"$root/vocab", s"$root/merges", "text", "source")
+    assert(idle.isEmpty && idle.columns.contains("mean_quality"),
+      "idle epoch must be empty and schema-complete")
+    graft.ops.Staged.releaseAll()
   }
 
   test("streaming DSIR scoring equals the batch probe of the model") {
