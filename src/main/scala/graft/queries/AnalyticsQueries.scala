@@ -1071,10 +1071,13 @@ object AnalyticsQueries {
           val pt = pairs.where($"cos_sim" > t).select($"id_a", $"id_b")
           val comp = graft.ops.Dedup.connectedComponents(pt)
           pt.agg(count(lit(1)).as("n_pairs"))
-            .crossJoin(comp.agg(
+            // broadcast-hint the 1-row side: size ESTIMATES at plan
+            // time don't know an aggregate is one row, and an unhinted
+            // cross of two "big" frames plans CartesianProduct
+            .crossJoin(broadcast(comp.agg(
               countDistinct($"cluster_rep").as("n_clusters"),
               sum(when($"doc_id" =!= $"cluster_rep", 1L).otherwise(0L))
-                .as("n_dropped")))
+                .as("n_dropped"))))
             .select(lit(t).as("threshold"), $"n_pairs",
               coalesce($"n_clusters", lit(0L)).as("n_clusters"),
               coalesce($"n_dropped", lit(0L)).as("n_dropped"))

@@ -2982,7 +2982,73 @@ object ExtensionQueries {
         Seq("source"), "quality",
         Seq("q10" -> 0.1, "q50" -> 0.5, "q90" -> 0.9))),
       notes = "x07's score CTE feeding the shared exact-quantile replay " +
-        "(q45/q46's generated oracle); per-source gate thresholds")
+        "(q45/q46's generated oracle); per-source gate thresholds"),
+
+    // ---- per-source language trust — x08's confusion sliced the way
+    // acquisition reads it: does each source actually contain the
+    // language its metadata claims? Per source: doc count, label-vs-
+    // predicted agreement rate (x08's n-gram heuristic), and the
+    // MAJORITY predicted language (argmax with lexicographic
+    // tie-break) — a source whose top_pred_lang disagrees with its
+    // label is mislabeled at the metadata level, which poisons every
+    // lang-keyed mixing decision downstream. Two source-keyed aggs +
+    // one #source-partition window; row-local scoring.
+    GraftQuery(
+      "x88_source_lang_trust",
+      (s, dir) => {
+        import s.implicits._
+        val pred = Tables(s, dir, "documents")
+          .select($"source", $"lang",
+            TextAnalysis.langId($"text").as("lang_pred"))
+        val agg = pred.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"lang" === $"lang_pred", 1L).otherwise(0L))
+              .as("n_match"))
+          .select($"source", $"n_docs", $"n_match",
+            round($"n_match".cast("double") / $"n_docs", 6).as("agree_rate"))
+        val top = pred.groupBy($"source", $"lang_pred")
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"source").orderBy($"__n".desc, $"lang_pred")))
+          .where($"__rk" === 1)
+          .select($"source", $"lang_pred".as("top_pred_lang"))
+        agg.join(top, "source")
+      },
+      Some("""WITH sc AS (SELECT source, lang,
+          list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+          FROM documents),
+        scores AS (SELECT source, lang,
+          len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS s_de,
+          len(list_intersect(t, ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+          len(list_intersect(t, ['el','la','los','y','es','un','una','en','por','que'])) AS s_es,
+          len(list_intersect(t, ['le','la','les','et','est','un','une','dans','pour','que'])) AS s_fr,
+          len(list_intersect(t, ['de','shi','le','wo','ni','ta','zai','you','he','bu'])) AS s_zh
+          FROM sc),
+        pr AS (SELECT source, lang,
+          CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) <= 0 THEN 'und'
+               WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+               WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+               WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+               WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+               ELSE 'zh' END AS lang_pred
+          FROM scores),
+        ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_match,
+            round(CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) AS agree_rate
+          FROM pr GROUP BY source),
+        tp AS (SELECT source, lang_pred AS top_pred_lang FROM (
+            SELECT source, lang_pred, count(*) AS n,
+              row_number() OVER (PARTITION BY source
+                ORDER BY count(*) DESC, lang_pred) AS rk
+            FROM pr GROUP BY source, lang_pred) WHERE rk = 1)
+        SELECT ag.source, ag.n_docs, ag.n_match, ag.agree_rate,
+          tp.top_pred_lang
+        FROM ag JOIN tp USING (source)"""),
+      notes = "x08's heuristic + decision rule verbatim, sliced per source; " +
+        "majority prediction under (count desc, lang asc) — total order")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features
