@@ -55,9 +55,17 @@ object Acquisition {
       .groupBy(col(srcCol))
       .agg(round(sum(col("n_oov")).cast("double") /
         sum(col("n_tokens")), 6).as("oov_rate"))
-    // x74: subword fertility under the committed tokenizer
-    val fert = Bpe.fertilityBy(docs.select(col(srcCol), col(textCol)),
-        textCol, srcCol, fit)
+    // x74's fertility signal via the applyMerges EXTENSION path
+    // (Bpe.fertilityByMerges), not the fit-word-table inner join: this
+    // table prices corpora the committed tokenizer has NOT seen (a
+    // day-2 batch, a candidate source), and the join face silently
+    // drops exactly the novel words that make such a source expensive
+    // — biasing fertility low (or NULL) for the sources the renew/cut
+    // decision most needs priced. For the fit corpus itself the two
+    // faces are provably identical (applyMerges reproduces the fit's
+    // own segmentation), so the registered oracle replay is unchanged.
+    val fert = Bpe.fertilityByMerges(docs.select(col(srcCol), col(textCol)),
+        textCol, srcCol, fit.merges.map(m => (m.left, m.right)))
       .select(col(srcCol), col("fertility"))
     // x84: keep-reps suppression verdicts sliced per source
     val clusters = Dedup.connectedComponents(

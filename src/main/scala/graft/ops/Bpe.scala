@@ -500,4 +500,40 @@ object Bpe {
         sum(col("n_syms")).as("n_bpe_tokens"))
       .withColumn("fertility",
         round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+
+  /** [[fertilityBy]] for corpora the fit has NOT necessarily seen —
+    * the [[applyMerges]] extension path ([[tokenizeWith]]'s rule,
+    * sliced per group): each distinct word of THIS corpus is segmented
+    * from the merge list itself, identical to the fit's own
+    * segmentation for in-fit words and deterministic for unseen ones,
+    * so no word silently drops out of the average. This is the face
+    * acquisition pricing must use — the novel sources a renew/cut
+    * table exists to price are exactly the ones whose words the fit
+    * never saw, and the inner-join face would bias their fertility low
+    * (or NULL them entirely).
+    *
+    * Scale shape: one distinct over the corpus's words (vocabulary-
+    * sized; the per-word rewrite is the documented imperative-per-row
+    * exception over that bounded frame, the driver-bounded merge list
+    * riding the closure, Staged so the join side computes once), then
+    * the token explode + word-keyed join + group-keyed agg — the group
+    * agg is the only corpus-sized shuffle and its key space is the
+    * slice cardinality.
+    */
+  def fertilityByMerges(df: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(groupCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("word"))
+    val nSyms = Staged(toks.select($"word").distinct().as[String]
+      .map(w => (w, applyMerges(w, merges).size.toLong))
+      .toDF("word", "n_syms"))
+    toks.join(nSyms, "word")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+  }
 }

@@ -371,6 +371,71 @@ object Ivf {
   private val RefitFaces =
     Seq("centroids", "assigned", "assigned_int8", "pq_codebooks", "assigned_pq")
 
+  /** The index-generation seqlock file: a single long, EVEN while the
+    * index's faces are stable, ODD while a refit swap is renaming them.
+    * The swap is five sequential renames, so a reader that starts
+    * between them can pair new `centroids` with old `assigned_pq` and
+    * silently mis-rank; the seqlock turns that torn window into a
+    * detected retry — [[withStableGen]] is the read side, [[swapRefit]]
+    * the write side. Absent file = generation 0 (an index that has
+    * never been refit is trivially stable).
+    */
+  private val GenFile = "_IVF_GEN"
+
+  /** Current generation; -1 when the file is mid-write (unparsable),
+    * which readers must treat as unstable.
+    */
+  private[ops] def readGen(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$GenFile")
+    try {
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
+  private def writeGen(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      v: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/$GenFile"), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Run `body` against a STABLE multi-face snapshot of the index at
+    * `path` — the seqlock read side: body only returns when the
+    * generation read before it is even (no swap in progress) and
+    * unchanged after it (no swap completed underneath). A swap landing
+    * mid-body triggers a bounded retry of the whole body, so callers
+    * must pass an idempotent body (the serving path's epoch writes are
+    * overwrite-committed, so re-running rewrites identical-or-newer
+    * bytes). Fails loudly after `maxRetries` — a generation stuck odd
+    * means a refit crashed mid-swap and [[recoverRefit]] must roll it
+    * forward before reads can be trusted.
+    */
+  def withStableGen[T](spark: SparkSession, path: String,
+      maxRetries: Int = 8)(body: => T): T = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val g0 = readGen(fs, path)
+      if (g0 >= 0L && g0 % 2 == 0L) {
+        val out = body
+        if (readGen(fs, path) == g0) return out
+      }
+      attempt += 1
+      if (attempt <= maxRetries) Thread.sleep(25L * attempt)
+    }
+    throw new IllegalStateException(
+      s"index at $path never presented a stable generation over " +
+        s"$maxRetries retries (generation ${readGen(fs, path)}) — a refit " +
+        "crashed mid-swap (odd generation: run Ivf.recoverRefit) or a " +
+        "writer is livelocking this reader")
+  }
+
   /** REPAIR the drift the monitoring family detects — the missing
     * half of the detect→decide→repair loop: [[cellResidualProfile]]
     * (a15) says residual norms inflated, the streaming pq-agreement
@@ -444,6 +509,29 @@ object Ivf {
     val (_, oldK, seed) = parsed.head
     resizeTo.foreach(nk => require(nk >= 1, s"resizeTo must be >= 1, got $nk"))
     val k = resizeTo.getOrElse(oldK)
+    val PqRe = ("_PQ_OK_v3_" + java.util.regex.Pattern.quote(vecCol) +
+      """_m(\d+)_k(\d+)_s(-?\d+)_r([0-9.Ee+-]+)$""").r
+    val pqParams = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/_PQ_OK_v3_${vecCol}_*"))).toSeq.flatten
+      .map(_.getPath.getName).collectFirst {
+        case PqRe(m, ksub, pqSeed, rate) =>
+          (m.toInt, ksub.toInt, pqSeed.toLong, rate.toDouble)
+      }
+    // PQ-face integrity gate, mirroring appendToIndex's — checked
+    // BEFORE any build work so a refused refit costs nothing: a stored
+    // `assigned_pq` with no param-complete marker is a pre-v3 or
+    // crashed face whose committed parameters are unknowable — a
+    // refit that silently skipped it would promote new `assigned` /
+    // `centroids` while the marker-less face stays keyed to the
+    // RETIRED cells, and pqScoredBatch (which reads assigned_pq
+    // without a marker check) would serve silently wrong rankings.
+    // Fail the refit loudly instead; Pq.pqAssign rebuilds the face.
+    require(pqParams.nonEmpty ||
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/assigned_pq")),
+      s"index at $path holds a PQ face with no _PQ_OK_v3_${vecCol}_* marker " +
+        "(pre-v3 format, crashed build, or built for a different vector " +
+        "column) — run Pq.pqAssign to rebuild it before refitting, or " +
+        "delete the face (pq_codebooks/, assigned_pq/, _PQ_OK_* markers)")
     val tmp = s"$path/__refit_tmp"
     fs.mkdirs(new org.apache.hadoop.fs.Path(tmp))
     // a resize stages the NEW param marker in the tmp; the swap
@@ -476,14 +564,7 @@ object Ivf {
     // against moved centroids would re-key every stored code — the
     // whole point of the refit is that reconstructions track the
     // corpus again), under the face's committed parameters
-    val PqRe = ("_PQ_OK_v3_" + java.util.regex.Pattern.quote(vecCol) +
-      """_m(\d+)_k(\d+)_s(-?\d+)_r([0-9.Ee+-]+)$""").r
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$path/_PQ_OK_v3_${vecCol}_*"))).toSeq.flatten
-      .map(_.getPath.getName).collectFirst {
-        case PqRe(m, ksub, pqSeed, rate) =>
-          (m.toInt, ksub.toInt, pqSeed.toLong, rate.toDouble)
-      }.foreach { case (m, ksub, pqSeed, rate) =>
+    pqParams.foreach { case (m, ksub, pqSeed, rate) =>
         val model = Pq.fitCodebooks(newAssigned, idCol, vecCol,
           idx.centroids, m, ksub, pqSeed, rate)
         Pq.codebookRows(spark, model).coalesce(1)
@@ -530,6 +611,11 @@ object Ivf {
         else require(fs.rename(st.getPath, live),
           s"ivf refit: rollback rename ${st.getPath} -> $live failed")
       }
+      // a crash between the swap's last cleanup and its even-generation
+      // write leaves the seqlock odd with live faces authoritative —
+      // repair it here so readers stop retrying a completed swap
+      val g = readGen(fs, path)
+      if (g % 2 == 1L) writeGen(fs, path, g + 1L)
       false
     }
   }
@@ -542,6 +628,13 @@ object Ivf {
   private def swapRefit(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // seqlock write side: flip the generation ODD before the first
+    // rename (a resumed swap finds it already odd and keeps it), EVEN
+    // after the last cleanup — [[withStableGen]] readers retry any
+    // body that overlapped the odd window or a completed flip
+    val g0 = readGen(fs, path)
+    val odd = if (g0 >= 0L && g0 % 2 == 1L) g0 else math.max(g0, 0L) + 1L
+    writeGen(fs, path, odd)
     RefitFaces.foreach { face =>
       val tmpSub = new org.apache.hadoop.fs.Path(s"$path/__refit_tmp/$face")
       val live = new org.apache.hadoop.fs.Path(s"$path/$face")
@@ -585,6 +678,7 @@ object Ivf {
     }
     require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/__refit_tmp"), true),
       s"ivf refit: delete failed for $path/__refit_tmp")
+    writeGen(fs, path, odd + 1L)
     // memoized Index entries snapshotted pre-refit listings/centroids
     cache.keySet.removeIf(_.contains(s"|disk|$path|")): Unit
   }

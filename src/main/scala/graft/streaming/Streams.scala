@@ -432,7 +432,7 @@ object Streams {
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) => graft.ops.Staged.scoped {
         // one frame PER committed epoch partition, each a bucketed table:
         // chained anti-joins keep every index scan Exchange-free (a
         // unioned read would re-shuffle the whole accumulated index
@@ -465,15 +465,11 @@ object Streams {
         if (maxChain > 0 && idxParts.size + 1 > maxChain)
           compactPassageIndex(batch.sparkSession, indexPath,
             upToEpoch = epoch - 1, nBuckets = nBuckets)
-        // release(), NOT releaseAll(): releaseAll would also destroy
-        // checkpointed result leaves owned by concurrent pipelines in
-        // this session (truncated lineage cannot recompute — Staged's
-        // own contract). Note release() itself is process-GLOBAL: it
-        // drains every tracked persisted frame, including ones staged
-        // by concurrently running pipelines — safe (persisted frames
-        // recompute) but a shared-session perf cliff to be aware of.
-        graft.ops.Staged.release()
-      }
+        // Staged.scoped (the wrapping above): the epoch releases ONLY
+        // the frames it staged itself — a global release from here
+        // could drain (persisted) or destroy (checkpointed) frames a
+        // CONCURRENT pipeline in the same session is mid-consuming
+      } }
       .start()
 
   /** Offline compaction for the epoch-partitioned passage index: merge
@@ -741,7 +737,7 @@ object Streams {
   def processQuotationBatch(batch: DataFrame, epoch: Long,
       indexPath: String, outPath: String, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, nBuckets: Int = 32,
-      maxChain: Int = 16): Unit = {
+      maxChain: Int = 16): Unit = graft.ops.Staged.scoped {
     // same domain guard as the batch operator: outside (0,1] the
     // prefix arithmetic breaks mid-job, and a stream would break on
     // EVERY epoch — validate before the first one
@@ -766,7 +762,8 @@ object Streams {
     if (maxChain > 0 && committed.size + 1 > maxChain)
       compactQuotationIndex(batch.sparkSession, indexPath,
         upToEpoch = epoch - 1, nBuckets = nBuckets)
-    graft.ops.Staged.release()
+    // scoped (the `= Staged.scoped` wrapping): only THIS epoch's staged
+    // frames release here, never a concurrent pipeline's
   }
 
   /** Streaming quotation suppression — the dedup family's asymmetric
@@ -809,7 +806,8 @@ object Streams {
     */
   def processNoveltyBatch(batch: DataFrame, epoch: Long, indexPath: String,
       outPath: String, idCol: String, textCol: String, n: Int,
-      alertBelow: Double, nBuckets: Int = 32, maxChain: Int = 16): Unit = {
+      alertBelow: Double, nBuckets: Int = 32,
+      maxChain: Int = 16): Unit = graft.ops.Staged.scoped {
     require(n > 0, s"shingle size must be positive, got $n")
     require(nBuckets > 0, s"bucket count must be positive, got $nBuckets")
     val spark = batch.sparkSession
@@ -843,7 +841,8 @@ object Streams {
     if (maxChain > 0 && committed.size + 1 > maxChain)
       compactNoveltyIndex(spark, indexPath, upToEpoch = epoch - 1,
         nBuckets = nBuckets)
-    graft.ops.Staged.release()
+    // scoped (the `= Staged.scoped` wrapping): only THIS epoch's staged
+    // frames release here, never a concurrent pipeline's
   }
 
   /** The per-epoch OOV snapshot, extracted for unit/replay testing —
@@ -956,9 +955,10 @@ object Streams {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        fertilitySnapshot(batch, mergesPath, idCol, textCol, alertAbove)
-          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
-        graft.ops.Staged.release()
+        graft.ops.Staged.scoped {
+          fertilitySnapshot(batch, mergesPath, idCol, textCol, alertAbove)
+            .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        }
       }
       .start()
 
@@ -1092,11 +1092,12 @@ object Streams {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        sourceHealthSnapshot(batch, gramIndexPath, vocabPath, mergesPath,
-          textCol, srcCol, n, alertBelowNovelty, alertAboveOov,
-          alertAboveFertility)
-          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
-        graft.ops.Staged.release()
+        graft.ops.Staged.scoped {
+          sourceHealthSnapshot(batch, gramIndexPath, vocabPath, mergesPath,
+            textCol, srcCol, n, alertBelowNovelty, alertAboveOov,
+            alertAboveFertility)
+            .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        }
       }
       .start()
 

@@ -95,7 +95,8 @@ object VectorStreams {
     */
   def processVectorBatch(batch: DataFrame, epoch: Long, basePath: String,
       indexPath: String, outPath: String, idCol: String, vecCol: String,
-      threshold: Double, maxChain: Int = 16, probes: Int = 1): Unit = {
+      threshold: Double, maxChain: Int = 16,
+      probes: Int = 1): Unit = Staged.scoped {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val base = Ivf.readIndex(spark, basePath)
@@ -143,7 +144,8 @@ object VectorStreams {
     // against the same — merged or unmerged — vector set
     if (maxChain > 0 && epochs.size + 1 > maxChain)
       compactVectorIndex(spark, indexPath, upToEpoch = epoch - 1)
-    Staged.release()
+    // scoped (the `= Staged.scoped` wrapping): only THIS epoch's staged
+    // frames release here, never a concurrent pipeline's
   }
 
   /** Continuous-ingest semantic dedup: every micro-batch is suppressed
@@ -235,9 +237,10 @@ object VectorStreams {
     val spark = batch.sparkSession
     import spark.implicits._
     // checkpoint via Staged so the per-epoch sample blocks are tracked:
-    // a continuous monitor's foreachBatch calls Staged.releaseAll()
-    // after the snapshot write, instead of accumulating one
-    // unreleasable block set per epoch
+    // a continuous monitor's foreachBatch wraps the epoch in
+    // Staged.scoped, releasing the sample with the scope after the
+    // snapshot write instead of accumulating one unreleasable block
+    // set per epoch (and without touching concurrent pipelines)
     val q = Staged.checkpointed(batch.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(maxQueries))
     val n = q.count()
@@ -294,12 +297,15 @@ object VectorStreams {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        recallSnapshot(batch, basePath, corpusPath, idCol, vecCol,
-          k, nprobe, maxQueries, alertBelow)
-          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
-        // the snapshot's checkpointed query sample is consumed by the
-        // write above; release it (and any staged frames) per epoch
-        Staged.releaseAll()
+        // Staged.scoped: the snapshot's checkpointed query sample is
+        // consumed by the write, then released WITH the scope — never
+        // via a global drain, which could destroy another concurrent
+        // pipeline's in-flight checkpointed results in this session
+        Staged.scoped {
+          recallSnapshot(batch, basePath, corpusPath, idCol, vecCol,
+            k, nprobe, maxQueries, alertBelow)
+            .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        }
       }
       .start()
 
@@ -325,7 +331,7 @@ object VectorStreams {
     val spark = batch.sparkSession
     import spark.implicits._
     // tracked checkpoint — see recallSnapshot: the monitor's
-    // foreachBatch releases the sample per epoch via releaseAll()
+    // foreachBatch releases the sample per epoch via its Staged.scoped
     val q = Staged.checkpointed(batch.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(maxQueries))
     val n = q.count()
@@ -376,11 +382,20 @@ object VectorStreams {
       outPath: String, idCol: String, vecCol: String, k: Int,
       kCand: Int, nprobe: Int): Unit = {
     val spark = batch.sparkSession
-    val index = Ivf.readIndex(spark, basePath)
-    graft.ops.Pq.topKStagedBatch(spark, basePath, index,
-        batch.select(col(idCol), col(vecCol)), idCol, vecCol, idCol,
-        k, kCand, nprobe)
-      .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+    // seqlock read side (Ivf.withStableGen): the refit swap promotes
+    // five faces by sequential renames, so an epoch that starts
+    // mid-swap could pair new centroids with an old compressed face
+    // and silently mis-rank — instead the whole epoch (probe + ADC +
+    // re-rank + overwrite-committed write) re-runs when the index
+    // generation moved underneath it; the write is overwrite-
+    // idempotent, so a retried epoch rewrites consistent bytes
+    Ivf.withStableGen(spark, basePath) {
+      val index = Ivf.readIndex(spark, basePath)
+      graft.ops.Pq.topKStagedBatch(spark, basePath, index,
+          batch.select(col(idCol), col(vecCol)), idCol, vecCol, idCol,
+          k, kCand, nprobe)
+        .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+    }
   }
 
   /** The ONLINE form of a13's batched staged retrieval — the serving
@@ -390,9 +405,12 @@ object VectorStreams {
     * k/kCand/nprobe the a14/a16-tuned serving configuration. The
     * index is re-read per epoch, so maintenance lands without a
     * restart: an [[Ivf.appendToIndex]] batch is servable next epoch,
-    * and an [[Ivf.refitIndex]] swap takes effect atomically at the
-    * next epoch boundary (epochs read either the old or the new
-    * committed face, never a torn one).
+    * and an [[Ivf.refitIndex]] swap takes effect atomically at an
+    * epoch boundary — each epoch runs under [[Ivf.withStableGen]]
+    * (the index-generation seqlock), so an epoch that overlapped the
+    * swap's rename window detects the generation change and re-runs
+    * against the committed faces; old and new faces are never mixed
+    * within one served epoch.
     *
     * 100 TB shape: per epoch, stage 1 scans m bytes/vector over ONLY
     * the batch's probed cells (static partition filters from the
@@ -437,14 +455,17 @@ object VectorStreams {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
-          maxQueries, alertBelow)
-          .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
         // the snapshot stages its candidate frame AND checkpoints its
         // query sample; a continuous monitor must not pin one
         // persisted plan — or one checkpointed block set — per epoch
-        // forever (the fertility monitor's discipline)
-        Staged.releaseAll()
+        // forever. Staged.scoped releases exactly this epoch's handles
+        // when the write completes; a global drain here could destroy
+        // a concurrent monitor's in-flight checkpointed sample
+        Staged.scoped {
+          pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
+            maxQueries, alertBelow)
+            .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        }
       }
       .start()
 }

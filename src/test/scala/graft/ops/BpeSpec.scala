@@ -220,4 +220,37 @@ class BpeSpec extends SparkSpec {
     assert(dropped == 1L, "tokenize keeps only fit-corpus words (documented)")
     Staged.releaseAll()
   }
+
+  test("fertilityByMerges ≡ fertilityBy on the fit corpus; prices unseen words instead of dropping them") {
+    // same fixture as fertilityBy's hand-computed case
+    val docs = Seq(
+      ("clean", "low low lower"),      // 3 words, 1+1+3 = 5 subwords
+      ("shredded", "widest newest"),   // 2 words, 4+4 = 8 subwords
+      ("silent", "!!!")                // tokenless: no row
+    ).toDF("source", "text")
+    val f = Bpe.fit(corpus.unionByName(
+      docs.withColumn("doc_id", lit(99L)).select($"doc_id", $"text")),
+      "text", nMerges = 4)
+    val merges = f.merges.map(m => (m.left, m.right))
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"source", $"n_words", $"n_bpe_tokens", $"fertility")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // identity on the fit corpus: applyMerges reproduces the fit's own
+    // segmentation, so both faces agree row-for-row
+    assert(key(Bpe.fertilityByMerges(docs, "text", "source", merges)) ==
+      key(Bpe.fertilityBy(docs, "text", "source", f)),
+      "merge-list fertility diverged from the fit-table face on the fit corpus")
+    // a NOVEL source (words the fit never saw) is exactly what
+    // acquisition pricing must cost correctly: the join face drops its
+    // unseen words (biased low), the merge face segments them
+    val novel = Seq(("novel", "lowest zzz zzz")).toDF("source", "text")
+    val ext = key(Bpe.fertilityByMerges(novel, "text", "source", merges))
+    // lowest → low + est (2), zzz → z z z (3): 3 words, 8 subwords
+    assert(ext("novel") == ((3L, 8L, 2.666667)), s"novel source: $ext")
+    val joined = key(Bpe.fertilityBy(novel, "text", "source", f))
+    assert(joined.get("novel").forall(_._1 < 3L),
+      s"the fit-table face drops unseen words (documented): $joined")
+    Staged.releaseAll()
+  }
 }
