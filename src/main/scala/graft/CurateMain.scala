@@ -364,7 +364,7 @@ object CurateMain {
       annRecall: Double = -1.0, monitorAlerts: Long = -1L,
       pqAgreement: Double = -1.0, stagedAgreement: Double = -1.0,
       fertility: Double = -1.0, refitRan: Boolean = false,
-      postRefitStagedAgreement: Double = -1.0) {
+      postRefitStagedAgreement: Double = -1.0, refitK: Int = -1) {
     def json: String =
       s"""{"incremental":{"indexed":$indexed,"batch":$batch,""" +
         s""""passage_kept":$passageKept,""" +
@@ -374,7 +374,8 @@ object CurateMain {
         s""""oov_rate":$oovRate,"ann_recall":$annRecall,"fertility":$fertility,""" +
         s""""alerts":$monitorAlerts},"serving":{"pq_agreement":$pqAgreement,""" +
         s""""staged_agreement":$stagedAgreement,"refit_ran":$refitRan,""" +
-        s""""post_refit_staged_agreement":$postRefitStagedAgreement},""" +
+        s""""post_refit_staged_agreement":$postRefitStagedAgreement,""" +
+        s""""refit_k":$refitK},""" +
         s""""out":"$out"}"""
   }
 
@@ -633,16 +634,30 @@ object CurateMain {
     // (refit_qc/ + summary) — the repair is judged by the instrument
     // that demanded it. The pre-refit snapshot stays in the monitor
     // epoch (the alarm is part of the day's record).
-    val (refitRan, postStaged) =
+    val (refitRan, postStaged, refitK) =
       if (servAlert && refitOnAlert) {
-        Ivf.refitIndex(spark, ivfPath, "vec_id", "embedding")
+        // a refit re-derives every face, so it is exactly when k can
+        // change: consult the a19 resize rule over the index's CURRENT
+        // population (corpus + day-2 appends) before repairing — a
+        // corpus that outgrew (or never filled) its k gets the policy
+        // k in the same committed swap, an in-band one rides as-is.
+        // Policy constants are the sf-scaled ones the resize rehearsal
+        // and a19 use (production: the 4096-row default).
+        val kCur = Ivf.readIndex(spark, ivfPath).centroids.length
+        val nIdx = spark.read.parquet(s"$ivfPath/assigned").count()
+        val kPolicy = Ivf.kForCells(nIdx, targetCell = 512, kMin = 4)
+        val resize =
+          if (Ivf.resizeRecommended(kCur, kPolicy)) Some(kPolicy) else None
+        Ivf.refitIndex(spark, ivfPath, "vec_id", "embedding",
+          resizeTo = resize)
         val post = graft.streaming.VectorStreams.pqAgreementSnapshot(
           embeddings, ivfPath, "vec_id", "embedding",
           k = 10, kCand = 50, maxQueries = 16,
           alertBelow = servingAlertBelow).localCheckpoint()
         post.write.mode("overwrite").parquet(s"$workDir/refit_qc")
-        (true, post.select($"staged_agreement").as[Double].head())
-      } else (false, -1.0)
+        (true, post.select($"staged_agreement").as[Double].head(),
+          Ivf.readIndex(spark, ivfPath).centroids.length)
+      } else (false, -1.0, -1)
     // ---- acquisition epilogue: the x85 per-source health table over
     // corpus ∪ day-2 batch under the committed tokenizer — the ONE
     // table the renew/cut review reads, emitted by the same day-2 run
@@ -654,11 +669,22 @@ object CurateMain {
     // — at 100 TB the same slice reads from the incremental probe
     // verdicts above instead of re-shingling the corpus; the sf-scale
     // capstone keeps the oracle-verified composition.
-    graft.ops.Acquisition.sourceHealth(
-        corpus.select($"doc_id", $"text", $"source")
-          .unionByName(batch.select($"doc_id", $"text", $"source")),
+    val unionDocs = corpus.select($"doc_id", $"text", $"source")
+      .unionByName(batch.select($"doc_id", $"text", $"source"))
+    graft.ops.Acquisition.sourceHealth(unionDocs,
         "doc_id", "text", "source", bpeFit)
       .write.mode("overwrite").parquet(s"$workDir/source_health")
+    // ---- the verdict ACTING on acquisition (x89's composition): the
+    // just-written health table drives the mix — sources it indicts
+    // (re-crawls: novelty ~0, dup_rate ~1) are zeroed out, survivors
+    // temperature-flatten — and the realized per-source mix lands next
+    // to the verdict that produced it. Deterministic md5 gate ⇒
+    // replay-pure like every day-2 artifact.
+    graft.ops.Acquisition.healthGatedMixFrom(
+        spark.read.parquet(s"$workDir/source_health"),
+        unionDocs.select($"doc_id", $"source"), "doc_id", "source")
+      .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+      .write.mode("overwrite").parquet(s"$workDir/day2_mix")
     // the alert count covers ALL five day-2 signals — a failed serving
     // gate must surface in the summary's alerts, not only in the
     // monitor_pq_agreement epoch row
@@ -670,6 +696,7 @@ object CurateMain {
       novelty = novRow._1, oovRate = oov._1, annRecall = rec._1,
       monitorAlerts = alerts, pqAgreement = pqAgree,
       stagedAgreement = stagedAgree, fertility = fert._1,
-      refitRan = refitRan, postRefitStagedAgreement = postStaged)
+      refitRan = refitRan, postRefitStagedAgreement = postStaged,
+      refitK = refitK)
   }
 }

@@ -83,4 +83,70 @@ object Acquisition {
       .join(fert, Seq(srcCol), "left")
       .join(dup, Seq(srcCol), "left")
   }
+
+  /** ACT on the health table: derive a target mix FROM the per-source
+    * verdicts and resample the corpus to it — the acquisition verdict
+    * feeding the mixing operators instead of a hand-written rate map.
+    * The gate zeroes out sources the table indicts: novelty below
+    * `noveltyFloorFrac` of the corpus's doc-weighted mean novelty (a
+    * RELATIVE floor — absolute novelty falls with corpus size, a
+    * re-crawler reads ~0 at every scale), or dup_rate above
+    * `dupCeiling` (the keep-reps rule already suppresses a re-crawl's
+    * rows; a source losing most of its mass to suppression is billed
+    * acquisition for nothing). A source whose novelty is NULL
+    * (tokenless) cannot be certified and is cut. Survivors are
+    * temperature-flattened ([[Sampling.temperatureSample]], the
+    * published n^alpha recipe) so the verdict composes with the same
+    * downsampling-only gate every mixing operator shares.
+    *
+    * Engine-portable gate arithmetic: per-source novelty is a 6-decimal
+    * value, so the doc-weighted mean rides EXACT integer sums of
+    * micro-units (no order-dependent float accumulation), one
+    * correctly-rounded IEEE division, and a half-up 6-decimal rounding
+    * — a DuckDB oracle replays the comparison bit-for-bit.
+    *
+    * Scale shape: the health table is #sources-sized (bounded driver
+    * collect — the decision is a per-source scalar read); the resample
+    * stays a row-local hash gate on the scan.
+    */
+  def healthGatedMixFrom(health: DataFrame, docs: DataFrame, idCol: String,
+      srcCol: String, alpha: Double = 0.5, noveltyFloorFrac: Double = 0.5,
+      dupCeiling: Double = 0.5): DataFrame = {
+    val rows = health
+      .select(col(srcCol).cast("string"), col("n_docs").cast("long"),
+        col("novelty").cast("double"), col("dup_rate").cast("double"))
+      .collect()
+    require(rows.nonEmpty, "health-gated mix over an empty health table")
+    // doc-weighted mean novelty in exact micro-units: novelty is
+    // round(·, 6), so round(novelty·1e6) is an exact integer per source
+    val scored = rows.filter(!_.isNullAt(2))
+    val sumN = scored.map(_.getLong(1)).sum
+    val sumWNov = scored.map(r =>
+      math.round(r.getDouble(2) * 1e6) * r.getLong(1)).sum
+    require(sumN > 0, "health-gated mix: no source has a novelty verdict")
+    val floorMicro = BigDecimal(noveltyFloorFrac * (sumWNov.toDouble / sumN))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val healthy = rows.filter { r =>
+      !r.isNullAt(2) &&
+        math.round(r.getDouble(2) * 1e6) >= floorMicro &&
+        (r.isNullAt(3) || r.getDouble(3) <= dupCeiling)
+    }.map(_.getString(0)).toSeq
+    require(healthy.nonEmpty,
+      s"health gate cut every source (floor ${floorMicro / 1e6}, " +
+        s"dup ceiling $dupCeiling) — nothing left to mix")
+    Sampling.temperatureSample(
+      docs.where(col(srcCol).isInCollection(healthy)), idCol, srcCol, alpha)
+  }
+
+  /** [[sourceHealth]] + [[healthGatedMixFrom]] in one call — compute
+    * the verdict table, gate on it, resample to the temperature mix.
+    */
+  def healthGatedMix(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, fit: Bpe.Fit, alpha: Double = 0.5,
+      noveltyFloorFrac: Double = 0.5, dupCeiling: Double = 0.5,
+      vocabSize: Int = 20, dupThreshold: Double = 0.8): DataFrame =
+    healthGatedMixFrom(
+      Staged(sourceHealth(docs, idCol, textCol, srcCol, fit, vocabSize,
+        dupThreshold)),
+      docs, idCol, srcCol, alpha, noveltyFloorFrac, dupCeiling)
 }

@@ -41,6 +41,18 @@ object Ivf {
     math.max(kMin.toDouble, math.min(kMax.toDouble, ideal)).toInt
   }
 
+  /** WHEN to pay a resize: recommend only on a >= 2x gap between the
+    * committed k and the [[kForCells]] policy, either way — hysteresis,
+    * because a resize rides a full refit (every face re-derives), so
+    * flapping around a borderline k would bill repeated rebuilds for
+    * unchanged probe economics. Within the 2x band the expected cell
+    * population is within 2x of target: probes read at most twice the
+    * intended bytes per cell, which drift (a15) or agreement (the
+    * serving gate) would have to justify repairing, not size alone.
+    */
+  def resizeRecommended(kCurrent: Int, kPolicy: Int): Boolean =
+    kPolicy >= 2 * kCurrent || 2 * kPolicy <= kCurrent
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 

@@ -1120,6 +1120,137 @@ object AnalyticsQueries {
         FROM np LEFT JOIN st ON st.t = np.t"""),
       notes = "x31's within-cell cosine + x20's closure replayed per " +
         "threshold from one dumped governed assignment; pair sets nest, " +
-        "so one pair pass serves every cut; keep-reps verdicts exact")
+        "so one pair pass serves every cut; keep-reps verdicts exact"),
+
+    // ---- the grid-chosen serving configuration, registered: a16's
+    // table said (nprobe=8, kCand=100) staged beats the nprobe=4
+    // float probe (0.833 vs 0.783 recall@10 at sf0.01) at a fraction
+    // of the stage-1 bytes — the residual gap was CELL SELECTION, so
+    // widening the cheap m-bytes/vector axis buys more than deepening
+    // re-rank. This serves the a06 query sample at exactly that
+    // operating point (Pq.topKStagedBatch: one batched ADC pass over
+    // the probed cells, one cluster-pruned exact float re-rank of the
+    // top-100 candidates), so the RECOMMENDED configuration is itself
+    // oracle-verified end to end — a04-a14 keep their nprobe=4
+    // defaults untouched for cross-round stability.
+    GraftQuery(
+      "a18_staged_serving_point",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        val index = Ivf.buildPersistentCached(e, path,
+          "vec_id", "embedding", k = 16)
+        graft.ops.Pq.pqAssign(s, path, "vec_id", "embedding", m = 4, ksub = 16)
+        val queries = e.filter($"vec_id" % 97 === 0L)
+        graft.ops.Pq.topKStagedBatch(s, path, index, queries,
+            "vec_id", "embedding", "vec_id", k = 10, kCand = 100, nprobe = 8)
+          .select($"query_id", $"vec_id", $"cos_sim")
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        q AS (SELECT vec_id AS query_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+            sqrt(list_inner_product(
+              list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS qnorm
+          FROM embeddings WHERE vec_id % 97 = 0),
+        probes AS (SELECT query_id, cluster FROM (
+            SELECT q.query_id, c.cluster,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_distance(c.centroid, q.qv) ASC, c.cluster) AS pr
+            FROM cents c CROSS JOIN q) WHERE pr <= 8),
+        cb AS (SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+            centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/pq_codebooks/*.parquet')),
+        apq AS (SELECT vec_id, codes, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned_pq/*/*.parquet',
+                            hive_partitioning = 1)),
+        parts AS (SELECT p.query_id, a.vec_id, a.cluster, cb.sub,
+            list_inner_product(
+              list_slice(q.qv, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid) AS dotp,
+            2 * list_inner_product(
+              list_slice(c.centroid, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.centroid)
+              + list_inner_product(cb.centroid, cb.centroid) AS cr
+          FROM apq a JOIN probes p ON a.cluster = p.cluster
+          JOIN cents c ON c.cluster = a.cluster
+          JOIN q ON q.query_id = p.query_id
+          JOIN cb ON cb.code = ((CAST(a.codes[cb.sub + 1] AS INTEGER) + 256) % 256)),
+        pqagg AS (SELECT query_id, vec_id, cluster,
+            list_reduce(list(dotp ORDER BY sub), (a, b) -> a + b) AS sdot,
+            list_reduce(list(cr ORDER BY sub), (a, b) -> a + b) AS scr
+          FROM parts GROUP BY query_id, vec_id, cluster),
+        pqranked AS (SELECT g.query_id, g.vec_id,
+            row_number() OVER (PARTITION BY g.query_id ORDER BY
+              round((list_inner_product(q.qv, c.centroid) + g.sdot) /
+                (q.qnorm * sqrt(list_inner_product(c.centroid, c.centroid)
+                  + g.scr)), 6) DESC, g.vec_id) AS rk
+          FROM pqagg g JOIN cents c ON c.cluster = g.cluster
+          JOIN q ON q.query_id = g.query_id
+          WHERE list_inner_product(c.centroid, c.centroid) + g.scr > 0),
+        cand AS (SELECT query_id, vec_id FROM pqranked WHERE rk <= 100)
+        SELECT query_id, vec_id, cos_sim FROM (
+            SELECT cd.query_id, e.vec_id,
+              round(list_cosine_similarity(
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6)
+                AS cos_sim,
+              row_number() OVER (PARTITION BY cd.query_id ORDER BY
+                round(list_cosine_similarity(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) DESC,
+                e.vec_id) AS rk
+            FROM cand cd JOIN embeddings e USING (vec_id)
+            JOIN q ON q.query_id = cd.query_id) WHERE rk <= 10"""),
+      notes = "a13's two-LUT ADC replay widened to pr <= 8 and cut at 100 " +
+        "candidates, the exact-cosine re-rank cut at 10 — the a16 grid's " +
+        "chosen operating point served and verified end to end"),
+
+    // ---- index-resize advisory — the WHEN for refitIndex(resizeTo):
+    // kForCells keeps the expected cell population constant, so a
+    // corpus that outgrew (or never filled) its k reads its target
+    // straight off the policy; the a15 residual profile says cells
+    // DRIFTED, this says cells are the wrong SIZE — the two
+    // maintenance triggers are orthogonal. Hysteresis: recommend only
+    // on a >= 2x gap either way (a refit re-derives every face, so
+    // borderline k flapping would buy nothing and bill a full
+    // rebuild). The rehearsal-scaled policy (targetCell=512, kMin=4 —
+    // ScaleRehearsalSem's constants) keeps the advisory meaningful at
+    // test SFs; production uses the 4096 default. The capstone
+    // (CurateMain.runIncremental) consults the same rule before its
+    // refit-on-alert, so a triggered repair also lands the resize.
+    GraftQuery(
+      "a19_index_resize_advisory",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val idx = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, 16),
+          "vec_id", "embedding", k = 16)
+        val kCurrent = idx.centroids.length
+        // one bounded driver-side count: the policy input is a single
+        // long, the advisory a single row
+        val n = e.count()
+        val kPolicy = Ivf.kForCells(n, targetCell = 512, kMin = 4)
+        val resize = Ivf.resizeRecommended(kCurrent, kPolicy)
+        Seq((n, kCurrent, kPolicy, resize,
+            if (resize) kPolicy else kCurrent))
+          .toDF("n_vecs", "k_current", "k_policy", "resize_recommended",
+            "k_target")
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs
+            FROM embeddings),
+          p AS (SELECT n_vecs, 16 AS k_current,
+              CAST(greatest(4, least(262144,
+                CAST(ceil(n_vecs / 512.0) AS BIGINT))) AS INT) AS k_policy
+            FROM n)
+        SELECT n_vecs, k_current, k_policy,
+          (k_policy >= 2 * k_current OR 2 * k_policy <= k_current)
+            AS resize_recommended,
+          CASE WHEN k_policy >= 2 * k_current OR 2 * k_policy <= k_current
+            THEN k_policy ELSE k_current END AS k_target
+        FROM p"""),
+      notes = "policy k replayed as exact integer arithmetic " +
+        "(ceil/clamp); hysteresis = the same 2x rule Ivf.resizeRecommended " +
+        "applies; k_current pinned to the shared k=16 index")
   )
 }

@@ -3048,7 +3048,128 @@ object ExtensionQueries {
           tp.top_pred_lang
         FROM ag JOIN tp USING (source)"""),
       notes = "x08's heuristic + decision rule verbatim, sliced per source; " +
-        "majority prediction under (count desc, lang asc) — total order")
+        "majority prediction under (count desc, lang asc) — total order"),
+
+    // ---- the health table ACTING on acquisition — x85 names the bad
+    // sources, this composes the verdict into the mixing operators: a
+    // planted re-crawl source (every doc a copy of src0's — novelty
+    // ~0, dup_rate ~1 at ANY scale) and a planted fresh connector
+    // slice (suffixed tokens — novel, clean, half-sized) join the
+    // organic corpus; the gate zeroes out sources below HALF the
+    // corpus's doc-weighted mean novelty or above 0.5 dup_rate
+    // (relative floors — absolute novelty falls with corpus size),
+    // and the survivors temperature-flatten (x76's verified n^0.5
+    // recipe: the small fresh source keeps everything, the organic
+    // head downsamples to match). The oracle replays the planting,
+    // both verdict closures, the integer-exact gate, and the rate
+    // arithmetic end to end.
+    GraftQuery(
+      "x89_health_gated_mix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+          .select($"doc_id", $"text", $"source")
+        val stride = docs.agg(max($"doc_id")).head().getLong(0) + 1L
+        val recrawl = docs.where($"source" === "src0")
+          .select(($"doc_id" + stride).as("doc_id"), $"text",
+            lit("recrawl").as("source"))
+        val connector = docs.where($"source" === "src0" && $"doc_id" % 2 === 0)
+          .select(($"doc_id" + 2L * stride).as("doc_id"),
+            array_join(transform(TextAnalysis.tokens($"text"),
+              x => concat(x, lit("c1"))), " ").as("text"),
+            lit("connector").as("source"))
+        val corpus = docs.unionByName(recrawl).unionByName(connector)
+        val fit = graft.ops.Bpe.fitCached(
+          Tables(s, dir, "documents"), "text", nMerges = 16,
+          OracleDump.bpePath(dir, 16),
+          OracleDump.tableFingerprint(dir, "documents"))
+        val kept = graft.ops.Acquisition.healthGatedMix(
+          corpus, "doc_id", "text", "source", fit)
+        kept.groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("id_sum"))
+          .join(corpus.groupBy($"source").agg(count(lit(1)).as("n_total")),
+            "source")
+          .select($"source", $"n_total", $"n_kept", $"id_sum")
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) + 1 AS stride FROM documents),
+        corpus AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT d.doc_id + mx.stride, d.text, 'recrawl'
+          FROM documents d, mx WHERE d.source = 'src0'
+          UNION ALL
+          SELECT d.doc_id + 2 * mx.stride,
+            array_to_string(list_transform(
+              regexp_extract_all(lower(d.text), '[a-z0-9]+'),
+              x -> x || 'c1'), ' '),
+            'connector'
+          FROM documents d, mx WHERE d.source = 'src0' AND d.doc_id % 2 = 0),
+        toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM corpus),
+        nvz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3),
+        gg AS (SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, array_to_string(t[gi : gi + 2], ' ') AS gram
+            FROM nvz, unnest(range(1, n - 1)) AS u(gi))),
+        firsts AS (SELECT gram, min(doc_id) AS first_doc
+          FROM gg GROUP BY gram),
+        pernov AS (SELECT gg.doc_id, count(*) AS ng,
+            sum(CASE WHEN f.first_doc = gg.doc_id THEN 1 ELSE 0 END) AS nv
+          FROM gg JOIN firsts f USING (gram) GROUP BY gg.doc_id),
+        nov AS (SELECT c.source,
+            round(CAST(sum(pernov.nv) AS DOUBLE) / sum(pernov.ng), 6)
+              AS novelty
+          FROM pernov JOIN corpus c USING (doc_id) GROUP BY c.source),
+        dsh AS (SELECT doc_id,
+            list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s FROM toks),
+        dnz AS (SELECT * FROM dsh WHERE len(s) > 0),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM dnz a JOIN dnz b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach AS (
+          WITH RECURSIVE r(id, lab) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.v, r.lab FROM r JOIN edges e ON e.u = r.id
+          ) SELECT * FROM r),
+        supp AS (SELECT id AS doc_id FROM reach GROUP BY id
+          HAVING CAST(min(lab) AS BIGINT) <> id),
+        dup AS (SELECT c.source,
+            round(CAST(count(sp.doc_id) AS DOUBLE) / count(*), 6) AS dup_rate
+          FROM corpus c LEFT JOIN supp sp USING (doc_id)
+          GROUP BY c.source),
+        nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM corpus GROUP BY source),
+        hv AS (SELECT nd.source, nd.n, nov.novelty,
+            COALESCE(dup.dup_rate, 0) AS dup_rate
+          FROM nd LEFT JOIN nov USING (source) LEFT JOIN dup USING (source)),
+        fl AS (SELECT CAST(round(0.5 *
+              (CAST(sum(CAST(round(novelty * 1000000) AS BIGINT) * n)
+                 AS DOUBLE) / sum(n)), 0) AS BIGINT) AS floor_micro
+          FROM hv WHERE novelty IS NOT NULL),
+        healthy AS (SELECT hv.source, hv.n FROM hv, fl
+          WHERE hv.novelty IS NOT NULL
+            AND CAST(round(hv.novelty * 1000000) AS BIGINT) >= fl.floor_micro
+            AND hv.dup_rate <= 0.5),
+        r2 AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM healthy),
+        m2 AS (SELECT min(CAST(n AS DOUBLE) / w) AS mm FROM r2),
+        t2 AS (SELECT source, n,
+            CAST(floor(least(1.0, w * (SELECT mm FROM m2) / CAST(n AS DOUBLE))
+              * 65536 + 0.5) AS INT) AS thr FROM r2)
+        SELECT c.source, t2.n AS n_total, CAST(count(*) AS BIGINT) AS n_kept,
+          CAST(sum(c.doc_id) AS BIGINT) AS id_sum
+        FROM corpus c JOIN t2 ON c.source = t2.source
+        WHERE CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 4)) AS INT)
+              < t2.thr
+        GROUP BY c.source, t2.n"""),
+      notes = "x85's novelty + keep-reps closures over the planted union, " +
+        "the doc-weighted micro-unit novelty floor as exact integers, " +
+        "x76's unnormalized rate algebra over the survivors — the verdict " +
+        "table driving the mix, replayed end to end")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

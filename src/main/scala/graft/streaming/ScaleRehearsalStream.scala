@@ -46,6 +46,8 @@ object ScaleRehearsalStream {
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 8, 16))
     if (args.headOption.contains("--novelty")) return runNovelty(
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 8, 16))
+    if (args.headOption.contains("--health")) return runHealth(
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 8, 16))
     if (args.headOption.contains("--qlive")) return runQuotationLive(
       args.lift(1).map(_.toInt).getOrElse(24),
       args.lift(2).map(_.toInt).getOrElse(6))
@@ -313,6 +315,111 @@ object ScaleRehearsalStream {
       println(f"""{"epochs":$ec,"docs_indexed":${nDocs * ec},""" +
         f""""probe_sec":$sec%.2f,"post_compact_sec":$cSec%.2f,""" +
         f""""post_compact_parts":$nLive,"grams":$nGrams,"novel":$nNovel}""")
+    }
+    spark.stop()
+  }
+
+  /** `--health`: [[Streams.sourceHealthSnapshot]]'s read path against a
+    * GROWING epoch-partitioned gram index — the novelty curve's
+    * question asked of the per-source monitor, which reads EVERY
+    * committed gram partition per epoch (one anti-join leg each, the
+    * chained Exchange-free probe): the per-source verdicts must be
+    * E-invariant (the re-crawl source reads novelty 0, the fresh
+    * source high, at every E) while probe time must stay flat in E and
+    * drop to the ≤2-partition cost after [[Streams.compactNoveltyIndex]]
+    * — the same compaction the index OWNER (the novelty stream) runs
+    * under `maxChain`, so a health monitor pointed at a live novelty
+    * index inherits bounded chains for free.
+    */
+  private def runHealth(epochCounts: Seq[Int]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = SparkSession.builder()
+      .appName("graft-scale-health")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val nDocs = base.count()
+    val stride = base.agg(max($"doc_id")).head().getLong(0) + 1L
+    def epochDocs(e: Int) = {
+      val text =
+        if (e == 0) $"text"
+        else array_join(transform(TextAnalysis.tokens($"text"),
+          x => concat(x, lit("e" + e))), " ")
+      base.select(($"doc_id" + lit(e.toLong * stride)).as("doc_id"),
+        text.as("text"))
+    }
+    // frozen day-1 vocab + merge list, built once per sf fixture
+    val artPath = "/tmp/graft-scale-health-art"
+    if (!new java.io.File(s"$artPath/_OK").exists()) {
+      TextAnalysis.fitVocab(base, "text", vocabSize = 200)
+        .write.mode("overwrite").parquet(s"$artPath/vocab")
+      graft.ops.Bpe.fitAuto(base, "text", nMerges = 16)
+        .mergeTable(spark).write.mode("overwrite")
+        .parquet(s"$artPath/merges")
+      Staged.releaseAll()
+      new java.io.File(s"$artPath/_OK").createNewFile(): Unit
+    }
+    // the probe batch names its sources: a re-crawl slice of epoch 0's
+    // content (novelty must read 0 whatever E is) and a fresh slice
+    // (must read novel) — the per-source E-invariance is the
+    // correctness face of the curve
+    val batch = base.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + lit(1000L * stride)).as("doc_id"), $"text",
+        lit("recrawl").as("source"))
+      .unionByName(base.where($"doc_id" % 10 === 5)
+        .select(($"doc_id" + lit(1001L * stride)).as("doc_id"),
+          array_join(transform(TextAnalysis.tokens($"text"),
+            x => concat(x, lit("fresh"))), " ").as("text"),
+          lit("fresh").as("source")))
+    var expect: Map[String, (Double, Double, Double)] = null
+    epochCounts.foreach { ec =>
+      val idxPath = s"/tmp/graft-scale-healthidx-$ec"
+      val outPath = s"/tmp/graft-scale-healthout-$ec"
+      val cachedParts = Option(new java.io.File(idxPath).listFiles()).toSeq
+        .flatten.count(_.getName.startsWith("epoch="))
+      if (!new java.io.File(s"$idxPath/_OK").exists() || cachedParts != ec) {
+        val root = new org.apache.hadoop.fs.Path(idxPath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true): Unit
+        (0 until ec).foreach { e =>
+          Streams.processNoveltyBatch(epochDocs(e), e.toLong, idxPath,
+            outPath, "doc_id", "text", n = 3, alertBelow = 0.0,
+            maxChain = 0)
+        }
+        new java.io.File(s"$idxPath/_OK").createNewFile(): Unit
+      }
+      def probe(): (Double, Map[String, (Double, Double, Double)]) = {
+        val t0 = System.nanoTime()
+        val rows = Streams.sourceHealthSnapshot(batch, idxPath,
+            s"$artPath/vocab", s"$artPath/merges", "text", "source")
+          .select($"source", $"novelty", $"oov_rate", $"fertility")
+          .as[(String, Double, Double, Double)].collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Staged.releaseAll()
+        (sec, rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap)
+      }
+      val (sec, health) = probe()
+      if (expect == null) expect = health
+      require(health == expect,
+        s"per-source health drifted with epoch count $ec: $health != $expect")
+      require(health("recrawl")._1 == 0.0 && health("fresh")._1 > 0.5,
+        s"source verdicts must name the re-crawler at E=$ec: $health")
+      Streams.compactNoveltyIndex(spark, idxPath, upToEpoch = Long.MaxValue)
+      val (cSec, cHealth) = probe()
+      require(cHealth == expect,
+        s"compaction changed the verdicts at $ec: $cHealth != $expect")
+      val nLive = Option(new java.io.File(idxPath).listFiles()).toSeq
+        .flatten.count(_.getName.startsWith("epoch="))
+      println(f"""{"epochs":$ec,"docs_indexed":${nDocs * ec},""" +
+        f""""probe_sec":$sec%.2f,"post_compact_sec":$cSec%.2f,""" +
+        f""""post_compact_parts":$nLive,""" +
+        f""""recrawl_novelty":${expect("recrawl")._1}%.6f,""" +
+        f""""fresh_novelty":${expect("fresh")._1}%.6f}""")
     }
     spark.stop()
   }

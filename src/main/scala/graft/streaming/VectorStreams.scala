@@ -447,6 +447,83 @@ object VectorStreams {
     * the pruned float face, and nothing corpus-sized shuffles — cost
     * knob is `maxQueries`, independent of arrival rate.
     */
+  /** One epoch of [[refitMaintenanceStream]], exposed for crash-replay
+    * testing: write the epoch's QC snapshot (the [[pqAgreementSnapshot]]
+    * instrument, identical to the passive monitor's), then DECIDE from
+    * committed artifacts only — the repair fires when the last
+    * `debounce` committed monitor epochs ALL alert and no earlier
+    * repair already covers any of them (the refit record at
+    * `refitPath` is the actuation log: a replayed epoch re-reads the
+    * same committed rows and reaches the same verdict, so a crash
+    * between snapshot and repair resumes into the same decision
+    * instead of double-firing). On fire: [[Ivf.refitIndex]] under the
+    * single-writer discipline (THIS loop is the index's one
+    * maintenance owner), then the SAME instrument re-measures the
+    * promoted faces into `refitPath/epoch=<e>` — the repair judged by
+    * the gauge that demanded it. Returns whether a repair ran.
+    */
+  def maintainEpoch(batch: DataFrame, epoch: Long, basePath: String,
+      monitorPath: String, refitPath: String, idCol: String,
+      vecCol: String, k: Int, kCand: Int, maxQueries: Int,
+      alertBelow: Double, debounce: Int): Boolean = {
+    require(debounce >= 1, s"debounce must be >= 1, got $debounce")
+    val spark = batch.sparkSession
+    pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
+        maxQueries, alertBelow)
+      .write.mode("overwrite").parquet(s"$monitorPath/epoch=$epoch")
+    val window = epochsBefore(spark, monitorPath, epoch + 1)
+      .takeRight(debounce)
+    val fire = window.size == debounce &&
+      window.forall { e =>
+        spark.read.parquet(s"$monitorPath/epoch=$e")
+          .select(col("alert")).head().getBoolean(0)
+      } &&
+      // an alert the previous repair already acted on is not fresh
+      // evidence: every alerting epoch in the window must postdate the
+      // last repair (post-repair alerts re-arm the loop from scratch)
+      epochsBefore(spark, refitPath, Long.MaxValue).forall(_ < window.head)
+    if (fire) {
+      Ivf.refitIndex(spark, basePath, idCol, vecCol)
+      pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
+          maxQueries, alertBelow)
+        .write.mode("overwrite").parquet(s"$refitPath/epoch=$epoch")
+    }
+    fire
+  }
+
+  /** The maintenance loop the monitors exist for — [[pqAgreementStream]]
+    * RECORDS that the compressed face degraded; this stream ACTS on it:
+    * per arriving query micro-batch, measure the serving gate, debounce
+    * (`debounce` consecutive alerting epochs — one bad sample must not
+    * bill a full refit), invoke [[Ivf.refitIndex]], and re-measure the
+    * promoted faces with the same instrument. The streaming form of the
+    * capstone's refit-on-alert. Single-writer: run at most one
+    * maintenance stream per index; concurrent SERVING
+    * ([[stagedServeStream]]) stays safe across the swap via the
+    * index-generation seqlock ([[Ivf.withStableGen]]).
+    *
+    * 100 TB shape: the decision reads `debounce` one-row parquet files
+    * per epoch; the repair costs one index build, paid exactly when
+    * drift says so — the monitors' whole purpose — and the swap is the
+    * crash-recoverable committed multi-face promote.
+    */
+  def refitMaintenanceStream(queries: DataFrame, basePath: String,
+      monitorPath: String, refitPath: String, checkpoint: String,
+      idCol: String, vecCol: String, k: Int = 10, kCand: Int = 50,
+      maxQueries: Int = 32, alertBelow: Double = 0.5,
+      debounce: Int = 2): StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        Staged.scoped {
+          maintainEpoch(batch, epoch, basePath, monitorPath, refitPath,
+            idCol, vecCol, k, kCand, maxQueries, alertBelow,
+            debounce): Unit
+        }
+      }
+      .start()
+
   def pqAgreementStream(queries: DataFrame, basePath: String,
       outPath: String, checkpoint: String, idCol: String, vecCol: String,
       k: Int = 10, kCand: Int = 50, maxQueries: Int = 32,

@@ -271,9 +271,24 @@ class CurateMainSpec extends SparkSpec {
       health("recrawl_near")._1 < health("api")._1,
       s"near re-crawl must die whole and read less novel than the feed: " +
         s"${health("recrawl_near")} vs api ${health("api")}")
+    // the verdict ACTING (r17): day2_mix is the health-gated
+    // temperature mix over corpus ∪ batch — both re-crawl sources are
+    // zeroed out by their own verdict rows (dup_rate 1, novelty ~0),
+    // every organic source and the feed survive, and the feed (the
+    // largest healthy source at 50 docs vs 25) downsamples toward the
+    // flattened mix under the deterministic md5 gate
+    val mix = spark.read.parquet(s"$work/day2_mix")
+      .select(col("source"), col("n_kept")).as[(String, Long)]
+      .collect().toMap
+    assert(!mix.contains("recrawl") && !mix.contains("recrawl_near"),
+      s"indicted sources must be zeroed out of the mix: ${mix.keySet}")
+    assert(mix.keySet.count(_.startsWith("src")) == 20 &&
+      mix("api") == 33L,
+      s"mix drifted: ${mix.toSeq.sortBy(_._1)}")
     // a healthy day-2 never repairs: the gate didn't fire, so the
     // refit leg stayed idle
-    assert(!s.refitRan && s.postRefitStagedAgreement == -1.0,
+    assert(!s.refitRan && s.postRefitStagedAgreement == -1.0 &&
+      s.refitK == -1,
       s"refit must not run on a healthy serving gate: $s")
     // replay: the monitor epochs are overwrite-committed pure functions
     // — a second run over the same workDir rewrites identical rows
@@ -314,6 +329,15 @@ class CurateMainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/ivf_index/assigned_pq").count() ==
       nCorpusVecs + s.appendedVecs,
       "the PQ face must be re-encoded over the full refit assignment")
+    // the repair consulted the a19 resize rule (r17): 571 vectors at
+    // the sf-scaled policy (targetCell=512, kMin=4) want k=4, a 4x gap
+    // from the built k=16 — so the triggered refit also landed the
+    // resize, in the same committed swap
+    assert(s.refitK == 4,
+      s"the refit must resize to the kForCells policy: ${s.refitK}")
+    assert(graft.ops.Ivf.readIndex(spark, s"$work/ivf_index")
+      .centroids.length == 4,
+      "the promoted index must hold the policy k")
     graft.ops.Staged.releaseAll()
   }
 

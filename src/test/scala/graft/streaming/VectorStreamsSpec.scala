@@ -462,4 +462,79 @@ class VectorStreamsSpec extends SparkSpec {
     assert(scan.get.selectedPartitions.partitionCount <= 1,
       "scan must read only the probed cells")
   }
+
+  // ---- the refit maintenance loop: IvfRefitSpec's planted-drift
+  // fixture driven through the STREAMING consumer. Base = two tight
+  // unit-jitter blobs the codebooks were fit on; drift = a far blob
+  // appended under frozen centroids, whose reconstructions collapse
+  // the ADC ranking. Assertions are DIFFERENTIALS (the refit-spec
+  // doctrine): repaired agreement must clear the drifted value by a
+  // wide gap, residuals must return to unit scale.
+  private def driftBase = (0 until 80).map { i =>
+    val c = if (i % 2 == 0) 0.0 else 5.0
+    (i.toLong, Seq(c + math.sin(i * 1.7) * 0.3, c + math.cos(i * 1.3) * 0.3,
+      c + math.sin(i * 0.9) * 0.3, c + math.cos(i * 0.5) * 0.3))
+  }.toDF("vec_id", "embedding")
+
+  private def driftBlob = (0 until 80).map { i =>
+    (1000L + i, Seq(50.0 + math.sin(i * 2.1) * 0.3,
+      -50.0 + math.cos(i * 1.9) * 0.3, 50.0 + math.sin(i * 1.1) * 0.3,
+      -50.0 + math.cos(i * 0.7) * 0.3))
+  }.toDF("vec_id", "embedding")
+
+  test("refit maintenance loop: debounced detect → repair mid-stream → healthy epochs, no double-fire") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vmaint").toString
+    val dir = s"$root/index"
+    Ivf.buildPersistent(driftBase, dir, "vec_id", "embedding", k = 3): Unit
+    Ivf.quantizeAssigned(spark, dir, "vec_id", "embedding")
+    graft.ops.Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
+    Ivf.appendToIndex(driftBlob, dir, "vec_id", "embedding"): Unit
+    val mon = s"$root/mon"
+    val ref = s"$root/ref"
+    // the whole drift blob arrives as queries; the snapshot's own
+    // deterministic sample (lowest 8 ids) is what gets measured
+    val queryBatch = driftBlob
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .as[VecEvent].collect().toSeq
+    val input = MemoryStream[VecEvent](spark)
+    val q = VectorStreams.refitMaintenanceStream(input.toDF(), dir, mon,
+      ref, s"$root/cp", "vec_id", "embedding", k = 10, kCand = 20,
+      maxQueries = 8, alertBelow = 0.5, debounce = 2)
+    try (0 until 3).foreach { _ =>
+      input.addData(queryBatch: _*); q.processAllAvailable()
+    } finally q.stop()
+    def row(path: String) = spark.read.parquet(path)
+      .select($"staged_agreement", $"alert")
+      .as[(Double, Boolean)].head()
+    val e0 = row(s"$mon/epoch=0")
+    val e1 = row(s"$mon/epoch=1")
+    val e2 = row(s"$mon/epoch=2")
+    assert(e0._2 && e1._2, s"drift epochs must alert: $e0 / $e1")
+    // debounce: one alerting epoch must not fire — the repair record
+    // starts exactly at epoch 1 (the second consecutive alert)
+    assert(VectorStreams.epochsBefore(spark, ref, Long.MaxValue) == Seq(1L),
+      "the refit must fire at epoch 1 and only there")
+    val qc = row(s"$ref/epoch=1")
+    assert(qc._1 >= e1._1 + 0.3,
+      s"the repair must clear the drifted agreement by a wide gap: " +
+        s"${qc._1} vs ${e1._1}")
+    // post-repair epochs read the promoted faces (the stream re-reads
+    // the index per epoch) and come back healthy — and their alerts
+    // are fresh evidence, so the guard kept the loop from re-firing
+    assert(!e2._2 && e2._1 >= e1._1 + 0.3,
+      s"post-repair epoch must read healthy: $e2 vs drifted $e1")
+    assert(Ivf.cellResidualProfile(spark, dir, "embedding")
+      .agg(max($"mean_res_norm")).as[Double].head() < 2.0,
+      "the promoted index must be the repaired one")
+    assert(Ivf.readIndex(spark, dir).assigned.count() == 160L,
+      "the repair must keep every vector")
+    // crash-replay of the firing epoch AFTER the repair: the rewritten
+    // monitor row reads the repaired index (healthy), the committed
+    // refit record guards the window — the actuator never double-fires
+    assert(!VectorStreams.maintainEpoch(driftBlob, 1L, dir, mon, ref,
+      "vec_id", "embedding", k = 10, kCand = 20, maxQueries = 8,
+      alertBelow = 0.5, debounce = 2),
+      "replaying the firing epoch must not re-fire the repair")
+    graft.ops.Staged.releaseAll()
+  }
 }
