@@ -208,6 +208,12 @@ object Bench {
       // entries — a 124-query sweep can evict this query's plan between
       // its suite-pass visit and its timed runs)
       try { run1(fn) } catch { case _: Throwable => () }
+      // r17: load sampled BEFORE the timed runs as well as after, the
+      // entry carrying the max — a co-tenant burst already visible at
+      // entry but decayed by the after-sample (1-min EMA) used to slip
+      // an inflated measurement past the gate unflagged (the r16 driver
+      // sweep's 4 unexplained >2x entries)
+      val loadBefore = loadAvg()
       var err: Option[String] = None
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -218,7 +224,7 @@ object Bench {
         }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      val load = loadAvg()
+      val load = math.max(loadBefore, loadAvg())
       // unpersist this query's staged intermediates before the next query
       // runs, so the 80-query sweep doesn't accumulate block-manager state
       graft.ops.Staged.releaseAll()
@@ -239,18 +245,37 @@ object Bench {
         histOf(name).exists(h => shouldRerun(ts.head, h)))
       if (fire) {
         val fn = selected.collectFirst { case (n, f) if n == name => f }.get
-        waitForQuiet()
-        try { run1(fn) } catch { case _: Throwable => () } // re-warm
-        val t0 = System.nanoTime()
-        // record the rerun ONLY if it completed — a rerun that fails
-        // fast would otherwise feed a bogus tiny time into best()
-        val ok = try { run1(fn); true } catch { case _: Throwable => false }
-        val t = (System.nanoTime() - t0) / 1e9
-        // the rerun's own load decides whether the entry stayed hot:
-        // both-hot entries report the ratchet best, not contaminated time
-        val rl = loadAvg()
-        graft.ops.Staged.releaseAll()
-        if (ok) Some(name -> (t, rl)) else None
+        def onePass(): Option[(Double, Double)] = {
+          waitForQuiet()
+          try { run1(fn) } catch { case _: Throwable => () } // re-warm
+          val t0 = System.nanoTime()
+          // record the rerun ONLY if it completed — a rerun that fails
+          // fast would otherwise feed a bogus tiny time into best()
+          val ok = try { run1(fn); true } catch { case _: Throwable => false }
+          val t = (System.nanoTime() - t0) / 1e9
+          // the rerun's own load decides whether the entry stayed hot:
+          // both-hot entries report the ratchet best, not contaminated
+          // time
+          val rl = loadAvg()
+          graft.ops.Staged.releaseAll()
+          if (ok) Some((t, rl)) else None
+        }
+        val first = onePass()
+        // r17: one more attempt when the first rerun is itself suspect
+        // (measured hot, failed, or still above 2x the cross-sweep
+        // best) — a transient that outlives both the sweep visit and
+        // the first rerun has burned adjudication rounds before; a
+        // second attempt minutes later is cheap insurance. A clean-load
+        // attempt beats a hot one; among equals the smaller time wins.
+        val suspect = first.forall { case (t, rl) =>
+          hotMeasurement(rl, gate) ||
+            histOf(name).flatMap(_.best).exists(b => b > 0 && t > 2 * b)
+        }
+        val second = if (suspect) onePass() else None
+        val attempts = first.toSeq ++ second.toSeq
+        val clean = attempts.filterNot(p => hotMeasurement(p._2, gate))
+        (if (clean.nonEmpty) clean else attempts)
+          .sortBy(_._1).headOption.map(name -> _)
       } else None
     }.toMap
     // The harness keeps only the last ~2000 chars of stdout, so the

@@ -460,11 +460,15 @@ object CurateMain {
       Dedup.writePassageIndex(corpus, "doc_id", "text", window = 8, pasPath)
       touchMarker(spark, s"$pasPath/_OK")
     }
-    // IVF day-1: buildPersistent manages its own parameterized marker
+    // IVF day-1: built once; thereafter the COMMITTED index is
+    // authoritative whatever its k — a refit-on-alert below may have
+    // policy-resized it, so a warm re-run must never let the builder's
+    // default k outrank the committed marker (ensurePersistent, r17:
+    // buildPersistent here clobbered a resized index on warm replay)
     val embeddings = Tables(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding")
     val ivfPath = s"$workDir/ivf_index"
-    Ivf.buildPersistent(embeddings, ivfPath, "vec_id", "embedding"): Unit
+    Ivf.ensurePersistent(embeddings, ivfPath, "vec_id", "embedding"): Unit
     // day-2 batch: connector feed + the two re-crawled corpus slices
     val api = httpExtract(spark, off)
     val recrawlExact = corpus.where($"doc_id" % 7 === 3)
@@ -547,18 +551,24 @@ object CurateMain {
         s"$novPath/epoch=0", Seq("gram"), 32)
       touchMarker(spark, s"$novPath/_DAY1")
     }
+    // shared monitor inputs (r17, the day-2 cost fix): the three text
+    // monitors below all derive from the SAME persisted batch — one
+    // tokenization pass (words, read by OOV + fertility), one shingle
+    // pass (grams, read by novelty), one count, staged once and shared,
+    // instead of each snapshot re-deriving its own. Identical math ⇒
+    // byte-identical snapshot rows and summary (measured, SCALE.md).
+    val mon = graft.streaming.Streams.monitorFrames(
+      batch.select($"doc_id", $"text"), "text", n = 3)
     // novelty of the arriving batch vs everything held (epoch 1 of the
     // monitor stream, computed off-stream — same pure function)
-    graft.streaming.Streams.processNoveltyBatch(
-      batch.select($"doc_id", $"text"), epoch = 1L, novPath,
-      s"$workDir/monitor_novelty", "doc_id", "text", n = 3,
-      alertBelow = 0.1)
+    graft.streaming.Streams.processNoveltyBatchFromGrams(
+      mon.grams, mon.nDocs, epoch = 1L, novPath,
+      s"$workDir/monitor_novelty", alertBelow = 0.1)
     val novRow = spark.read.parquet(s"$workDir/monitor_novelty/epoch=1")
       .select($"novelty", $"alert").as[(Double, Boolean)].head()
     // tokenizer mismatch of the batch vs the frozen vocabulary
-    val oovRow = graft.streaming.Streams.oovSnapshot(
-      batch.select($"doc_id", $"text"), vocabPath, "doc_id", "text",
-      alertAbove = 0.5)
+    val oovRow = graft.streaming.Streams.oovSnapshotFromWords(
+      mon.words, mon.nDocs, vocabPath, alertAbove = 0.5)
     oovRow.write.mode("overwrite").parquet(s"$workDir/monitor_oov/epoch=1")
     val oov = spark.read.parquet(s"$workDir/monitor_oov/epoch=1")
       .select($"oov_rate", $"alert").as[(Double, Boolean)].head()
@@ -576,9 +586,8 @@ object CurateMain {
     val bpeFit = Bpe.fitCached(corpus, "text", nMerges = 16, bpePath,
       corpusTag = graft.queries.OracleDump
         .tableFingerprint(sfDir, "documents"))
-    val fertRow = graft.streaming.Streams.fertilitySnapshot(
-      batch.select($"doc_id", $"text"), s"$bpePath/merges",
-      "doc_id", "text", alertAbove = 4.0)
+    val fertRow = graft.streaming.Streams.fertilitySnapshotFromWords(
+      mon.words, mon.nDocs, s"$bpePath/merges", alertAbove = 4.0)
     fertRow.write.mode("overwrite")
       .parquet(s"$workDir/monitor_fertility/epoch=1")
     val fert = spark.read.parquet(s"$workDir/monitor_fertility/epoch=1")
@@ -586,9 +595,16 @@ object CurateMain {
     // recall of the (appended) index vs brute-force truth over the
     // RE-LISTED corpus — corpus ∪ day-2 appends, written fresh each
     // run (pure function of its inputs)
+    // marker-gated like every other day-1/day-2 artifact (r17): the
+    // frame is a pure function of (sfDir, off), both fixed per workDir,
+    // so a warm re-run must not pay the corpus-sized rewrite; a crash
+    // mid-write leaves no marker and the next run rewrites cleanly
     val vecCorpus = s"$workDir/vec_corpus"
-    embeddings.unionByName(day2Vecs)
-      .write.mode("overwrite").parquet(vecCorpus)
+    if (!hasMarker(spark, s"$vecCorpus/_OK")) {
+      embeddings.unionByName(day2Vecs)
+        .write.mode("overwrite").parquet(vecCorpus)
+      touchMarker(spark, s"$vecCorpus/_OK")
+    }
     val recRow = graft.streaming.VectorStreams.recallSnapshot(
       day2Vecs, ivfPath, vecCorpus, "vec_id", "embedding",
       k = 10, nprobe = 4, maxQueries = 32, alertBelow = 0.7)
@@ -636,27 +652,44 @@ object CurateMain {
     // epoch (the alarm is part of the day's record).
     val (refitRan, postStaged, refitK) =
       if (servAlert && refitOnAlert) {
-        // a refit re-derives every face, so it is exactly when k can
-        // change: consult the a19 resize rule over the index's CURRENT
-        // population (corpus + day-2 appends) before repairing — a
-        // corpus that outgrew (or never filled) its k gets the policy
-        // k in the same committed swap, an in-band one rides as-is.
-        // Policy constants are the sf-scaled ones the resize rehearsal
-        // and a19 use (production: the 4096-row default).
-        val kCur = Ivf.readIndex(spark, ivfPath).centroids.length
-        val nIdx = spark.read.parquet(s"$ivfPath/assigned").count()
-        val kPolicy = Ivf.kForCells(nIdx, targetCell = 512, kMin = 4)
-        val resize =
-          if (Ivf.resizeRecommended(kCur, kPolicy)) Some(kPolicy) else None
-        Ivf.refitIndex(spark, ivfPath, "vec_id", "embedding",
-          resizeTo = resize)
-        val post = graft.streaming.VectorStreams.pqAgreementSnapshot(
-          embeddings, ivfPath, "vec_id", "embedding",
-          k = 10, kCand = 50, maxQueries = 16,
-          alertBelow = servingAlertBelow).localCheckpoint()
-        post.write.mode("overwrite").parquet(s"$workDir/refit_qc")
-        (true, post.select($"staged_agreement").as[Double].head(),
-          Ivf.readIndex(spark, ivfPath).centroids.length)
+        // single-fire per day-2 epoch (r17, the refitMaintenanceStream
+        // guard ported here): a WARM replay of this run re-reads the
+        // same committed index and re-derives the same alert, but the
+        // repair already committed — re-firing would churn the index
+        // with a fresh KMeans on every replay (a refit is not
+        // replay-pure) and double-bill the rebuild. The committed
+        // refit_qc record (marker written after the QC row) IS the
+        // epoch's repair; replays read it back.
+        if (hasMarker(spark, s"$workDir/refit_qc/_DONE")) {
+          val post = spark.read.parquet(s"$workDir/refit_qc")
+          (true, post.select($"staged_agreement").as[Double].head(),
+            Ivf.readIndex(spark, ivfPath).centroids.length)
+        } else {
+          // a refit re-derives every face, so it is exactly when k can
+          // change: consult the a19 resize rule over the index's CURRENT
+          // population (corpus + day-2 appends) before repairing — a
+          // corpus that outgrew (or never filled) its k gets the policy
+          // k in the same committed swap, an in-band one rides as-is.
+          // Policy constants are the sf-scaled ones the resize rehearsal
+          // and a19 use (production: the 4096-row default).
+          val kCur = Ivf.readIndex(spark, ivfPath).centroids.length
+          val nIdx = spark.read.parquet(s"$ivfPath/assigned").count()
+          val kPolicy = Ivf.kForCells(nIdx, targetCell = 512, kMin = 4)
+          val resize =
+            if (Ivf.resizeRecommended(kCur, kPolicy)) Some(kPolicy) else None
+          Ivf.refitIndex(spark, ivfPath, "vec_id", "embedding",
+            resizeTo = resize)
+          val post = graft.streaming.VectorStreams.pqAgreementSnapshot(
+            embeddings, ivfPath, "vec_id", "embedding",
+            k = 10, kCand = 50, maxQueries = 16,
+            alertBelow = servingAlertBelow).localCheckpoint()
+          post.write.mode("overwrite").parquet(s"$workDir/refit_qc")
+          // marker AFTER the record: a crash between them re-runs the
+          // refit (wasteful, never wrong); with it, replays are pure
+          touchMarker(spark, s"$workDir/refit_qc/_DONE")
+          (true, post.select($"staged_agreement").as[Double].head(),
+            Ivf.readIndex(spark, ivfPath).centroids.length)
+        }
       } else (false, -1.0, -1)
     // ---- acquisition epilogue: the x85 per-source health table over
     // corpus ∪ day-2 batch under the committed tokenizer — the ONE
@@ -669,8 +702,11 @@ object CurateMain {
     // — at 100 TB the same slice reads from the incremental probe
     // verdicts above instead of re-shingling the corpus; the sf-scale
     // capstone keeps the oracle-verified composition.
-    val unionDocs = corpus.select($"doc_id", $"text", $"source")
-      .unionByName(batch.select($"doc_id", $"text", $"source"))
+    // staged once (r17): sourceHealth fans five signal subtrees off
+    // this frame and the mix gate re-reads it — one materialized
+    // corpus∪batch instead of six parquet re-scans + unions
+    val unionDocs = Staged(corpus.select($"doc_id", $"text", $"source")
+      .unionByName(batch.select($"doc_id", $"text", $"source")))
     graft.ops.Acquisition.sourceHealth(unionDocs,
         "doc_id", "text", "source", bpeFit)
       .write.mode("overwrite").parquet(s"$workDir/source_health")

@@ -56,6 +56,7 @@ object ScaleRehearsalAnn {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("refit")) { runRefitCurve(args.drop(1)); return }
+    if (args.headOption.contains("resize")) { runResizeCurve(args.drop(1)); return }
     val multipliers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 5, 10, 20)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -282,6 +283,106 @@ object ScaleRehearsalAnn {
         f""""build_faces_sec":$tBuild%.2f,"append_sec":$tAppend%.2f,""" +
         f""""res_drifted":$resDrifted%.3f,"res_refit":$resRefit%.3f,""" +
         f""""refit_sec":$tRefit%.2f}""")
+    }
+    spark.stop()
+  }
+
+  /** `resize`: the a19 policy loop end to end at growing corpus sizes.
+    * Day-1 builds a three-face index sized for the BASE population
+    * (k0 = kForCells(n0), the sf-scaled targetCell=512/kMin=4 the
+    * capstone and a19 use); the corpus then grows mult× via the
+    * sign-flip replicas appended under the frozen centroids (expected
+    * cell population overloads mult×), the a19 hysteresis rule fires
+    * (kPolicy/k0 ≈ mult ≥ 2), and `refitIndex(resizeTo = kPolicy)`
+    * re-keys every face in one committed swap. REQUIREd per row: the
+    * promoted index carries exactly kPolicy centroids and every
+    * vector, and recall@10 (nprobe=4, 32-query sample, BF truth)
+    * matches a FRESH build at the same k within 0.1 — a resize must
+    * serve as well as rebuilding from scratch, it just arrives as a
+    * committed swap instead of downtime. The differential-vs-fresh
+    * form follows the IvfRefitSpec doctrine: no absolute constants on
+    * fit-derived metrics.
+    */
+  private def runResizeCurve(args: Array[String]): Unit = {
+    val multipliers = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2, 4, 8)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val n0 = base.count()
+    val stride = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val k0 = Ivf.kForCells(n0, targetCell = 512, kMin = 4)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
+      f.delete(): Unit
+    }
+    multipliers.foreach { m =>
+      val tag = graft.queries.OracleDump.sfTag(sfDir)
+      val corpusPath = s"/tmp/graft-scale-vecs-$tag-${m}x"
+      if (!new java.io.File(s"$corpusPath/_SUCCESS").exists())
+        scaledVecs(base, m, dim).repartition(32).write.mode("overwrite")
+          .parquet(corpusPath)
+      val vecs = spark.read.parquet(corpusPath)
+      val n = vecs.count()
+      val idxPath = s"/tmp/graft-scale-resize-${m}x"
+      rmrf(new java.io.File(idxPath))
+      // day-1: index + faces sized for the base population only
+      val tBuild = time {
+        Ivf.buildPersistent(vecs.where(col("vec_id") < stride), idxPath,
+          "vec_id", "embedding", k = k0): Unit
+        Ivf.quantizeAssigned(spark, idxPath, "vec_id", "embedding")
+        graft.ops.Pq.pqAssign(spark, idxPath, "vec_id", "embedding",
+          m = 4, ksub = 16)
+      }
+      // growth: the other replicas register under the frozen k0 cells
+      val tAppend = time {
+        Ivf.appendToIndex(vecs.where(col("vec_id") >= stride), idxPath,
+          "vec_id", "embedding"): Unit
+      }
+      val kPol = Ivf.kForCells(n, targetCell = 512, kMin = 4)
+      require(Ivf.resizeRecommended(k0, kPol),
+        s"the 2x policy must fire at mult $m: k $k0 -> policy $kPol")
+      val tResize = time {
+        Ivf.refitIndex(spark, idxPath, "vec_id", "embedding",
+          resizeTo = Some(kPol))
+      }
+      val idx = Ivf.readIndex(spark, idxPath)
+      require(idx.centroids.length == kPol,
+        s"resize must land on the policy k at mult $m: " +
+          s"${idx.centroids.length} vs $kPol")
+      val kept = spark.read.parquet(s"$idxPath/assigned").count()
+      require(kept == n, s"resize lost vectors at mult $m: $kept vs $n")
+      val queries = vecs.where(col("vec_id") % 631L === 0)
+      def recallOf(p: String): Double =
+        graft.streaming.VectorStreams.recallSnapshot(
+          queries, p, corpusPath, "vec_id", "embedding", k = 10, nprobe = 4,
+          maxQueries = 32, alertBelow = 0.0)
+          .select(col("recall")).head().getDouble(0)
+      val recResized = recallOf(idxPath)
+      val freshPath = s"/tmp/graft-scale-resize-fresh-${m}x"
+      rmrf(new java.io.File(freshPath))
+      val tFresh = time {
+        Ivf.buildPersistent(vecs, freshPath, "vec_id", "embedding",
+          k = kPol): Unit
+      }
+      val recFresh = recallOf(freshPath)
+      require(recResized >= recFresh - 0.1,
+        s"resized index must serve like a fresh k=$kPol build at mult $m: " +
+          s"$recResized vs $recFresh")
+      Staged.releaseAll()
+      println(f"""{"mult":$m,"vecs":$n,"k0":$k0,"k_policy":$kPol,""" +
+        f""""build_faces_sec":$tBuild%.2f,"append_sec":$tAppend%.2f,""" +
+        f""""resize_sec":$tResize%.2f,"fresh_build_sec":$tFresh%.2f,""" +
+        f""""recall_resized":$recResized%.4f,"recall_fresh":$recFresh%.4f}""")
     }
     spark.stop()
   }

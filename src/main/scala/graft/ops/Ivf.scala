@@ -118,6 +118,23 @@ object Ivf {
     val marker = new org.apache.hadoop.fs.Path(
       s"$path/_INDEX_OK_k${k}_s${seed}_$vecCol")
     if (!fs.exists(marker)) {
+      // a DIFFERENT-k committed marker for the same (seed, vecCol) is a
+      // policy-resized index (refitIndex(resizeTo) retired the birth
+      // marker), NOT an unbuilt path: rebuilding here would overwrite
+      // assigned/centroids at the requested k while the PQ face and its
+      // marker stay keyed to the retired cells — a torn index created
+      // through the front door (this exact corruption shipped once: a
+      // warm capstone re-run after a resize-refit clobbered the
+      // repaired index and crashed the NEXT refit on the dual markers).
+      // Callers that accept the committed k use [[ensurePersistent]].
+      val resized = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$path/_INDEX_OK_k*_s${seed}_$vecCol"))).toSeq.flatten
+        .map(_.getPath.getName)
+      require(resized.isEmpty,
+        s"index at $path is committed under $resized (policy-resized " +
+          s"since birth); a k=$k rebuild would tear the PQ face — use " +
+          "ensurePersistent to accept the committed k, or delete the " +
+          "path to rebuild")
       writeIndex(build(df, idCol, vecCol, k, seed), path)
       fs.create(marker, true).close()
     }
@@ -126,6 +143,28 @@ object Ivf {
       s"index at $path holds ${idx.centroids.length} centroids, expected $k " +
         "(stale index written with different parameters — delete the path)")
     idx
+  }
+
+  /** [[buildPersistent]] with BIRTH-parameter semantics — the daily-
+    * pipeline face: `k` sizes the index only IF this call creates it;
+    * once any `_INDEX_OK_k*_s<seed>_<vecCol>` marker is committed, the
+    * index is live under the SIZE THE RESIZE POLICY OWNS (a
+    * [[refitIndex]] with `resizeTo` legitimately re-keys k between
+    * runs) and is returned as-is. [[buildPersistent]] keeps the strict
+    * contract (exact-k marker or loud failure) for per-parameter oracle
+    * paths; this is what a warm re-run of a maintenance-owning pipeline
+    * calls, because "my default k argument" must never outrank the
+    * committed index it is maintaining.
+    */
+  def ensurePersistent(df: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int = 16, seed: Long = 42L): Index = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/_INDEX_OK_k*_s${seed}_$vecCol"))).toSeq.flatten
+    if (committed.nonEmpty) readIndex(spark, path)
+    else buildPersistent(df, path, idCol, vecCol, k, seed)
   }
 
   /** [[buildPersistent]] memoized per (session, path, params): repeat

@@ -403,6 +403,135 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), roundTo)
           .as("oov_rate"))
   }
+
+  /** Per-document Shannon entropy of the doc's own unigram
+    * distribution, in nats: H = −Σ_w p_w ln p_w with p_w = c_w/n over
+    * the doc's tokens — the classic repetitiveness signal (a doc of
+    * one word repeated reads 0; boilerplate and template spam sit far
+    * below organic text at equal length), complementing the max-share
+    * view ([[topNgramDominance]]) with the whole-distribution view.
+    * Every input doc keeps a row (the quality-gate convention):
+    * tokenless docs carry n_tokens=0 and NULL entropy — 0 would
+    * conflate them with genuinely zero-entropy one-word docs.
+    *
+    * Engine-portable float discipline (the x30 recipe): each per-word
+    * term p·ln p rounds onto a 1e-9 decimal grid and the per-doc sum
+    * runs in DECIMAL, so the result is partition-order independent and
+    * a DuckDB oracle replays it bit-for-bit.
+    *
+    * 100 TB shape: explode → two map-side-combining aggregations keyed
+    * by doc (+word), one broadcast-back join of per-doc totals — one
+    * corpus pass, nothing global.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cnt = Staged(docs
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("__id"), col("tok")).agg(count(lit(1)).as("__c")))
+    val ent = cnt
+      .join(cnt.groupBy(col("__id")).agg(sum(col("__c")).as("__n")), "__id")
+      .select(col("__id"), col("__n"),
+        round((col("__c").cast("double") / col("__n")) *
+          log(col("__c").cast("double") / col("__n")), 9)
+          .cast("decimal(28,9)").as("__t"))
+      .groupBy(col("__id"))
+      .agg(max(col("__n")).as("n_tokens"),
+        round(-sum(col("__t")).cast("double"), 6).as("entropy"))
+    docs.select(col(idCol))
+      .join(ent, col(idCol) === col("__id"), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("entropy"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution, in
+    * nats: KL(p_s ‖ q) = Σ_w p_s(w) ln(p_s(w)/q(w)) with p_s the
+    * source's token distribution and q the whole corpus's — the
+    * DISTRIBUTIONAL drift signal the per-source health table lacks:
+    * OOV counts words the vocabulary is missing, novelty counts grams
+    * never seen, but a source can be 0-OOV/0-novel and still skew the
+    * training mix (all common words, wrong proportions); KL prices
+    * exactly that. Terms with p_s(w)=0 contribute 0 and q(w)>0 for
+    * every word a source has (the corpus includes the source), so the
+    * sum needs no smoothing. Sources with zero tokens keep a row with
+    * NULL kl (the x85 convention). Same decimal-grid discipline as
+    * [[tokenEntropy]].
+    *
+    * 100 TB shape: one exploded-token pass → (source,word) and (word)
+    * map-side-combining counts, a join on the O(vocab)-sized word key,
+    * a #sources-sized output — nothing pairwise, nothing corpus².
+    */
+  def sourceUnigramKl(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val ex = Staged(docs.select(col(srcCol).cast("string").as("source"),
+      explode(tokens(col(textCol))).as("tok")))
+    val nTotal = ex.count()
+    val globalCnt = ex.groupBy(col("tok")).agg(count(lit(1)).as("__cg"))
+    val srcCnt = Staged(ex.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("__cs")))
+    val srcTot = srcCnt.groupBy(col("source")).agg(sum(col("__cs")).as("__ns"))
+    val kl = srcCnt
+      .join(globalCnt, "tok")
+      .join(srcTot, "source")
+      .select(col("source"), col("__ns"),
+        round((col("__cs").cast("double") / col("__ns")) *
+          log((col("__cs").cast("double") * nTotal.toDouble) /
+            (col("__ns").cast("double") * col("__cg"))), 9)
+          .cast("decimal(28,9)").as("__t"))
+      .groupBy(col("source"))
+      .agg(max(col("__ns")).as("n_tokens"),
+        round(sum(col("__t")).cast("double"), 6).as("kl"))
+    docs.groupBy(col(srcCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(kl, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("kl"))
+  }
+
+  /** Per-source Population Stability Index of the [[qualityScore]]
+    * distribution vs the corpus-global one, over `nBuckets` fixed
+    * equal-width buckets on [0,1]: PSI = Σ_b (p'_b − q'_b) ln(p'_b/q'_b)
+    * with the standard ε-floor on empty buckets (p' = max(p, ε)) — the
+    * drift-monitoring classic (rule of thumb: <0.1 stable, >0.25
+    * shifted), here answering "does this source's QUALITY PROFILE look
+    * like the corpus", which the health table's mean-quality column
+    * cannot (two sources with equal means, one bimodal junk+gems, read
+    * identically there). Bucket = min(⌊score·K⌋, K−1); the score is
+    * exact integer ratios, so bucketing is bit-deterministic. Every
+    * (source, bucket) cell participates, absent cells at ε — the full
+    * grid is #sources × K, a broadcast-sized frame. Same decimal-grid
+    * sum discipline as [[tokenEntropy]].
+    */
+  def qualityPsi(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, nBuckets: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val bucketed = Staged(docs.select(
+      col(srcCol).cast("string").as("source"),
+      least(floor(qualityScore(col(textCol)) * nBuckets).cast("int"),
+        lit(nBuckets - 1)).as("bucket")))
+    val nTotal = bucketed.count()
+    val globalB = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("__nb"))
+    val srcB = bucketed.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("__nsb"))
+    val srcN = bucketed.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // full #sources × K grid so absent cells participate at the ε floor
+    val grid = srcN
+      .crossJoin(broadcast(bucketed.sparkSession.range(nBuckets)
+        .select(col("id").cast("int").as("bucket"))))
+      .join(srcB, Seq("source", "bucket"), "left")
+      .join(broadcast(globalB), Seq("bucket"), "left")
+      .select(col("source"), col("n_docs"),
+        greatest(coalesce(col("__nsb"), lit(0L)).cast("double") /
+          col("n_docs"), lit(eps)).as("__p"),
+        greatest(coalesce(col("__nb"), lit(0L)).cast("double") /
+          nTotal.toDouble, lit(eps)).as("__q"))
+    grid
+      .select(col("source"), col("n_docs"),
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 9)
+          .cast("decimal(28,9)").as("__t"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        round(sum(col("__t")).cast("double"), 6).as("psi"))
+  }
 }
 
 /** Word n-gram shingles, shared by fingerprinting and MinHash dedup. */

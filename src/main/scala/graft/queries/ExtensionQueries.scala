@@ -3169,7 +3169,126 @@ object ExtensionQueries {
       notes = "x85's novelty + keep-reps closures over the planted union, " +
         "the doc-weighted micro-unit novelty floor as exact integers, " +
         "x76's unnormalized rate algebra over the survivors — the verdict " +
-        "table driving the mix, replayed end to end")
+        "table driving the mix, replayed end to end"),
+
+    // ---- per-doc unigram Shannon entropy (nats) — the whole-
+    // distribution repetitiveness signal (x79 reads the max share,
+    // x22 reads n-gram repeats; this reads the full shape: template
+    // spam scores low at ANY length). Tokenless docs keep a row with
+    // NULL entropy. x30's decimal-grid discipline: per-word terms on
+    // the 1e-9 grid, decimal sum, so the result is partition-order
+    // independent on both engines.
+    GraftQuery(
+      "x90_token_entropy",
+      (s, dir) => graft.ops.TextAnalysis.tokenEntropy(
+        Tables(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          ex AS (SELECT doc_id, unnest(t) AS tok FROM toks WHERE len(t) > 0),
+          cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM ex GROUP BY doc_id, tok),
+          nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+            FROM cnt GROUP BY doc_id),
+          ent AS (SELECT cnt.doc_id, max(nn.n) AS n_tokens,
+              round(CAST(-sum(CAST(round(
+                  (CAST(c AS DOUBLE) / nn.n) * ln(CAST(c AS DOUBLE) / nn.n),
+                  9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+            FROM cnt JOIN nn ON cnt.doc_id = nn.doc_id
+            GROUP BY cnt.doc_id)
+          SELECT d.doc_id, COALESCE(ent.n_tokens, 0) AS n_tokens, ent.entropy
+          FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id"""),
+      notes = "decimal negated before the double cast on both engines " +
+        "(no -0.0 hash hazard); single-word docs read exactly 0"),
+
+    // ---- per-source unigram KL divergence from the corpus
+    // distribution (nats) — the DISTRIBUTIONAL drift column the health
+    // table lacks: a source can be 0-OOV and 0-novel (all common
+    // words) and still skew the mix by proportion; KL prices that.
+    // p=0 terms vanish and the corpus includes every source (q>0), so
+    // no smoothing enters the sum. Tokenless sources keep a NULL-kl
+    // row (x85's convention).
+    GraftQuery(
+      "x91_source_unigram_kl",
+      (s, dir) => graft.ops.TextAnalysis.sourceUnigramKl(
+        Tables(s, dir, "documents"), "doc_id", "text", "source"),
+      Some("""WITH toks AS (SELECT source,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          ex AS (SELECT source, unnest(t) AS tok FROM toks WHERE len(t) > 0),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM ex),
+          g AS (SELECT tok, CAST(count(*) AS BIGINT) AS cg
+            FROM ex GROUP BY tok),
+          sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+            FROM ex GROUP BY source, tok),
+          st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns
+            FROM sc GROUP BY source),
+          kl AS (SELECT sc.source, max(st.ns) AS n_tokens,
+              round(CAST(sum(CAST(round(
+                  (CAST(cs AS DOUBLE) / st.ns) *
+                  ln((CAST(cs AS DOUBLE) * tot.nt) /
+                     (CAST(st.ns AS DOUBLE) * cg)), 9)
+                AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl
+            FROM sc JOIN g USING (tok) JOIN st USING (source) CROSS JOIN tot
+            GROUP BY sc.source),
+          nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source)
+          SELECT nd.source, nd.n_docs, COALESCE(kl.n_tokens, 0) AS n_tokens,
+            kl.kl
+          FROM nd LEFT JOIN kl USING (source)"""),
+      notes = "terms only over words the source HAS (p=0 vanishes, " +
+        "q>0 by inclusion — smoothing-free); 1e-9 grid + decimal sum"),
+
+    // ---- per-source Population Stability Index of the x07 quality
+    // score vs the corpus-global distribution over 10 fixed buckets on
+    // [0,1] — "does this source's quality PROFILE match the corpus":
+    // two sources with equal mean_quality, one bimodal junk+gems, read
+    // identically in x85 but apart here (the standard drift metric:
+    // <0.1 stable, >0.25 shifted). Absent cells enter at the 1e-6
+    // floor; the score is exact integer ratios so bucketing is
+    // bit-deterministic.
+    GraftQuery(
+      "x92_quality_psi",
+      (s, dir) => graft.ops.TextAnalysis.qualityPsi(
+        Tables(s, dir, "documents"), "doc_id", "text", "source"),
+      Some("""WITH q AS (SELECT source,
+            (CASE WHEN n >= 10 AND n <= 1000 THEN 1.0 ELSE 0.0 END) * 0.25
+            + (CASE WHEN n > 0 THEN nd / n ELSE 0.0 END) * 0.25
+            + least(CASE WHEN n > 0 THEN stop / n ELSE 0.0 END * 5.0, 1.0) * 0.25
+            + (CASE WHEN chars > 0 THEN 1.0 - least(punct / chars * 5.0, 1.0)
+               ELSE 0.0 END) * 0.25 AS quality
+          FROM (SELECT source,
+            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n,
+            CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) AS nd,
+            CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+                         'for','on','with','as','at','by','from','that','this'))) AS DOUBLE) AS stop,
+            CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+            CAST(length(text) AS DOUBLE) AS chars
+          FROM documents)),
+          b AS (SELECT source,
+            least(CAST(floor(quality * 10) AS INT), 9) AS bucket FROM q),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM b),
+          gb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nb
+            FROM b GROUP BY bucket),
+          sn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM b GROUP BY source),
+          gr AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket),
+          sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS nsb
+            FROM b GROUP BY source, bucket),
+          grid AS (SELECT sn.source, sn.n_docs,
+              greatest(CAST(COALESCE(sb.nsb, 0) AS DOUBLE) / sn.n_docs,
+                1e-6) AS p,
+              greatest(CAST(COALESCE(gb.nb, 0) AS DOUBLE) / tot.nt,
+                1e-6) AS q2
+            FROM sn CROSS JOIN gr
+            LEFT JOIN sb ON sb.source = sn.source AND sb.bucket = gr.bucket
+            LEFT JOIN gb ON gb.bucket = gr.bucket
+            CROSS JOIN tot)
+          SELECT source, max(n_docs) AS n_docs,
+            round(CAST(sum(CAST(round((p - q2) * ln(p / q2), 9)
+              AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
+          FROM grid GROUP BY source"""),
+      notes = "x07's score CTE verbatim; full #sources x 10 grid with " +
+        "the epsilon floor so absent cells participate on both engines")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

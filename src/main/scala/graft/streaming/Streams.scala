@@ -809,12 +809,29 @@ object Streams {
       alertBelow: Double, nBuckets: Int = 32,
       maxChain: Int = 16): Unit = graft.ops.Staged.scoped {
     require(n > 0, s"shingle size must be positive, got $n")
-    require(nBuckets > 0, s"bucket count must be positive, got $nBuckets")
-    val spark = batch.sparkSession
-    import spark.implicits._
     val grams = graft.ops.Staged(batch
       .select(explode(graft.ops.Shingles(col(textCol), n)).as("gram"))
       .distinct())
+    processNoveltyBatchFromGrams(grams, batch.count(), epoch, indexPath,
+      outPath, alertBelow, nBuckets, maxChain)
+  }
+
+  /** [[processNoveltyBatch]] over a PRE-STAGED distinct-gram frame (one
+    * `gram` column) — the shared-frame face for callers that run the
+    * whole day-2 monitor family over one batch ([[monitorFrames]]): the
+    * batch is shingled ONCE and the resulting frame serves every
+    * consumer, instead of each snapshot re-deriving it from text.
+    * Identical math and identical committed artifacts (snapshot row,
+    * registered novel grams, compaction policy) — the caller owns the
+    * frame's release; this body releases only what it stages itself.
+    */
+  private[graft] def processNoveltyBatchFromGrams(grams: DataFrame,
+      nDocs: Long, epoch: Long, indexPath: String, outPath: String,
+      alertBelow: Double, nBuckets: Int = 32,
+      maxChain: Int = 16): Unit = graft.ops.Staged.scoped {
+    require(nBuckets > 0, s"bucket count must be positive, got $nBuckets")
+    val spark = grams.sparkSession
+    import spark.implicits._
     val committed = epochsBefore(spark, indexPath, epoch)
     val idxParts = committed.map(e =>
       graft.ops.Dedup.readIndexTable(spark, s"$indexPath/epoch=$e")
@@ -822,7 +839,7 @@ object Streams {
     val novel = graft.ops.Staged(
       idxParts.foldLeft(grams.toDF)((g, idx) =>
         g.join(idx, Seq("gram"), "left_anti")))
-    val (nDocs, nGrams, nNovel) = (batch.count(), grams.count(), novel.count())
+    val (nGrams, nNovel) = (grams.count(), novel.count())
     val novelty =
       if (nGrams > 0)
         BigDecimal(nNovel.toDouble / nGrams)
@@ -853,15 +870,51 @@ object Streams {
     * tokens — a batch of all-tokenless (e.g. non-Latin) docs must read
     * as "N docs arrived, none tokenized", never as an idle epoch.
     */
+  /** The day-2 monitor family's shared staged frames, derived from one
+    * batch in ONE pass each: `words` (exploded tokens with
+    * multiplicity — consumed by both the OOV and fertility snapshots)
+    * and `grams` (distinct `n`-gram shingles — consumed by the novelty
+    * batch), plus the batch count every snapshot stamps as `n_docs`.
+    * Without this, each snapshot re-tokenizes the same persisted batch
+    * independently — three tokenization passes and three counts where
+    * one of each suffices (the x85 lesson applied to the monitors: the
+    * signals share inputs, so the frames should be staged once). The
+    * CALLER owns the frames' release (they register in the caller's
+    * scope, or globally when none is active).
+    */
+  final case class MonitorFrames(nDocs: Long, words: DataFrame,
+      grams: DataFrame)
+
+  def monitorFrames(batch: DataFrame, textCol: String,
+      n: Int = 3): MonitorFrames = {
+    require(n > 0, s"shingle size must be positive, got $n")
+    MonitorFrames(
+      batch.count(),
+      graft.ops.Staged(batch.select(
+        explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("word"))),
+      graft.ops.Staged(batch.select(
+        explode(graft.ops.Shingles(col(textCol), n)).as("gram")).distinct()))
+  }
+
   private[graft] def oovSnapshot(batch: DataFrame, vocabPath: String,
-      idCol: String, textCol: String, alertAbove: Double): DataFrame = {
-    val spark = batch.sparkSession
-    val nDocs = batch.count()
+      idCol: String, textCol: String, alertAbove: Double): DataFrame =
+    oovSnapshotFromWords(
+      batch.select(
+        explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("word")),
+      batch.count(), vocabPath, alertAbove)
+
+  /** [[oovSnapshot]] over a PRE-EXPLODED token frame (one `word` column,
+    * WITH multiplicity) plus the batch's doc count — the shared-frame
+    * face ([[monitorFrames]]): one tokenization pass serves both this
+    * and the fertility snapshot. Identical output values.
+    */
+  private[graft] def oovSnapshotFromWords(words: DataFrame, nDocs: Long,
+      vocabPath: String, alertAbove: Double): DataFrame = {
+    val spark = words.sparkSession
     val vocab = broadcast(spark.read.parquet(vocabPath)
       .select(col("tok"), lit(1).as("__inv")))
-    batch
-      .select(col(idCol).as("__id"),
-        explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("tok"))
+    words
+      .select(col("word").as("tok"))
       .join(vocab, Seq("tok"), "left")
       .agg(count(lit(1)).as("n_tokens"),
         coalesce(sum(when(col("__inv").isNull, 1L).otherwise(0L)), lit(0L))
@@ -918,15 +971,26 @@ object Streams {
     * the token stream. Nothing corpus-sized, no state.
     */
   private[graft] def fertilitySnapshot(batch: DataFrame, mergesPath: String,
-      idCol: String, textCol: String, alertAbove: Double): DataFrame = {
-    val spark = batch.sparkSession
+      idCol: String, textCol: String, alertAbove: Double): DataFrame =
+    fertilitySnapshotFromWords(graft.ops.Staged(batch
+        .select(explode(graft.ops.TextAnalysis.tokens(col(textCol)))
+          .as("word"))),
+      batch.count(), mergesPath, alertAbove)
+
+  /** [[fertilitySnapshot]] over a PRE-STAGED token frame (one `word`
+    * column, with multiplicity — the same frame
+    * [[oovSnapshotFromWords]] consumes) plus the batch's doc count:
+    * the frame is read twice here (distinct vocabulary for the merge
+    * map, then the join-back), so it must already be persisted; the
+    * caller owns its release. Identical output values.
+    */
+  private[graft] def fertilitySnapshotFromWords(toks: DataFrame,
+      nDocs: Long, mergesPath: String, alertAbove: Double): DataFrame = {
+    val spark = toks.sparkSession
     import spark.implicits._
-    val nDocs = batch.count()
     val merges = spark.read.parquet(mergesPath)
       .orderBy(col("step")).select(col("left"), col("right"))
       .as[(String, String)].collect().toSeq
-    val toks = graft.ops.Staged(batch
-      .select(explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("word")))
     val sub = toks.select(col("word")).distinct().as[String]
       .map(w => (w, graft.ops.Bpe.applyMerges(w, merges).size.toLong))
       .toDF("word", "n_syms")

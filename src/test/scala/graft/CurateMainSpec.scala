@@ -338,6 +338,27 @@ class CurateMainSpec extends SparkSpec {
     assert(graft.ops.Ivf.readIndex(spark, s"$work/ivf_index")
       .centroids.length == 4,
       "the promoted index must hold the policy k")
+    // WARM REPLAY (r17): the same day-2 run on the same workDir must
+    // not re-fire the committed repair — the refit_qc record guards
+    // the epoch (single-fire, the refitMaintenanceStream discipline) —
+    // and must survive the policy-resized index (this replay crashed
+    // once: day-1's buildPersistent clobbered the k=4 index back to
+    // k=16, tearing the PQ face). Post-refit numbers replay from the
+    // record byte-identically; the promoted centroids are untouched.
+    val centroidsAfterRefit = graft.ops.Ivf.readIndex(spark,
+      s"$work/ivf_index").centroids.map(_.toSeq).toSeq
+    val s2 = CurateMain.runIncremental(spark, "/root/testdata/sf0.001", work,
+      refitOnAlert = true, servingAlertBelow = 1.01)
+    assert(s2.refitRan &&
+      s2.postRefitStagedAgreement == s.postRefitStagedAgreement &&
+      s2.refitK == 4,
+      s"warm replay must read the committed repair, not re-fire: $s2")
+    assert(graft.ops.Ivf.readIndex(spark, s"$work/ivf_index")
+      .centroids.map(_.toSeq).toSeq == centroidsAfterRefit,
+      "warm replay must leave the promoted centroids untouched")
+    assert((s2.novelty, s2.oovRate, s2.fertility, s2.survivors) ==
+      ((s.novelty, s.oovRate, s.fertility, s.survivors)),
+      s"warm replay drifted on the deterministic monitors: $s2 vs $s")
     graft.ops.Staged.releaseAll()
   }
 

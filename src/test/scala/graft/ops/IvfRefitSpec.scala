@@ -149,6 +149,39 @@ class IvfRefitSpec extends SparkSpec {
     Staged.releaseAll()
   }
 
+  test("a policy-resized index survives a warm re-run: ensurePersistent serves it, buildPersistent refuses") {
+    val dir = buildDriftedIndex() // birth k=3, 160 vectors, all faces
+    Ivf.refitIndex(spark, dir, "vec_id", "embedding", resizeTo = Some(5))
+    // the daily pipeline's warm day-1 call with its DEFAULT birth k
+    // must serve the committed k=5 index untouched — this exact call
+    // shipped as buildPersistent once and rebuilt at the birth k on
+    // warm replay, tearing the PQ face (still keyed to the k=5 cells)
+    // and crashing the NEXT refit on dual _INDEX_OK markers
+    val idx = Ivf.ensurePersistent(baseCorpus, dir, "vec_id", "embedding",
+      k = 3)
+    assert(idx.centroids.length == 5,
+      "ensurePersistent must accept the committed policy k")
+    assert(idx.assigned.count() == 160L,
+      "the appended vectors must survive the warm call")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val markers = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/_INDEX_OK_k*"))).toSeq.flatten.map(_.getPath.getName)
+    assert(markers == Seq("_INDEX_OK_k5_s42_embedding"),
+      s"exactly the resized marker must remain: $markers")
+    // the strict per-parameter face refuses instead of clobbering
+    val e = intercept[IllegalArgumentException] {
+      Ivf.buildPersistent(baseCorpus, dir, "vec_id", "embedding", k = 3)
+    }
+    assert(e.getMessage.contains("policy-resized"),
+      s"buildPersistent must name the resize hazard: ${e.getMessage}")
+    // and the next maintenance refit still parses a single marker —
+    // the dual-marker crash this regression shipped as
+    Ivf.refitIndex(spark, dir, "vec_id", "embedding")
+    assert(Ivf.readIndex(spark, dir).centroids.length == 5)
+    Staged.releaseAll()
+  }
+
   test("crash BEFORE commit: the partial build is discarded, the old face never moves") {
     val dir = buildDriftedIndex()
     val pre = Ivf.readIndex(spark, dir).centroids.map(_.toSeq).toSeq

@@ -247,4 +247,79 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 0)
     }
   }
+
+  test("token entropy: uniform reads ln k, repetition reads 0, tokenless reads NULL") {
+    val docs = Seq(
+      (1L, "a a b b"),        // H = ln 2
+      (2L, "a a a a"),        // one word → 0
+      (3L, "!!! ???"),        // tokenless → NULL entropy, row kept
+      (4L, "a b c d"))        // uniform over 4 → ln 4
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(out(1L) == ((4L, Some(0.693147))), s"ln2 drifted: ${out(1L)}")
+    assert(out(2L) == ((4L, Some(0.0))), s"one-word doc: ${out(2L)}")
+    assert(out(3L) == ((0L, None)), s"tokenless doc must keep a NULL row: ${out(3L)}")
+    assert(out(4L) == ((4L, Some(1.386294))), s"ln4 drifted: ${out(4L)}")
+    // partition-order independence (the decimal-grid discipline)
+    val again = TextAnalysis.tokenEntropy(docs.repartition(4), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(again == out.map { case (id, (n, h)) => (id, n, h) }.toSet)
+    Staged.releaseAll()
+  }
+
+  test("source unigram KL: lone source reads 0, disjoint vocab reads ln 2, tokenless NULL") {
+    // one source == the corpus → p = q → KL exactly 0
+    val lone = TextAnalysis.sourceUnigramKl(
+      Seq((1L, "x y z", "s1"), (2L, "x y", "s1")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(lone == Seq(("s1", 2L, 5L, Some(0.0))), s"lone-source KL: $lone")
+    // disjoint half-half vocab: each source's only word has p=1,
+    // q=1/2 → KL = ln 2; the tokenless source keeps a NULL row
+    val out = TextAnalysis.sourceUnigramKl(
+      Seq((1L, "a a", "s1"), (2L, "b b", "s2"), (3L, "!!!", "s3"))
+        .toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("s1") == ((1L, 2L, Some(0.693147))), s"s1 KL: ${out("s1")}")
+    assert(out("s2") == ((1L, 2L, Some(0.693147))), s"s2 KL: ${out("s2")}")
+    assert(out("s3") == ((1L, 0L, None)), s"tokenless source: ${out("s3")}")
+    Staged.releaseAll()
+  }
+
+  test("quality PSI: identical profiles read exactly 0; a shifted source reads > 0") {
+    val good = "the quick brown fox jumps over the lazy dog and it is a " +
+      "fine day for running in the green field with many other animals"
+    val junk = "zz zz zz zz zz zz zz zz zz zz zz zz"
+    // two sources with IDENTICAL doc sets: every (p - q) term is 0 and
+    // every absent cell sits at the shared eps floor → PSI exactly 0.0
+    val same = TextAnalysis.qualityPsi(
+      Seq((1L, good, "s1"), (2L, junk, "s1"), (3L, good, "s2"), (4L, junk, "s2"))
+        .toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source")
+      .as[(String, Long, Double)].collect()
+      .map { case (s, n, p) => s -> ((n, p)) }.toMap
+    assert(same == Map("s1" -> ((2L, 0.0)), "s2" -> ((2L, 0.0))),
+      s"identical profiles must read exactly 0: $same")
+    // a source concentrated in a different bucket than the global mix
+    val shifted = TextAnalysis.qualityPsi(
+      Seq((1L, good, "hi"), (2L, good, "hi"), (3L, junk, "lo"), (4L, junk, "lo"))
+        .toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source")
+      .as[(String, Long, Double)].collect()
+      .map { case (s, n, p) => s -> ((n, p)) }.toMap
+    assert(shifted("hi")._2 > 1.0 && shifted("lo")._2 > 1.0,
+      s"fully separated sources must read far above the 0.25 bar: $shifted")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityPsi(Seq((1L, good, "s")).toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", nBuckets = 0)
+    }
+    Staged.releaseAll()
+  }
 }

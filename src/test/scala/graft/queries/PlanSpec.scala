@@ -129,7 +129,10 @@ class PlanSpec extends SparkSpec {
           "a07_ann_recall", "a08_ann_nprobe_sweep", "a13_ann_staged_recall",
           "a14_staged_kcand_sweep", "a16_staged_nprobe_grid",
           // per-setting 1-row scalar aggregates cross-joined (q37's class)
-          "a17_semdedup_threshold_sweep")
+          "a17_semdedup_threshold_sweep",
+          // PSI's full #sources x K grid: a broadcast cross of the
+          // 10-row bucket axis against the #sources frame (q30's class)
+          "x92_quality_psi")
         if (!nlOk(q.name))
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans a nested-loop join")

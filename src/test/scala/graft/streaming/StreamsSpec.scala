@@ -1018,6 +1018,61 @@ class StreamsSpec extends SparkSpec {
     graft.ops.Staged.releaseAll()
   }
 
+  test("shared monitor frames: one tokenize/shingle pass feeds OOV, fertility, novelty byte-identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft-monfr").toString
+    val base = Seq(
+      (1L, "low low low low low"), (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    graft.ops.TextAnalysis.fitVocab(base, "text", vocabSize = 3)
+      .write.mode("overwrite").parquet(s"$root/vocab")
+    graft.ops.Bpe.fit(base, "text", nMerges = 4).mergeTable(spark)
+      .write.mode("overwrite").parquet(s"$root/merges")
+    graft.ops.Staged.releaseAll()
+    // a committed day-1 gram index for the novelty leg
+    Streams.processNoveltyBatch(base, 0L, s"$root/idx_a", s"$root/out_a",
+      "doc_id", "text", n = 3, alertBelow = 0.1)
+    Streams.processNoveltyBatch(base, 0L, s"$root/idx_b", s"$root/out_b",
+      "doc_id", "text", n = 3, alertBelow = 0.1)
+    // the day-2 batch: part re-crawl, part fresh, one tokenless doc
+    val batch = Seq((10L, "low lower newest widest"),
+      (11L, "quantum flux capacitors destabilize everything"),
+      (12L, "!!! ???")).toDF("doc_id", "text")
+    val mon = Streams.monitorFrames(batch, "text", n = 3)
+    assert(mon.nDocs == 3L)
+    def s5(df: org.apache.spark.sql.DataFrame,
+        cols: Seq[String]): (Long, Long, Long, Double, Boolean) =
+      df.select(cols.head, cols.tail: _*)
+        .as[(Long, Long, Long, Double, Boolean)].head()
+    val oovCols = Seq("n_docs", "n_tokens", "n_oov", "oov_rate", "alert")
+    assert(s5(Streams.oovSnapshotFromWords(mon.words, mon.nDocs,
+        s"$root/vocab", 0.2), oovCols) ==
+      s5(Streams.oovSnapshot(batch, s"$root/vocab", "doc_id", "text", 0.2),
+        oovCols), "shared-frame OOV snapshot drifted from the batch face")
+    val fertCols = Seq("n_docs", "n_words", "n_subwords", "fertility", "alert")
+    assert(s5(Streams.fertilitySnapshotFromWords(mon.words, mon.nDocs,
+        s"$root/merges", 3.5), fertCols) ==
+      s5(Streams.fertilitySnapshot(batch, s"$root/merges", "doc_id", "text",
+        3.5), fertCols),
+      "shared-frame fertility snapshot drifted from the batch face")
+    // novelty: identical snapshot row AND identical registered gram set
+    Streams.processNoveltyBatchFromGrams(mon.grams, mon.nDocs, 1L,
+      s"$root/idx_a", s"$root/out_a", alertBelow = 0.1)
+    Streams.processNoveltyBatch(batch, 1L, s"$root/idx_b", s"$root/out_b",
+      "doc_id", "text", n = 3, alertBelow = 0.1)
+    val novCols = Seq("n_docs", "n_grams", "n_novel", "novelty", "alert")
+    assert(s5(spark.read.parquet(s"$root/out_a/epoch=1"), novCols) ==
+      s5(spark.read.parquet(s"$root/out_b/epoch=1"), novCols),
+      "shared-frame novelty snapshot drifted from the batch face")
+    val regA = graft.ops.Dedup.readIndexTable(spark, s"$root/idx_a/epoch=1")
+      .select($"gram").as[String].collect().sorted.toSeq
+    val regB = graft.ops.Dedup.readIndexTable(spark, s"$root/idx_b/epoch=1")
+      .select($"gram").as[String].collect().sorted.toSeq
+    assert(regA == regB && regA.nonEmpty,
+      "shared-frame novelty registered a different gram set")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("novelty monitor: re-crawl collapses the curve; novel-only registration; replay-pure") {
     val root = java.nio.file.Files.createTempDirectory("graft-novelty").toString
     val d1 = "the quick brown fox jumps over the lazy dog near the river"
