@@ -364,7 +364,8 @@ object CurateMain {
       annRecall: Double = -1.0, monitorAlerts: Long = -1L,
       pqAgreement: Double = -1.0, stagedAgreement: Double = -1.0,
       fertility: Double = -1.0, refitRan: Boolean = false,
-      postRefitStagedAgreement: Double = -1.0, refitK: Int = -1) {
+      postRefitStagedAgreement: Double = -1.0, refitK: Int = -1,
+      klDrift: Double = -1.0) {
     def json: String =
       s"""{"incremental":{"indexed":$indexed,"batch":$batch,""" +
         s""""passage_kept":$passageKept,""" +
@@ -372,6 +373,7 @@ object CurateMain {
         s""""survivors":$survivors,"appended_vecs":$appendedVecs,""" +
         s""""probe_hit":$probeHit},"monitors":{"novelty":$novelty,""" +
         s""""oov_rate":$oovRate,"ann_recall":$annRecall,"fertility":$fertility,""" +
+        s""""kl":$klDrift,""" +
         s""""alerts":$monitorAlerts},"serving":{"pq_agreement":$pqAgreement,""" +
         s""""staged_agreement":$stagedAgreement,"refit_ran":$refitRan,""" +
         s""""post_refit_staged_agreement":$postRefitStagedAgreement,""" +
@@ -543,6 +545,15 @@ object CurateMain {
         .write.mode("overwrite").parquet(vocabPath)
       touchMarker(spark, s"$vocabPath/_FROZEN")
     }
+    // the corpus's full unigram COUNT table (r17): the KL monitor's
+    // frozen artifact — OOV's top-V cut asks "is the word known", KL
+    // asks "are the PROPORTIONS right"; O(vocab) rows, marker-gated
+    val ucPath = s"$workDir/unigram_counts"
+    if (!hasMarker(spark, s"$ucPath/_FROZEN")) {
+      TextAnalysis.unigramCounts(corpus, "text")
+        .write.mode("overwrite").parquet(ucPath)
+      touchMarker(spark, s"$ucPath/_FROZEN")
+    }
     val novPath = s"$workDir/novelty_index"
     if (!hasMarker(spark, s"$novPath/_DAY1")) {
       Dedup.writeBucketedIndex(
@@ -592,6 +603,15 @@ object CurateMain {
       .parquet(s"$workDir/monitor_fertility/epoch=1")
     val fert = spark.read.parquet(s"$workDir/monitor_fertility/epoch=1")
       .select($"fertility", $"alert").as[(Double, Boolean)].head()
+    // unigram-KL of the batch vs the frozen corpus distribution (the
+    // sixth signal, r17): known words in the WRONG proportions — the
+    // 0-OOV drift mode (a crawler stuck on one template); rides the
+    // same shared words frame, one broadcast join per epoch
+    graft.streaming.Streams.klSnapshotFromWords(
+        mon.words, mon.nDocs, ucPath, alertAbove = 0.5)
+      .write.mode("overwrite").parquet(s"$workDir/monitor_kl/epoch=1")
+    val klD = spark.read.parquet(s"$workDir/monitor_kl/epoch=1")
+      .select($"kl", $"alert").as[(Option[Double], Boolean)].head()
     // recall of the (appended) index vs brute-force truth over the
     // RE-LISTED corpus — corpus ∪ day-2 appends, written fresh each
     // run (pure function of its inputs)
@@ -724,7 +744,7 @@ object CurateMain {
     // the alert count covers ALL five day-2 signals — a failed serving
     // gate must surface in the summary's alerts, not only in the
     // monitor_pq_agreement epoch row
-    val alerts = Seq(novRow._2, oov._2, rec._2, fert._2, servAlert)
+    val alerts = Seq(novRow._2, oov._2, rec._2, fert._2, klD._2, servAlert)
       .count(identity).toLong
     Staged.releaseAll()
     IncrementalSummary(nIndexed, nBatch, nPassaged, nCross, nInternal,
@@ -733,6 +753,6 @@ object CurateMain {
       monitorAlerts = alerts, pqAgreement = pqAgree,
       stagedAgreement = stagedAgree, fertility = fert._1,
       refitRan = refitRan, postRefitStagedAgreement = postStaged,
-      refitK = refitK)
+      refitK = refitK, klDrift = klD._1.getOrElse(-1.0))
   }
 }

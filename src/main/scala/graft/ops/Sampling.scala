@@ -132,6 +132,50 @@ object Sampling {
     stratifiedHashSample(df, idCol, strataCol,
       temperatureRates(df, strataCol, alpha))
 
+  /** [[temperatureRates]] with a per-row WEIGHT column as the mixing
+    * unit instead of the row count — for a training mix the budget
+    * that matters is TOKENS, not documents: a source of few long docs
+    * and a source of many short ones can hold identical token mass,
+    * yet doc-count temperature flattening treats the first as "small"
+    * and keeps all of it. Here w_s = T_s^α over per-source weight
+    * TOTALS T_s (exact integer sums), M = min_t(T_t / w_t),
+    * rate_s = w_s·M / T_s; the gate stays the same row-level md5
+    * keep-rate, so the EXPECTED kept token mass realizes the T_s^α
+    * mix (doc-granular: individual long docs round the realization,
+    * deterministically). Zero-total strata cannot be flattened
+    * (0^α/0 is undefined) and are dropped from the rate table — the
+    * same fate [[stratifiedHashSample]] gives absent strata. The
+    * un-normalized-weight algebra and its engine portability are
+    * [[temperatureRates]]'s, verbatim, over the weight totals.
+    */
+  def weightedTemperatureRates(df: DataFrame, strataCol: String,
+      weightCol: String, alpha: Double): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val totals = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(sum(col(weightCol).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0L)
+    require(totals.nonEmpty,
+      "weighted temperature sampling: no stratum has positive weight")
+    def weight(t: Long): Double =
+      if (alpha == 0.5) math.sqrt(t.toDouble)
+      else if (alpha == 1.0) t.toDouble
+      else math.pow(t.toDouble, alpha)
+    val m = totals.values.map(t => t.toDouble / weight(t)).min
+    totals.map { case (s, t) =>
+      s -> math.min(1.0, weight(t) * m / t.toDouble)
+    }
+  }
+
+  /** Weighted-temperature resample in one call:
+    * [[weightedTemperatureRates]] + [[stratifiedHashSample]].
+    */
+  def weightedTemperatureSample(df: DataFrame, idCol: String,
+      strataCol: String, weightCol: String, alpha: Double): DataFrame =
+    stratifiedHashSample(df, idCol, strataCol,
+      weightedTemperatureRates(df, strataCol, weightCol, alpha))
+
   /** Cluster-balanced deterministic sampling: keep the same FRACTION of
     * every cell (quota_c = ⌈fl(rate·n_c)⌉ where fl is the IEEE-double
     * product — both engines compute the identical value; for rates

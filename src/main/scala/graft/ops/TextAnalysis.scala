@@ -404,6 +404,16 @@ object TextAnalysis {
           .as("oov_rate"))
   }
 
+  /** The corpus unigram COUNT table — (tok, cnt), the frozen artifact
+    * [[graft.streaming.Streams.klMonitorStream]] watches against (the
+    * full-distribution sibling of [[fitVocab]]'s top-V cut: OOV asks
+    * "does the vocabulary contain the word", KL asks "do the
+    * PROPORTIONS match"). O(vocab) rows, one map-side-combining pass.
+    */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+
   /** Per-document Shannon entropy of the doc's own unigram
     * distribution, in nats: H = −Σ_w p_w ln p_w with p_w = c_w/n over
     * the doc's tokens — the classic repetitiveness signal (a doc of

@@ -3288,7 +3288,102 @@ object ExtensionQueries {
               AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
           FROM grid GROUP BY source"""),
       notes = "x07's score CTE verbatim; full #sources x 10 grid with " +
-        "the epsilon floor so absent cells participate on both engines")
+        "the epsilon floor so absent cells participate on both engines"),
+
+    // ---- token-weighted temperature mix — the mixing family's unit
+    // corrected for what a training run actually budgets: x76
+    // flattens DOC counts, but a source of few long docs and a source
+    // of many short ones hold identical token mass and x76 treats the
+    // first as "small" (keeps all of it). Here the n^alpha recipe
+    // runs over per-source TOKEN totals; the gate is the same
+    // row-level md5 keep-rate. The oracle recomputes the totals, the
+    // sqrt/min/div rate algebra (normalizer cancels — no cross-source
+    // float sum), the 65536 threshold, and the kept doc/token masses.
+    GraftQuery(
+      "x93_token_weighted_mix",
+      (s, dir) => {
+        import s.implicits._
+        val wdocs = Tables(s, dir, "documents")
+          .select($"doc_id", $"source",
+            TextAnalysis.nTokens($"text").cast("long").as("n_tok"))
+        graft.ops.Sampling.weightedTemperatureSample(
+            wdocs, "doc_id", "source", "n_tok", 0.5)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum($"n_tok").as("tokens_kept"), sum($"doc_id").as("id_sum"))
+          .join(wdocs.groupBy($"source")
+            .agg(count(lit(1)).as("n_total"), sum($"n_tok").as("tokens_total")),
+            "source")
+          .select($"source", $"n_total", $"tokens_total", $"n_kept",
+            $"tokens_kept", $"id_sum")
+      },
+      Some("""WITH tc AS (SELECT doc_id, source,
+            CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+              AS n_tok
+          FROM documents),
+        c AS (SELECT source, CAST(count(*) AS BIGINT) AS nd,
+            CAST(sum(n_tok) AS BIGINT) AS t
+          FROM tc GROUP BY source),
+        r AS (SELECT source, nd, t, sqrt(CAST(t AS DOUBLE)) AS w
+          FROM c WHERE t > 0),
+        m AS (SELECT min(CAST(t AS DOUBLE) / w) AS mm FROM r),
+        thr AS (SELECT source, nd, t,
+            CAST(floor(least(1.0, w * (SELECT mm FROM m) / CAST(t AS DOUBLE))
+              * 65536 + 0.5) AS INT) AS thr FROM r)
+        SELECT d.source, thr.nd AS n_total, thr.t AS tokens_total,
+          CAST(count(*) AS BIGINT) AS n_kept,
+          CAST(sum(d.n_tok) AS BIGINT) AS tokens_kept,
+          CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        FROM tc d JOIN thr ON d.source = thr.source
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+              < thr.thr
+        GROUP BY d.source, thr.nd, thr.t"""),
+      notes = "x76's rate algebra verbatim over exact integer token " +
+        "totals; zero-token sources drop from the rate table by rule"),
+
+    // ---- per-source entropy calibration — x87's recipe applied to the
+    // x90 signal: exact p10/p50/p90 of per-doc unigram entropy WITHIN
+    // each source, the threshold table an entropy-based template/spam
+    // gate reads per source ("drop the bottom entropy decile" needs its
+    // cut per source — organic entropy levels differ by domain).
+    // Tokenless docs (NULL entropy) are excluded from the distribution,
+    // not counted as zeros. Shared Quantiles.exact machinery + its
+    // generated oracle over the x90 entropy subquery.
+    GraftQuery(
+      "x94_source_entropy_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Quantiles.exact(
+          graft.ops.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+            .where($"entropy".isNotNull)
+            .join(docs.select($"doc_id", $"source"), "doc_id")
+            .select($"source", $"entropy"),
+          Seq("source"), "entropy",
+          Seq("q10" -> 0.1, "q50" -> 0.5, "q90" -> 0.9))
+      },
+      Some(graft.ops.Quantiles.oracleSql(
+        """(SELECT d.source, e.entropy FROM documents d JOIN (
+             SELECT c.doc_id,
+               round(CAST(-sum(CAST(round(
+                   (CAST(c.c AS DOUBLE) / n.n) *
+                   ln(CAST(c.c AS DOUBLE) / n.n), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+             FROM (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+                   FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                     FROM documents)
+                   GROUP BY doc_id, tok) c
+             JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                     FROM documents)
+                   GROUP BY doc_id) n ON c.doc_id = n.doc_id
+             GROUP BY c.doc_id) e ON d.doc_id = e.doc_id)""",
+        Seq("source"), "entropy",
+        Seq("q10" -> 0.1, "q50" -> 0.5, "q90" -> 0.9))),
+      notes = "x90's entropy replay feeding the shared exact-quantile " +
+        "oracle generator (x87's class); NULL-entropy docs excluded")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

@@ -870,6 +870,92 @@ object Streams {
     * tokens — a batch of all-tokenless (e.g. non-Latin) docs must read
     * as "N docs arrived, none tokenized", never as an idle epoch.
     */
+  /** The per-epoch unigram-KL snapshot — x91's operational face,
+    * extracted for unit/replay testing: KL(batch ‖ corpus) over the
+    * SHARED support (batch tokens the frozen
+    * [[graft.ops.TextAnalysis.unigramCounts]] table knows), both
+    * distributions renormalized to that support so the divergence is a
+    * true KL (≥ 0, 0 iff the in-vocab proportions match). Out-of-vocab
+    * mass is reported separately as `oov_mass` — it is the OOV
+    * monitor's signal, and folding it into KL would need an arbitrary
+    * smoothing constant; the two columns TOGETHER cover the batch
+    * ("new words" vs "wrong proportions of known words" — a drifted
+    * crawl can fire either alone). Same decimal-grid discipline as the
+    * registered x91 (1e-9 per-term grid, decimal sum, round 6). An
+    * idle or all-OOV epoch records NULL kl (no shared support to
+    * compare — 0 would read "perfectly matched").
+    *
+    * Cost per epoch: one batch token count, one broadcast-sized join
+    * against the O(vocab) frozen table, two 1-row aggregates — nothing
+    * corpus-sized, no state.
+    */
+  private[graft] def klSnapshot(batch: DataFrame, countsPath: String,
+      idCol: String, textCol: String, alertAbove: Double): DataFrame =
+    klSnapshotFromWords(
+      batch.select(
+        explode(graft.ops.TextAnalysis.tokens(col(textCol))).as("word")),
+      batch.count(), countsPath, alertAbove)
+
+  /** [[klSnapshot]] over the shared pre-exploded token frame
+    * ([[monitorFrames]]'s `words` — the same frame the OOV and
+    * fertility snapshots consume). Identical output values.
+    */
+  private[graft] def klSnapshotFromWords(words: DataFrame, nDocs: Long,
+      countsPath: String, alertAbove: Double): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val frozen = broadcast(spark.read.parquet(countsPath)
+      .select(col("tok"), col("cnt")))
+    val bc = graft.ops.Staged(words
+      .select(col("word").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("__cb")))
+    val nTok = bc.agg(coalesce(sum($"__cb"), lit(0L))).as[Long].head()
+    val shared = graft.ops.Staged(bc.join(frozen, "tok"))
+    val (nInv, qSupport) = shared
+      .agg(coalesce(sum($"__cb"), lit(0L)),
+        coalesce(sum($"cnt"), lit(0L))).as[(Long, Long)].head()
+    val kl =
+      if (nInv == 0L) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(shared
+        .select(round(($"__cb".cast("double") / nInv) *
+            log(($"__cb".cast("double") * qSupport) /
+              (lit(nInv.toDouble) * $"cnt")), 9)
+          .cast("decimal(28,9)").as("__t"))
+        .agg(round(coalesce(sum($"__t"), lit(java.math.BigDecimal.ZERO))
+          .cast("double"), 6)).as[Double].head())
+    val oovMass =
+      if (nTok == 0L) 0.0
+      else BigDecimal((nTok - nInv).toDouble / nTok)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nDocs, nTok, nInv, oovMass,
+        Option(kl).map(_.doubleValue),
+        Option(kl).exists(_.doubleValue > alertAbove)))
+      .toDF("n_docs", "n_tokens", "n_in_vocab", "oov_mass", "kl", "alert")
+  }
+
+  /** Streaming unigram-KL monitor — watches arriving batches against
+    * the frozen corpus unigram distribution exactly as
+    * [[oovMonitorStream]] watches the frozen vocabulary, but for the
+    * failure mode OOV structurally misses: a batch of 100% known words
+    * in the WRONG proportions (a crawler stuck on one template, a
+    * source flipping domain) reads 0 OOV and fires here. Epoch-keyed
+    * overwrite snapshots, replay-pure (read-only vs the committed
+    * artifact).
+    */
+  def klMonitorStream(docs: DataFrame, countsPath: String, outPath: String,
+      checkpoint: String, idCol: String, textCol: String,
+      alertAbove: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.ops.Staged.scoped {
+          klSnapshot(batch, countsPath, idCol, textCol, alertAbove)
+            .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        }
+      }
+      .start()
+
   /** The day-2 monitor family's shared staged frames, derived from one
     * batch in ONE pass each: `words` (exploded tokens with
     * multiplicity — consumed by both the OOV and fertility snapshots)

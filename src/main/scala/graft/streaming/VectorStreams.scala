@@ -465,7 +465,8 @@ object VectorStreams {
   def maintainEpoch(batch: DataFrame, epoch: Long, basePath: String,
       monitorPath: String, refitPath: String, idCol: String,
       vecCol: String, k: Int, kCand: Int, maxQueries: Int,
-      alertBelow: Double, debounce: Int): Boolean = {
+      alertBelow: Double, debounce: Int,
+      resizePolicy: Option[(Int, Int)] = None): Boolean = {
     require(debounce >= 1, s"debounce must be >= 1, got $debounce")
     val spark = batch.sparkSession
     pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
@@ -483,7 +484,19 @@ object VectorStreams {
       // last repair (post-repair alerts re-arm the loop from scratch)
       epochsBefore(spark, refitPath, Long.MaxValue).forall(_ < window.head)
     if (fire) {
-      Ivf.refitIndex(spark, basePath, idCol, vecCol)
+      // a refit re-derives every face, so it is exactly when k can
+      // change (the capstone's rule, r17): with a `resizePolicy`
+      // ((targetCell, kMin)), consult a19's kForCells over the CURRENT
+      // population and ride the policy k into the same committed swap
+      // when the 2x hysteresis fires; None = ride the committed k
+      // as-is (the a04-family oracle indexes are k-pinned by path)
+      val resize = resizePolicy.flatMap { case (targetCell, kMin) =>
+        val kCur = Ivf.readIndex(spark, basePath).centroids.length
+        val nIdx = spark.read.parquet(s"$basePath/assigned").count()
+        val kPol = Ivf.kForCells(nIdx, targetCell = targetCell, kMin = kMin)
+        if (Ivf.resizeRecommended(kCur, kPol)) Some(kPol) else None
+      }
+      Ivf.refitIndex(spark, basePath, idCol, vecCol, resizeTo = resize)
       pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
           maxQueries, alertBelow)
         .write.mode("overwrite").parquet(s"$refitPath/epoch=$epoch")
@@ -511,7 +524,8 @@ object VectorStreams {
       monitorPath: String, refitPath: String, checkpoint: String,
       idCol: String, vecCol: String, k: Int = 10, kCand: Int = 50,
       maxQueries: Int = 32, alertBelow: Double = 0.5,
-      debounce: Int = 2): StreamingQuery =
+      debounce: Int = 2,
+      resizePolicy: Option[(Int, Int)] = None): StreamingQuery =
     queries.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
@@ -519,7 +533,7 @@ object VectorStreams {
         Staged.scoped {
           maintainEpoch(batch, epoch, basePath, monitorPath, refitPath,
             idCol, vecCol, k, kCand, maxQueries, alertBelow,
-            debounce): Unit
+            debounce, resizePolicy): Unit
         }
       }
       .start()

@@ -134,6 +134,44 @@ class SamplingSpec extends SparkSpec {
       "null rows must not move any real stratum's rate")
   }
 
+  test("weightedTemperatureRates: token totals set the mix, doc counts are irrelevant") {
+    // "web": 8 docs x 100 tokens = 800; "code": 80 docs x 1 token = 80.
+    // Doc-count temperature would call web SMALL (8 docs) and keep all
+    // of it; token-weighted flattening sees 800 vs 80 and flattens WEB.
+    val d = ((1L to 8L).map(i => (i, "web", 100L)) ++
+      (101L to 180L).map(i => (i, "code", 1L)))
+      .toDF("doc_id", "source", "n_tok")
+    val rates = Sampling.weightedTemperatureRates(d, "source", "n_tok", 0.5)
+    assert(rates("code") == 1.0, s"smallest TOKEN mass keeps all: $rates")
+    // closed form over totals: rate = sqrt(T_min / T_s) = sqrt(80/800)
+    assert(math.abs(rates("web") - math.sqrt(80.0 / 800)) < 1e-12, s"$rates")
+    // the doc-count recipe disagrees on which side flattens
+    val docRates = Sampling.temperatureRates(d, "source", 0.5)
+    assert(docRates("web") == 1.0 && docRates("code") < 1.0,
+      s"fixture must separate the two recipes: $docRates")
+    // zero-weight strata drop from the rate table (cannot be flattened)
+    val z = d.unionByName(Seq((500L, "empty", 0L)).toDF("doc_id", "source", "n_tok"))
+    val rz = Sampling.weightedTemperatureRates(z, "source", "n_tok", 0.5)
+    assert(!rz.contains("empty") && rz == rates,
+      s"zero-token stratum must drop without moving real rates: $rz")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedTemperatureRates(d, "source", "n_tok", 0.0)
+    }
+  }
+
+  test("weightedTemperatureSample is deterministic and partitioning-independent") {
+    val d = (1L to 400L).map(i =>
+      (i, if (i <= 300) "a" else "b", (i % 7) + 1L))
+      .toDF("doc_id", "source", "n_tok")
+    val a = Sampling.weightedTemperatureSample(d, "doc_id", "source", "n_tok", 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    val b = Sampling.weightedTemperatureSample(d.repartition(13),
+      "doc_id", "source", "n_tok", 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(a.nonEmpty && a.sameElements(b),
+      "the weighted temperature sample must not depend on physical layout")
+  }
+
   test("temperatureSample is deterministic and partitioning-independent") {
     val a = Sampling.temperatureSample(docs, "doc_id", "source", 0.5)
       .select($"doc_id").as[Long].collect().sorted

@@ -1018,6 +1018,67 @@ class StreamsSpec extends SparkSpec {
     graft.ops.Staged.releaseAll()
   }
 
+  test("KL monitor: wrong proportions of known words alert at 0 OOV; matched batch reads 0; no-support epochs read NULL") {
+    val root = java.nio.file.Files.createTempDirectory("graft-kl").toString
+    // frozen corpus distribution: the:2 cat:1 and:1 dog:1
+    graft.ops.TextAnalysis.unigramCounts(
+      Seq((1L, "the cat and the dog")).toDF("doc_id", "text"), "text")
+      .write.mode("overwrite").parquet(s"$root/counts")
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.klMonitorStream(input.toDF().select($"doc_id", $"text"),
+      s"$root/counts", s"$root/out", s"$root/cp", "doc_id", "text",
+      alertAbove = 0.3)
+    try {
+      // exact proportion match → KL exactly 0, no OOV
+      input.addData(DocEvent(10L, ts(1), "the cat and the dog"))
+      q.processAllAvailable()
+      // 100% KNOWN words, wrong proportions — the OOV monitor reads 0
+      // here; this is the failure mode the KL face exists for
+      input.addData(DocEvent(11L, ts(2), "dog dog dog dog the"))
+      q.processAllAvailable()
+      // OOV-heavy: the one shared word trivially matches → KL 0, but
+      // oov_mass carries the signal (the OOV monitor's jurisdiction)
+      input.addData(DocEvent(12L, ts(3), "zzz qqq the"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap(e: Int) = spark.read.parquet(s"$root/out/epoch=$e")
+      .select($"n_docs", $"n_tokens", $"n_in_vocab", $"oov_mass", $"kl",
+        $"alert")
+      .as[(Long, Long, Long, Double, Option[Double], Boolean)].head()
+    assert(snap(0) == ((1L, 5L, 5L, 0.0, Some(0.0), false)),
+      s"matched epoch drifted: ${snap(0)}")
+    // grid replay: p=(4/5,1/5) vs q renormalized over {dog,the}=(1/3,2/3)
+    def g9(d: Double) = BigDecimal(java.math.BigDecimal.valueOf(d))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expect = (g9(0.8 * math.log((4.0 * 3) / (5.0 * 1))) +
+      g9(0.2 * math.log((1.0 * 3) / (5.0 * 2))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(snap(1) == ((1L, 5L, 5L, 0.0, Some(expect), true)),
+      s"skewed epoch drifted: ${snap(1)} vs kl=$expect")
+    assert(snap(2) == ((1L, 3L, 1L, 0.666667, Some(0.0), false)),
+      s"oov-heavy epoch drifted: ${snap(2)}")
+    // idle and all-OOV epochs: no shared support → NULL kl, never 0
+    val idle = Streams.klSnapshot(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$root/counts",
+      "doc_id", "text", alertAbove = 0.3)
+      .as[(Long, Long, Long, Double, Option[Double], Boolean)].head()
+    assert(idle == ((0L, 0L, 0L, 0.0, None, false)),
+      s"idle epoch drifted: $idle")
+    val allOov = Streams.klSnapshot(
+      Seq((20L, "xxx yyy")).toDF("doc_id", "text"), s"$root/counts",
+      "doc_id", "text", alertAbove = 0.3)
+      .as[(Long, Long, Long, Double, Option[Double], Boolean)].head()
+    assert(allOov == ((1L, 2L, 0L, 1.0, None, false)),
+      s"all-OOV epoch must read NULL kl, not 0: $allOov")
+    // replay purity: the snapshot is a pure function of (batch, artifact)
+    val replay = Streams.klSnapshot(
+      Seq((11L, "dog dog dog dog the")).toDF("doc_id", "text"),
+      s"$root/counts", "doc_id", "text", alertAbove = 0.3)
+      .as[(Long, Long, Long, Double, Option[Double], Boolean)].head()
+    assert(replay == snap(1), s"replay drifted: $replay vs ${snap(1)}")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("shared monitor frames: one tokenize/shingle pass feeds OOV, fertility, novelty byte-identically") {
     val root = java.nio.file.Files.createTempDirectory("graft-monfr").toString
     val base = Seq(

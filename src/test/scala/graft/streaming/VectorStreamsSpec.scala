@@ -537,4 +537,35 @@ class VectorStreamsSpec extends SparkSpec {
       "replaying the firing epoch must not re-fire the repair")
     graft.ops.Staged.releaseAll()
   }
+
+  test("maintenance resize policy: a fired repair lands the kForCells k in the same swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vresize").toString
+    val dir = s"$root/index"
+    Ivf.buildPersistent(driftBase, dir, "vec_id", "embedding", k = 3): Unit
+    Ivf.quantizeAssigned(spark, dir, "vec_id", "embedding")
+    graft.ops.Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
+    Ivf.appendToIndex(driftBlob, dir, "vec_id", "embedding"): Unit
+    // policy (targetCell=16, kMin=4): 160 vectors want k=10, a >2x gap
+    // from the committed k=3 — the fired repair must ride the resize
+    val policy = Some((16, 4))
+    assert(!VectorStreams.maintainEpoch(driftBlob, 0L, dir, s"$root/mon",
+      s"$root/ref", "vec_id", "embedding", k = 10, kCand = 20,
+      maxQueries = 8, alertBelow = 0.5, debounce = 2, policy),
+      "one alerting epoch must not fire under debounce 2")
+    assert(Ivf.readIndex(spark, dir).centroids.length == 3,
+      "no repair, no resize")
+    assert(VectorStreams.maintainEpoch(driftBlob, 1L, dir, s"$root/mon",
+      s"$root/ref", "vec_id", "embedding", k = 10, kCand = 20,
+      maxQueries = 8, alertBelow = 0.5, debounce = 2, policy),
+      "the second consecutive alert must fire")
+    val idx = Ivf.readIndex(spark, dir)
+    assert(idx.centroids.length == 10,
+      s"the repair must land the policy k: ${idx.centroids.length}")
+    assert(idx.assigned.count() == 160L, "resize must keep every vector")
+    assert(spark.read.parquet(s"$dir/assigned_pq").count() == 160L,
+      "the PQ face must re-encode under the resized geometry")
+    assert(VectorStreams.epochsBefore(spark, s"$root/ref", Long.MaxValue)
+      == Seq(1L), "exactly one repair record")
+    graft.ops.Staged.releaseAll()
+  }
 }
