@@ -1102,6 +1102,74 @@ object Dedup {
         round(dup.cast("double") / count(lit(1)), 6).as("dup_frac"))
   }
 
+  /** Sliding-window repeated-SUBSTRING suppression — the unaligned
+    * face of [[passageDedup]] (the ExactSubstr recipe of the published
+    * train-data dedup literature): every `window`-token span at EVERY
+    * start position is a candidate; the globally FIRST occurrence of
+    * each distinct span (minimum (doc id, position)) stays, every
+    * other occurrence marks its `window` positions covered, and each
+    * document is rebuilt from its uncovered tokens. Aligned passages
+    * miss a copied span that straddles their fixed boundaries (up to
+    * window−1 tokens of every repeat survive per edge); the sliding
+    * form catches a repeat at ANY offset — including within one
+    * document (template stamps, chorus lines), where the first stamp
+    * survives and later ones drop.
+    *
+    * 100 TB shape: the span frame is one row per token position
+    * (window-wide slices of the scan-local token array — HOF
+    * projection, no join), first-occurrence attribution is a map-side-
+    * partial min(struct(doc, pos)) on the span key — the passage
+    * discipline: never a row_number window partitioned by span
+    * content, which would funnel a hot boilerplate span through one
+    * task — and coverage is a bounded window× explode + distinct +
+    * anti-join, all linear in corpus tokens. Span text rides as the
+    * key here for oracle parity; a production deployment blocks on
+    * xxhash64(span) to shuffle 8 bytes instead of strings (same plan
+    * shape, collision-safe at 64 bits for any real corpus).
+    *
+    * Returns (idCol, n_tokens, n_dropped, clean_text); docs shorter
+    * than `window` tokens pass through untouched (no span, nothing to
+    * suppress), a doc whose every position is covered keeps an empty
+    * clean_text, and the output row set is exactly the input doc set.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toksArr = stage(df.select(col(idCol).as("__id"),
+      graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
+    val wins = stage(toksArr
+      .where(size($"__t") >= window)
+      .select($"__id", posexplode(transform(
+        sequence(lit(0), size($"__t") - window),
+        i => array_join(slice($"__t", i + 1, lit(window)), " "))))
+      .toDF("__id", "__pos", "__gram"))
+    val firsts = wins.groupBy($"__gram")
+      .agg(min(struct($"__id", $"__pos")).as("__f"))
+    val covered = wins.join(firsts, "__gram")
+      .where(!($"__id" === $"__f.__id" && $"__pos" === $"__f.__pos"))
+      .select($"__id",
+        explode(sequence($"__pos", $"__pos" + (window - 1))).as("__cov"))
+      .distinct()
+    // anti-join on (id, position): a covered position drops its token
+    val keptToks = toksArr
+      .select($"__id", posexplode($"__t").as(Seq("__pos", "__tok")))
+      .join(covered.withColumnRenamed("__cov", "__pos"),
+        Seq("__id", "__pos"), "left_anti")
+    val rebuilt = keptToks.groupBy($"__id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct($"__pos", $"__tok"))),
+          s => s.getField("__tok")), " ").as("__clean"))
+    toksArr
+      .select($"__id", size($"__t").cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select($"__id".as(idCol), $"n_tokens",
+        ($"n_tokens" - coalesce($"__n_kept", lit(0L))).as("n_dropped"),
+        coalesce($"__clean", lit("")).as("clean_text"))
+  }
+
   /** The non-overlapping `window`-token passage frame of a corpus:
     * (idCol, chunk_idx, chunk_text). Public because index maintainers
     * (e.g. the streaming ingest in [[graft.streaming.Streams]]) must

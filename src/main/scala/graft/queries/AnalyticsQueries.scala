@@ -1251,6 +1251,67 @@ object AnalyticsQueries {
         FROM p"""),
       notes = "policy k replayed as exact integer arithmetic " +
         "(ceil/clamp); hysteresis = the same 2x rule Ivf.resizeRecommended " +
-        "applies; k_current pinned to the shared k=16 index")
+        "applies; k_current pinned to the shared k=16 index"),
+
+    // ---- IVF cell-balance advisory — the SKEW axis of the index
+    // health family: a15 reads residual drift (are centroids stale),
+    // a19 reads size policy (is k right for N); this reads cell
+    // POPULATION balance (is one cell hot). Probe cost at fixed nprobe
+    // is bounded by the largest probed cell, so a high max/mean or
+    // Gini is the latency-tail alarm that neither drift nor size
+    // catches — a perfectly-sized, zero-drift index can still funnel
+    // half the corpus through one Voronoi cell. One k-row aggregation
+    // over the persisted assignment + a k-row sorted accumulation:
+    // exact integer arithmetic end to end (Gini numerator is an
+    // integer; the two divisions round at 1e-6).
+    GraftQuery(
+      "a20_cell_balance",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val idx = Ivf.buildPersistentCached(e, OracleDump.ivfPath(dir, 16),
+          "vec_id", "embedding", k = 16)
+        if (OracleDump.enabled)
+          OracleDump.dump(idx.assigned.select($"vec_id", $"cluster"),
+            dir, "a20_assigned")
+        val cells = idx.assigned.groupBy($"cluster")
+          .agg(count(lit(1)).as("n"))
+        val k = idx.centroids.length
+        // k-row frame: the global window is over the CELL table (k
+        // rows, bounded by the index's own k), never the corpus
+        val ranked = cells.withColumn("__i", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"n", $"cluster")))
+        ranked.agg(
+            sum($"n").as("n_vecs"),
+            max($"n").as("max_cell"),
+            sum(($"__i" * 2 - k - 1) * $"n").as("__g"))
+          .select(lit(k).as("k_cells"), $"n_vecs", $"max_cell",
+            round($"n_vecs".cast("double") / k, 6).as("mean_cell"),
+            round($"max_cell".cast("double") * k / $"n_vecs", 6)
+              .as("max_over_mean"),
+            round($"__g".cast("double") / (lit(k.toLong) * $"n_vecs"), 6)
+              .as("gini"))
+      },
+      Some("""WITH a AS (SELECT CAST(cluster AS INTEGER) AS cluster
+            FROM read_parquet('__SCRATCH__/a20_assigned/*.parquet')),
+          c AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n
+            FROM a GROUP BY cluster),
+          r AS (SELECT n, row_number() OVER (ORDER BY n, cluster) AS i
+            FROM c),
+          g AS (SELECT CAST(16 AS INT) AS k_cells,
+              CAST(sum(n) AS BIGINT) AS n_vecs,
+              CAST(max(n) AS BIGINT) AS max_cell,
+              CAST(sum((i * 2 - 16 - 1) * n) AS BIGINT) AS gnum
+            FROM r)
+          SELECT k_cells, n_vecs, max_cell,
+            round(CAST(n_vecs AS DOUBLE) / 16, 6) AS mean_cell,
+            round(CAST(max_cell AS DOUBLE) * 16 / n_vecs, 6)
+              AS max_over_mean,
+            round(CAST(gnum AS DOUBLE) / (16 * n_vecs), 6) AS gini
+          FROM g""")
+    ,
+      notes = "governed assignment dumped as data; Gini over the " +
+        "(n, cluster)-sorted cell table — total order, integer numerator")
   )
 }

@@ -3383,7 +3383,104 @@ object ExtensionQueries {
         Seq("source"), "entropy",
         Seq("q10" -> 0.1, "q50" -> 0.5, "q90" -> 0.9))),
       notes = "x90's entropy replay feeding the shared exact-quantile " +
-        "oracle generator (x87's class); NULL-entropy docs excluded")
+        "oracle generator (x87's class); NULL-entropy docs excluded"),
+
+    // ---- sliding-window repeated-substring suppression — the
+    // ExactSubstr face passage dedup structurally misses: x32's
+    // aligned passages let up to window-1 tokens of every copied span
+    // survive at each boundary; the sliding form catches a repeat at
+    // ANY offset, including within one document. First global
+    // occurrence (min (doc, pos)) survives; every other occurrence's
+    // positions drop and the doc rebuilds from what's left. The
+    // oracle replays spans, first-occurrence attribution, coverage,
+    // and reconstruction (ORDER BY pos string_agg ≡ the sorted-struct
+    // array_join).
+    GraftQuery(
+      "x95_substring_dedup",
+      (s, dir) => graft.ops.Dedup.substringDedup(
+        Tables(s, dir, "documents"), "doc_id", "text", window = 8),
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          w AS (SELECT doc_id, gi - 1 AS pos,
+              array_to_string(t[gi : gi + 7], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(gi)
+            WHERE len(t) >= 8),
+          f AS (SELECT gram, doc_id AS fdoc, pos AS fpos FROM (
+              SELECT gram, doc_id, pos, row_number() OVER (
+                PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM w)
+            WHERE rk = 1),
+          rep AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (gram)
+            WHERE NOT (w.doc_id = f.fdoc AND w.pos = f.fpos)),
+          cov AS (SELECT DISTINCT doc_id, pos + u AS pos
+            FROM rep, unnest(range(0, 8)) AS v(u)),
+          tp AS (SELECT doc_id, gi - 1 AS pos, t[gi] AS tok
+            FROM toks, unnest(range(1, len(t) + 1)) AS u(gi)),
+          kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+            FROM tp LEFT JOIN cov
+              ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+            WHERE cov.pos IS NULL),
+          reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+            CAST(len(t.t) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_dropped,
+            COALESCE(reb.clean_text, '') AS clean_text
+          FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id"""),
+      notes = "span key is the token 8-gram string for oracle parity; " +
+        "production blocks on xxhash64(span) — same plan, 8-byte shuffle"),
+
+    // ---- per-source substring-dup rate — x95 sliced the way
+    // acquisition reads it (x84's recipe on the sliding-span verdict):
+    // what fraction of each source's TOKEN mass is repeated spans.
+    // x84 counts whole docs the near-dup pass suppresses; a source can
+    // pass that (every doc "different") while half of every doc is the
+    // same stamped template — this column bills exactly that. Token
+    // fractions guarded for tokenless sources (NULL, the x85
+    // convention).
+    GraftQuery(
+      "x96_source_substring_dup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.Dedup.substringDedup(docs, "doc_id", "text", window = 8)
+          .join(docs.select($"doc_id", $"source"), "doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("n_tokens"),
+            sum($"n_dropped").as("n_dropped"),
+            when(sum($"n_tokens") > 0,
+              round(sum($"n_dropped").cast("double") / sum($"n_tokens"), 6))
+              .as("dup_token_frac"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          w AS (SELECT doc_id, gi - 1 AS pos,
+              array_to_string(t[gi : gi + 7], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(gi)
+            WHERE len(t) >= 8),
+          f AS (SELECT gram, doc_id AS fdoc, pos AS fpos FROM (
+              SELECT gram, doc_id, pos, row_number() OVER (
+                PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM w)
+            WHERE rk = 1),
+          rep AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (gram)
+            WHERE NOT (w.doc_id = f.fdoc AND w.pos = f.fpos)),
+          cov AS (SELECT DISTINCT doc_id, pos + u AS pos
+            FROM rep, unnest(range(0, 8)) AS v(u)),
+          dropped AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_drop
+            FROM cov GROUP BY doc_id),
+          perdoc AS (SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+              COALESCE(dropped.n_drop, 0) AS n_dropped
+            FROM toks t LEFT JOIN dropped ON t.doc_id = dropped.doc_id)
+          SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+            CAST(sum(p.n_dropped) AS BIGINT) AS n_dropped,
+            CASE WHEN sum(p.n_tokens) > 0 THEN
+              round(CAST(sum(p.n_dropped) AS DOUBLE) / sum(p.n_tokens), 6)
+            END AS dup_token_frac
+          FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+          GROUP BY d.source"""),
+      notes = "x95's coverage closure re-aggregated per source; " +
+        "n_dropped = covered-position count (no reconstruction needed)")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

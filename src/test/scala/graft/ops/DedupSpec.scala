@@ -622,4 +622,44 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((2L, 2L, 1.0)),
       "both instances of a self-repeated passage are duplicated content")
   }
+
+  test("substring dedup: unaligned cross-doc span, within-doc stamp, short/tokenless pass-through") {
+    val span = (1 to 8).map(i => s"a$i").mkString(" ")       // 8-token span
+    val bspan = (1 to 8).map(i => s"b$i").mkString(" ")      // a second span
+    val docs = Seq(
+      (1L, s"$span tail1 tail2"),          // global first occurrence
+      // the same span at offset 2 — UNALIGNED: an aligned window-8
+      // passage pass splits it x1..a6 / a7..y1 and suppresses nothing
+      (2L, s"x1 x2 $span y1"),
+      (3L, "one two"),                     // shorter than the window
+      (4L, s"$bspan $bspan"),              // within-doc template stamp
+      (5L, "!!!")                          // tokenless
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", window = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((10L, 0L, s"$span tail1 tail2")),
+      s"the first occurrence must survive whole: ${out(1L)}")
+    assert(out(2L) == ((11L, 8L, "x1 x2 y1")),
+      s"the unaligned repeat must drop exactly the span: ${out(2L)}")
+    assert(out(3L) == ((2L, 0L, "one two")),
+      s"short docs pass through: ${out(3L)}")
+    assert(out(4L) == ((16L, 8L, bspan)),
+      s"the second stamp drops, the first survives: ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, "")), s"tokenless doc keeps a row: ${out(5L)}")
+    // the aligned passage face genuinely misses doc 2's repeat — the
+    // differential this operator exists for
+    val aligned = Dedup.passageDedup(docs, "doc_id", "text", window = 8)
+      .where(col("doc_id") === 2L)
+      .select(col("n_dropped")).as[Long].head()
+    assert(aligned == 0L,
+      s"fixture must straddle the aligned boundaries: passage dropped $aligned")
+    // deterministic across partitionings (min-struct attribution, no
+    // content-partitioned windows)
+    val again = Dedup.substringDedup(docs.repartition(7), "doc_id", "text", 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == out, "substring dedup must be layout-independent")
+    Staged.releaseAll()
+  }
 }
