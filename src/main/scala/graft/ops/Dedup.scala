@@ -1139,35 +1139,108 @@ object Dedup {
     import spark.implicits._
     val toksArr = stage(df.select(col(idCol).as("__id"),
       graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
-    val wins = stage(toksArr
-      .where(size($"__t") >= window)
-      .select($"__id", posexplode(transform(
-        sequence(lit(0), size($"__t") - window),
-        i => array_join(slice($"__t", i + 1, lit(window)), " "))))
-      .toDF("__id", "__pos", "__gram"))
+    val wins = stage(spanFrame(toksArr, window))
     val firsts = wins.groupBy($"__gram")
       .agg(min(struct($"__id", $"__pos")).as("__f"))
-    val covered = wins.join(firsts, "__gram")
+    val repeats = wins.join(firsts, "__gram")
       .where(!($"__id" === $"__f.__id" && $"__pos" === $"__f.__pos"))
-      .select($"__id",
-        explode(sequence($"__pos", $"__pos" + (window - 1))).as("__cov"))
+      .select($"__id", $"__pos")
+    rebuildUncovered(toksArr, repeats, window, idCol)
+  }
+
+  /** The sliding `window`-token span frame (__id, __pos, __gram) of a
+    * staged (__id, __t token-array) frame — scan-local HOF projection,
+    * one row per start position, shared by [[substringDedup]], the
+    * span-index writer, and the incremental probe so the span
+    * convention cannot drift between faces.
+    */
+  private def spanFrame(toksArr: DataFrame, window: Int): DataFrame =
+    toksArr
+      .where(size(col("__t")) >= window)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - window),
+        i => array_join(slice(col("__t"), i + 1, lit(window)), " "))))
+      .toDF("__id", "__pos", "__gram")
+
+  /** Rebuild each doc from the tokens NOT covered by any repeat span
+    * start in `repeats` (__id, __pos): the window× coverage explode +
+    * distinct + (id, position) anti-join + bounded per-doc
+    * reconstruction shared by both substring-dedup faces. Returns the
+    * (idCol, n_tokens, n_dropped, clean_text) contract over exactly
+    * the docs in `toksArr`.
+    */
+  private def rebuildUncovered(toksArr: DataFrame, repeats: DataFrame,
+      window: Int, idCol: String): DataFrame = {
+    val covered = repeats
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + (window - 1)))
+          .as("__pos"))
       .distinct()
-    // anti-join on (id, position): a covered position drops its token
     val keptToks = toksArr
-      .select($"__id", posexplode($"__t").as(Seq("__pos", "__tok")))
-      .join(covered.withColumnRenamed("__cov", "__pos"),
-        Seq("__id", "__pos"), "left_anti")
-    val rebuilt = keptToks.groupBy($"__id")
+      .select(col("__id"), posexplode(col("__t")).as(Seq("__pos", "__tok")))
+      .join(covered, Seq("__id", "__pos"), "left_anti")
+    val rebuilt = keptToks.groupBy(col("__id"))
       .agg(count(lit(1)).as("__n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct($"__pos", $"__tok"))),
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
           s => s.getField("__tok")), " ").as("__clean"))
     toksArr
-      .select($"__id", size($"__t").cast("long").as("n_tokens"))
+      .select(col("__id"), size(col("__t")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("__id"), "left")
-      .select($"__id".as(idCol), $"n_tokens",
-        ($"n_tokens" - coalesce($"__n_kept", lit(0L))).as("n_dropped"),
-        coalesce($"__clean", lit("")).as("clean_text"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
+  /** Persist the corpus's DISTINCT sliding spans as a bucketed index —
+    * the [[writePassageIndex]] discipline for the substring face: the
+    * index side of every later probe sits pre-bucketed on the span key
+    * and never crosses an Exchange.
+    */
+  def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
+      window: Int, path: String, nBuckets: Int = 32): Unit = {
+    require(window > 0, s"window must be positive, got $window")
+    val toksArr = stage(df.select(col(idCol).as("__id"),
+      graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
+    writeBucketedIndex(spanFrame(toksArr, window)
+      .select(col("__gram").as("gram")).distinct(),
+      s"$path/spans", Seq("gram"), nBuckets)
+  }
+
+  /** [[substringDedup]] for a NEW batch against a persisted
+    * [[writeSpanIndex]] corpus: a span already committed to the index
+    * covers EVERY batch occurrence (the corpus owns its first
+    * occurrence — one equi join on the bucketed span key, the corpus
+    * text is never re-scanned); spans absent from the index fall back
+    * to first-occurrence-wins WITHIN the batch. When every corpus id
+    * precedes every batch id this equals
+    * `substringDedup(corpus ∪ batch)` restricted to batch docs — the
+    * differential identity the spec pins. O(batch) per probe: batch
+    * spans shuffle into the index's bucket layout, nothing
+    * corpus-sized moves.
+    */
+  def incrementalSubstringDedup(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, window: Int = 8): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val idx = readIndexTable(spark, s"$indexPath/spans")
+      .select(col("gram").as("__gram"))
+    val toksArr = stage(newDocs.select(col(idCol).as("__id"),
+      graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
+    val wins = stage(spanFrame(toksArr, window))
+    // committed spans: every batch occurrence is a repeat
+    val inIdx = wins.join(idx, Seq("__gram"), "left_semi")
+      .select($"__id", $"__pos")
+    // fresh spans: first occurrence within the batch survives
+    val fresh = stage(wins.join(idx, Seq("__gram"), "left_anti"))
+    val firsts = fresh.groupBy($"__gram")
+      .agg(min(struct($"__id", $"__pos")).as("__f"))
+    val freshRepeats = fresh.join(firsts, "__gram")
+      .where(!($"__id" === $"__f.__id" && $"__pos" === $"__f.__pos"))
+      .select($"__id", $"__pos")
+    rebuildUncovered(toksArr, inIdx.unionByName(freshRepeats), window, idCol)
   }
 
   /** The non-overlapping `window`-token passage frame of a corpus:

@@ -3480,7 +3480,66 @@ object ExtensionQueries {
           FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
           GROUP BY d.source"""),
       notes = "x95's coverage closure re-aggregated per source; " +
-        "n_dropped = covered-position count (no reconstruction needed)")
+        "n_dropped = covered-position count (no reconstruction needed)"),
+
+    // ---- incremental substring dedup — x95's day-2 face (x33's
+    // recipe for the sliding-span family): the corpus's distinct spans
+    // persist once as a bucketed index, the batch probes it with ONE
+    // equi join on the span key (a committed span covers every batch
+    // occurrence — the corpus owns its first occurrence), fresh spans
+    // fall back to first-wins within the batch. Corpus ids < batch
+    // ids, so the oracle replays the ONE-SHOT x95 closure over
+    // corpus ∪ batch restricted to batch docs — the same differential
+    // identity the spec pins for the incremental passage face.
+    GraftQuery(
+      "x97_incremental_substring_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val path = s"${sys.props("java.io.tmpdir")}/graft-spanidx-${OracleDump.sfTag(dir)}"
+        val marker = new java.io.File(
+          s"$path/_INDEX_OK_v1_${OracleDump.tableFingerprint(dir, "documents")}")
+        if (!marker.exists()) {
+          graft.ops.Dedup.writeSpanIndex(docs.filter($"doc_id" < 250),
+            "doc_id", "text", window = 8, path)
+          marker.createNewFile(): Unit
+        }
+        graft.ops.Dedup.incrementalSubstringDedup(
+          docs.filter($"doc_id" >= 250), path, "doc_id", "text", window = 8)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          w AS (SELECT doc_id, gi - 1 AS pos,
+              array_to_string(t[gi : gi + 7], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(gi)
+            WHERE len(t) >= 8),
+          f AS (SELECT gram, doc_id AS fdoc, pos AS fpos FROM (
+              SELECT gram, doc_id, pos, row_number() OVER (
+                PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM w)
+            WHERE rk = 1),
+          rep AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (gram)
+            WHERE w.doc_id >= 250
+              AND NOT (w.doc_id = f.fdoc AND w.pos = f.fpos)),
+          cov AS (SELECT DISTINCT doc_id, pos + u AS pos
+            FROM rep, unnest(range(0, 8)) AS v(u)),
+          tp AS (SELECT doc_id, gi - 1 AS pos, t[gi] AS tok
+            FROM toks, unnest(range(1, len(t) + 1)) AS u(gi)
+            WHERE doc_id >= 250),
+          kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+            FROM tp LEFT JOIN cov
+              ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+            WHERE cov.pos IS NULL),
+          reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+            CAST(len(t.t) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_dropped,
+            COALESCE(reb.clean_text, '') AS clean_text
+          FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
+          WHERE t.doc_id >= 250"""),
+      notes = "one-shot x95 closure over corpus ∪ batch restricted to " +
+        "batch docs ≡ the incremental probe when corpus ids precede " +
+        "batch ids — the x33 differential identity")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

@@ -662,4 +662,42 @@ class DedupSpec extends SparkSpec {
     assert(again == out, "substring dedup must be layout-independent")
     Staged.releaseAll()
   }
+
+  test("incremental substring dedup: committed spans always lose; one-shot identity on corpus ∪ batch") {
+    val span = (1 to 8).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$span alpha beta"),
+      (2L, "unrelated words entirely here for this other document body"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"pre1 $span post1"),   // committed span at offset 1
+      // within-batch template stamp of a span the index has never seen
+      (11L, "fresh f2 f3 f4 f5 f6 f7 f8 fresh f2 f3 f4 f5 f6 f7 f8"),
+      (12L, "short one"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-spanidx").toString
+    Dedup.writeSpanIndex(corpus, "doc_id", "text", window = 8, root)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val inc = m(Dedup.incrementalSubstringDedup(batch, root,
+      "doc_id", "text", window = 8))
+    assert(inc(10L) == ((10L, 8L, "pre1 post1")),
+      s"the committed span must cover its batch occurrence: ${inc(10L)}")
+    assert(inc(11L) ==
+      ((16L, 8L, "fresh f2 f3 f4 f5 f6 f7 f8")),
+      s"fresh spans keep first-wins within the batch: ${inc(11L)}")
+    assert(inc(12L) == ((2L, 0L, "short one")),
+      s"short docs pass through: ${inc(12L)}")
+    // the x33 differential identity: corpus ids < batch ids ⇒ the
+    // incremental probe equals the one-shot over corpus ∪ batch
+    // restricted to the batch
+    val oneShot = m(Dedup.substringDedup(corpus.unionByName(batch),
+      "doc_id", "text", window = 8)
+      .where(col("doc_id") >= 10L))
+    assert(inc == oneShot,
+      s"incremental must equal the restricted one-shot: $inc vs $oneShot")
+    Staged.releaseAll()
+  }
 }
