@@ -741,7 +741,7 @@ object CurateMain {
         unionDocs.select($"doc_id", $"source"), "doc_id", "source")
       .groupBy($"source").agg(count(lit(1)).as("n_kept"))
       .write.mode("overwrite").parquet(s"$workDir/day2_mix")
-    // the alert count covers ALL five day-2 signals — a failed serving
+    // the alert count covers ALL six day-2 signals — a failed serving
     // gate must surface in the summary's alerts, not only in the
     // monitor_pq_agreement epoch row
     val alerts = Seq(novRow._2, oov._2, rec._2, fert._2, klD._2, servAlert)

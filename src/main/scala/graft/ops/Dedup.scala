@@ -1135,17 +1135,47 @@ object Dedup {
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
-    val spark = df.sparkSession
-    import spark.implicits._
     val toksArr = stage(df.select(col(idCol).as("__id"),
       graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
     val wins = stage(spanFrame(toksArr, window))
-    val firsts = wins.groupBy($"__gram")
-      .agg(min(struct($"__id", $"__pos")).as("__f"))
-    val repeats = wins.join(firsts, "__gram")
-      .where(!($"__id" === $"__f.__id" && $"__pos" === $"__f.__pos"))
-      .select($"__id", $"__pos")
-    rebuildUncovered(toksArr, repeats, window, idCol)
+    rebuildUncovered(toksArr, firstOccurrenceRepeats(wins), window, idCol)
+  }
+
+  /** [[substringDedup]] with the PRODUCTION shuffle key: the span frame
+    * projects `xxhash64(span)` and drops the text before anything
+    * shuffles, so the first-occurrence aggregation and the repeat join
+    * move 8-byte keys instead of window-token strings — the deployment
+    * form the x95 scaladoc documents. Identical output to
+    * [[substringDedup]] absent a 64-bit collision (none exist at any
+    * test SF — the differential spec pins x98 ≡ x95 byte-for-byte; at
+    * 10¹² spans the birthday bound is ~0.03 colliding PAIRS, each
+    * costing at most `window` wrongly-suppressed tokens — an accepted
+    * dedup-side error, never a correctness one, the published
+    * ExactSubstr deployments make the same trade).
+    */
+  def substringDedupHashed(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val toksArr = stage(df.select(col(idCol).as("__id"),
+      graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
+    val wins = stage(spanFrame(toksArr, window)
+      .select(col("__id"), col("__pos"), xxhash64(col("__gram")).as("__gram")))
+    rebuildUncovered(toksArr, firstOccurrenceRepeats(wins), window, idCol)
+  }
+
+  /** Shared closure tail of both substring-dedup keyings: the global
+    * first occurrence of each span key (map-side-partial
+    * min(struct(doc, pos)) — never a content-partitioned window, the
+    * hot-boilerplate funnel) survives; every other (id, pos) is a
+    * repeat span start.
+    */
+  private def firstOccurrenceRepeats(wins: DataFrame): DataFrame = {
+    val firsts = wins.groupBy(col("__gram"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__f"))
+    wins.join(firsts, "__gram")
+      .where(!(col("__id") === col("__f.__id") &&
+        col("__pos") === col("__f.__pos")))
+      .select(col("__id"), col("__pos"))
   }
 
   /** The sliding `window`-token span frame (__id, __pos, __gram) of a
@@ -1218,29 +1248,81 @@ object Dedup {
     * `substringDedup(corpus ∪ batch)` restricted to batch docs — the
     * differential identity the spec pins. O(batch) per probe: batch
     * spans shuffle into the index's bucket layout, nothing
-    * corpus-sized moves.
+    * corpus-sized moves. Multi-batch loops must COMMIT each batch's
+    * fresh spans ([[appendToSpanIndex]], or the epoch-partitioned
+    * streaming face) or cross-batch repeats go unseen.
     */
   def incrementalSubstringDedup(newDocs: DataFrame, indexPath: String,
-      idCol: String, textCol: String, window: Int = 8): DataFrame = {
+      idCol: String, textCol: String, window: Int = 8): DataFrame =
+    incrementalSubstringDedupStaged(newDocs,
+      Seq(readIndexTable(newDocs.sparkSession, s"$indexPath/spans")),
+      idCol, textCol, window)._1
+
+  /** [[incrementalSubstringDedup]] against SEVERAL per-epoch span-index
+    * frames (each a (gram) table — the epoch-partitioned streaming
+    * index), exposing the staged intermediate: returns
+    * (cleaned docs, `freshSpans` = the batch's DISTINCT spans absent
+    * from every index frame). Callers that must REGISTER the batch's
+    * new spans (the streaming face, the capstone's day-2 append) read
+    * `freshSpans` instead of re-deriving the span frame and re-probing
+    * the index — the per-batch index scan happens exactly once.
+    *
+    * The index frames chain as anti-joins (the passage discipline —
+    * [[incrementalPassageDedupStaged]]: a Union node would discard the
+    * epochs' shared bucket layout and re-shuffle the accumulated index
+    * every batch; chained, the batch side shuffles into the layout once
+    * and each epoch scan joins Exchange-free). Per-batch network cost
+    * stays O(batch · epochs), independent of index size.
+    */
+  def incrementalSubstringDedupStaged(newDocs: DataFrame,
+      indexes: Seq[DataFrame], idCol: String, textCol: String,
+      window: Int): (DataFrame, DataFrame) = {
     require(window > 0, s"window must be positive, got $window")
-    val spark = newDocs.sparkSession
-    import spark.implicits._
-    val idx = readIndexTable(spark, s"$indexPath/spans")
-      .select(col("gram").as("__gram"))
     val toksArr = stage(newDocs.select(col(idCol).as("__id"),
       graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
     val wins = stage(spanFrame(toksArr, window))
-    // committed spans: every batch occurrence is a repeat
-    val inIdx = wins.join(idx, Seq("__gram"), "left_semi")
-      .select($"__id", $"__pos")
-    // fresh spans: first occurrence within the batch survives
-    val fresh = stage(wins.join(idx, Seq("__gram"), "left_anti"))
-    val firsts = fresh.groupBy($"__gram")
-      .agg(min(struct($"__id", $"__pos")).as("__f"))
-    val freshRepeats = fresh.join(firsts, "__gram")
-      .where(!($"__id" === $"__f.__id" && $"__pos" === $"__f.__pos"))
-      .select($"__id", $"__pos")
-    rebuildUncovered(toksArr, inIdx.unionByName(freshRepeats), window, idCol)
+    // fresh spans: absent from every committed index frame — first
+    // occurrence within the batch survives. Staged: fresh feeds the
+    // winner agg, the repeat join, the inIdx anti-join, and the
+    // registration read-out.
+    val fresh =
+      if (indexes.isEmpty) wins
+      else stage(indexes.foldLeft(wins)((acc, idx) =>
+        acc.join(idx.select(col("gram").as("__gram")),
+          Seq("__gram"), "left_anti")))
+    // committed spans: every batch occurrence is a repeat (the corpus
+    // owns its first occurrence). Batch-sized complement of `fresh` on
+    // the unique (id, pos) span-start key — one anti-join instead of a
+    // second chain of index probes.
+    val inIdx = wins.select(col("__id"), col("__pos"))
+      .join(fresh.select(col("__id"), col("__pos")),
+        Seq("__id", "__pos"), "left_anti")
+    (rebuildUncovered(toksArr,
+        inIdx.unionByName(firstOccurrenceRepeats(fresh)), window, idCol),
+      fresh.select(col("__gram").as("gram")).distinct())
+  }
+
+  /** Register a batch's NEW spans into a [[writeSpanIndex]] artifact
+    * (append-only; the anti-join keeps the table distinct) — the
+    * multi-batch loop face: [[incrementalSubstringDedup]] probes only
+    * COMMITTED spans, so a caller looping batches against one index
+    * without this append would miss every cross-batch repeat (each
+    * batch would see only the day-1 corpus). Run after the batch is
+    * cleaned, exactly like [[appendToPassageIndex]]; for streaming
+    * (crash-replay) ingest use the epoch-partitioned
+    * [[graft.streaming.Streams.substringDedupStream]] instead — an
+    * in-place append is not replay-idempotent.
+    */
+  def appendToSpanIndex(newDocs: DataFrame, path: String, idCol: String,
+      textCol: String, window: Int): Unit = {
+    require(window > 0, s"window must be positive, got $window")
+    val spark = newDocs.sparkSession
+    val toksArr = stage(newDocs.select(col(idCol).as("__id"),
+      graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
+    appendBucketedIndex(spanFrame(toksArr, window)
+      .select(col("__gram").as("gram")).distinct()
+      .join(readIndexTable(spark, s"$path/spans"), Seq("gram"), "left_anti"),
+      s"$path/spans")
   }
 
   /** The non-overlapping `window`-token passage frame of a corpus:

@@ -147,10 +147,27 @@ object Sampling {
     * same fate [[stratifiedHashSample]] gives absent strata. The
     * un-normalized-weight algebra and its engine portability are
     * [[temperatureRates]]'s, verbatim, over the weight totals.
+    *
+    * The weight column must be INTEGRAL (token counts, byte counts,
+    * doc counts — the units a budget is billed in): the exact-integer-
+    * sum claim above is what makes the rates engine-portable, and a
+    * silent per-row floor of a fractional weight column would skew the
+    * realized mix with no error. Callers holding fractional weights
+    * scale them to an integer grid first (e.g. micro-units).
     */
   def weightedTemperatureRates(df: DataFrame, strataCol: String,
       weightCol: String, alpha: Double): Map[String, Double] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"weight column $weightCol is ${t.simpleString}, expected an " +
+          "integral type — a fractional weight would be silently floored " +
+          "per row, skewing the mix; scale to an integer grid first")
+    }
     val totals = df.where(col(strataCol).isNotNull)
       .groupBy(col(strataCol))
       .agg(sum(col(weightCol).cast("long")).as("t"))

@@ -3539,7 +3539,53 @@ object ExtensionQueries {
           WHERE t.doc_id >= 250"""),
       notes = "one-shot x95 closure over corpus ∪ batch restricted to " +
         "batch docs ≡ the incremental probe when corpus ids precede " +
-        "batch ids — the x33 differential identity")
+        "batch ids — the x33 differential identity"),
+
+    // ---- production-keyed substring dedup — x95 with the shuffle key
+    // the 100 TB deployment actually moves: the span frame projects
+    // xxhash64(span) and drops the text BEFORE anything shuffles, so
+    // the first-occurrence agg and the repeat join exchange 8-byte
+    // longs instead of window-token strings (~10× less shuffle I/O at
+    // window=8). Output is identical to x95 absent a 64-bit collision
+    // — none at any test SF, so the oracle is x95's verbatim; the
+    // differential spec additionally pins x98 ≡ x95 row-for-row, and
+    // the plan spec pins that no string-typed span survives to an
+    // Exchange.
+    GraftQuery(
+      "x98_substring_dedup_hashed",
+      (s, dir) => graft.ops.Dedup.substringDedupHashed(
+        Tables(s, dir, "documents"), "doc_id", "text", window = 8),
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          w AS (SELECT doc_id, gi - 1 AS pos,
+              array_to_string(t[gi : gi + 7], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(gi)
+            WHERE len(t) >= 8),
+          f AS (SELECT gram, doc_id AS fdoc, pos AS fpos FROM (
+              SELECT gram, doc_id, pos, row_number() OVER (
+                PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM w)
+            WHERE rk = 1),
+          rep AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (gram)
+            WHERE NOT (w.doc_id = f.fdoc AND w.pos = f.fpos)),
+          cov AS (SELECT DISTINCT doc_id, pos + u AS pos
+            FROM rep, unnest(range(0, 8)) AS v(u)),
+          tp AS (SELECT doc_id, gi - 1 AS pos, t[gi] AS tok
+            FROM toks, unnest(range(1, len(t) + 1)) AS u(gi)),
+          kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+            FROM tp LEFT JOIN cov
+              ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+            WHERE cov.pos IS NULL),
+          reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+            CAST(len(t.t) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_dropped,
+            COALESCE(reb.clean_text, '') AS clean_text
+          FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id"""),
+      notes = "x95's oracle verbatim: the hashed keying is collision-free " +
+        "at test SFs by construction, so the closures coincide — the " +
+        "oracle checks the DEDUP result, DedupSpec pins the x98 ≡ x95 " +
+        "identity and PlanSpec the 8-byte shuffle key")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

@@ -700,4 +700,72 @@ class DedupSpec extends SparkSpec {
       s"incremental must equal the restricted one-shot: $inc vs $oneShot")
     Staged.releaseAll()
   }
+
+  test("hashed substring dedup ≡ string-keyed on the fixtures and at sf0.001 (x98 ≡ x95)") {
+    // the production keying (xxhash64 span keys, 8-byte shuffle) must
+    // be byte-identical to the oracle-parity string keying wherever no
+    // 64-bit collision exists — i.e. everywhere we can test
+    val span = (1 to 8).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span tail1 tail2"),
+      (2L, s"x1 x2 $span y1"),
+      (3L, "one two"),
+      (4L, s"$span $span"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(Dedup.substringDedupHashed(docs, "doc_id", "text", 8)) ==
+      m(Dedup.substringDedup(docs, "doc_id", "text", 8)),
+      "hashed and string keyings must coincide on the fixture")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    assert(m(Dedup.substringDedupHashed(real, "doc_id", "text", 8)) ==
+      m(Dedup.substringDedup(real, "doc_id", "text", 8)),
+      "hashed and string keyings must coincide at sf0.001")
+    Staged.releaseAll()
+  }
+
+  test("span-index append: a multi-batch loop sees earlier batches' spans") {
+    // the ADVICE r17 gap: incrementalSubstringDedup probes only
+    // COMMITTED spans, so batch 2's repeat of a batch-1 span was
+    // invisible until appendToSpanIndex existed
+    val span = (1 to 8).map(i => s"c$i").mkString(" ")
+    val fresh = (1 to 8).map(i => s"f$i").mkString(" ")
+    val corpus = Seq((1L, s"$span alpha beta")).toDF("doc_id", "text")
+    val batch1 = Seq((10L, s"pre $fresh post")).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, s"x $fresh y"),     // repeats batch 1's fresh span
+      (21L, s"w $span z"))      // repeats the day-1 corpus span
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-spanidx-append").toString
+    Dedup.writeSpanIndex(corpus, "doc_id", "text", window = 8, root)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // without the append, batch 2 misses the cross-batch repeat
+    val blind = m(Dedup.incrementalSubstringDedup(batch2, root,
+      "doc_id", "text", window = 8))
+    assert(blind(20L)._2 == 0L,
+      s"pre-append probe must not see batch 1's span: ${blind(20L)}")
+    // batch 1 cleans, then registers; batch 2 now sees both sources
+    Dedup.incrementalSubstringDedup(batch1, root, "doc_id", "text", 8)
+      .collect(): Unit
+    Dedup.appendToSpanIndex(batch1, root, "doc_id", "text", window = 8)
+    val seen = m(Dedup.incrementalSubstringDedup(batch2, root,
+      "doc_id", "text", window = 8))
+    assert(seen(20L) == ((10L, 8L, "x y")),
+      s"appended batch-1 span must cover batch 2's repeat: ${seen(20L)}")
+    assert(seen(21L) == ((10L, 8L, "w z")),
+      s"the day-1 span must still cover: ${seen(21L)}")
+    // the append is idempotent on content: re-appending the same batch
+    // adds nothing (anti-join), so the probe verdict is unchanged
+    Dedup.appendToSpanIndex(batch1, root, "doc_id", "text", window = 8)
+    assert(m(Dedup.incrementalSubstringDedup(batch2, root,
+      "doc_id", "text", window = 8)) == seen,
+      "re-appending the same spans must not change any verdict")
+    Staged.releaseAll()
+  }
 }

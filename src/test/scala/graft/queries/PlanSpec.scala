@@ -35,6 +35,20 @@ class PlanSpec extends SparkSpec {
     assert(plan("q09_topk_per_customer").contains("WindowGroupLimit"))
   }
 
+  test("x98: the span shuffle key is the 8-byte hash, never span text") {
+    // long attributes print with an L suffix (__gram#12L) — the keying
+    // is visible in the exchange arguments. x95 keeps the string key
+    // for oracle parity (sanity leg: the instrument can tell them apart)
+    val re = raw"hashpartitioning\(__gram#(\d+)(L?)".r
+    val hashed = re.findAllMatchIn(plan("x98_substring_dedup_hashed")).toSeq
+    assert(hashed.nonEmpty, "x98 must shuffle on the span key")
+    assert(hashed.forall(_.group(2) == "L"),
+      s"every x98 span exchange must move 8-byte keys: ${hashed.map(_.matched)}")
+    val strings = re.findAllMatchIn(plan("x95_substring_dedup")).toSeq
+    assert(strings.exists(_.group(2) != "L"),
+      "sanity: x95's span exchanges carry the string key")
+  }
+
   test("x34: kNN graph pushes the per-source rank filter (WindowGroupLimit)") {
     // the per-source top-k must keep only k rows per partition in the
     // rank sort — at 100 TB the candidate set is the big intermediate
