@@ -1229,13 +1229,21 @@ object Dedup {
     * and never crosses an Exchange.
     */
   def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
-      window: Int, path: String, nBuckets: Int = 32): Unit = {
+      window: Int, path: String, nBuckets: Int = 32): Unit =
+    writeBucketedIndex(spanGrams(df, idCol, textCol, window),
+      s"$path/spans", Seq("gram"), nBuckets)
+
+  /** A corpus's DISTINCT sliding spans as a (gram) frame — the
+    * registration-side frame shared by [[writeSpanIndex]], the
+    * streaming face's epoch-0 seed, and the capstone's day-1 build, so
+    * the span convention cannot drift between index writers.
+    */
+  def spanGrams(df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     val toksArr = stage(df.select(col(idCol).as("__id"),
       graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
-    writeBucketedIndex(spanFrame(toksArr, window)
-      .select(col("__gram").as("gram")).distinct(),
-      s"$path/spans", Seq("gram"), nBuckets)
+    spanFrame(toksArr, window).select(col("__gram").as("gram")).distinct()
   }
 
   /** [[substringDedup]] for a NEW batch against a persisted

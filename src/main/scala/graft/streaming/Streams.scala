@@ -472,6 +472,90 @@ object Streams {
       } }
       .start()
 
+  /** One micro-batch of [[substringDedupStream]], exposed so the spec
+    * can replay an epoch exactly as the engine would after a crash:
+    * probe the committed span-index epochs (< e, chained Exchange-free
+    * anti-joins — the passage stream's index discipline on the sliding-
+    * span family), write the cleaned batch to `outPath/epoch=<e>`, and
+    * register the batch's FRESH spans as the bucketed partition
+    * `indexPath/epoch=<e>`. Every step is a pure function of (batch,
+    * committed prefix) and epoch-e writes are drop-and-rewrite, so
+    * crash replay rewrites identical bytes. Fresh spans are DISJOINT
+    * from every earlier epoch by construction (they are exactly the
+    * spans the probe found uncommitted), so compaction merges without
+    * a distinct — the novelty index's property.
+    */
+  def processSubstringBatch(batch: DataFrame, epoch: Long,
+      indexPath: String, outPath: String, idCol: String, textCol: String,
+      window: Int, nBuckets: Int, maxChain: Int): Unit =
+    graft.ops.Staged.scoped {
+      val idxParts = spanIndexPartsBefore(batch.sparkSession, indexPath, epoch)
+      // ONE batch span frame + index probe feeds both the clean output
+      // and the index registration (the staged pair)
+      val (cleaned, freshSpans) = graft.ops.Dedup
+        .incrementalSubstringDedupStaged(batch, idxParts, idCol, textCol,
+          window)
+      // the substring contract covers every batch doc (tokenless docs
+      // ride through at n_tokens=0), so no side union is needed here
+      cleaned.write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+      graft.ops.Dedup.writeBucketedIndex(freshSpans,
+        s"$indexPath/epoch=$epoch", Seq("gram"), nBuckets)
+      // auto-compaction, the passage stream's policy verbatim: fires
+      // when the NEXT batch's chain would exceed the bound; runs after
+      // this epoch's writes so a crash inside compaction replays epoch
+      // e against the same — merged or unmerged — span set
+      if (maxChain > 0 && idxParts.size + 1 > maxChain)
+        compactSpanIndex(batch.sparkSession, indexPath,
+          upToEpoch = epoch - 1, nBuckets = nBuckets)
+    }
+
+  /** Continuous-ingest sliding-span (ExactSubstr) dedup — the streaming
+    * face of [[graft.ops.Dedup.substringDedup]], structured exactly
+    * like [[passageDedupStream]]: spans committed by the corpus or any
+    * earlier epoch cover every later occurrence, fresh spans are
+    * first-occurrence-win within their batch and then registered into
+    * the epoch-partitioned span index, so batch e dedups against
+    * everything that survived before it. Seed `indexPath/epoch=0` from
+    * a day-1 corpus with [[graft.ops.Dedup.writeSpanIndex]]'s frame
+    * (or start empty). When every epoch's ids exceed all earlier ids,
+    * the stream's outputs equal the one-shot [[Dedup.substringDedup]]
+    * over the concatenated prefix restricted to each batch — the x97
+    * identity, which the spec pins per epoch. `maxChain` bounds the
+    * live epoch chain via [[compactSpanIndex]] (0 = manual only).
+    *
+    * 100 TB shape: per epoch the batch's spans shuffle once into the
+    * shared bucket layout and chain anti-joins through the committed
+    * partitions Exchange-free — O(batch · epochs) network with the
+    * chain length capped by compaction; nothing corpus-sized moves.
+    * The registered keying is the oracle-parity span TEXT; a hashed
+    * deployment registers xxhash64 keys with the identical plan (x98).
+    */
+  /** Seed a [[substringDedupStream]] index with a day-1 corpus's spans
+    * committed as `epoch=-1` — BELOW every engine epoch (a fresh
+    * checkpoint's first batch is 0), so batch 0 probes the corpus
+    * without its own registration ever overwriting the seed. Every
+    * streamed batch then dedups against the corpus exactly as
+    * [[graft.ops.Dedup.incrementalSubstringDedup]] probes a
+    * [[graft.ops.Dedup.writeSpanIndex]] artifact.
+    */
+  def seedSpanIndex(corpus: DataFrame, indexPath: String, idCol: String,
+      textCol: String, window: Int = 8, nBuckets: Int = 32): Unit =
+    graft.ops.Dedup.writeBucketedIndex(
+      graft.ops.Dedup.spanGrams(corpus, idCol, textCol, window),
+      s"$indexPath/epoch=-1", Seq("gram"), nBuckets)
+
+  def substringDedupStream(docs: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, idCol: String, textCol: String,
+      window: Int = 8, nBuckets: Int = 32, maxChain: Int = 16): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        processSubstringBatch(batch, epoch, indexPath, outPath,
+          idCol, textCol, window, nBuckets, maxChain)
+      }
+      .start()
+
   /** Offline compaction for the epoch-partitioned passage index: merge
     * the partitions with epoch ≤ `upToEpoch` — EXCLUDING the newest
     * partition, see below — into one partition carrying the HIGHEST
@@ -511,6 +595,16 @@ object Streams {
     * the union is already duplicate-free.
     */
   def compactNoveltyIndex(spark: SparkSession, indexPath: String,
+      upToEpoch: Long, nBuckets: Int = 32): Unit =
+    compactEpochChain(spark, indexPath, upToEpoch, nBuckets,
+      Seq("gram"), dedup = false)
+
+  /** Offline compaction for the span index
+    * ([[substringDedupStream]]): the novelty discipline verbatim —
+    * epoch span sets are disjoint by construction (fresh-only
+    * registration), so the merge needs no distinct.
+    */
+  def compactSpanIndex(spark: SparkSession, indexPath: String,
       upToEpoch: Long, nBuckets: Int = 32): Unit =
     compactEpochChain(spark, indexPath, upToEpoch, nBuckets,
       Seq("gram"), dedup = false)
@@ -1280,6 +1374,16 @@ object Streams {
     epochsBefore(spark, indexPath, epoch).map(e =>
       graft.ops.Dedup.readIndexTable(spark, s"$indexPath/epoch=$e")
         .select(col("chunk_text")))
+
+  /** [[indexPartsBefore]] for the span index's (gram) schema —
+    * private[graft]: the capstone's day-2 probe reads the same
+    * committed-prefix view the stream does.
+    */
+  private[graft] def spanIndexPartsBefore(spark: SparkSession,
+      indexPath: String, epoch: Long): Seq[DataFrame] =
+    epochsBefore(spark, indexPath, epoch).map(e =>
+      graft.ops.Dedup.readIndexTable(spark, s"$indexPath/epoch=$e")
+        .select(col("gram")))
 
   /** The union of index partitions committed before `epoch` (empty
     * 1-column frame when none exist — the first batch's view). For

@@ -432,6 +432,106 @@ class StreamsSpec extends SparkSpec {
       s"stream/batch diverged: ${(streamed diff oneShot).take(3)} vs ${(oneShot diff streamed).take(3)}")
   }
 
+  test("streaming substring dedup: seeded corpus + cross-batch spans suppress; epoch replay is pure") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sstream").toString
+    val (idxP, outP, cp) = (s"$root/index", s"$root/out", s"$root/cp")
+    // day-1 corpus committed below every engine epoch (epoch=-1)
+    Streams.seedSpanIndex(
+      Seq((0L, "c1 c2 c3 z1")).toDF("doc_id", "text"),
+      idxP, "doc_id", "text", window = 3)
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.substringDedupStream(
+      input.toDF().select($"doc_id", $"text"),
+      idxP, outP, cp, "doc_id", "text", window = 3)
+    try {
+      input.addData(
+        // the corpus span at an UNALIGNED offset — the case the passage
+        // face misses — plus a within-batch template stamp
+        DocEvent(10L, ts(1), "p1 c1 c2 c3 p2"),
+        DocEvent(11L, ts(1), "d1 d2 d3 d1 d2 d3"))
+      q.processAllAvailable()
+      input.addData(
+        DocEvent(20L, ts(2), "x1 d1 d2 d3 x2"),  // epoch-0 span, new offset
+        DocEvent(21L, ts(2), "c1 c2 c3 z1"))     // exact corpus re-crawl
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outP)
+      .select($"epoch".cast("long"), $"doc_id", $"n_tokens", $"n_dropped",
+        $"clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (0L, 10L, 5L, 3L, "p1 p2"),
+      (0L, 11L, 6L, 3L, "d1 d2 d3"),     // stamp: first survives
+      (1L, 20L, 5L, 3L, "x1 x2"),        // epoch-0 span covers epoch 1
+      (1L, 21L, 4L, 4L, "")),            // re-crawl: fully covered, row kept
+      s"stream output drifted: $out")
+    // the index registers FRESH spans only, epoch-attributed, with the
+    // seed intact below the engine epochs
+    val idx = spark.read.parquet(idxP)
+      .select($"epoch".cast("long"), $"gram")
+      .as[(Long, String)].collect().toSet
+    assert(idx == Set(
+      (-1L, "c1 c2 c3"), (-1L, "c2 c3 z1"),
+      (0L, "p1 c1 c2"), (0L, "c2 c3 p2"),
+      (0L, "d1 d2 d3"), (0L, "d2 d3 d1"), (0L, "d3 d1 d2"),
+      (1L, "x1 d1 d2"), (1L, "d2 d3 x2")), s"index drifted: $idx")
+    // replay: epoch 1 is a pure function of (batch, partitions < 1) —
+    // recompute it exactly as the foreachBatch body would after a crash
+    val batch2 = Seq((20L, "x1 d1 d2 d3 x2"), (21L, "c1 c2 c3 z1"))
+      .toDF("doc_id", "text")
+    val (cleaned, fresh) = graft.ops.Dedup.incrementalSubstringDedupStaged(
+      batch2, Streams.spanIndexPartsBefore(spark, idxP, 1L),
+      "doc_id", "text", window = 3)
+    assert(cleaned.as[(Long, Long, Long, String)].collect().toSet ==
+      spark.read.parquet(s"$outP/epoch=1")
+        .as[(Long, Long, Long, String)].collect().toSet,
+      "replay must rewrite identical cleaned content")
+    assert(fresh.as[String].collect().toSet == Set("x1 d1 d2", "d2 d3 x2"),
+      "replay must re-register identical fresh spans")
+    graft.ops.Staged.releaseAll()
+  }
+
+  test("generative: substring stream ≡ one-shot batch dedup across auto-compactions") {
+    // epoch-ordered ids ⇒ the streamed per-epoch outputs union to
+    // EXACTLY substringDedup over the concatenated corpus (the x97
+    // identity generalized to many epochs), and maxChain=2 keeps the
+    // probed chain bounded via mid-stream compactions without moving a
+    // single verdict. Tiny vocab + short docs force heavy span reuse.
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("s0", "s1", "s2", "s3")
+    def doc(): String =
+      Seq.fill(2 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val batches = (0 until 5).map { e =>
+      (0 until 25).map(i => DocEvent(e * 1000L + i, ts(e), doc()))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-sstream-gen").toString
+    val idxP = s"$root/index"
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.substringDedupStream(
+      input.toDF().select($"doc_id", $"text"),
+      idxP, s"$root/out", s"$root/cp", "doc_id", "text", window = 2,
+      maxChain = 2)
+    def epochDirs = Option(new java.io.File(idxP).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    try batches.foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+      assert(epochDirs.size <= 3, // maxChain + 1 (merged + fresh tail)
+        s"auto-compaction must bound the chain, got $epochDirs")
+    } finally q.stop()
+    assert(Option(new java.io.File(idxP).listFiles()).toSeq.flatten
+      .forall(!_.getName.startsWith("__compact_tmp_")),
+      "every mid-stream compaction must complete its swap")
+    val streamed = spark.read.parquet(s"$root/out")
+      .select($"doc_id", $"n_tokens", $"n_dropped", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val all = batches.flatten.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val oneShot = graft.ops.Dedup.substringDedup(all, "doc_id", "text", window = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == oneShot,
+      s"stream/batch diverged: ${(streamed diff oneShot).take(3)} vs ${(oneShot diff streamed).take(3)}")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("passage index compaction preserves the view and recovers mid-swap") {
     val root = java.nio.file.Files.createTempDirectory("graft-pcompact").toString
     val idxP = s"$root/index"
