@@ -13,9 +13,11 @@ import graft.sources.Tables
   *   the parquet corpus → scrub PII → quality filter → per-source
   *   boilerplate strip (template passages vanish from every doc) →
   *   exact dedup → passage-level dedup (cross-doc repeated passages;
-  *   only docs that lost a passage take the rebuilt text) → benchmark
-  *   decontamination (last text-modifying stage, so the no-shared-
-  *   n-gram guarantee holds for the shipped text) → near-dup
+  *   only docs that lost a passage take the rebuilt text) →
+  *   sliding-span substring dedup (repeats at ANY offset — the
+  *   boundary-straddling and within-doc copies aligned passages miss)
+  *   → benchmark decontamination (last text-modifying stage, so the
+  *   no-shared-n-gram guarantee holds for the shipped text) → near-dup
   *   clustering (keep cluster reps) → domain resampling to a target
   *   language mix → sequence packing → write curated parquet in
   *   stride-schedule curriculum order with per-doc DSIR importance
@@ -42,8 +44,8 @@ object CurateMain {
     */
   final case class CurateSummary(httpIngested: Long, input: Long,
       piiFlagged: Long, quality: Long, boilerplate: Long, exact: Long,
-      passage: Long, decontaminated: Long, nearDedup: Long, mixed: Long,
-      packs: Long, shards: Long, out: String,
+      passage: Long, substring: Long, decontaminated: Long, nearDedup: Long,
+      mixed: Long, packs: Long, shards: Long, out: String,
       gateFails: Seq[(String, Long)] = Nil, quotations: Long = 0L) {
     def json: String = {
       val gf = gateFails.map { case (k, v) => s""""$k":$v""" }
@@ -51,7 +53,7 @@ object CurateMain {
       s"""{"stage_counts":{"http_ingested":$httpIngested,"input":$input,""" +
         s""""pii_flagged":$piiFlagged,"quality":$quality,""" +
         s""""boilerplate":$boilerplate,""" +
-        s""""exact":$exact,"passage":$passage,""" +
+        s""""exact":$exact,"passage":$passage,"substring":$substring,""" +
         s""""decontaminated":$decontaminated,"near_dedup":$nearDedup,""" +
         s""""mixed":$mixed,"packs":$packs,"shards":$shards},""" +
         s""""gate_fails":$gf,"quotations":$quotations,"out":"$out"}"""
@@ -235,13 +237,38 @@ object CurateMain {
         .drop("clean_text", "n_kept", "n_dropped"))
     val nPassage = passaged.count()
 
+    // 3c. sliding-span (ExactSubstr) dedup — the x95 stage the aligned
+    // ladder misses: a copied span at ANY offset (boundary-straddling
+    // repeats, within-doc template stamps the first of which 3b keeps)
+    // drops everywhere but its global first occurrence. Same rebuild
+    // discipline as 3b — only docs that LOST a span take the
+    // normalized rebuilt text; tokenless docs ride through — plus the
+    // SHORT-REMAINDER drop of the published ExactSubstr deployments:
+    // a doc whose surviving tokens no longer fill one window is a husk
+    // of duplicated context (fragments too short to span-match or to
+    // train on), and shipping it would let a near-copy survive as its
+    // one-token residue. localCheckpoint, deboiler's rationale: the
+    // span closure re-enters its input several times and every later
+    // stage would multiply the lineage again.
+    val sd = Dedup.substringDedup(passaged, "doc_id", "text", window = 8)
+    val spanned = passaged.join(
+        sd.select($"doc_id", $"n_tokens", $"n_dropped",
+          $"clean_text".as("__sd_clean")), Seq("doc_id"))
+      .where($"n_tokens" === 0 || $"n_dropped" === 0 ||
+        $"n_tokens" - $"n_dropped" >= 8)
+      .withColumn("text",
+        when($"n_dropped" > 0, $"__sd_clean").otherwise($"text"))
+      .drop("n_tokens", "n_dropped", "__sd_clean")
+      .localCheckpoint()
+    val nSpan = spanned.count()
+
     // 4. decontamination against the held-out benchmark slice — AFTER
-    // the passage rebuild, so the no-shared-5-gram guarantee holds for
+    // the span rebuild, so the no-shared-5-gram guarantee holds for
     // the text that actually ships: a rebuild that splices out a
-    // passage joins its neighbors and can fabricate n-grams that never
+    // span joins its neighbors and can fabricate n-grams that never
     // existed when an earlier check ran
-    val bench = passaged.where($"doc_id" % 101 === 0)
-    val train = passaged.where($"doc_id" % 101 =!= 0)
+    val bench = spanned.where($"doc_id" % 101 === 0)
+    val train = spanned.where($"doc_id" % 101 =!= 0)
     val clean = Staged(Decontam.removeContaminated(
       train, bench, "doc_id", "text", n = 5))
     val nClean = clean.count()
@@ -347,18 +374,22 @@ object CurateMain {
     Staged.releaseAll()
 
     CurateSummary(nHttp, nTotal, nPii, nQuality, nBoiler, nExact, nPassage,
-      nClean, nKept, nMixed, nPacks, nShards, s"$outDir/curated", gateFails,
-      nQuot)
+      nSpan, nClean, nKept, nMixed, nPacks, nShards, s"$outDir/curated",
+      gateFails, nQuot)
   }
 
   /** Day-2 survivor counts of the incremental face — the daily-ingest
     * contract CurateMainSpec pins against a full re-dedup restricted to
     * the batch. `passageKept` is the batch after the passage-index
-    * probe (exact re-crawls die here); `appendedVecs`/`probeHit` cover
-    * the vector-index leg (day-2 embeddings appended, then found).
+    * probe (exact re-crawls die here), `survivors` after the LSH probe
+    * (near re-crawls die here), `spanKept` after the span-index probe
+    * (corpus quotes strip here — the FINAL day-2 doc count);
+    * `appendedVecs`/`probeHit` cover the vector-index leg (day-2
+    * embeddings appended, then found).
     */
   final case class IncrementalSummary(indexed: Long, batch: Long,
-      passageKept: Long, crossPairs: Long, internalPairs: Long,
+      passageKept: Long, spanKept: Long, crossPairs: Long,
+      internalPairs: Long,
       survivors: Long, appendedVecs: Long, probeHit: Boolean, out: String,
       novelty: Double = -1.0, oovRate: Double = -1.0,
       annRecall: Double = -1.0, monitorAlerts: Long = -1L,
@@ -368,7 +399,7 @@ object CurateMain {
       klDrift: Double = -1.0) {
     def json: String =
       s"""{"incremental":{"indexed":$indexed,"batch":$batch,""" +
-        s""""passage_kept":$passageKept,""" +
+        s""""passage_kept":$passageKept,"span_kept":$spanKept,""" +
         s""""cross_pairs":$crossPairs,"internal_pairs":$internalPairs,""" +
         s""""survivors":$survivors,"appended_vecs":$appendedVecs,""" +
         s""""probe_hit":$probeHit},"monitors":{"novelty":$novelty,""" +
@@ -408,15 +439,21 @@ object CurateMain {
     *   vector index over the corpus embeddings
     *   ([[graft.ops.Ivf.buildPersistent]] — `cluster=`-partitioned, so
     *   probes prune partitions); then
-    *   day 2: ingest a fresh batch (the HTTP connector feed plus TWO
+    *   day 2: ingest a fresh batch (the HTTP connector feed plus THREE
     *   re-crawled corpus slices under new ids: an EXACT re-crawl, the
-    *   repeat-content shape the passage index kills outright, and a
-    *   NEAR re-crawl — one prepended token, so no aligned 8-token
-    *   window matches the index but shingle Jaccard stays ≈ S/(S+1) —
-    *   which sails through the passage probe and dies at the LSH
-    *   probe) and suppress its duplicates via ONE probe per index
-    *   ([[graft.ops.Dedup.incrementalPassageDedup]] then
-    *   [[graft.ops.Dedup.incrementalNearDup]]), each with network cost
+    *   repeat-content shape the passage index kills outright; a NEAR
+    *   re-crawl — one prepended token, so no aligned 8-token window
+    *   matches the index but shingle Jaccard stays ≈ S/(S+1) — which
+    *   sails through the passage probe and dies at the LSH probe; and
+    *   a QUOTE re-use — a 16-token corpus excerpt at an interior
+    *   offset inside novel text, invisible to both (unaligned, and a
+    *   Jaccard minority) — whose quoted span the span index strips)
+    *   and suppress its duplicates via ONE probe per index
+    *   ([[graft.ops.Dedup.incrementalPassageDedup]], then
+    *   [[graft.ops.Dedup.incrementalNearDup]], then
+    *   [[graft.ops.Dedup.incrementalSubstringDedupStaged]] — the
+    *   published fuzzy-before-exact-substring order, because doc-level
+    *   near-dup must judge original text), each with network cost
     *   O(batch), independent of corpus size. Day-2 embeddings (the
     *   exact re-crawl slice's vectors under their new ids) are
     *   registered via [[graft.ops.Ivf.appendToIndex]] — assign to
@@ -462,6 +499,16 @@ object CurateMain {
       Dedup.writePassageIndex(corpus, "doc_id", "text", window = 8, pasPath)
       touchMarker(spark, s"$pasPath/_OK")
     }
+    // span index (r18, the x95/x97 stage in the daily ladder): the
+    // corpus's sliding spans committed as the streaming layout's seed
+    // partition (epoch=-1 — below every batch epoch), so day 2 probes
+    // it exactly as substringDedupStream's batch 0 would
+    val spanPath = s"$workDir/span_index"
+    if (!hasMarker(spark, s"$spanPath/_OK")) {
+      graft.streaming.Streams.seedSpanIndex(corpus, spanPath,
+        "doc_id", "text", window = 8)
+      touchMarker(spark, s"$spanPath/_OK")
+    }
     // IVF day-1: built once; thereafter the COMMITTED index is
     // authoritative whatever its k — a refit-on-alert below may have
     // policy-resized it, so a warm re-run must never let the builder's
@@ -480,7 +527,23 @@ object CurateMain {
       .select(($"doc_id" + off + 1000000L).as("doc_id"),
         concat(lit("recrawlnear "), $"text").as("text"), $"lang",
         lit("recrawl_near").as("source"))
-    val batch = Staged(api.unionByName(recrawlExact).unionByName(recrawlNear))
+    // the QUOTE slice (r18): an 8+-token corpus excerpt at an interior
+    // offset inside otherwise-novel text — the victim class only the
+    // span probe catches (unaligned ⇒ the passage probe misses it;
+    // minority-of-the-doc ⇒ shingle Jaccard stays far below the LSH
+    // threshold). The id woven into both filler flanks keeps the
+    // flanks themselves from span-matching across quote docs, and the
+    // 9 filler tokens clear the short-remainder bar.
+    val recrawlQuote = corpus.where($"doc_id" % 7 === 1)
+      .where(size(TextAnalysis.tokens($"text")) >= 16)
+      .select(($"doc_id" + off + 2000000L).as("doc_id"),
+        concat(format_string("record %d cites ", $"doc_id"),
+          array_join(slice(TextAnalysis.tokens($"text"), 1, 16), " "),
+          format_string(" as noted by reviewer %d here", $"doc_id"))
+          .as("text"),
+        $"lang", lit("recrawl_quote").as("source"))
+    val batch = Staged(api.unionByName(recrawlExact).unionByName(recrawlNear)
+      .unionByName(recrawlQuote))
     val nBatch = batch.count()
     // audit artifact: the pre-dedup batch, so the differential spec can
     // replay the full-rerun identity against exactly this day-2 input
@@ -511,7 +574,37 @@ object CurateMain {
       broadcast(clusters.where($"doc_id" =!= $"cluster_rep").select($"doc_id")),
       Seq("doc_id"), "left_anti"))
     val nKept = kept.count()
-    kept.write.mode("overwrite").parquet(s"$workDir/day2_curated")
+    // audit artifact: the post-LSH batch the span identity is pinned on
+    kept.write.mode("overwrite").parquet(s"$workDir/day2_kept")
+    // span probe (r18, run's stage 3c incremental form) — AFTER the
+    // doc-level LSH probe, the published fuzzy-then-exact-substring
+    // order: near-dup must judge ORIGINAL doc text (a span-stripped
+    // near-copy no longer resembles its original and would sail
+    // through as a husk), while the span probe then catches what
+    // doc-level similarity structurally misses — an 8-token corpus
+    // quote at any offset inside an otherwise-novel doc (the
+    // recrawl_quote slice: passage probe misses the unaligned offset,
+    // LSH misses the minority-quote Jaccard). Same rebuild rule as
+    // run's 3c, including the short-remainder drop; the batch's FRESH
+    // spans register as epoch 0 of the streaming layout (drop-and-
+    // rewrite ⇒ single-fire, warm replay rewrites identical bytes and
+    // the probe never reads the batch's own registration).
+    val spanParts = graft.streaming.Streams
+      .spanIndexPartsBefore(spark, spanPath, 0L)
+    val (sd2, freshSpans) = Dedup.incrementalSubstringDedupStaged(
+      kept, spanParts, "doc_id", "text", window = 8)
+    val spanned = Staged(kept.join(
+        sd2.select($"doc_id", $"n_tokens", $"n_dropped",
+          $"clean_text".as("__sd_clean")), Seq("doc_id"))
+      .where($"n_tokens" === 0 || $"n_dropped" === 0 ||
+        $"n_tokens" - $"n_dropped" >= 8)
+      .withColumn("text",
+        when($"n_dropped" > 0, $"__sd_clean").otherwise($"text"))
+      .drop("n_tokens", "n_dropped", "__sd_clean"))
+    val nSpanned = spanned.count()
+    Dedup.writeBucketedIndex(freshSpans, s"$spanPath/epoch=0",
+      Seq("gram"), 32)
+    spanned.write.mode("overwrite").parquet(s"$workDir/day2_curated")
     // vector-index leg: append the day-2 embeddings (exact-recrawl
     // slice's vectors under their new ids — re-crawled content keeps
     // its embedding), then prove an appended vector is findable. The
@@ -747,8 +840,8 @@ object CurateMain {
     val alerts = Seq(novRow._2, oov._2, rec._2, fert._2, klD._2, servAlert)
       .count(identity).toLong
     Staged.releaseAll()
-    IncrementalSummary(nIndexed, nBatch, nPassaged, nCross, nInternal,
-      nKept, nVecs, probeHit, s"$workDir/day2_curated",
+    IncrementalSummary(nIndexed, nBatch, nPassaged, nSpanned, nCross,
+      nInternal, nKept, nVecs, probeHit, s"$workDir/day2_curated",
       novelty = novRow._1, oovRate = oov._1, annRecall = rec._1,
       monitorAlerts = alerts, pqAgreement = pqAgree,
       stagedAgreement = stagedAgree, fertility = fert._1,

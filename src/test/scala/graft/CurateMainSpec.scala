@@ -44,8 +44,13 @@ class CurateMainSpec extends SparkSpec {
   // http_ingested=50 joins the corpus. Round-8 order: exact → passage
   // (8-token grain; only docs that LOST a passage take the rebuilt
   // text; 3 docs whose every aligned window is a repeat drop out) →
-  // decontam (last text-modifying stage, so the no-shared-5-gram
-  // guarantee holds for shipped text). The fixture's jaccard-0.8
+  // substring (r18: the sliding-span stage — removes NOTHING here,
+  // substring == passage, because the boilerplate strip + passage
+  // stage already consumed every cross-doc repeat this organic
+  // fixture holds; the offset-repeat victim class is exercised in the
+  // incremental test's quote slice and DedupSpec) → decontam (last
+  // text-modifying stage, so the no-shared-5-gram guarantee holds for
+  // shipped text). The fixture's jaccard-0.8
   // near-dups ARE shared-boilerplate docs, so the passage stage
   // absorbs them here (near_dedup removes 0 at this sf — the cluster
   // stage is exercised at sf0.01 below, and in its own specs).
@@ -62,7 +67,8 @@ class CurateMainSpec extends SparkSpec {
     // accounted to it; every other gate and the score pass everything
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 441,
-      boilerplate = 441, exact = 441, passage = 440, decontaminated = 436, nearDedup = 436,
+      boilerplate = 441, exact = 441, passage = 440, substring = 440,
+      decontaminated = 436, nearDedup = 436,
       mixed = 334, packs = 34, shards = 8, out = s"$out/curated",
       gateFails = Seq("g_words" -> 0L, "g_word_len" -> 0L, "g_hash" -> 0L,
         "g_ellipsis" -> 0L, "g_alpha" -> 0L, "g_stop" -> 109L,
@@ -181,6 +187,50 @@ class CurateMainSpec extends SparkSpec {
     assert(s.passageKept < s.batch, s"passage probe suppressed nothing: $s")
     assert(s.crossPairs > 0 && s.survivors < s.passageKept,
       s"LSH probe suppressed nothing: $s")
+    // the span probe (r18): the quote slice survives passage (unaligned)
+    // and LSH (Jaccard minority) but loses its quoted corpus span here;
+    // the one near-recrawl husk that leaked through LSH (a short doc
+    // whose S/(S+1) Jaccard fell under the threshold) dies to the
+    // short-remainder rule — the count drop below
+    assert(s.spanKept < s.survivors,
+      s"span probe suppressed nothing: $s")
+    val curatedBySrc = spark.read.parquet(s.out)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(curatedBySrc.contains("recrawl_quote"),
+      s"quote docs must SURVIVE stripped, not drop: $curatedBySrc")
+    assert(!curatedBySrc.contains("recrawl") &&
+      !curatedBySrc.contains("recrawl_near"),
+      s"re-crawl slices must die before shipping: $curatedBySrc")
+    // no shipped quote doc retains its 16-token corpus excerpt
+    // CONTIGUOUSLY: either the span probe stripped it whole, or (for a
+    // few tiny-vocab chance collisions) the passage probe already
+    // spliced a chunk out of the middle — both destroy the contiguous
+    // quote; and the span stage itself must visibly act on the slice
+    val excerpts = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id") % 7 === 1)
+      .where(size(graft.ops.TextAnalysis.tokens(col("text"))) >= 16)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        array_join(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 16),
+          " ").as("__ex"))
+    val intact = spark.read.parquet(s.out)
+      .where(col("source") === "recrawl_quote")
+      .join(excerpts, Seq("doc_id"))
+      .where(array_join(graft.ops.TextAnalysis.tokens(col("text")), " ")
+        .contains(col("__ex")))
+      .count()
+    assert(intact == 0, s"$intact quote docs still carry their excerpt whole")
+    val keptQuoteTexts = spark.read.parquet(s"$work/day2_kept")
+      .where(col("source") === "recrawl_quote")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toMap
+    val spanStripped = spark.read.parquet(s.out)
+      .where(col("source") === "recrawl_quote")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().count { case (id, t) => keptQuoteTexts(id) != t }
+    assert(spanStripped >= 60,
+      s"the span stage must strip the bulk of the quote slice: $spanStripped")
     assert(s.appendedVecs > 0 && s.probeHit,
       s"vector-index leg failed: $s")
     val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
@@ -217,22 +267,46 @@ class CurateMainSpec extends SparkSpec {
       .where(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id")).as[Long].collect().toSet
     val fullKept = passagedIds -- nonRep
-    val incrKept = spark.read.parquet(s.out)
+    val incrKept = spark.read.parquet(s"$work/day2_kept")
       .select(col("doc_id")).as[Long].collect().toSet
     assert(incrKept == fullKept,
       s"diverged: only-incr=${(incrKept -- fullKept).take(5)} " +
         s"only-full=${(fullKept -- incrKept).take(5)}")
+    // identity 3 (r18): the span stage ≡ one-shot substringDedup over
+    // corpus ∪ kept, restricted to the batch, under run's 3c join rule
+    // (docs that lost a span take the rebuilt text; short remainders
+    // drop) — the x97 identity composed into the capstone ladder
+    val keptDocs = spark.read.parquet(s"$work/day2_kept")
+      .select(col("doc_id"), col("text"))
+    val sdFull = graft.ops.Dedup.substringDedup(
+      corpus.unionByName(keptDocs), "doc_id", "text", window = 8)
+    val spannedFull = keptDocs.join(
+        sdFull.select(col("doc_id"), col("n_tokens"), col("n_dropped"),
+          col("clean_text").as("__c")), Seq("doc_id"))
+      .where(col("n_tokens") === 0 || col("n_dropped") === 0 ||
+        col("n_tokens") - col("n_dropped") >= 8)
+      .withColumn("text",
+        when(col("n_dropped") > 0, col("__c")).otherwise(col("text")))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSet
+    val spannedIncr = spark.read.parquet(s.out)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSet
+    assert(spannedIncr == spannedFull,
+      s"span identity diverged: only-incr=${(spannedIncr -- spannedFull).take(3)} " +
+        s"only-full=${(spannedFull -- spannedIncr).take(3)}")
     // the r14 operational loop: the same day-2 batch feeds the three
     // monitors (novelty vs the frozen day-1 gram index, OOV vs the
     // frozen day-1 vocabulary, ANN recall vs brute-force truth over the
     // re-listed corpus ∪ appends). All three are deterministic pure
     // functions of (batch, day-1 artifacts), so the snapshot pins
-    // exactly: the 2/7-recrawl batch sits just above the novelty alert
-    // floor, in-distribution API text keeps OOV low, and the appended
-    // index answers at its measured recall — zero alerts on a healthy
-    // day-2.
+    // exactly: the 3/7-recrawl batch sits above the novelty alert
+    // floor (the quote slice's novel flanks lift it a notch over r17's
+    // 2-slice batch), in-distribution API text keeps OOV low, and the
+    // appended index answers at its measured recall — zero alerts on a
+    // healthy day-2.
     assert((s.novelty, s.oovRate, s.annRecall, s.fertility, s.monitorAlerts)
-      == ((0.108981, 0.087267, 0.7125, 3.378042, 0L)),
+      == ((0.147563, 0.131277, 0.7125, 3.403892, 0L)),
       s"day-2 monitor snapshot drifted: " +
         s"${(s.novelty, s.oovRate, s.annRecall, s.fertility, s.monitorAlerts)}")
     // the serving epilogue's QC gate (r15): the residual-PQ face built
@@ -264,13 +338,21 @@ class CurateMainSpec extends SparkSpec {
       .as[(String, Double, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(health.contains("api") && health.contains("recrawl") &&
-      health.contains("recrawl_near"), s"health sources: ${health.keySet}")
+      health.contains("recrawl_near") && health.contains("recrawl_quote"),
+      s"health sources: ${health.keySet}")
     assert(health("recrawl") == ((0.0, 1.0)),
       s"exact re-crawl row must read (novelty 0, dup_rate 1): ${health("recrawl")}")
     assert(health("recrawl_near")._2 == 1.0 &&
       health("recrawl_near")._1 < health("api")._1,
       s"near re-crawl must die whole and read less novel than the feed: " +
         s"${health("recrawl_near")} vs api ${health("api")}")
+    // the quote slice reads HEALTHY at doc level (dup_rate 0 — no doc
+    // dies to keep-reps) with mid novelty: exactly the source profile
+    // only the span-level x96 signal would indict — which is why the
+    // span probe, not acquisition, strips it
+    assert(health("recrawl_quote")._2 == 0.0 &&
+      health("recrawl_quote")._1 < health("api")._1,
+      s"quote slice must read doc-level healthy: ${health("recrawl_quote")}")
     // the verdict ACTING (r17): day2_mix is the health-gated
     // temperature mix over corpus ∪ batch — both re-crawl sources are
     // zeroed out by their own verdict rows (dup_rate 1, novelty ~0),
@@ -283,7 +365,7 @@ class CurateMainSpec extends SparkSpec {
     assert(!mix.contains("recrawl") && !mix.contains("recrawl_near"),
       s"indicted sources must be zeroed out of the mix: ${mix.keySet}")
     assert(mix.keySet.count(_.startsWith("src")) == 20 &&
-      mix("api") == 33L,
+      mix("api") == 33L && mix("recrawl_quote") == 37L,
       s"mix drifted: ${mix.toSeq.sortBy(_._1)}")
     // a healthy day-2 never repairs: the gate didn't fire, so the
     // refit leg stayed idle
@@ -396,7 +478,8 @@ class CurateMainSpec extends SparkSpec {
     val s = CurateMain.run(spark, "/root/testdata/sf0.01", out)
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 438,
-      boilerplate = 438, exact = 438, passage = 435, decontaminated = 430, nearDedup = 429,
+      boilerplate = 438, exact = 438, passage = 435, substring = 435,
+      decontaminated = 430, nearDedup = 429,
       mixed = 305, packs = 32, shards = 8, out = s"$out/curated",
       gateFails = Seq("g_words" -> 0L, "g_word_len" -> 0L, "g_hash" -> 0L,
         "g_ellipsis" -> 0L, "g_alpha" -> 0L, "g_stop" -> 112L,
