@@ -447,38 +447,169 @@ object VectorStreams {
     * the pruned float face, and nothing corpus-sized shuffles — cost
     * knob is `maxQueries`, independent of arrival rate.
     */
+  /** The maintenance loop's ownership lease file: `fence:owner`, the
+    * marker discipline the repo's other artifacts use. Two concurrent
+    * maintenance loops against one index would interleave refits — the
+    * generation seqlock only protects READERS — so the loop's contract
+    * is enforced, not documented: an epoch run under a different
+    * committed owner refuses loudly, and a crashed owner's lease is
+    * recovered by an explicit epoch-fenced [[takeoverMaintLease]]
+    * (after which the OLD owner's resumed loop is the one that
+    * refuses — the fence only ever moves through takeovers, so two
+    * parties cannot silently ping-pong the index).
+    */
+  private val MaintOwnerFile = "_MAINT_OWNER"
+
+  /** The committed lease, if any: (fence, owner). */
+  def maintLease(spark: SparkSession,
+      basePath: String): Option[(Long, String)] = {
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$basePath/$MaintOwnerFile")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val i = txt.indexOf(':')
+      require(i > 0, s"unparsable maintenance lease at $p: '$txt'")
+      Some((txt.take(i).toLong, txt.drop(i + 1)))
+    }
+  }
+
+  private def writeMaintLease(spark: SparkSession, basePath: String,
+      fence: Long, owner: String): Unit = {
+    require(!owner.contains('\n') && owner.nonEmpty,
+      s"invalid maintenance owner token: '$owner'")
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$basePath/$MaintOwnerFile"), true)
+    try out.write(s"$fence:$owner".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Recover a crashed owner's lease: bump the fence and install
+    * `newOwner` as the index's one maintenance loop. The retired
+    * owner's next epoch then refuses loudly instead of interleaving.
+    * Returns the new fence.
+    */
+  def takeoverMaintLease(spark: SparkSession, basePath: String,
+      newOwner: String): Long = {
+    val fence = maintLease(spark, basePath).map(_._1).getOrElse(0L) + 1L
+    writeMaintLease(spark, basePath, fence, newOwner)
+    fence
+  }
+
+  /** Acquire-or-verify the lease for `owner`: first caller commits it,
+    * the committed owner passes, anyone else fails loudly.
+    */
+  def requireMaintLease(spark: SparkSession, basePath: String,
+      owner: String): Unit =
+    maintLease(spark, basePath) match {
+      case None => writeMaintLease(spark, basePath, 1L, owner)
+      case Some((_, o)) if o == owner => ()
+      case Some((f, o)) => throw new IllegalStateException(
+        s"index at $basePath is maintenance-owned by '$o' (fence $f) — " +
+          s"refusing a second maintenance loop ('$owner'); if that owner " +
+          "crashed, recover with VectorStreams.takeoverMaintLease")
+    }
+
+  /** The index-GEOMETRY gauges of the unified trigger table, each read
+    * only when its ceiling is armed: `max_mean_residual` = the worst
+    * cell's mean residual norm (a15's axis — stale centroids), and
+    * `max_over_mean` = the hottest cell's population over the mean
+    * (a20's axis — probe-latency skew). Cost note for 100 TB: the
+    * balance gauge reads ONLY the partition column of the assigned
+    * face (a footer-weight scan); the residual gauge is one cluster-
+    * pruned map-side aggregation over the float face per epoch — arm
+    * it on the monitor's sampled-query stream, not on every serving
+    * epoch.
+    */
+  private def geometryGauges(spark: SparkSession, basePath: String,
+      vecCol: String, residualCeiling: Option[Double],
+      balanceCeiling: Option[Double])
+      : (Option[Double], Boolean, Option[Double], Boolean) = {
+    val res = residualCeiling.map { ceil =>
+      val m = Ivf.cellResidualProfile(spark, basePath, vecCol)
+        .agg(coalesce(max(col("mean_res_norm")), lit(0.0)))
+        .head().getDouble(0)
+      (m, m > ceil)
+    }
+    val bal = balanceCeiling.map { ceil =>
+      val kCells = Ivf.readIndex(spark, basePath).centroids.length
+      val r = spark.read.parquet(s"$basePath/assigned")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L)),
+          coalesce(sum(col("n")), lit(0L))).head()
+      val mom =
+        if (r.getLong(1) == 0L) 0.0
+        else BigDecimal(r.getLong(0).toDouble * kCells / r.getLong(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (mom, mom > ceil)
+    }
+    (res.map(_._1), res.exists(_._2), bal.map(_._1), bal.exists(_._2))
+  }
+
   /** One epoch of [[refitMaintenanceStream]], exposed for crash-replay
     * testing: write the epoch's QC snapshot (the [[pqAgreementSnapshot]]
-    * instrument, identical to the passive monitor's), then DECIDE from
-    * committed artifacts only — the repair fires when the last
-    * `debounce` committed monitor epochs ALL alert and no earlier
-    * repair already covers any of them (the refit record at
-    * `refitPath` is the actuation log: a replayed epoch re-reads the
-    * same committed rows and reaches the same verdict, so a crash
-    * between snapshot and repair resumes into the same decision
-    * instead of double-firing). On fire: [[Ivf.refitIndex]] under the
-    * single-writer discipline (THIS loop is the index's one
-    * maintenance owner), then the SAME instrument re-measures the
+    * instrument extended with the armed geometry gauges), then DECIDE
+    * from committed artifacts only — the repair fires when, for ANY of
+    * the three triggers (serving agreement, residual ceiling, balance
+    * ceiling — each independently debounced over the SAME committed
+    * window), the last `debounce` committed monitor epochs all alert on
+    * it, and no earlier repair already covers any of them (the refit
+    * record at `refitPath` is the actuation log: a replayed epoch
+    * re-reads the same committed rows and reaches the same verdict, so
+    * a crash between snapshot and repair resumes into the same decision
+    * instead of double-firing). Why three triggers feed ONE decision:
+    * a skew-poisoned (hot-cell) or drift-poisoned (residual) index
+    * whose staged agreement happens to hold would otherwise never
+    * repair, yet the advisory gauges exist precisely because those
+    * axes are orthogonal to agreement. On fire: [[Ivf.refitIndex]]
+    * under the enforced single-writer lease, the a19 size policy
+    * riding the same swap, then the SAME instrument re-measures the
     * promoted faces into `refitPath/epoch=<e>` — the repair judged by
-    * the gauge that demanded it. Returns whether a repair ran.
+    * every gauge that could have demanded it. Returns whether a repair
+    * ran.
     */
   def maintainEpoch(batch: DataFrame, epoch: Long, basePath: String,
       monitorPath: String, refitPath: String, idCol: String,
       vecCol: String, k: Int, kCand: Int, maxQueries: Int,
       alertBelow: Double, debounce: Int,
-      resizePolicy: Option[(Int, Int)] = None): Boolean = {
+      resizePolicy: Option[(Int, Int)] = None,
+      residualCeiling: Option[Double] = None,
+      balanceCeiling: Option[Double] = None,
+      owner: Option[String] = None): Boolean = {
     require(debounce >= 1, s"debounce must be >= 1, got $debounce")
     val spark = batch.sparkSession
-    pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
-        maxQueries, alertBelow)
+    owner.foreach(o => requireMaintLease(spark, basePath, o))
+    def gauged(df: DataFrame): DataFrame = {
+      val (resVal, resAlert, balVal, balAlert) =
+        geometryGauges(spark, basePath, vecCol, residualCeiling,
+          balanceCeiling)
+      df.withColumn("max_mean_residual",
+          lit(resVal.map(Double.box).orNull).cast("double"))
+        .withColumn("residual_alert", lit(resAlert))
+        .withColumn("max_over_mean",
+          lit(balVal.map(Double.box).orNull).cast("double"))
+        .withColumn("balance_alert", lit(balAlert))
+    }
+    gauged(pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
+        maxQueries, alertBelow))
       .write.mode("overwrite").parquet(s"$monitorPath/epoch=$epoch")
     val window = epochsBefore(spark, monitorPath, epoch + 1)
       .takeRight(debounce)
-    val fire = window.size == debounce &&
-      window.forall { e =>
-        spark.read.parquet(s"$monitorPath/epoch=$e")
-          .select(col("alert")).head().getBoolean(0)
-      } &&
+    val windowRows = window.map { e =>
+      spark.read.parquet(s"$monitorPath/epoch=$e")
+        .select(col("alert"), col("residual_alert"), col("balance_alert"))
+        .head()
+    }
+    // each trigger debounces independently over the same window: one
+    // hot sample of any single gauge must not bill a refit, but any
+    // gauge alerting `debounce` epochs straight is sufficient cause
+    def trig(i: Int): Boolean =
+      window.size == debounce && windowRows.forall(_.getBoolean(i))
+    val fire = (trig(0) || trig(1) || trig(2)) &&
       // an alert the previous repair already acted on is not fresh
       // evidence: every alerting epoch in the window must postdate the
       // last repair (post-repair alerts re-arm the loop from scratch)
@@ -497,8 +628,11 @@ object VectorStreams {
         if (Ivf.resizeRecommended(kCur, kPol)) Some(kPol) else None
       }
       Ivf.refitIndex(spark, basePath, idCol, vecCol, resizeTo = resize)
-      pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
-          maxQueries, alertBelow)
+      // the refit record re-measures EVERY gauge (gauged re-reads the
+      // promoted faces), so a geometry-triggered repair is judged on
+      // the geometry axis that demanded it, not only on agreement
+      gauged(pqAgreementSnapshot(batch, basePath, idCol, vecCol, k, kCand,
+          maxQueries, alertBelow))
         .write.mode("overwrite").parquet(s"$refitPath/epoch=$epoch")
     }
     fire
@@ -506,26 +640,42 @@ object VectorStreams {
 
   /** The maintenance loop the monitors exist for — [[pqAgreementStream]]
     * RECORDS that the compressed face degraded; this stream ACTS on it:
-    * per arriving query micro-batch, measure the serving gate, debounce
-    * (`debounce` consecutive alerting epochs — one bad sample must not
-    * bill a full refit), invoke [[Ivf.refitIndex]], and re-measure the
-    * promoted faces with the same instrument. The streaming form of the
-    * capstone's refit-on-alert. Single-writer: run at most one
-    * maintenance stream per index; concurrent SERVING
+    * per arriving query micro-batch, measure the serving gate plus any
+    * ARMED geometry gauge (`residualCeiling` — a15's stale-centroid
+    * axis; `balanceCeiling` — a20's hot-cell axis), debounce each
+    * trigger independently (`debounce` consecutive alerting epochs —
+    * one bad sample of any gauge must not bill a full refit), invoke
+    * [[Ivf.refitIndex]] when any trigger sustains, and re-measure the
+    * promoted faces with the same instruments. The streaming form of
+    * the capstone's refit-on-alert, closing the detect-without-repair
+    * gap for the axes agreement can't see: a hot-cell or residual-
+    * drifted index whose staged agreement holds still repairs here.
+    * Single-writer is ENFORCED: the loop owns the index through the
+    * `_MAINT_OWNER` lease (`owner` defaults to the checkpoint path —
+    * stable across restarts of the same stream, distinct between
+    * accidental second loops, which refuse loudly; a crashed owner is
+    * recovered with [[takeoverMaintLease]]). Concurrent SERVING
     * ([[stagedServeStream]]) stays safe across the swap via the
     * index-generation seqlock ([[Ivf.withStableGen]]).
     *
     * 100 TB shape: the decision reads `debounce` one-row parquet files
-    * per epoch; the repair costs one index build, paid exactly when
-    * drift says so — the monitors' whole purpose — and the swap is the
-    * crash-recoverable committed multi-face promote.
+    * per epoch; the balance gauge scans only the partition column, the
+    * residual gauge one cluster-pruned map-side aggregation (run the
+    * loop on a sampled query stream — the gauges bill per epoch, not
+    * per query); the repair costs one index build, paid exactly when a
+    * sustained trigger says so, and the swap is the crash-recoverable
+    * committed multi-face promote.
     */
   def refitMaintenanceStream(queries: DataFrame, basePath: String,
       monitorPath: String, refitPath: String, checkpoint: String,
       idCol: String, vecCol: String, k: Int = 10, kCand: Int = 50,
       maxQueries: Int = 32, alertBelow: Double = 0.5,
       debounce: Int = 2,
-      resizePolicy: Option[(Int, Int)] = None): StreamingQuery =
+      resizePolicy: Option[(Int, Int)] = None,
+      residualCeiling: Option[Double] = None,
+      balanceCeiling: Option[Double] = None,
+      owner: Option[String] = None): StreamingQuery = {
+    val own = owner.getOrElse(checkpoint)
     queries.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
@@ -533,10 +683,12 @@ object VectorStreams {
         Staged.scoped {
           maintainEpoch(batch, epoch, basePath, monitorPath, refitPath,
             idCol, vecCol, k, kCand, maxQueries, alertBelow,
-            debounce, resizePolicy): Unit
+            debounce, resizePolicy, residualCeiling, balanceCeiling,
+            owner = Some(own)): Unit
         }
       }
       .start()
+  }
 
   def pqAgreementStream(queries: DataFrame, basePath: String,
       outPath: String, checkpoint: String, idCol: String, vecCol: String,

@@ -538,6 +538,149 @@ class VectorStreamsSpec extends SparkSpec {
     graft.ops.Staged.releaseAll()
   }
 
+  // ---- the unified trigger table (r18): geometry axes that must
+  // repair even while the serving-agreement gate stays green. Base =
+  // four 10-vector clusters on the ±100 axes of dims 1/2; the hot blob
+  // is a 360-point grid spread over dims 3/4 — orthogonal DIRECTIONS,
+  // so base queries' cosine top-10 never meets a blob row and the
+  // agreement gate cannot be the cause of the fire.
+  private def balanceBase = (0 until 40).map { i =>
+    val axis = i % 4
+    val c = Seq.tabulate(4)(d =>
+      (if (d == axis / 2) (if (axis % 2 == 0) 100.0 else -100.0) else 0.0) +
+        math.sin(i * 1.3 + d) * 0.3)
+    (i.toLong, c)
+  }.toDF("vec_id", "embedding")
+
+  private def balanceBlob = (0 until 360).map { i =>
+    // dim-0 biased +0.5 so EVERY blob point's nearest centroid is the
+    // +100-axis cell (a symmetric jitter would spread it 4 ways)
+    (1000L + i, Seq(0.5 + math.sin(i * 0.7) * 0.1, math.cos(i * 1.1) * 0.2,
+      (i % 19) * 0.5, ((i * 7) % 19) * 0.5))
+  }.toDF("vec_id", "embedding")
+
+  test("balance trigger: a hot-cell blob repairs mid-stream while agreement stays green; post-refit reads balanced") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vbal").toString
+    val dir = s"$root/index"
+    Ivf.buildPersistent(balanceBase, dir, "vec_id", "embedding", k = 4): Unit
+    graft.ops.Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
+    // the blob lands whole in ONE Voronoi cell (every centroid is ~100
+    // away): 370/400 vectors through one cell — the latency-tail skew
+    // a20 exists for, invisible to drift (residuals small) and to the
+    // serving gate (no base query ranks a blob row)
+    Ivf.appendToIndex(balanceBlob, dir, "vec_id", "embedding"): Unit
+    val (mon, ref) = (s"$root/mon", s"$root/ref")
+    val queryBatch = balanceBase
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .as[VecEvent].collect().toSeq
+    val input = MemoryStream[VecEvent](spark)
+    val q = VectorStreams.refitMaintenanceStream(input.toDF(), dir, mon,
+      ref, s"$root/cp", "vec_id", "embedding", k = 10, kCand = 20,
+      maxQueries = 8, alertBelow = 0.2, debounce = 2,
+      // 400 vectors at targetCell=20 want k=20 — the size policy rides
+      // the fired repair, splitting the hot mass across ~16 cells
+      resizePolicy = Some((20, 4)), balanceCeiling = Some(2.5))
+    try (0 until 3).foreach { _ =>
+      input.addData(queryBatch: _*); q.processAllAvailable()
+    } finally q.stop()
+    def row(path: String) = spark.read.parquet(path)
+      .select($"alert", $"balance_alert", $"max_over_mean")
+      .as[(Boolean, Boolean, Double)].head()
+    val e0 = row(s"$mon/epoch=0")
+    val e1 = row(s"$mon/epoch=1")
+    assert(!e0._1 && !e1._1,
+      s"the agreement gate must stay green — the fire is balance-owned: $e0 / $e1")
+    assert(e0._2 && e1._2 && e0._3 > 2.5,
+      s"the hot cell must alert the balance gauge: $e0 / $e1")
+    assert(VectorStreams.epochsBefore(spark, ref, Long.MaxValue) == Seq(1L),
+      "the repair must fire at the second consecutive balance alert")
+    val qc = row(s"$ref/epoch=1")
+    assert(qc._3 < e1._3 && !qc._2,
+      s"post-refit the index must read balanced: ${qc._3} vs planted ${e1._3}")
+    assert(Ivf.readIndex(spark, dir).centroids.length == 20,
+      "the size policy must ride the balance-triggered repair")
+    // post-repair epoch reads the promoted geometry and stays quiet
+    val e2 = row(s"$mon/epoch=2")
+    assert(!e2._1 && !e2._2, s"post-repair epoch must read healthy: $e2")
+    graft.ops.Staged.releaseAll()
+  }
+
+  test("residual trigger: drift the agreement gate can't see repairs mid-stream") {
+    // the drifted blob inflates its cell's residuals (frozen centroids),
+    // but the QUERY stream is the in-fit base sample whose cosine
+    // neighborhoods never meet blob rows — agreement green, residual red
+    val root = java.nio.file.Files.createTempDirectory("graft-vres").toString
+    val dir = s"$root/index"
+    Ivf.buildPersistent(driftBase, dir, "vec_id", "embedding", k = 3): Unit
+    graft.ops.Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
+    Ivf.appendToIndex(driftBlob, dir, "vec_id", "embedding"): Unit
+    val (mon, ref) = (s"$root/mon", s"$root/ref")
+    val queryBatch = driftBase
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .as[VecEvent].collect().toSeq
+    val input = MemoryStream[VecEvent](spark)
+    val q = VectorStreams.refitMaintenanceStream(input.toDF(), dir, mon,
+      ref, s"$root/cp", "vec_id", "embedding", k = 10, kCand = 20,
+      maxQueries = 8, alertBelow = 0.2, debounce = 2,
+      residualCeiling = Some(2.0))
+    try (0 until 3).foreach { _ =>
+      input.addData(queryBatch: _*); q.processAllAvailable()
+    } finally q.stop()
+    def row(path: String) = spark.read.parquet(path)
+      .select($"alert", $"residual_alert", $"max_mean_residual")
+      .as[(Boolean, Boolean, Double)].head()
+    val e0 = row(s"$mon/epoch=0")
+    val e1 = row(s"$mon/epoch=1")
+    assert(!e0._1 && !e1._1,
+      s"the agreement gate must stay green — the fire is residual-owned: $e0 / $e1")
+    assert(e0._2 && e1._2 && e0._3 > 2.0,
+      s"the planted drift must alert the residual gauge: $e0 / $e1")
+    assert(VectorStreams.epochsBefore(spark, ref, Long.MaxValue) == Seq(1L),
+      "the repair must fire at the second consecutive residual alert")
+    val qc = row(s"$ref/epoch=1")
+    assert(qc._3 < 2.0 && !qc._2,
+      s"post-refit residuals must return to unit scale: ${qc._3}")
+    val e2 = row(s"$mon/epoch=2")
+    assert(!e2._2, s"post-repair epoch must read undrifted: $e2")
+    graft.ops.Staged.releaseAll()
+  }
+
+  test("maintenance lease: a second loop refuses loudly; takeover recovers a crashed owner; the fence retires it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vlease").toString
+    val dir = s"$root/index"
+    Ivf.buildPersistent(driftBase, dir, "vec_id", "embedding", k = 3): Unit
+    graft.ops.Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 2, ksub = 4)
+    // first caller commits the lease
+    VectorStreams.requireMaintLease(spark, dir, "loop-a")
+    assert(VectorStreams.maintLease(spark, dir) == Some((1L, "loop-a")))
+    // the committed owner re-enters freely (every epoch re-verifies)
+    VectorStreams.requireMaintLease(spark, dir, "loop-a")
+    // an accidental second loop refuses loudly — including through the
+    // real epoch body
+    intercept[IllegalStateException] {
+      VectorStreams.requireMaintLease(spark, dir, "loop-b")
+    }
+    val ex = intercept[IllegalStateException] {
+      VectorStreams.maintainEpoch(driftBase, 0L, dir, s"$root/mon",
+        s"$root/ref", "vec_id", "embedding", k = 10, kCand = 20,
+        maxQueries = 8, alertBelow = 0.5, debounce = 2,
+        owner = Some("loop-b"))
+    }
+    assert(ex.getMessage.contains("loop-a") &&
+      ex.getMessage.contains("takeoverMaintLease"),
+      s"the refusal must name the owner and the recovery path: ${ex.getMessage}")
+    // loop-a crashes; the operator recovers the lease for loop-b with a
+    // bumped fence...
+    assert(VectorStreams.takeoverMaintLease(spark, dir, "loop-b") == 2L)
+    VectorStreams.requireMaintLease(spark, dir, "loop-b")
+    // ...after which the RESUMED old owner is the one that refuses —
+    // the fence moves only through takeovers, never silently back
+    intercept[IllegalStateException] {
+      VectorStreams.requireMaintLease(spark, dir, "loop-a")
+    }
+    graft.ops.Staged.releaseAll()
+  }
+
   test("maintenance resize policy: a fired repair lands the kForCells k in the same swap") {
     val root = java.nio.file.Files.createTempDirectory("graft-vresize").toString
     val dir = s"$root/index"
