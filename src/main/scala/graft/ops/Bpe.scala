@@ -399,6 +399,149 @@ object Bpe {
     readFit(spark, path)
   }
 
+  /** The two faces a tokenizer refit rebuilds/swaps, in swap order. */
+  private val RefitFaces = Seq("merges", "words")
+
+  /** REPAIR the drift the fertility/OOV monitors detect — the tokenizer
+    * half of the detect→decide→repair loop the index family already
+    * closed: a committed [[fitCached]] artifact shreds drifted ingest
+    * into near-characters ([[graft.streaming.Streams
+    * .fertilityMonitorStream]] is the gauge), and the answer so far was
+    * "delete the path and re-fit by hand". This re-fits the SAME
+    * textCol/nMerges parameters (parsed from the committed `_BPE_OK_v1`
+    * marker) over the caller's CURRENT corpus and promotes the new
+    * `merges/` + `words/` under a fresh `corpusTag` through a
+    * crash-recoverable versioned swap — [[graft.ops.Ivf.refitIndex]]'s
+    * discipline on the two-face artifact: everything builds under
+    * `__refit_tmp/` (staged marker included), the commit point is the
+    * `_REFIT_COMMIT` file written LAST, and [[recoverRefit]] rolls a
+    * torn swap forward (or discards an uncommitted build) on the next
+    * maintenance call. Single-writer, like [[fitCached]]: one
+    * maintenance loop owns a tokenizer artifact; consumers holding a
+    * [[Fit]] keep serving the retired generation (the merge list is a
+    * driver-side snapshot), new [[readFit]] calls see the promoted one.
+    */
+  def refitCommitted(spark: SparkSession, path: String, df: DataFrame,
+      textCol: String, corpusTag: String): Unit = {
+    recoverRefit(spark, path)
+    buildRefitTmp(spark, path, df, textCol, corpusTag)
+    swapRefit(spark, path)
+  }
+
+  /** [[refitCommitted]]'s build phase, up to and including the
+    * `_REFIT_COMMIT` file — exposed to the spec as the crash point
+    * (after this, the old faces are still fully live on disk; the next
+    * [[recoverRefit]] rolls the swap forward).
+    */
+  private[graft] def buildRefitTmp(spark: SparkSession, path: String,
+      df: DataFrame, textCol: String, corpusTag: String): Unit = {
+    require(corpusTag.nonEmpty, "corpusTag must be non-empty (see fitCached)")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Re = ("_BPE_OK_v1_" + java.util.regex.Pattern.quote(textCol) +
+      """_m(\d+)_f(.+)$""").r
+    val committed = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/_BPE_OK_v1_${textCol}_*"))).toSeq.flatten
+      .map(_.getPath.getName).collect { case Re(m, tag) => (m.toInt, tag) }
+    require(committed.length == 1,
+      s"tokenizer at $path needs exactly one committed _BPE_OK_v1_${textCol} " +
+        s"marker to refit under its own parameters; found: $committed")
+    val nMerges = committed.head._1
+    val tmp = s"$path/__refit_tmp"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp))
+    val f = fitAuto(df, textCol, nMerges)
+    f.mergeTable(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/merges")
+    f.words.toDF("word", "syms", "freq")
+      .write.mode("overwrite").parquet(s"$tmp/words")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$tmp/_BPE_OK_v1_${textCol}_m${nMerges}_f$corpusTag"), true).close()
+    // the commit point: everything above is invisible until this file
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_REFIT_COMMIT"), true)
+      .close()
+  }
+
+  /** Finish (committed) or discard (uncommitted) a tokenizer refit a
+    * crashed run left behind — called first by [[refitCommitted]] and
+    * safe any time; a no-op without refit debris. Returns true when a
+    * committed swap was rolled forward.
+    */
+  def recoverRefit(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/__refit_tmp")
+    if (fs.exists(tmp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_REFIT_COMMIT"))) {
+        swapRefit(spark, path); true
+      } else {
+        require(fs.delete(tmp, true), s"bpe refit: delete failed for $tmp")
+        false
+      }
+    } else {
+      // stray per-face debris without a tmp: crash inside the
+      // post-commit swap's cleanup — live faces are authoritative
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$path/__refit_old_*"))).toSeq.flatten.foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(path,
+          st.getPath.getName.stripPrefix("__refit_old_"))
+        if (fs.exists(live))
+          require(fs.delete(st.getPath, true),
+            s"bpe refit: delete failed for ${st.getPath}")
+        else require(fs.rename(st.getPath, live),
+          s"bpe refit: rollback rename ${st.getPath} -> $live failed")
+      }
+      false
+    }
+  }
+
+  /** The idempotent post-commit swap (the Ivf discipline on two faces
+    * plus the marker): every crash state maps to one resume action.
+    */
+  private def swapRefit(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    RefitFaces.foreach { face =>
+      val tmpSub = new org.apache.hadoop.fs.Path(s"$path/__refit_tmp/$face")
+      val live = new org.apache.hadoop.fs.Path(s"$path/$face")
+      val old = new org.apache.hadoop.fs.Path(s"$path/__refit_old_$face")
+      if (fs.exists(tmpSub)) {
+        if (fs.exists(live) && !fs.exists(old))
+          require(fs.rename(live, old),
+            s"bpe refit: rename $live -> $old failed")
+        if (!fs.exists(live))
+          require(fs.rename(tmpSub, live),
+            s"bpe refit: rename $tmpSub -> $live failed")
+        else require(fs.delete(tmpSub, true),
+          s"bpe refit: delete failed for $tmpSub")
+      }
+    }
+    RefitFaces.foreach { face =>
+      val old = new org.apache.hadoop.fs.Path(s"$path/__refit_old_$face")
+      if (fs.exists(old))
+        require(fs.delete(old, true), s"bpe refit: delete failed for $old")
+      spark.catalog.refreshByPath(s"$path/$face")
+    }
+    // promote the staged marker, retiring every differing committed one
+    // (crash-safe in both directions, the Ivf marker rule verbatim)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/__refit_tmp/_BPE_OK_*"))).toSeq.flatten.foreach { st =>
+      val name = st.getPath.getName
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$path/_BPE_OK_*"))).toSeq.flatten
+        .filter(_.getPath.getName != name)
+        .foreach(o => require(fs.delete(o.getPath, false),
+          s"bpe refit: delete failed for ${o.getPath}"))
+      val dest = new org.apache.hadoop.fs.Path(path, name)
+      if (fs.exists(dest))
+        require(fs.delete(st.getPath, false),
+          s"bpe refit: delete failed for ${st.getPath}")
+      else require(fs.rename(st.getPath, dest),
+        s"bpe refit: rename ${st.getPath} -> $dest failed")
+    }
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/__refit_tmp"), true),
+      s"bpe refit: delete failed for $path/__refit_tmp")
+  }
+
   /** Reload a persisted fit. The merge list is driver-bounded
     * (nMerges rows); the symbolization table stays a lazy scan.
     */

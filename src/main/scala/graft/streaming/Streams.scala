@@ -1206,6 +1206,88 @@ object Streams {
       }
       .start()
 
+  /** One epoch of [[bpeMaintenanceStream]], exposed for crash-replay
+    * testing — the tokenizer half of the detect→decide→repair loop
+    * ([[graft.streaming.VectorStreams.maintainEpoch]]'s discipline on
+    * the BPE artifact): write the epoch's fertility snapshot against
+    * the COMMITTED merge list into `monitorPath/epoch=<e>`, then decide
+    * from committed artifacts only — the re-fit fires when the last
+    * `debounce` committed monitor epochs ALL alert and no earlier
+    * repair covers any of them (the refit record at `refitPath` is the
+    * actuation log; a replayed epoch re-reads the same rows and reaches
+    * the same verdict, so a crash between snapshot and repair resumes
+    * into the same decision instead of double-firing — and a re-fit is
+    * not replay-pure, so the guard is what keeps warm replays from
+    * churning the artifact). On fire: [[graft.ops.Bpe.refitCommitted]]
+    * over the corpus at `corpusPath` — the caller-maintained fit corpus
+    * (base plus absorbed ingest), because re-fitting on one drifted
+    * batch would whiplash the vocabulary — under the crash-recoverable
+    * versioned `_BPE_OK` marker swap, then the SAME instrument
+    * re-measures fertility under the promoted merges into
+    * `refitPath/epoch=<e>`. Consumers (x72/x74/x77/x80, packing, the
+    * capstone) read the committed artifact atomically: a held Fit is a
+    * driver-side snapshot of the retired generation, the next readFit
+    * sees the promoted one. Returns whether a repair ran.
+    */
+  def maintainBpeEpoch(batch: DataFrame, epoch: Long, bpePath: String,
+      corpusPath: String, monitorPath: String, refitPath: String,
+      idCol: String, textCol: String, alertAbove: Double,
+      debounce: Int): Boolean = graft.ops.Staged.scoped {
+    require(debounce >= 1, s"debounce must be >= 1, got $debounce")
+    val spark = batch.sparkSession
+    fertilitySnapshot(batch, s"$bpePath/merges", idCol, textCol, alertAbove)
+      .write.mode("overwrite").parquet(s"$monitorPath/epoch=$epoch")
+    val window = epochsBefore(spark, monitorPath, epoch + 1)
+      .takeRight(debounce)
+    val fire = window.size == debounce &&
+      window.forall { e =>
+        spark.read.parquet(s"$monitorPath/epoch=$e")
+          .select(col("alert")).head().getBoolean(0)
+      } &&
+      epochsBefore(spark, refitPath, Long.MaxValue).forall(_ < window.head)
+    if (fire) {
+      // the tag is the firing epoch — deterministic, so a crash between
+      // the swap and the record replays into the IDENTICAL marker name
+      graft.ops.Bpe.refitCommitted(spark, bpePath,
+        spark.read.parquet(corpusPath), textCol,
+        corpusTag = s"refit_e$epoch")
+      fertilitySnapshot(batch, s"$bpePath/merges", idCol, textCol,
+          alertAbove)
+        .write.mode("overwrite").parquet(s"$refitPath/epoch=$epoch")
+    }
+    fire
+  }
+
+  /** The maintenance loop for the TOKENIZER artifact —
+    * [[fertilityMonitorStream]] RECORDS that the committed merge list
+    * shreds arriving text; this stream ACTS on it: per micro-batch,
+    * measure fertility against the committed merges, debounce, re-fit
+    * over the caller-maintained corpus at `corpusPath`, and re-measure
+    * with the same instrument — closing for the BPE artifact the same
+    * detect-without-repair gap the index family's
+    * [[VectorStreams.refitMaintenanceStream]] closed for the vector
+    * index. Single-writer per artifact path ([[graft.ops.Bpe
+    * .fitCached]]'s contract).
+    *
+    * 100 TB shape: the decision reads `debounce` one-row files per
+    * epoch; the fertility gauge costs one pass over the batch's
+    * distinct words against the nMerges-bounded merge list; the repair
+    * costs one corpus word-count pass + the merge loop, paid exactly
+    * when sustained drift says so.
+    */
+  def bpeMaintenanceStream(docs: DataFrame, bpePath: String,
+      corpusPath: String, monitorPath: String, refitPath: String,
+      checkpoint: String, idCol: String, textCol: String,
+      alertAbove: Double = 4.0, debounce: Int = 2): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        maintainBpeEpoch(batch, epoch, bpePath, corpusPath, monitorPath,
+          refitPath, idCol, textCol, alertAbove, debounce): Unit
+      }
+      .start()
+
   /** Streaming n-gram novelty monitor — the operational face of the
     * x65 acquisition-health signal: per micro-batch of arriving docs,
     * the fraction of their distinct shingles never seen in any earlier

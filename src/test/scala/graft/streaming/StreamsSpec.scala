@@ -1364,6 +1364,90 @@ class StreamsSpec extends SparkSpec {
     graft.ops.Staged.releaseAll()
   }
 
+  test("BPE maintenance loop: vocabulary drift re-fits the tokenizer mid-stream; fertility restored; swap crash-recoverable") {
+    // base vocabulary shares no letter with the drift vocabulary, so
+    // the committed merges apply NOTHING to drifted words (fertility =
+    // exactly chars/word = 4.0); after the re-fit over the caller-
+    // maintained corpus the drift words collapse to one symbol each
+    // (fertility exactly 1.0) — BPE fits are deterministic, so these
+    // are exact pins, not KMeans-style differentials
+    val root = java.nio.file.Files.createTempDirectory("graft-bmaint").toString
+    val (bpeP, corpusP, mon, ref) =
+      (s"$root/bpe", s"$root/corpus", s"$root/mon", s"$root/ref")
+    val base = (0 until 20).map(i =>
+      (i.toLong, "hello world spark stream data")).toDF("doc_id", "text")
+    // 30 docs: the drift words' composed pairs (freq 60) outrank every
+    // base pair (freq 20) in the greedy merge order, so the re-fit
+    // collapses them to ONE symbol each — fertility exactly 1.0
+    val drift = (0 until 30).map(i =>
+      (100L + i, "qzvx vxqz qzvx vxqz")).toDF("doc_id", "text")
+    graft.ops.Bpe.fitCached(base, "text", nMerges = 16, bpeP,
+      corpusTag = "day1"): Unit
+    // the fit corpus the repair reads: base plus the absorbed ingest
+    base.unionByName(drift).write.mode("overwrite").parquet(corpusP)
+    val batch = drift.as[(Long, String)].collect()
+      .map { case (id, t) => DocEvent(id, ts(1), t) }.toSeq
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.bpeMaintenanceStream(
+      input.toDF().select($"doc_id", $"text"), bpeP, corpusP, mon, ref,
+      s"$root/cp", "doc_id", "text", alertAbove = 3.0, debounce = 2)
+    try (0 until 3).foreach { _ =>
+      input.addData(batch: _*); q.processAllAvailable()
+    } finally q.stop()
+    def row(path: String) = spark.read.parquet(path)
+      .select($"fertility", $"alert").as[(Double, Boolean)].head()
+    val e0 = row(s"$mon/epoch=0")
+    val e1 = row(s"$mon/epoch=1")
+    val e2 = row(s"$mon/epoch=2")
+    assert(e0 == ((4.0, true)) && e1 == ((4.0, true)),
+      s"drifted epochs must shred to characters and alert: $e0 / $e1")
+    // debounce: the repair record starts exactly at epoch 1
+    assert(new java.io.File(s"$ref/epoch=1").exists() &&
+      !new java.io.File(s"$ref/epoch=0").exists(),
+      "the re-fit must fire at the second consecutive alert, not the first")
+    assert(row(s"$ref/epoch=1") == ((1.0, false)),
+      s"the re-measured fertility must read the promoted merges: " +
+        s"${row(s"$ref/epoch=1")}")
+    // post-repair epochs read the promoted artifact atomically
+    assert(e2 == ((1.0, false)), s"post-repair epoch must read healthy: $e2")
+    // the promoted marker carries the deterministic refit tag; exactly
+    // one generation is committed
+    val markers = new java.io.File(bpeP).listFiles()
+      .map(_.getName).filter(_.startsWith("_BPE_OK_")).toSeq
+    assert(markers == Seq("_BPE_OK_v1_text_m16_frefit_e1"),
+      s"marker generations drifted: $markers")
+    // crash-replay of the firing epoch: the rewritten monitor row reads
+    // the repaired merges (healthy) and the committed record guards the
+    // window — the actuator never double-fires or re-churns the fit
+    assert(!Streams.maintainBpeEpoch(drift, 1L, bpeP, corpusP, mon, ref,
+      "doc_id", "text", alertAbove = 3.0, debounce = 2),
+      "replaying the firing epoch must not re-fire the re-fit")
+    assert(new java.io.File(bpeP).listFiles()
+      .map(_.getName).count(_.startsWith("_BPE_OK_")) == 1)
+    // crash INSIDE a later refit: committed tmp (crash after the commit
+    // point, before the swap) rolls FORWARD on the next recover...
+    graft.ops.Bpe.buildRefitTmp(spark, bpeP,
+      spark.read.parquet(corpusP), "text", corpusTag = "crash_tag")
+    assert(new java.io.File(s"$bpeP/__refit_tmp/_REFIT_COMMIT").exists())
+    assert(graft.ops.Bpe.recoverRefit(spark, bpeP),
+      "a committed tmp must roll forward")
+    assert(new java.io.File(bpeP).listFiles()
+      .map(_.getName).filter(_.startsWith("_BPE_OK_")).toSeq ==
+      Seq("_BPE_OK_v1_text_m16_fcrash_tag"),
+      "the rolled-forward swap must promote the staged marker")
+    assert(!new java.io.File(s"$bpeP/__refit_tmp").exists(),
+      "no refit debris after recovery")
+    // ...and an UNCOMMITTED tmp (crash before the commit point) is
+    // discarded whole: the live artifact never stopped serving
+    assert(new java.io.File(s"$bpeP/__refit_tmp").mkdir())
+    assert(!graft.ops.Bpe.recoverRefit(spark, bpeP),
+      "an uncommitted tmp is debris, not a swap")
+    assert(!new java.io.File(s"$bpeP/__refit_tmp").exists())
+    assert(graft.ops.Bpe.readFit(spark, bpeP).merges.nonEmpty,
+      "the live artifact must survive a discarded build")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("streaming DSIR scoring equals the batch probe of the model") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
     val (mP, outP, cp) = (s"$root/model", s"$root/out", s"$root/cp")
