@@ -51,6 +51,9 @@ object ScaleRehearsalStream {
     if (args.headOption.contains("--qlive")) return runQuotationLive(
       args.lift(1).map(_.toInt).getOrElse(24),
       args.lift(2).map(_.toInt).getOrElse(6))
+    if (args.headOption.contains("--maintain")) return runMaintain(
+      args.lift(1).map(_.toInt).getOrElse(5),
+      args.lift(2).map(_.toInt).getOrElse(2))
     val epochCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8, 16)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -421,6 +424,138 @@ object ScaleRehearsalStream {
         f""""recrawl_novelty":${expect("recrawl")._1}%.6f,""" +
         f""""fresh_novelty":${expect("fresh")._1}%.6f}""")
     }
+    spark.stop()
+  }
+
+  private case class Vec(vec_id: Long, embedding: Seq[Float])
+
+  /** `--maintain [nEpochs] [debounce]` (default 5, 2): price the
+    * STREAMING refit-maintenance loop end to end at the fixture scale —
+    * the operational rehearsal of
+    * [[VectorStreams.refitMaintenanceStream]], which the specs verify
+    * at toy scale but nothing had measured. Day 1 commits the IVF/PQ
+    * index over the corpus embeddings; a model-swap drift (the whole
+    * corpus re-embedded far from the fit distribution) appends under
+    * frozen centroids; then a drifted QUERY stream drives the loop
+    * (both geometry gauges armed, so each epoch's wall bills the full
+    * instrument) while a CONCURRENT [[VectorStreams.stagedServeStream]]
+    * answers an in-fit query batch every epoch — serving must continue
+    * across the swap, epochs-to-repair must equal the debounce, the
+    * repair must fire exactly once, and the post-repair agreement must
+    * clear the drifted value by the refit-spec differential (all
+    * REQUIREd, not just printed).
+    */
+  private def runMaintain(nEpochs: Int, debounce: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = SparkSession.builder()
+      .appName("graft-scale-maintain")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val nBase = emb.count()
+    require(nBase > 0, s"no embeddings under $sfDir — nothing to rehearse")
+    val root = java.nio.file.Files.createTempDirectory("graft-maintain").toString
+    val dir = s"$root/index"
+    var t0 = System.nanoTime()
+    graft.ops.Ivf.buildPersistent(emb, dir, "vec_id", "embedding", k = 16): Unit
+    graft.ops.Pq.pqAssign(spark, dir, "vec_id", "embedding", m = 4, ksub = 16)
+    // the drift: a far offset blob with REAL angular spread (5x the
+    // base variation riding a +15-per-coordinate offset) — far enough
+    // that the frozen codebooks saturate on its residuals, spread
+    // enough that round-6 cosine still ranks its members distinctly (a
+    // tighter blob collapses to ties and reads a vacuous 1.0
+    // agreement). The IvfRefitSpec recipe at fixture scale.
+    graft.ops.Ivf.appendToIndex(
+      emb.select(($"vec_id" + 10000000L).as("vec_id"),
+        transform($"embedding", x => x * lit(5.0f) + lit(10.0f))
+          .as("embedding")),
+      dir, "vec_id", "embedding"): Unit
+    val day1Sec = (System.nanoTime() - t0) / 1e9
+    // drifted maintenance queries (the snapshot samples the lowest 32):
+    // the arriving drifted traffic is what the degraded codes mis-rank,
+    // so it is what the gate measures — the r17 loop spec's recipe
+    val maintBatch = spark.read.parquet(s"$dir/assigned")
+      .where($"vec_id" >= 10000000L).orderBy($"vec_id").limit(256)
+      .select($"vec_id", $"embedding").as[Vec].collect().toSeq
+    val serveBatch = emb.where($"vec_id" % 97 === 0)
+      .select($"vec_id", $"embedding").as[Vec].collect().toSeq
+    val (mon, ref) = (s"$root/mon", s"$root/ref")
+    val maintIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Vec](spark)
+    val serveIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Vec](spark)
+    val maintQ = VectorStreams.refitMaintenanceStream(maintIn.toDF(), dir,
+      mon, ref, s"$root/mcp", "vec_id", "embedding", k = 10, kCand = 100,
+      maxQueries = 32, alertBelow = 0.5, debounce = debounce,
+      // targetCell=128: the corpus DOUBLED under the drift append, so
+      // the policy recommends k=32 (a 2x gap from the built 16) and the
+      // fired repair rides the resize — halved cells, which is also
+      // what restores the staged gate's candidate coverage
+      resizePolicy = Some((128, 4)),
+      // both geometry gauges ARMED (ceilings no drift here can reach):
+      // every epoch's wall prices the full instrument, not just the
+      // serving gate
+      residualCeiling = Some(1e9), balanceCeiling = Some(1e9))
+    val serveQ = VectorStreams.stagedServeStream(serveIn.toDF(), dir,
+      s"$root/serve", s"$root/scp", "vec_id", "embedding",
+      k = 10, kCand = 50, nprobe = 4)
+    var agreeBefore = -1.0
+    var repairWall = -1.0
+    try {
+      (0 until nEpochs).foreach { e =>
+        var t = System.nanoTime()
+        maintIn.addData(maintBatch: _*); maintQ.processAllAvailable()
+        val maintSec = (System.nanoTime() - t) / 1e9
+        t = System.nanoTime()
+        serveIn.addData(serveBatch: _*); serveQ.processAllAvailable()
+        val serveSec = (System.nanoTime() - t) / 1e9
+        val (agree, alert) = spark.read.parquet(s"$mon/epoch=$e")
+          .select($"staged_agreement", $"alert").as[(Double, Boolean)].head()
+        val repaired = new java.io.File(s"$ref/epoch=$e").exists()
+        if (repaired) repairWall = maintSec
+        if (!repaired && agreeBefore < 0 && alert) agreeBefore = agree
+        val served = spark.read.parquet(s"$root/serve/epoch=$e").count()
+        require(served > 0,
+          s"serving starved at epoch $e — the swap must not stall it")
+        println(f"""{"epoch":$e,"maint_sec":$maintSec%.2f,""" +
+          f""""serve_sec":$serveSec%.2f,"staged_agreement":$agree%.6f,""" +
+          f""""alert":$alert,"repaired":$repaired,"served":$served}""")
+      }
+    } finally { maintQ.stop(); serveQ.stop() }
+    // single fire, exactly at the debounce boundary
+    val fired = VectorStreams.epochsBefore(spark, ref, Long.MaxValue)
+    require(fired == Seq(debounce - 1L),
+      s"the repair must fire once at epoch ${debounce - 1}: $fired")
+    val agreeAfter = spark.read.parquet(s"$ref/epoch=${debounce - 1}")
+      .select($"staged_agreement").as[Double].head()
+    // the refit-spec differential: the promoted faces must clear the
+    // drifted agreement by a wide gap on the SAME query sample
+    require(agreeAfter >= math.min(agreeBefore + 0.4, 0.75),
+      s"post-repair agreement must clear the drifted value: " +
+        s"$agreeAfter vs $agreeBefore")
+    // post-swap serving is byte-consistent with the promoted faces
+    val last = nEpochs - 1L
+    val replay = graft.ops.Pq.topKStagedBatch(spark, dir,
+        graft.ops.Ivf.readIndex(spark, dir),
+        serveBatch.toDF().select($"vec_id", $"embedding"),
+        "vec_id", "embedding", "vec_id", k = 10, kCand = 50, nprobe = 4)
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val committed = spark.read.parquet(s"$root/serve/epoch=$last")
+      .select($"query_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    require(replay == committed,
+      "post-swap serve epoch must equal a direct staged probe of the " +
+        "promoted faces")
+    println(f"""{"mode":"maintain","n_base":$nBase,"day1_sec":$day1Sec%.1f,""" +
+      f""""epochs_to_repair":$debounce,"repair_wall_sec":$repairWall%.1f,""" +
+      f""""agreement_before":$agreeBefore%.6f,"agreement_after":$agreeAfter%.6f,""" +
+      f""""serve_epochs_ok":$nEpochs}""")
     spark.stop()
   }
 
