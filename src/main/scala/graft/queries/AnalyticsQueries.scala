@@ -1312,6 +1312,85 @@ object AnalyticsQueries {
           FROM g""")
     ,
       notes = "governed assignment dumped as data; Gini over the " +
-        "(n, cluster)-sorted cell table — total order, integer numerator")
+        "(n, cluster)-sorted cell table — total order, integer numerator"),
+
+    // ---- the unified maintenance trigger table (r18) — the THREE
+    // orthogonal index-health axes (a15 residual drift, a19 size
+    // policy, a20 cell balance) composed into the ONE row the
+    // streaming maintenance loop's decision reads
+    // (VectorStreams.maintainEpoch): a refit is advised when ANY axis
+    // alerts, because each catches a poisoning the others structurally
+    // miss. Ceilings are the loop's defaults at the fixture scale
+    // (residual 2.0 = "unit-scale residuals doubled", balance 2.0 =
+    // "the hottest cell reads twice the mean"); the policy constants
+    // are a19's sf-scaled ones. One pruned-layout scan for the
+    // residual profile + one footer-weight cell count + integer policy
+    // arithmetic; the two 1-row frames meet in a broadcast cross (the
+    // scalar class, nlOk-listed).
+    GraftQuery(
+      "a21_maintenance_triggers",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+        val path = OracleDump.ivfPath(dir, 16)
+        val idx = Ivf.buildPersistentCached(e, path,
+          "vec_id", "embedding", k = 16)
+        val k = idx.centroids.length
+        val res = Ivf.cellResidualProfile(s, path, "embedding")
+          .agg(max($"mean_res_norm").as("max_mean_residual"))
+        idx.assigned.groupBy($"cluster").agg(count(lit(1)).as("n"))
+          .agg(sum($"n").as("n_vecs"), max($"n").as("max_cell"))
+          .crossJoin(res)
+          .select(lit(k).as("k_cells"), $"n_vecs", $"max_mean_residual",
+            round($"max_cell".cast("double") * k / $"n_vecs", 6)
+              .as("max_over_mean"),
+            greatest(lit(4L), least(lit(262144L),
+              ceil($"n_vecs" / lit(512.0)).cast("long"))).cast("int")
+              .as("k_policy"))
+          .withColumn("resize_recommended",
+            $"k_policy" >= lit(2 * k) || lit(2) * $"k_policy" <= lit(k))
+          .withColumn("residual_alert", $"max_mean_residual" > 2.0)
+          .withColumn("balance_alert", $"max_over_mean" > 2.0)
+          .withColumn("refit_advised",
+            $"residual_alert" || $"balance_alert" || $"resize_recommended")
+      },
+      Some("""WITH cents AS (SELECT CAST(cluster AS INTEGER) AS cluster, centroid
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/centroids/*.parquet')),
+        a AS (SELECT embedding, CAST(cluster AS INTEGER) AS cluster
+          FROM read_parquet('__TMP__/graft-ivf-__SFTAG__-k16/assigned/*/*.parquet',
+                            hive_partitioning = 1)),
+        rn AS (SELECT a.cluster,
+            round(sqrt(list_reduce(
+              list_transform(range(1, len(c.centroid) + 1),
+                i -> (CAST(a.embedding[i] AS DOUBLE) - c.centroid[i])
+                     * (CAST(a.embedding[i] AS DOUBLE) - c.centroid[i])),
+              (x, y) -> x + y)), 6) AS r
+          FROM a JOIN cents c ON c.cluster = a.cluster),
+        prof AS (SELECT cluster,
+            round(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+              AS mrn
+          FROM rn GROUP BY cluster),
+        r1 AS (SELECT max(mrn) AS max_mean_residual FROM prof),
+        c AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n
+          FROM a GROUP BY cluster),
+        b AS (SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
+            CAST(max(n) AS BIGINT) AS max_cell FROM c),
+        t AS (SELECT CAST(16 AS INT) AS k_cells, b.n_vecs,
+            r1.max_mean_residual,
+            round(CAST(b.max_cell AS DOUBLE) * 16 / b.n_vecs, 6)
+              AS max_over_mean,
+            CAST(greatest(4, least(262144,
+              CAST(ceil(b.n_vecs / 512.0) AS BIGINT))) AS INT) AS k_policy
+          FROM b CROSS JOIN r1)
+        SELECT k_cells, n_vecs, max_mean_residual, max_over_mean, k_policy,
+          (k_policy >= 32 OR 2 * k_policy <= 16) AS resize_recommended,
+          (max_mean_residual > 2.0) AS residual_alert,
+          (max_over_mean > 2.0) AS balance_alert,
+          ((max_mean_residual > 2.0) OR (max_over_mean > 2.0)
+            OR (k_policy >= 32 OR 2 * k_policy <= 16)) AS refit_advised
+        FROM t"""),
+      notes = "a15's residual replay + a20's cell counts + a19's integer " +
+        "policy arithmetic composed into the loop's one decision row; " +
+        "both 1-row frames cross in a scalar broadcast")
   )
 }
