@@ -1323,10 +1323,10 @@ object AnalyticsQueries {
     // miss. Ceilings are the loop's defaults at the fixture scale
     // (residual 2.0 = "unit-scale residuals doubled", balance 2.0 =
     // "the hottest cell reads twice the mean"); the policy constants
-    // are a19's sf-scaled ones. One pruned-layout scan for the
-    // residual profile + one footer-weight cell count + integer policy
-    // arithmetic; the two 1-row frames meet in a broadcast cross (the
-    // scalar class, nlOk-listed).
+    // are a19's sf-scaled ones. ONE pruned-layout scan serves all
+    // three axes: the a15 profile already carries each cell's
+    // population, so the balance and size gauges fold into the same
+    // k-row → 1-row aggregation — no second scan, no scalar cross.
     GraftQuery(
       "a21_maintenance_triggers",
       (s, dir) => {
@@ -1336,11 +1336,9 @@ object AnalyticsQueries {
         val idx = Ivf.buildPersistentCached(e, path,
           "vec_id", "embedding", k = 16)
         val k = idx.centroids.length
-        val res = Ivf.cellResidualProfile(s, path, "embedding")
-          .agg(max($"mean_res_norm").as("max_mean_residual"))
-        idx.assigned.groupBy($"cluster").agg(count(lit(1)).as("n"))
-          .agg(sum($"n").as("n_vecs"), max($"n").as("max_cell"))
-          .crossJoin(res)
+        Ivf.cellResidualProfile(s, path, "embedding")
+          .agg(max($"mean_res_norm").as("max_mean_residual"),
+            sum($"n_vecs").as("n_vecs"), max($"n_vecs").as("max_cell"))
           .select(lit(k).as("k_cells"), $"n_vecs", $"max_mean_residual",
             round($"max_cell".cast("double") * k / $"n_vecs", 6)
               .as("max_over_mean"),
@@ -1366,22 +1364,19 @@ object AnalyticsQueries {
                      * (CAST(a.embedding[i] AS DOUBLE) - c.centroid[i])),
               (x, y) -> x + y)), 6) AS r
           FROM a JOIN cents c ON c.cluster = a.cluster),
-        prof AS (SELECT cluster,
+        prof AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
             round(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
               AS mrn
           FROM rn GROUP BY cluster),
-        r1 AS (SELECT max(mrn) AS max_mean_residual FROM prof),
-        c AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n
-          FROM a GROUP BY cluster),
-        b AS (SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
-            CAST(max(n) AS BIGINT) AS max_cell FROM c),
-        t AS (SELECT CAST(16 AS INT) AS k_cells, b.n_vecs,
-            r1.max_mean_residual,
-            round(CAST(b.max_cell AS DOUBLE) * 16 / b.n_vecs, 6)
+        t AS (SELECT CAST(16 AS INT) AS k_cells,
+            CAST(sum(n) AS BIGINT) AS n_vecs,
+            max(mrn) AS max_mean_residual,
+            round(CAST(max(n) AS DOUBLE) * 16 / CAST(sum(n) AS DOUBLE), 6)
               AS max_over_mean,
             CAST(greatest(4, least(262144,
-              CAST(ceil(b.n_vecs / 512.0) AS BIGINT))) AS INT) AS k_policy
-          FROM b CROSS JOIN r1)
+              CAST(ceil(CAST(sum(n) AS DOUBLE) / 512.0) AS BIGINT))) AS INT)
+              AS k_policy
+          FROM prof)
         SELECT k_cells, n_vecs, max_mean_residual, max_over_mean, k_policy,
           (k_policy >= 32 OR 2 * k_policy <= 16) AS resize_recommended,
           (max_mean_residual > 2.0) AS residual_alert,
@@ -1390,7 +1385,7 @@ object AnalyticsQueries {
             OR (k_policy >= 32 OR 2 * k_policy <= 16)) AS refit_advised
         FROM t"""),
       notes = "a15's residual replay + a20's cell counts + a19's integer " +
-        "policy arithmetic composed into the loop's one decision row; " +
-        "both 1-row frames cross in a scalar broadcast")
+        "policy arithmetic composed into the loop's one decision row, " +
+        "all off ONE k-row profile aggregation")
   )
 }

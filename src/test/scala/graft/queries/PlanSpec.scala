@@ -146,10 +146,7 @@ class PlanSpec extends SparkSpec {
           "a17_semdedup_threshold_sweep",
           // PSI's full #sources x K grid: a broadcast cross of the
           // 10-row bucket axis against the #sources frame (q30's class)
-          "x92_quality_psi",
-          // the trigger table's two 1-row gauge frames meet in a scalar
-          // broadcast cross (q37's class)
-          "a21_maintenance_triggers")
+          "x92_quality_psi")
         if (!nlOk(q.name))
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans a nested-loop join")
