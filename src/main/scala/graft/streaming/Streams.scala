@@ -1232,9 +1232,15 @@ object Streams {
   def maintainBpeEpoch(batch: DataFrame, epoch: Long, bpePath: String,
       corpusPath: String, monitorPath: String, refitPath: String,
       idCol: String, textCol: String, alertAbove: Double,
-      debounce: Int): Boolean = graft.ops.Staged.scoped {
+      debounce: Int, owner: Option[String] = None): Boolean =
+      graft.ops.Staged.scoped {
     require(debounce >= 1, s"debounce must be >= 1, got $debounce")
     val spark = batch.sparkSession
+    // the artifact-path lease the index loop enforces — the BPE
+    // artifact has the identical two-writers hazard (interleaved
+    // re-fits under one path)
+    owner.foreach(o =>
+      VectorStreams.requireMaintLease(spark, bpePath, o))
     fertilitySnapshot(batch, s"$bpePath/merges", idCol, textCol, alertAbove)
       .write.mode("overwrite").parquet(s"$monitorPath/epoch=$epoch")
     val window = epochsBefore(spark, monitorPath, epoch + 1)
@@ -1273,20 +1279,28 @@ object Streams {
     * epoch; the fertility gauge costs one pass over the batch's
     * distinct words against the nMerges-bounded merge list; the repair
     * costs one corpus word-count pass + the merge loop, paid exactly
-    * when sustained drift says so.
+    * when sustained drift says so. Single-writer is ENFORCED like the
+    * index loop's: the stream leases the artifact path under its
+    * checkpoint as owner (override via `owner`); an accidental second
+    * loop refuses loudly, a crashed owner recovers via
+    * [[VectorStreams.takeoverMaintLease]].
     */
   def bpeMaintenanceStream(docs: DataFrame, bpePath: String,
       corpusPath: String, monitorPath: String, refitPath: String,
       checkpoint: String, idCol: String, textCol: String,
-      alertAbove: Double = 4.0, debounce: Int = 2): StreamingQuery =
+      alertAbove: Double = 4.0, debounce: Int = 2,
+      owner: Option[String] = None): StreamingQuery = {
+    val own = owner.getOrElse(checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         maintainBpeEpoch(batch, epoch, bpePath, corpusPath, monitorPath,
-          refitPath, idCol, textCol, alertAbove, debounce): Unit
+          refitPath, idCol, textCol, alertAbove, debounce,
+          owner = Some(own)): Unit
       }
       .start()
+  }
 
   /** Streaming n-gram novelty monitor — the operational face of the
     * x65 acquisition-health signal: per micro-batch of arriving docs,

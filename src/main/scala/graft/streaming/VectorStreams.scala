@@ -460,7 +460,13 @@ object VectorStreams {
     */
   private val MaintOwnerFile = "_MAINT_OWNER"
 
-  /** The committed lease, if any: (fence, owner). */
+  /** The committed lease, if any: (fence, owner). A torn lease file (a
+    * crash mid-write) parses to fence 0 with an owner no loop can hold
+    * (the empty string is rejected by [[writeMaintLease]]), so every
+    * epoch REFUSES against it while [[takeoverMaintLease]] — the
+    * recovery path — can still bump past it; a torn write must never
+    * brick its own recovery.
+    */
   def maintLease(spark: SparkSession,
       basePath: String): Option[(Long, String)] = {
     val fs = new org.apache.hadoop.fs.Path(basePath)
@@ -472,8 +478,9 @@ object VectorStreams {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       val i = txt.indexOf(':')
-      require(i > 0, s"unparsable maintenance lease at $p: '$txt'")
-      Some((txt.take(i).toLong, txt.drop(i + 1)))
+      val fence = scala.util.Try(txt.take(math.max(i, 0)).toLong).toOption
+      if (i > 0 && fence.isDefined) Some((fence.get, txt.drop(i + 1)))
+      else Some((0L, ""))
     }
   }
 

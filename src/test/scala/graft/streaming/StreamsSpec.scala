@@ -1416,6 +1416,12 @@ class StreamsSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("_BPE_OK_")).toSeq
     assert(markers == Seq("_BPE_OK_v1_text_m16_frefit_e1"),
       s"marker generations drifted: $markers")
+    // the stream leased the artifact under its checkpoint: an
+    // accidental second loop refuses loudly (the index loop's enforced
+    // single-writer rule, applied to the tokenizer artifact)
+    intercept[IllegalStateException] {
+      VectorStreams.requireMaintLease(spark, bpeP, "second-loop")
+    }
     // crash-replay of the firing epoch: the rewritten monitor row reads
     // the repaired merges (healthy) and the committed record guards the
     // window — the actuator never double-fires or re-churns the fit

@@ -678,6 +678,19 @@ class VectorStreamsSpec extends SparkSpec {
     intercept[IllegalStateException] {
       VectorStreams.requireMaintLease(spark, dir, "loop-a")
     }
+    // a TORN lease file (crash mid-write) must refuse every loop but
+    // never brick its own recovery: takeover bumps past it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_MAINT_OWNER"), true)
+    out.write("garb".getBytes("UTF-8")); out.close()
+    assert(VectorStreams.maintLease(spark, dir) == Some((0L, "")),
+      "a torn lease must parse to the unownable sentinel")
+    intercept[IllegalStateException] {
+      VectorStreams.requireMaintLease(spark, dir, "loop-b")
+    }
+    assert(VectorStreams.takeoverMaintLease(spark, dir, "loop-c") == 1L)
+    VectorStreams.requireMaintLease(spark, dir, "loop-c")
     graft.ops.Staged.releaseAll()
   }
 
