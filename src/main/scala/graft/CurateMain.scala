@@ -13,12 +13,13 @@ import graft.sources.Tables
   *   the parquet corpus → scrub PII → quality filter → per-source
   *   boilerplate strip (template passages vanish from every doc) →
   *   exact dedup → passage-level dedup (cross-doc repeated passages;
-  *   only docs that lost a passage take the rebuilt text) →
+  *   only docs that lost a passage take the rebuilt text) → near-dup
+  *   clustering on the ORIGINAL text (keep cluster reps) →
   *   sliding-span substring dedup (repeats at ANY offset — the
   *   boundary-straddling and within-doc copies aligned passages miss)
   *   → benchmark decontamination (last text-modifying stage, so the
-  *   no-shared-n-gram guarantee holds for the shipped text) → near-dup
-  *   clustering (keep cluster reps) → domain resampling to a target
+  *   no-shared-n-gram guarantee holds for the shipped text) →
+  *   domain resampling to a target
   *   language mix → sequence packing → write curated parquet in
   *   stride-schedule curriculum order with per-doc DSIR importance
   *   weights toward the top-quality slice → quotation audit (x66
@@ -29,9 +30,13 @@ import graft.sources.Tables
   * the DuckDB oracle; this main exists to show (and smoke-test) the
   * composition a production pipeline would run. Stage order matters:
   * scrubbing precedes dedup (redaction canonicalizes near-identical
-  * PII variants), decontamination precedes dedup (a contaminated doc
-  * must not survive as a cluster representative), packing runs last
-  * (it consumes the final kept set).
+  * PII variants), doc-level near-dup precedes span dedup (it must
+  * judge the text as crawled — a span-stripped near-copy no longer
+  * resembles its original and would ship as a husk; both capstone
+  * faces share this order, r19), decontamination is the LAST
+  * text-modifying stage (the no-shared-n-gram guarantee must hold for
+  * the shipped bytes), packing runs last (it consumes the final kept
+  * set).
   *
   * Usage: runMain graft.CurateMain [sfDir] [outDir]
   */
@@ -44,7 +49,7 @@ object CurateMain {
     */
   final case class CurateSummary(httpIngested: Long, input: Long,
       piiFlagged: Long, quality: Long, boilerplate: Long, exact: Long,
-      passage: Long, substring: Long, decontaminated: Long, nearDedup: Long,
+      passage: Long, nearDedup: Long, substring: Long, decontaminated: Long,
       mixed: Long, packs: Long, shards: Long, out: String,
       gateFails: Seq[(String, Long)] = Nil, quotations: Long = 0L) {
     def json: String = {
@@ -53,8 +58,8 @@ object CurateMain {
       s"""{"stage_counts":{"http_ingested":$httpIngested,"input":$input,""" +
         s""""pii_flagged":$piiFlagged,"quality":$quality,""" +
         s""""boilerplate":$boilerplate,""" +
-        s""""exact":$exact,"passage":$passage,"substring":$substring,""" +
-        s""""decontaminated":$decontaminated,"near_dedup":$nearDedup,""" +
+        s""""exact":$exact,"passage":$passage,"near_dedup":$nearDedup,""" +
+        s""""substring":$substring,"decontaminated":$decontaminated,""" +
         s""""mixed":$mixed,"packs":$packs,"shards":$shards},""" +
         s""""gate_fails":$gf,"quotations":$quotations,"out":"$out"}"""
     }
@@ -113,7 +118,14 @@ object CurateMain {
 
   def main(args: Array[String]): Unit = {
     val incremental = args.contains("--incremental")
-    val rest = args.filterNot(_ == "--incremental")
+    // --day N (with --incremental): run day N of the rolling ingest
+    // ladder against the same workDir — days must run in order (day N
+    // probes the artifacts days 2..N-1 registered)
+    val dayIdx = args.indexOf("--day")
+    val day = if (dayIdx >= 0) args(dayIdx + 1).toInt else 2
+    val rest = args.zipWithIndex.filterNot { case (a, i) =>
+      a == "--incremental" || i == dayIdx || (dayIdx >= 0 && i == dayIdx + 1)
+    }.map(_._1)
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = rest.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-curate").toString)
@@ -125,7 +137,7 @@ object CurateMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (incremental) println(runIncremental(spark, sfDir, outDir).json)
+    if (incremental) println(ingestDay(spark, sfDir, outDir, day).json)
     else println(run(spark, sfDir, outDir).json)
     spark.stop()
   }
@@ -237,7 +249,25 @@ object CurateMain {
         .drop("clean_text", "n_kept", "n_dropped"))
     val nPassage = passaged.count()
 
-    // 3c. sliding-span (ExactSubstr) dedup — the x95 stage the aligned
+    // 4. near-dup clustering on ORIGINAL (pre-span) text; keep each
+    // cluster's representative. BEFORE the span stage (r19 — the
+    // published fuzzy-before-exact-substring order the incremental
+    // face always ran): doc-level similarity must judge the text as
+    // crawled, because a span-stripped near-copy no longer Jaccard-
+    // resembles its original and would ship as a husk of duplicated
+    // context. The flip side (a contaminated doc suppressing its
+    // near-dups before decontam kills it) is conservative-correct:
+    // near-copies of a contaminated doc share its benchmark n-grams,
+    // and decontam still runs last so no contaminated text ships.
+    val pairs = Dedup.minHashLsh(passaged, "doc_id", "text", threshold = 0.8)
+    val clusters = Dedup.connectedComponents(pairs)
+    val kept = Staged(passaged.join(
+      broadcast(clusters.where($"doc_id" =!= $"cluster_rep")
+        .select($"doc_id")),
+      Seq("doc_id"), "left_anti"))
+    val nKept = kept.count()
+
+    // 5. sliding-span (ExactSubstr) dedup — the x95 stage the aligned
     // ladder misses: a copied span at ANY offset (boundary-straddling
     // repeats, within-doc template stamps the first of which 3b keeps)
     // drops everywhere but its global first occurrence. Same rebuild
@@ -250,8 +280,8 @@ object CurateMain {
     // one-token residue. localCheckpoint, deboiler's rationale: the
     // span closure re-enters its input several times and every later
     // stage would multiply the lineage again.
-    val sd = Dedup.substringDedup(passaged, "doc_id", "text", window = 8)
-    val spanned = passaged.join(
+    val sd = Dedup.substringDedup(kept, "doc_id", "text", window = 8)
+    val spanned = kept.join(
         sd.select($"doc_id", $"n_tokens", $"n_dropped",
           $"clean_text".as("__sd_clean")), Seq("doc_id"))
       .where($"n_tokens" === 0 || $"n_dropped" === 0 ||
@@ -262,35 +292,27 @@ object CurateMain {
       .localCheckpoint()
     val nSpan = spanned.count()
 
-    // 4. decontamination against the held-out benchmark slice — AFTER
-    // the span rebuild, so the no-shared-5-gram guarantee holds for
-    // the text that actually ships: a rebuild that splices out a
-    // span joins its neighbors and can fabricate n-grams that never
-    // existed when an earlier check ran
+    // 6. decontamination against the held-out benchmark slice — the
+    // LAST text-modifying stage, AFTER the span rebuild, so the
+    // no-shared-5-gram guarantee holds for the text that actually
+    // ships: a rebuild that splices out a span joins its neighbors and
+    // can fabricate n-grams that never existed when an earlier check
+    // ran
     val bench = spanned.where($"doc_id" % 101 === 0)
     val train = spanned.where($"doc_id" % 101 =!= 0)
     val clean = Staged(Decontam.removeContaminated(
       train, bench, "doc_id", "text", n = 5))
     val nClean = clean.count()
 
-    // 5. near-dup clustering; keep each cluster's representative
-    val pairs = Dedup.minHashLsh(clean, "doc_id", "text", threshold = 0.8)
-    val clusters = Dedup.connectedComponents(pairs)
-    val kept = Staged(clean.join(
-      broadcast(clusters.where($"doc_id" =!= $"cluster_rep")
-        .select($"doc_id")),
-      Seq("doc_id"), "left_anti"))
-    val nKept = kept.count()
-
-    // 6. temperature-flatten the language mix (α = 0.5, the published
+    // 7. temperature-flatten the language mix (α = 0.5, the published
     // multilingual recipe — x76's operator: the head crawl language
     // stops drowning the tail without the hard equalization a uniform
     // target forces; downsample-only, the smallest language keeps
     // everything, rates derived from the survivors themselves)
-    val mixed = Staged(Sampling.temperatureSample(kept, "doc_id", "lang", 0.5))
+    val mixed = Staged(Sampling.temperatureSample(clean, "doc_id", "lang", 0.5))
     val nMixed = mixed.count()
 
-    // 7. pack into token-budget sequences per language shard, priced
+    // 8. pack into token-budget sequences per language shard, priced
     // in REAL subword tokens under a tokenizer fit on the shipped
     // corpus (x72 × x19, the x77 composition): word-priced packs
     // systematically overflow on high-fertility docs — the budget is
@@ -306,7 +328,7 @@ object CurateMain {
       budget = 2048)
     val nPacks = packed.select($"lang", $"pack_id").distinct().count()
 
-    // 8. writer metadata: a stride-schedule curriculum position (seq —
+    // 9. writer metadata: a stride-schedule curriculum position (seq —
     // streaming the output front-to-back consumes a balanced source
     // mix at every prefix) and a DSIR importance log-weight toward the
     // corpus's own top-quality slice (downstream loaders can
@@ -329,7 +351,7 @@ object CurateMain {
     curated.orderBy($"seq")
       .write.mode("overwrite").parquet(s"$outDir/curated")
 
-    // 8b. quotation audit (x66): directional containment within lang
+    // 9b. quotation audit (x66): directional containment within lang
     // over the SHIPPED corpus — inclusions that survive near-dedup
     // because a short doc quoted inside a long one has tiny Jaccard.
     // Audit-only: the pairs land in quotation_audit/ and a count in
@@ -341,7 +363,7 @@ object CurateMain {
     quot.write.mode("overwrite").parquet(s"$outDir/quotation_audit")
     val nQuot = quot.count()
 
-    // 9. loader-facing exports — the write-side operators the registry
+    // 10. loader-facing exports — the write-side operators the registry
     // verifies individually (x36, x42), composed with the curriculum:
     //  - sharded export: hash membership (reproducible across re-runs),
     //    WITHIN-shard order = curriculum `seq`, so any shard streamed
@@ -374,7 +396,7 @@ object CurateMain {
     Staged.releaseAll()
 
     CurateSummary(nHttp, nTotal, nPii, nQuality, nBoiler, nExact, nPassage,
-      nSpan, nClean, nKept, nMixed, nPacks, nShards, s"$outDir/curated",
+      nKept, nSpan, nClean, nMixed, nPacks, nShards, s"$outDir/curated",
       gateFails, nQuot)
   }
 
@@ -396,9 +418,10 @@ object CurateMain {
       pqAgreement: Double = -1.0, stagedAgreement: Double = -1.0,
       fertility: Double = -1.0, refitRan: Boolean = false,
       postRefitStagedAgreement: Double = -1.0, refitK: Int = -1,
-      klDrift: Double = -1.0) {
+      klDrift: Double = -1.0, day: Int = 2, gatedSources: Long = 0L) {
     def json: String =
-      s"""{"incremental":{"indexed":$indexed,"batch":$batch,""" +
+      s"""{"incremental":{"day":$day,"indexed":$indexed,"batch":$batch,""" +
+        s""""gated_sources":$gatedSources,""" +
         s""""passage_kept":$passageKept,"span_kept":$spanKept,""" +
         s""""cross_pairs":$crossPairs,"internal_pairs":$internalPairs,""" +
         s""""survivors":$survivors,"appended_vecs":$appendedVecs,""" +
@@ -477,8 +500,137 @@ object CurateMain {
     */
   def runIncremental(spark: SparkSession, sfDir: String,
       workDir: String, refitOnAlert: Boolean = true,
-      servingAlertBelow: Double = 0.5): IncrementalSummary = {
+      servingAlertBelow: Double = 0.5): IncrementalSummary =
+    ingestDay(spark, sfDir, workDir, day = 2, refitOnAlert,
+      servingAlertBelow)
+
+  /** The default day-`day` arriving batch. Day 2 is the fixed fixture
+    * slice the differential spec pins (connector feed + three
+    * re-crawled CORPUS slices). Day ≥ 3 re-crawls YESTERDAY: the
+    * connector feed under a fresh id band, an EXACT re-crawl of half
+    * of yesterday's raw batch (every aligned window of every
+    * yesterday-batch doc is committed — corpus index ∪ yesterday's
+    * epoch registration — so the passage probe kills the slice
+    * outright), a NEAR re-crawl of yesterday's unmodified survivors
+    * (dies at the LSH probe against yesterday's registered survivors),
+    * and a QUOTE re-use of a 16-token excerpt of yesterday's
+    * unmodified survivors at an interior offset (only yesterday's
+    * registered spans catch it). Ids: every day-N id exceeds every
+    * day-(N−1) id (the band `off + (N−2)·10⁸`), preserving the
+    * first-occurrence ordering the differential identities need.
+    */
+  private[graft] def dayBatch(spark: SparkSession, workDir: String,
+      day: Int, corpus: org.apache.spark.sql.DataFrame,
+      off: Long): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    val dayOff = off + (day - 2L) * 100000000L
+    val api = httpExtract(spark, dayOff)
+    if (day == 2) {
+      val recrawlExact = corpus.where($"doc_id" % 7 === 3)
+        .select(($"doc_id" + off + 1000L).as("doc_id"), $"text", $"lang",
+          lit("recrawl").as("source"))
+      val recrawlNear = corpus.where($"doc_id" % 7 === 5)
+        .select(($"doc_id" + off + 1000000L).as("doc_id"),
+          concat(lit("recrawlnear "), $"text").as("text"), $"lang",
+          lit("recrawl_near").as("source"))
+      // the QUOTE slice (r18): an 8+-token corpus excerpt at an
+      // interior offset inside otherwise-novel text — the victim class
+      // only the span probe catches (unaligned ⇒ the passage probe
+      // misses it; minority-of-the-doc ⇒ shingle Jaccard stays far
+      // below the LSH threshold). The id woven into both filler flanks
+      // keeps the flanks from span-matching across quote docs, and the
+      // 9 filler tokens clear the short-remainder bar.
+      val recrawlQuote = corpus.where($"doc_id" % 7 === 1)
+        .where(size(TextAnalysis.tokens($"text")) >= 16)
+        .select(($"doc_id" + off + 2000000L).as("doc_id"),
+          concat(format_string("record %d cites ", $"doc_id"),
+            array_join(slice(TextAnalysis.tokens($"text"), 1, 16), " "),
+            format_string(" as noted by reviewer %d here", $"doc_id"))
+            .as("text"),
+          $"lang", lit("recrawl_quote").as("source"))
+      api.unionByName(recrawlExact).unionByName(recrawlNear)
+        .unionByName(recrawlQuote)
+    } else {
+      // the offline mock serves the SAME 50 records every day; a real
+      // feed serves fresh pages. Weave the day into every token so the
+      // day-N feed is NOVEL content — without this the probes (rightly)
+      // kill the whole feed as an exact re-crawl of day 2's, which is
+      // the engine working, not a fixture
+      val apiFresh = api.withColumn("text", array_join(
+        transform(TextAnalysis.tokens($"text"),
+          t => concat(t, lit(s"d$day"))), " "))
+      val prevBatch = spark.read.parquet(s"$workDir/day${day - 1}_batch")
+        .select($"doc_id", $"text", $"lang", $"source")
+      // survivors shipped AS CRAWLED (span-stripped survivors' shipped
+      // text differs from any live page a re-crawler would fetch, so
+      // the near/quote slices re-use the unmodified ones)
+      val unmod = spark.read
+        .parquet(s"$workDir/day${day - 1}_curated")
+        .select($"doc_id", $"text", $"lang")
+        .join(spark.read.parquet(s"$workDir/day${day - 1}_kept")
+          .select($"doc_id", $"text".as("__orig")), Seq("doc_id"))
+        .where($"text" === $"__orig").drop("__orig")
+      val recrawlPrev = prevBatch.where($"doc_id" % 2 === 0)
+        .select(($"doc_id" + dayOff + 1000L).as("doc_id"), $"text",
+          $"lang", lit(s"recrawl_d${day - 1}").as("source"))
+      val nearPrev = unmod.where($"doc_id" % 3 === 0)
+        .select(($"doc_id" + dayOff + 1000000L).as("doc_id"),
+          concat(lit("recrawlnear "), $"text").as("text"), $"lang",
+          lit(s"recrawl_near_d${day - 1}").as("source"))
+      val quotePrev = unmod.where($"doc_id" % 3 === 1)
+        .where(size(TextAnalysis.tokens($"text")) >= 16)
+        .select(($"doc_id" + dayOff + 2000000L).as("doc_id"),
+          concat(format_string("record %d cites ", $"doc_id"),
+            array_join(slice(TextAnalysis.tokens($"text"), 1, 16), " "),
+            format_string(" as noted by reviewer %d here", $"doc_id"))
+            .as("text"),
+          $"lang", lit(s"recrawl_quote_d${day - 1}").as("source"))
+      apiFresh.unionByName(recrawlPrev).unionByName(nearPrev)
+        .unionByName(quotePrev)
+    }
+  }
+
+  /** Day `day` of the rolling ingest ladder — [[runIncremental]]
+    * generalized from the hard-wired day 2 (r19, closing the
+    * overwrite-on-day-3 gap): the batch slice, the span/passage
+    * registration epoch, the per-day output paths, the monitor epoch,
+    * and the single-fire refit guard are all functions of `day`, so a
+    * day-3 run DEDUPS AGAINST day-2's registrations instead of
+    * overwriting them. Epoch conventions: monitors commit at
+    * `epoch = day−1` (the corpus is epoch 0), span/passage
+    * registrations at `epoch = day−2` (the corpus seed sits at
+    * `epoch=-1` for spans and in the base bucketed table for
+    * passages), and each probe reads strictly EARLIER epochs — so a
+    * warm replay of day N re-reads exactly the prefix days 2..N−1
+    * committed and rewrites its own partitions drop-and-rewrite,
+    * byte-identically (replay the ladder's HEAD: running day N+1
+    * mutates the shared LSH/IVF artifacts days ≤ N probe).
+    *
+    * Cross-day registration: fresh spans land at `epoch = day−2`
+    * (hash-keyed — the x99 production layout: the artifact that lives
+    * forever stores 8-byte keys), fresh passages likewise, and
+    * yesterday's shipped survivors are LSH-registered LAZILY at the
+    * START of day N (marker-gated) — an eager same-day append would
+    * poison the day's own warm replay, because the LSH index has no
+    * epoch axis for the probe to exclude it by.
+    *
+    * The acquisition GATE (r19): before the probes, the last
+    * `gateDebounce` committed per-source health epochs are read; a
+    * source indicted in ALL of them is excluded from today's batch,
+    * with the exclusion accounting committed to
+    * `source_gate/epoch=<day−1>` — the maintainEpoch pattern
+    * (sustained evidence → act → record) applied to acquisition.
+    */
+  def ingestDay(spark: SparkSession, sfDir: String,
+      workDir: String, day: Int, refitOnAlert: Boolean = true,
+      servingAlertBelow: Double = 0.5,
+      batchOverride: Option[org.apache.spark.sql.DataFrame] = None,
+      gateDebounce: Int = 2): IncrementalSummary = {
+    import spark.implicits._
+    require(day >= 2, s"the ingest ladder starts at day 2, got $day")
+    require(gateDebounce >= 1, s"gateDebounce must be >= 1: $gateDebounce")
+    val me = day - 1L   // monitor epoch
+    val se = day - 2L   // span/passage registration epoch
     val corpus = Tables(spark, sfDir, "documents")
       .select($"doc_id", $"text", $"lang", $"source")
     val maxRow = corpus.agg(max($"doc_id")).head()
@@ -501,12 +653,16 @@ object CurateMain {
     }
     // span index (r18, the x95/x97 stage in the daily ladder): the
     // corpus's sliding spans committed as the streaming layout's seed
-    // partition (epoch=-1 — below every batch epoch), so day 2 probes
-    // it exactly as substringDedupStream's batch 0 would
+    // partition (epoch=-1 — below every batch epoch), so each day
+    // probes it exactly as substringDedupStream's batch 0 would.
+    // HASH-KEYED (r19): the persisted artifact stores xxhash64 longs —
+    // at 100 TB the index is where the bytes bill, and the probe's
+    // span exchanges move 8 bytes/row (x98's budget: ~0.03 colliding
+    // pairs at 10¹² spans, dedup-side error only).
     val spanPath = s"$workDir/span_index"
     if (!hasMarker(spark, s"$spanPath/_OK")) {
       graft.streaming.Streams.seedSpanIndex(corpus, spanPath,
-        "doc_id", "text", window = 8)
+        "doc_id", "text", window = 8, hashed = true)
       touchMarker(spark, s"$spanPath/_OK")
     }
     // IVF day-1: built once; thereafter the COMMITTED index is
@@ -518,43 +674,79 @@ object CurateMain {
       .select($"vec_id", $"embedding")
     val ivfPath = s"$workDir/ivf_index"
     Ivf.ensurePersistent(embeddings, ivfPath, "vec_id", "embedding"): Unit
-    // day-2 batch: connector feed + the two re-crawled corpus slices
-    val api = httpExtract(spark, off)
-    val recrawlExact = corpus.where($"doc_id" % 7 === 3)
-      .select(($"doc_id" + off + 1000L).as("doc_id"), $"text", $"lang",
-        lit("recrawl").as("source"))
-    val recrawlNear = corpus.where($"doc_id" % 7 === 5)
-      .select(($"doc_id" + off + 1000000L).as("doc_id"),
-        concat(lit("recrawlnear "), $"text").as("text"), $"lang",
-        lit("recrawl_near").as("source"))
-    // the QUOTE slice (r18): an 8+-token corpus excerpt at an interior
-    // offset inside otherwise-novel text — the victim class only the
-    // span probe catches (unaligned ⇒ the passage probe misses it;
-    // minority-of-the-doc ⇒ shingle Jaccard stays far below the LSH
-    // threshold). The id woven into both filler flanks keeps the
-    // flanks themselves from span-matching across quote docs, and the
-    // 9 filler tokens clear the short-remainder bar.
-    val recrawlQuote = corpus.where($"doc_id" % 7 === 1)
-      .where(size(TextAnalysis.tokens($"text")) >= 16)
-      .select(($"doc_id" + off + 2000000L).as("doc_id"),
-        concat(format_string("record %d cites ", $"doc_id"),
-          array_join(slice(TextAnalysis.tokens($"text"), 1, 16), " "),
-          format_string(" as noted by reviewer %d here", $"doc_id"))
-          .as("text"),
-        $"lang", lit("recrawl_quote").as("source"))
-    val batch = Staged(api.unionByName(recrawlExact).unionByName(recrawlNear)
-      .unionByName(recrawlQuote))
+    // LAZY LSH registration of YESTERDAY's shipped survivors (their
+    // ORIGINAL text — doc-level near-dup judges text as crawled): a
+    // same-day append would poison the day's own warm replay (the
+    // probe would see the batch's own registration on re-run), so day
+    // N commits day N−1's survivors before its own probe, marker-gated
+    if (day >= 3 && !hasMarker(spark, s"$idxPath/_DAY${day - 1}_REGISTERED")) {
+      Dedup.appendToLshIndex(
+        spark.read.parquet(s"$workDir/day${day - 1}_kept")
+          .join(spark.read.parquet(s"$workDir/day${day - 1}_curated")
+            .select($"doc_id"), Seq("doc_id"))
+          .select($"doc_id", $"text"),
+        idxPath, "doc_id", "text")
+      touchMarker(spark, s"$idxPath/_DAY${day - 1}_REGISTERED")
+    }
+    // ---- acquisition GATE (r19): the health table ACTING on ingest.
+    // A source indicted (the healthVerdicts rule: relative novelty
+    // floor ∨ dup ceiling ∨ uncertifiable) in ALL of the last
+    // `gateDebounce` COMMITTED health epochs is excluded from today's
+    // batch before any probe spends a byte on it; the exclusion rows
+    // commit next to the health epochs. Reads strictly EARLIER epochs
+    // ⇒ replay-pure (today's own health row lands later at epoch=me).
+    val healthPath = s"$workDir/source_health"
+    val gateWindow = graft.streaming.Streams
+      .epochsBefore(spark, healthPath, me).takeRight(gateDebounce)
+    val gateVerdicts = gateWindow.map { e =>
+      val indicted = Acquisition.healthVerdicts(
+        spark.read.parquet(s"$healthPath/epoch=$e"), "source")._2.toSet
+      // an epoch the source sat EXCLUDED in counts as still-indicted:
+      // a gated source has no health row to renew its verdict with, so
+      // without this the gate would oscillate on a debounce-long
+      // period (gated → unmeasured → re-admitted → re-gated).
+      // Exclusion persists until an operator deletes the source_gate
+      // rows — re-admission is a human decision, like takeover.
+      val priorGate = s"$workDir/source_gate/epoch=$e"
+      val excluded =
+        if (!hasMarker(spark, priorGate)) Set.empty[String]
+        else spark.read.parquet(priorGate).where($"excluded")
+          .select($"source").as[String].collect().toSet
+      indicted ++ excluded
+    }
+    val alertCounts = gateVerdicts.flatten
+      .groupBy(identity).map { case (s0, v) => (s0, v.size.toLong) }
+    val gatedOut: Set[String] =
+      if (gateWindow.size < gateDebounce) Set.empty
+      else alertCounts.filter(_._2 == gateDebounce.toLong).keySet
+    val batchRaw = batchOverride
+      .getOrElse(dayBatch(spark, workDir, day, corpus, off))
+    val nGated = batchRaw.select($"source").distinct()
+      .as[String].collect().count(gatedOut)
+    alertCounts.toSeq.sortBy(_._1)
+      .map { case (s0, n) => (s0, n, gatedOut(s0)) }
+      .toDF("source", "epochs_alerted", "excluded")
+      .write.mode("overwrite").parquet(s"$workDir/source_gate/epoch=$me")
+    val batch = Staged(
+      if (gatedOut.isEmpty) batchRaw
+      else batchRaw.where(!$"source".isInCollection(gatedOut)))
     val nBatch = batch.count()
     // audit artifact: the pre-dedup batch, so the differential spec can
-    // replay the full-rerun identity against exactly this day-2 input
-    batch.write.mode("overwrite").parquet(s"$workDir/day2_batch")
-    // passage probe (run's stage 3b, incremental form): passages already
-    // in the corpus index always lose, first occurrence wins within the
-    // batch; only docs that LOST a passage take the rebuilt text, docs
-    // whose every aligned window is a repeat drop out — the exact
-    // re-crawls die here, before any shingling happens
-    val pd = Dedup.incrementalPassageDedup(batch, pasPath,
-      "doc_id", "text", window = 8)
+    // replay the full-rerun identity against exactly this day's input
+    batch.write.mode("overwrite").parquet(s"$workDir/day${day}_batch")
+    // passage probe (run's stage 3b, incremental form): passages
+    // committed by the corpus index OR any EARLIER day's registration
+    // always lose (chained Exchange-free anti-joins — the streaming
+    // face's discipline), first occurrence wins within the batch; only
+    // docs that LOST a passage take the rebuilt text, docs whose every
+    // aligned window is a repeat drop out — exact re-crawls (of the
+    // corpus on day 2, of yesterday's batch on day N) die here, before
+    // any shingling happens. The batch's FRESH passages register at
+    // epoch=se (drop-and-rewrite ⇒ replay-pure; the probe reads < se).
+    val pasParts = Dedup.readIndexTable(spark, s"$pasPath/passages") +:
+      graft.streaming.Streams.indexPartsBefore(spark, pasPath, se)
+    val (pd, freshChunks) = Dedup.incrementalPassageDedupStaged(
+      batch, pasParts, "doc_id", "text", window = 8)
     val passaged = Staged(
       batch.join(pd, Seq("doc_id"), "left")
         .where($"n_kept".isNotNull ||
@@ -563,36 +755,42 @@ object CurateMain {
           when($"n_dropped" > 0, $"clean_text").otherwise($"text"))
         .drop("clean_text", "n_kept", "n_dropped"))
     val nPassaged = passaged.count()
+    Dedup.writeBucketedIndex(
+      freshChunks.select($"chunk_text").distinct(),
+      s"$pasPath/epoch=$se", Seq("chunk_text"), 32)
     // audit artifact: the post-passage batch the LSH identity is pinned on
-    passaged.write.mode("overwrite").parquet(s"$workDir/day2_passaged")
+    passaged.write.mode("overwrite").parquet(s"$workDir/day${day}_passaged")
     val pairs = Staged(Dedup.incrementalNearDup(passaged, idxPath,
       "doc_id", "text", threshold = 0.8))
-    val nCross = pairs.where($"id_a" <= maxDocId).count()
-    val nInternal = pairs.where($"id_a" > maxDocId).count()
+    // "cross" = a pair against anything registered before today
+    // (corpus on day 2, corpus ∪ earlier survivors on day N)
+    val dayFloor = off + (day - 2L) * 100000000L
+    val nCross = pairs.where($"id_a" < dayFloor).count()
+    val nInternal = pairs.where($"id_a" >= dayFloor).count()
     val clusters = Dedup.connectedComponents(pairs)
     val kept = Staged(passaged.join(
       broadcast(clusters.where($"doc_id" =!= $"cluster_rep").select($"doc_id")),
       Seq("doc_id"), "left_anti"))
     val nKept = kept.count()
     // audit artifact: the post-LSH batch the span identity is pinned on
-    kept.write.mode("overwrite").parquet(s"$workDir/day2_kept")
-    // span probe (r18, run's stage 3c incremental form) — AFTER the
+    kept.write.mode("overwrite").parquet(s"$workDir/day${day}_kept")
+    // span probe (r18, run's stage-5 incremental form) — AFTER the
     // doc-level LSH probe, the published fuzzy-then-exact-substring
     // order: near-dup must judge ORIGINAL doc text (a span-stripped
     // near-copy no longer resembles its original and would sail
     // through as a husk), while the span probe then catches what
-    // doc-level similarity structurally misses — an 8-token corpus
-    // quote at any offset inside an otherwise-novel doc (the
-    // recrawl_quote slice: passage probe misses the unaligned offset,
-    // LSH misses the minority-quote Jaccard). Same rebuild rule as
-    // run's 3c, including the short-remainder drop; the batch's FRESH
-    // spans register as epoch 0 of the streaming layout (drop-and-
-    // rewrite ⇒ single-fire, warm replay rewrites identical bytes and
-    // the probe never reads the batch's own registration).
+    // doc-level similarity structurally misses — an 8-token quote of
+    // held text at any offset inside an otherwise-novel doc (the
+    // quote slices: passage probe misses the unaligned offset, LSH
+    // misses the minority-quote Jaccard). Same rebuild rule as run's
+    // stage 5, including the short-remainder drop; the batch's FRESH
+    // spans register as epoch=se of the streaming layout, HASH-KEYED
+    // (drop-and-rewrite ⇒ single-fire, warm replay rewrites identical
+    // bytes and the probe never reads the batch's own registration).
     val spanParts = graft.streaming.Streams
-      .spanIndexPartsBefore(spark, spanPath, 0L)
+      .spanIndexPartsBefore(spark, spanPath, se)
     val (sd2, freshSpans) = Dedup.incrementalSubstringDedupStaged(
-      kept, spanParts, "doc_id", "text", window = 8)
+      kept, spanParts, "doc_id", "text", window = 8, hashed = true)
     val spanned = Staged(kept.join(
         sd2.select($"doc_id", $"n_tokens", $"n_dropped",
           $"clean_text".as("__sd_clean")), Seq("doc_id"))
@@ -602,25 +800,27 @@ object CurateMain {
         when($"n_dropped" > 0, $"__sd_clean").otherwise($"text"))
       .drop("n_tokens", "n_dropped", "__sd_clean"))
     val nSpanned = spanned.count()
-    Dedup.writeBucketedIndex(freshSpans, s"$spanPath/epoch=0",
+    Dedup.writeBucketedIndex(freshSpans, s"$spanPath/epoch=$se",
       Seq("gram"), 32)
-    spanned.write.mode("overwrite").parquet(s"$workDir/day2_curated")
-    // vector-index leg: append the day-2 embeddings (exact-recrawl
-    // slice's vectors under their new ids — re-crawled content keeps
-    // its embedding), then prove an appended vector is findable. The
-    // append is marker-gated so a re-run of the same day-2 doesn't
-    // double-register the batch.
-    val day2Vecs = embeddings.where($"vec_id" % 7 === 3)
-      .select(($"vec_id" + off + 1000L).as("vec_id"), $"embedding")
-    val nVecs = day2Vecs.count()
-    val appendMarker = s"$ivfPath/_DAY2_APPENDED"
+    spanned.write.mode("overwrite").parquet(s"$workDir/day${day}_curated")
+    // vector-index leg: append the day's embeddings (the re-crawl
+    // slice's vectors under their new per-day id band — re-crawled
+    // content keeps its embedding), then prove an appended vector is
+    // findable. The append is marker-gated per day so a re-run of the
+    // same day doesn't double-register the batch.
+    def vecsOf(d: Int) = embeddings.where($"vec_id" % 7 === 3)
+      .select(($"vec_id" + off + 1000L + (d - 2L) * 100000000L)
+        .as("vec_id"), $"embedding")
+    val dayVecs = vecsOf(day)
+    val nVecs = dayVecs.count()
+    val appendMarker = s"$ivfPath/_DAY${day}_APPENDED"
     if (!hasMarker(spark, appendMarker)) {
-      Ivf.appendToIndex(day2Vecs, ivfPath, "vec_id", "embedding"): Unit
+      Ivf.appendToIndex(dayVecs, ivfPath, "vec_id", "embedding"): Unit
       touchMarker(spark, appendMarker)
     }
-    val probeId = day2Vecs.agg(min($"vec_id")).head().getLong(0)
+    val probeId = dayVecs.agg(min($"vec_id")).head().getLong(0)
     val index = Ivf.readIndex(spark, ivfPath)
-    val hits = Ivf.topK(index, day2Vecs.where($"vec_id" === probeId),
+    val hits = Ivf.topK(index, dayVecs.where($"vec_id" === probeId),
       "vec_id", "embedding", k = 5)
       .select($"vec_id").as[Long].collect()
     val probeHit = hits.contains(probeId)
@@ -663,18 +863,20 @@ object CurateMain {
     // byte-identical snapshot rows and summary (measured, SCALE.md).
     val mon = graft.streaming.Streams.monitorFrames(
       batch.select($"doc_id", $"text"), "text", n = 3)
-    // novelty of the arriving batch vs everything held (epoch 1 of the
-    // monitor stream, computed off-stream — same pure function)
+    // novelty of the arriving batch vs everything held (epoch day−1 of
+    // the monitor stream, computed off-stream — same pure function; the
+    // batch's novel grams register at the same epoch, so day N's batch
+    // is judged against corpus ∪ days 2..N−1)
     graft.streaming.Streams.processNoveltyBatchFromGrams(
-      mon.grams, mon.nDocs, epoch = 1L, novPath,
+      mon.grams, mon.nDocs, epoch = me, novPath,
       s"$workDir/monitor_novelty", alertBelow = 0.1)
-    val novRow = spark.read.parquet(s"$workDir/monitor_novelty/epoch=1")
+    val novRow = spark.read.parquet(s"$workDir/monitor_novelty/epoch=$me")
       .select($"novelty", $"alert").as[(Double, Boolean)].head()
     // tokenizer mismatch of the batch vs the frozen vocabulary
     val oovRow = graft.streaming.Streams.oovSnapshotFromWords(
       mon.words, mon.nDocs, vocabPath, alertAbove = 0.5)
-    oovRow.write.mode("overwrite").parquet(s"$workDir/monitor_oov/epoch=1")
-    val oov = spark.read.parquet(s"$workDir/monitor_oov/epoch=1")
+    oovRow.write.mode("overwrite").parquet(s"$workDir/monitor_oov/epoch=$me")
+    val oov = spark.read.parquet(s"$workDir/monitor_oov/epoch=$me")
       .select($"oov_rate", $"alert").as[(Double, Boolean)].head()
     // subword fertility of the batch vs the day-1 COMMITTED tokenizer
     // (the fitCached artifact — merges/ + words/ under its
@@ -693,8 +895,8 @@ object CurateMain {
     val fertRow = graft.streaming.Streams.fertilitySnapshotFromWords(
       mon.words, mon.nDocs, s"$bpePath/merges", alertAbove = 4.0)
     fertRow.write.mode("overwrite")
-      .parquet(s"$workDir/monitor_fertility/epoch=1")
-    val fert = spark.read.parquet(s"$workDir/monitor_fertility/epoch=1")
+      .parquet(s"$workDir/monitor_fertility/epoch=$me")
+    val fert = spark.read.parquet(s"$workDir/monitor_fertility/epoch=$me")
       .select($"fertility", $"alert").as[(Double, Boolean)].head()
     // unigram-KL of the batch vs the frozen corpus distribution (the
     // sixth signal, r17): known words in the WRONG proportions — the
@@ -702,27 +904,27 @@ object CurateMain {
     // same shared words frame, one broadcast join per epoch
     graft.streaming.Streams.klSnapshotFromWords(
         mon.words, mon.nDocs, ucPath, alertAbove = 0.5)
-      .write.mode("overwrite").parquet(s"$workDir/monitor_kl/epoch=1")
-    val klD = spark.read.parquet(s"$workDir/monitor_kl/epoch=1")
+      .write.mode("overwrite").parquet(s"$workDir/monitor_kl/epoch=$me")
+    val klD = spark.read.parquet(s"$workDir/monitor_kl/epoch=$me")
       .select($"kl", $"alert").as[(Option[Double], Boolean)].head()
     // recall of the (appended) index vs brute-force truth over the
-    // RE-LISTED corpus — corpus ∪ day-2 appends, written fresh each
-    // run (pure function of its inputs)
-    // marker-gated like every other day-1/day-2 artifact (r17): the
-    // frame is a pure function of (sfDir, off), both fixed per workDir,
-    // so a warm re-run must not pay the corpus-sized rewrite; a crash
-    // mid-write leaves no marker and the next run rewrites cleanly
-    val vecCorpus = s"$workDir/vec_corpus"
+    // RE-LISTED corpus — corpus ∪ appends of days 2..day, written once
+    // per day (pure function of (sfDir, off, day), all fixed per
+    // workDir/day; marker-gated so a warm re-run never pays the
+    // corpus-sized rewrite, a crash mid-write leaves no marker and the
+    // next run rewrites cleanly)
+    val vecCorpus = s"$workDir/vec_corpus/day=$day"
     if (!hasMarker(spark, s"$vecCorpus/_OK")) {
-      embeddings.unionByName(day2Vecs)
+      (2 to day).map(vecsOf).foldLeft(embeddings)(_.unionByName(_))
         .write.mode("overwrite").parquet(vecCorpus)
       touchMarker(spark, s"$vecCorpus/_OK")
     }
     val recRow = graft.streaming.VectorStreams.recallSnapshot(
-      day2Vecs, ivfPath, vecCorpus, "vec_id", "embedding",
+      dayVecs, ivfPath, vecCorpus, "vec_id", "embedding",
       k = 10, nprobe = 4, maxQueries = 32, alertBelow = 0.7)
-    recRow.write.mode("overwrite").parquet(s"$workDir/monitor_recall/epoch=1")
-    val rec = spark.read.parquet(s"$workDir/monitor_recall/epoch=1")
+    recRow.write.mode("overwrite")
+      .parquet(s"$workDir/monitor_recall/epoch=$me")
+    val rec = spark.read.parquet(s"$workDir/monitor_recall/epoch=$me")
       .select($"recall", $"alert").as[(Double, Boolean)].head()
     // ---- serving epilogue: build the residual-PQ face over THIS
     // corpus's (appended) IVF index and QC-gate it before anything
@@ -749,7 +951,7 @@ object CurateMain {
       k = 10, kCand = 50, maxQueries = 16, alertBelow = servingAlertBelow)
       .localCheckpoint()
     servRow.write.mode("overwrite")
-      .parquet(s"$workDir/monitor_pq_agreement/epoch=1")
+      .parquet(s"$workDir/monitor_pq_agreement/epoch=$me")
     val (pqAgree, stagedAgree, servAlert) = servRow
       .select($"pq_agreement", $"staged_agreement", $"alert")
       .as[(Double, Double, Boolean)].head()
@@ -763,24 +965,26 @@ object CurateMain {
     // (refit_qc/ + summary) — the repair is judged by the instrument
     // that demanded it. The pre-refit snapshot stays in the monitor
     // epoch (the alarm is part of the day's record).
+    val refitQc = s"$workDir/refit_qc/day=$day"
     val (refitRan, postStaged, refitK) =
       if (servAlert && refitOnAlert) {
-        // single-fire per day-2 epoch (r17, the refitMaintenanceStream
-        // guard ported here): a WARM replay of this run re-reads the
-        // same committed index and re-derives the same alert, but the
+        // single-fire PER DAY (r17, the refitMaintenanceStream guard
+        // ported here; r19 keys the record by day so day 3's alert can
+        // repair again): a WARM replay of this day re-reads the same
+        // committed index and re-derives the same alert, but the
         // repair already committed — re-firing would churn the index
         // with a fresh KMeans on every replay (a refit is not
         // replay-pure) and double-bill the rebuild. The committed
         // refit_qc record (marker written after the QC row) IS the
-        // epoch's repair; replays read it back.
-        if (hasMarker(spark, s"$workDir/refit_qc/_DONE")) {
-          val post = spark.read.parquet(s"$workDir/refit_qc")
+        // day's repair; replays read it back.
+        if (hasMarker(spark, s"$refitQc/_DONE")) {
+          val post = spark.read.parquet(refitQc)
           (true, post.select($"staged_agreement").as[Double].head(),
             Ivf.readIndex(spark, ivfPath).centroids.length)
         } else {
           // a refit re-derives every face, so it is exactly when k can
           // change: consult the a19 resize rule over the index's CURRENT
-          // population (corpus + day-2 appends) before repairing — a
+          // population (corpus + appends) before repairing — a
           // corpus that outgrew (or never filled) its k gets the policy
           // k in the same committed swap, an in-band one rides as-is.
           // Policy constants are the sf-scaled ones the resize rehearsal
@@ -796,10 +1000,10 @@ object CurateMain {
             embeddings, ivfPath, "vec_id", "embedding",
             k = 10, kCand = 50, maxQueries = 16,
             alertBelow = servingAlertBelow).localCheckpoint()
-          post.write.mode("overwrite").parquet(s"$workDir/refit_qc")
+          post.write.mode("overwrite").parquet(refitQc)
           // marker AFTER the record: a crash between them re-runs the
           // refit (wasteful, never wrong); with it, replays are pure
-          touchMarker(spark, s"$workDir/refit_qc/_DONE")
+          touchMarker(spark, s"$refitQc/_DONE")
           (true, post.select($"staged_agreement").as[Double].head(),
             Ivf.readIndex(spark, ivfPath).centroids.length)
         }
@@ -820,32 +1024,41 @@ object CurateMain {
     // corpus∪batch instead of six parquet re-scans + unions
     val unionDocs = Staged(corpus.select($"doc_id", $"text", $"source")
       .unionByName(batch.select($"doc_id", $"text", $"source")))
+    // per-source KL (r19): the x91 axis in the health row — the frozen
+    // day-1 unigram table prices each source's PROPORTIONS under the
+    // shared-support renormalization rule the global KL monitor uses,
+    // so a single proportion-drifted source that hides under the
+    // global gauge's healthy batchmates fires its own row
     graft.ops.Acquisition.sourceHealth(unionDocs,
-        "doc_id", "text", "source", bpeFit)
-      .write.mode("overwrite").parquet(s"$workDir/source_health")
+        "doc_id", "text", "source", bpeFit,
+        klFrom = Some(spark.read.parquet(ucPath)))
+      .write.mode("overwrite").parquet(s"$healthPath/epoch=$me")
     // ---- the verdict ACTING on acquisition (x89's composition): the
     // just-written health table drives the mix — sources it indicts
     // (re-crawls: novelty ~0, dup_rate ~1) are zeroed out, survivors
     // temperature-flatten — and the realized per-source mix lands next
     // to the verdict that produced it. Deterministic md5 gate ⇒
-    // replay-pure like every day-2 artifact.
+    // replay-pure like every per-day artifact. (The batch-admission
+    // gate above reads the SAME committed epochs with the SAME
+    // verdict rule, debounced — detect here, act next day.)
     graft.ops.Acquisition.healthGatedMixFrom(
-        spark.read.parquet(s"$workDir/source_health"),
+        spark.read.parquet(s"$healthPath/epoch=$me"),
         unionDocs.select($"doc_id", $"source"), "doc_id", "source")
       .groupBy($"source").agg(count(lit(1)).as("n_kept"))
-      .write.mode("overwrite").parquet(s"$workDir/day2_mix")
-    // the alert count covers ALL six day-2 signals — a failed serving
+      .write.mode("overwrite").parquet(s"$workDir/day${day}_mix")
+    // the alert count covers ALL six per-day signals — a failed serving
     // gate must surface in the summary's alerts, not only in the
     // monitor_pq_agreement epoch row
     val alerts = Seq(novRow._2, oov._2, rec._2, fert._2, klD._2, servAlert)
       .count(identity).toLong
     Staged.releaseAll()
     IncrementalSummary(nIndexed, nBatch, nPassaged, nSpanned, nCross,
-      nInternal, nKept, nVecs, probeHit, s"$workDir/day2_curated",
+      nInternal, nKept, nVecs, probeHit, s"$workDir/day${day}_curated",
       novelty = novRow._1, oovRate = oov._1, annRecall = rec._1,
       monitorAlerts = alerts, pqAgreement = pqAgree,
       stagedAgreement = stagedAgree, fertility = fert._1,
       refitRan = refitRan, postRefitStagedAgreement = postStaged,
-      refitK = refitK, klDrift = klD._1.getOrElse(-1.0))
+      refitK = refitK, klDrift = klD._1.getOrElse(-1.0),
+      day = day, gatedSources = nGated.toLong)
   }
 }

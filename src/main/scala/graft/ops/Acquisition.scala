@@ -32,7 +32,8 @@ object Acquisition {
 
   def sourceHealth(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, fit: Bpe.Fit, vocabSize: Int = 20,
-      dupThreshold: Double = 0.8): DataFrame = {
+      dupThreshold: Double = 0.8,
+      klFrom: Option[DataFrame] = None): DataFrame = {
     val ids = docs.select(col(idCol), col(srcCol))
     // x62/x73's quality face: per-source exact decimal mean over the
     // per-doc 1e-6-rounded score (partition-order independent)
@@ -77,11 +78,29 @@ object Acquisition {
       .groupBy(col(srcCol))
       .agg(round(count(col("__supp")).cast("double") /
         count(lit(1)), 6).as("dup_rate"))
-    quality
+    val base = quality
       .join(novelty, Seq(srcCol), "left")
       .join(oov, Seq(srcCol), "left")
       .join(fert, Seq(srcCol), "left")
       .join(dup, Seq(srcCol), "left")
+    // the DISTRIBUTIONAL drift column (r19, the x91 axis folded into
+    // the health row): per-source KL vs a FROZEN unigram table under
+    // the shared-support renormalization rule — the failure mode every
+    // other column misses (known words in the WRONG proportions reads
+    // 0-OOV, mid-novelty, healthy quality). Optional because the
+    // verdict needs a committed reference distribution; callers
+    // without one (the self-contained x85 table) keep the exact
+    // registered schema.
+    klFrom match {
+      case None => base
+      case Some(frozen) =>
+        base.join(
+          TextAnalysis.perSourceSharedKl(
+              docs.select(col(srcCol), col(textCol)), textCol, srcCol,
+              frozen)
+            .select(col("source").as(srcCol), col("kl")),
+          Seq(srcCol), "left")
+    }
   }
 
   /** ACT on the health table: derive a target mix FROM the per-source
@@ -109,30 +128,46 @@ object Acquisition {
     * collect — the decision is a per-source scalar read); the resample
     * stays a row-local hash gate on the scan.
     */
-  def healthGatedMixFrom(health: DataFrame, docs: DataFrame, idCol: String,
-      srcCol: String, alpha: Double = 0.5, noveltyFloorFrac: Double = 0.5,
-      dupCeiling: Double = 0.5): DataFrame = {
+  /** The gate's verdict alone: the sources a health table indicts
+    * (relative novelty floor + dup ceiling — [[healthGatedMixFrom]]'s
+    * exact micro-unit arithmetic, extracted so the day-N acquisition
+    * gate and the mix read ONE rule). Returns (healthy, indicted) by
+    * source key. A NULL-novelty source cannot be certified and is
+    * indicted; the floor is the doc-weighted mean novelty scaled by
+    * `noveltyFloorFrac`, in exact integer micro-units.
+    */
+  def healthVerdicts(health: DataFrame, srcCol: String,
+      noveltyFloorFrac: Double = 0.5,
+      dupCeiling: Double = 0.5): (Seq[String], Seq[String]) = {
     val rows = health
       .select(col(srcCol).cast("string"), col("n_docs").cast("long"),
         col("novelty").cast("double"), col("dup_rate").cast("double"))
       .collect()
-    require(rows.nonEmpty, "health-gated mix over an empty health table")
+    require(rows.nonEmpty, "health verdict over an empty health table")
     // doc-weighted mean novelty in exact micro-units: novelty is
     // round(·, 6), so round(novelty·1e6) is an exact integer per source
     val scored = rows.filter(!_.isNullAt(2))
     val sumN = scored.map(_.getLong(1)).sum
     val sumWNov = scored.map(r =>
       math.round(r.getDouble(2) * 1e6) * r.getLong(1)).sum
-    require(sumN > 0, "health-gated mix: no source has a novelty verdict")
+    require(sumN > 0, "health verdict: no source has a novelty verdict")
     val floorMicro = BigDecimal(noveltyFloorFrac * (sumWNov.toDouble / sumN))
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val healthy = rows.filter { r =>
+    val (healthy, indicted) = rows.partition { r =>
       !r.isNullAt(2) &&
         math.round(r.getDouble(2) * 1e6) >= floorMicro &&
         (r.isNullAt(3) || r.getDouble(3) <= dupCeiling)
-    }.map(_.getString(0)).toSeq
+    }
+    (healthy.map(_.getString(0)).toSeq, indicted.map(_.getString(0)).toSeq)
+  }
+
+  def healthGatedMixFrom(health: DataFrame, docs: DataFrame, idCol: String,
+      srcCol: String, alpha: Double = 0.5, noveltyFloorFrac: Double = 0.5,
+      dupCeiling: Double = 0.5): DataFrame = {
+    val (healthy, _) = healthVerdicts(health, srcCol, noveltyFloorFrac,
+      dupCeiling)
     require(healthy.nonEmpty,
-      s"health gate cut every source (floor ${floorMicro / 1e6}, " +
+      s"health gate cut every source (floor frac $noveltyFloorFrac, " +
         s"dup ceiling $dupCeiling) — nothing left to mix")
     Sampling.temperatureSample(
       docs.where(col(srcCol).isInCollection(healthy)), idCol, srcCol, alpha)

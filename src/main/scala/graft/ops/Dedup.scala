@@ -565,6 +565,51 @@ object Dedup {
     }
   }
 
+  /** The batch-append faces' single-writer guard (r19 — the
+    * `_MAINT_OWNER` discipline applied to the appendable artifacts):
+    * an append is read-distinct-then-write, NOT atomic — two
+    * concurrent appenders would both anti-join the same committed
+    * state and interleave writes, silently breaking the index's
+    * distinctness invariant (and racing the catalog registration).
+    * The lock is an atomic create-no-overwrite file at the artifact
+    * root, held for the duration of one append and deleted after; a
+    * second appender REFUSES loudly instead of interleaving. A
+    * crashed appender leaves the lock behind — recovery is the
+    * explicit [[clearAppendLock]], exactly like the maintenance
+    * lease's takeover: re-admission is a human decision. For
+    * streaming (crash-replay) ingest use the epoch-partitioned
+    * faces instead — drop-and-rewrite epoch partitions need no lock.
+    */
+  private val AppendLockFile = "_APPEND_LOCK"
+
+  private[ops] def withAppendLock[T](
+      spark: org.apache.spark.sql.SparkSession, root: String)(
+      body: => T): T = {
+    val fs = fsOf(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, AppendLockFile)
+    fs.mkdirs(p.getParent): Unit
+    val acquired =
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!acquired) throw new IllegalStateException(
+      s"append to $root refused: $p is held — batch appends are " +
+        "single-writer (read-distinct-then-write is not atomic; " +
+        "interleaved appends would break the index's distinctness " +
+        "invariant). If the holder crashed, recover with " +
+        "Dedup.clearAppendLock; for concurrent ingest use the " +
+        "epoch-partitioned streaming faces.")
+    try body finally { fs.delete(p, false): Unit }
+  }
+
+  /** Remove a crashed appender's lock — the operator recovery path
+    * ([[withAppendLock]]'s scaladoc). Safe when no lock exists.
+    */
+  def clearAppendLock(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    fsOf(spark, root).delete(
+      new org.apache.hadoop.fs.Path(root, AppendLockFile), false): Unit
+  }
+
   /** Read one index table back with its bucket layout (plain parquet
     * when the dir predates bucketing).
     */
@@ -896,18 +941,23 @@ object Dedup {
       textCol: String, bands: Int = 32, rowsPerBand: Int = 4,
       shingleSize: Int = 3): Unit = {
     GraftFunctions.register(newDocs.sparkSession)
-    // staged: the shingle append, the band derivation, and the stats
-    // delta all read this batch-sized frame
-    val docs = stage(newDocs
-      .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
-      .where(size(col("h")) > 0))
-    appendBucketedIndex(docs, s"$indexPath/shingles")
-    val newBands = stage(docs
-      .withColumn("sig", minHashSignatureFromHashes(col("h"), bands * rowsPerBand))
-      .select(col("id"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key"))))
-    appendBucketedIndex(newBands, s"$indexPath/bands")
-    mergeBucketCounts(newDocs.sparkSession, indexPath, bandCountsOf(newBands))
+    // ONE lock spans all three face appends (shingles, bands, stats):
+    // a per-table lock would still let two appenders interleave ACROSS
+    // the faces and tear the shingle/band correspondence
+    withAppendLock(newDocs.sparkSession, indexPath) {
+      // staged: the shingle append, the band derivation, and the stats
+      // delta all read this batch-sized frame
+      val docs = stage(newDocs
+        .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
+        .where(size(col("h")) > 0))
+      appendBucketedIndex(docs, s"$indexPath/shingles")
+      val newBands = stage(docs
+        .withColumn("sig", minHashSignatureFromHashes(col("h"), bands * rowsPerBand))
+        .select(col("id"),
+          posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key"))))
+      appendBucketedIndex(newBands, s"$indexPath/bands")
+      mergeBucketCounts(newDocs.sparkSession, indexPath, bandCountsOf(newBands))
+    }
   }
 
   /** Exact n-gram Jaccard similarity join within a blocking key, via
@@ -1226,25 +1276,54 @@ object Dedup {
   /** Persist the corpus's DISTINCT sliding spans as a bucketed index —
     * the [[writePassageIndex]] discipline for the substring face: the
     * index side of every later probe sits pre-bucketed on the span key
-    * and never crosses an Exchange.
+    * and never crosses an Exchange. `hashed = true` stores xxhash64
+    * span keys (8-byte longs) instead of window-token strings — the
+    * PRODUCTION keying for the artifact that lives forever: at 100 TB
+    * the index, not the transient probe, is where the bytes bill
+    * (~50-byte span text → 8 bytes per row, and every probe exchange
+    * against it moves longs). Collision budget is x98's: ~0.03
+    * colliding PAIRS at 10¹² spans, dedup-side error only. One index,
+    * one keying — a probe against a mismatched layout refuses loudly
+    * rather than silently joining across a cast.
     */
   def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
-      window: Int, path: String, nBuckets: Int = 32): Unit =
-    writeBucketedIndex(spanGrams(df, idCol, textCol, window),
+      window: Int, path: String, nBuckets: Int = 32,
+      hashed: Boolean = false): Unit =
+    writeBucketedIndex(spanGrams(df, idCol, textCol, window, hashed),
       s"$path/spans", Seq("gram"), nBuckets)
 
   /** A corpus's DISTINCT sliding spans as a (gram) frame — the
     * registration-side frame shared by [[writeSpanIndex]], the
     * streaming face's epoch-0 seed, and the capstone's day-1 build, so
-    * the span convention cannot drift between index writers.
+    * the span convention cannot drift between index writers. `hashed`
+    * keys the frame on xxhash64(span) — longs, the production layout.
     */
   def spanGrams(df: DataFrame, idCol: String, textCol: String,
-      window: Int): DataFrame = {
+      window: Int, hashed: Boolean = false): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     val toksArr = stage(df.select(col(idCol).as("__id"),
       graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
-    spanFrame(toksArr, window).select(col("__gram").as("gram")).distinct()
+    val g = if (hashed) xxhash64(col("__gram")) else col("__gram")
+    spanFrame(toksArr, window).select(g.as("gram")).distinct()
   }
+
+  /** Refuse a span-index probe whose committed layout disagrees with
+    * the caller's keying: joining a long batch key against a string
+    * index column would silently cast both sides instead of matching
+    * spans. The check reads only the schema.
+    */
+  private def requireSpanKeying(indexes: Seq[DataFrame],
+      hashed: Boolean): Unit =
+    indexes.foreach { idx =>
+      val dt = idx.schema("gram").dataType
+      val want =
+        if (hashed) org.apache.spark.sql.types.LongType
+        else org.apache.spark.sql.types.StringType
+      require(dt == want,
+        s"span index keying mismatch: probe expects ${want.simpleString} " +
+          s"gram keys (hashed=$hashed) but the committed index stores " +
+          s"${dt.simpleString} — one index, one keying")
+    }
 
   /** [[substringDedup]] for a NEW batch against a persisted
     * [[writeSpanIndex]] corpus: a span already committed to the index
@@ -1261,10 +1340,11 @@ object Dedup {
     * streaming face) or cross-batch repeats go unseen.
     */
   def incrementalSubstringDedup(newDocs: DataFrame, indexPath: String,
-      idCol: String, textCol: String, window: Int = 8): DataFrame =
+      idCol: String, textCol: String, window: Int = 8,
+      hashed: Boolean = false): DataFrame =
     incrementalSubstringDedupStaged(newDocs,
       Seq(readIndexTable(newDocs.sparkSession, s"$indexPath/spans")),
-      idCol, textCol, window)._1
+      idCol, textCol, window, hashed)._1
 
   /** [[incrementalSubstringDedup]] against SEVERAL per-epoch span-index
     * frames (each a (gram) table — the epoch-partitioned streaming
@@ -1284,11 +1364,19 @@ object Dedup {
     */
   def incrementalSubstringDedupStaged(newDocs: DataFrame,
       indexes: Seq[DataFrame], idCol: String, textCol: String,
-      window: Int): (DataFrame, DataFrame) = {
+      window: Int, hashed: Boolean = false): (DataFrame, DataFrame) = {
     require(window > 0, s"window must be positive, got $window")
+    requireSpanKeying(indexes, hashed)
     val toksArr = stage(newDocs.select(col(idCol).as("__id"),
       graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
-    val wins = stage(spanFrame(toksArr, window))
+    // hashed: project the 8-byte key BEFORE anything shuffles (x98's
+    // rule), so the index anti-join chain, the first-occurrence agg,
+    // and the repeat join all move longs instead of span strings
+    val keyed = spanFrame(toksArr, window)
+    val wins = stage(
+      if (hashed) keyed.select(col("__id"), col("__pos"),
+        xxhash64(col("__gram")).as("__gram"))
+      else keyed)
     // fresh spans: absent from every committed index frame — first
     // occurrence within the batch survives. Staged: fresh feeds the
     // winner agg, the repeat join, the inIdx anti-join, and the
@@ -1322,15 +1410,17 @@ object Dedup {
     * in-place append is not replay-idempotent.
     */
   def appendToSpanIndex(newDocs: DataFrame, path: String, idCol: String,
-      textCol: String, window: Int): Unit = {
+      textCol: String, window: Int, hashed: Boolean = false): Unit = {
     require(window > 0, s"window must be positive, got $window")
     val spark = newDocs.sparkSession
-    val toksArr = stage(newDocs.select(col(idCol).as("__id"),
-      graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
-    appendBucketedIndex(spanFrame(toksArr, window)
-      .select(col("__gram").as("gram")).distinct()
-      .join(readIndexTable(spark, s"$path/spans"), Seq("gram"), "left_anti"),
-      s"$path/spans")
+    withAppendLock(spark, path) {
+      val idx = readIndexTable(spark, s"$path/spans")
+      requireSpanKeying(Seq(idx), hashed)
+      appendBucketedIndex(
+        spanGrams(newDocs, idCol, textCol, window, hashed)
+          .join(idx, Seq("gram"), "left_anti"),
+        s"$path/spans")
+    }
   }
 
   /** The non-overlapping `window`-token passage frame of a corpus:
@@ -1393,11 +1483,13 @@ object Dedup {
   def appendToPassageIndex(newDocs: DataFrame, path: String, idCol: String,
       textCol: String, window: Int): Unit = {
     val spark = newDocs.sparkSession
-    appendBucketedIndex(passages(newDocs, idCol, textCol, window)
-      .select(col("chunk_text")).distinct()
-      .join(readIndexTable(spark, s"$path/passages"),
-        Seq("chunk_text"), "left_anti"),
-      s"$path/passages")
+    withAppendLock(spark, path) {
+      appendBucketedIndex(passages(newDocs, idCol, textCol, window)
+        .select(col("chunk_text")).distinct()
+        .join(readIndexTable(spark, s"$path/passages"),
+          Seq("chunk_text"), "left_anti"),
+        s"$path/passages")
+    }
   }
 
   /** [[passageDedup]] for a NEW batch against a persisted

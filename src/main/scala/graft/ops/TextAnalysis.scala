@@ -496,6 +496,77 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("kl"))
   }
 
+  /** Per-source unigram KL against a FROZEN count table under the
+    * renormalized-SHARED-support rule — [[sourceUnigramKl]]'s axis with
+    * the streaming KL monitor's semantics (graft.streaming.Streams
+    * .klSnapshotFromWords), sliced by source: per source, terms range
+    * over the tokens the frozen table knows AND the source emits; both
+    * distributions renormalize to that support, so the divergence is a
+    * true KL (≥ 0, 0 iff the source's in-vocab proportions match the
+    * frozen corpus's over the same words). Out-of-vocab mass is the OOV
+    * column's signal, never smoothed into KL. The per-source number
+    * equals the global monitor's formula restricted to one source — the
+    * same arithmetic (per-term 1e-9 grid, decimal sum, round 6), so a
+    * threshold tuned on the global gauge applies per source. A source
+    * with no shared support (tokenless, or fully out-of-vocab) carries
+    * NULL kl — it cannot be certified, not "perfectly matched".
+    *
+    * This is the health-row column the global KL monitor structurally
+    * lacks: one source drifting its proportions hides behind nine
+    * healthy ones in the batch-global number exactly the way novelty
+    * does. Cost: one (source, tok) count over the batch, one broadcast
+    * join against the O(vocab) frozen table, one source-keyed sum —
+    * nothing corpus-sized.
+    *
+    * `frozen` is the committed [[unigramCounts]] table: (tok, cnt).
+    */
+  def perSourceSharedKl(docs: DataFrame, textCol: String, srcCol: String,
+      frozen: DataFrame): DataFrame = {
+    val ex = Staged(docs.select(col(srcCol).cast("string").as("source"),
+      explode(tokens(col(textCol))).as("tok")))
+    val totals = ex.groupBy(col("source"))
+      .agg(count(lit(1)).as("__ntok"))
+    val stats = perSourceSharedKlFromWords(ex, frozen)
+    docs.groupBy(col(srcCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(totals, Seq("source"), "left")
+      .join(stats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("__ntok"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"), col("kl"))
+  }
+
+  /** [[perSourceSharedKl]] over a pre-exploded (source, tok) frame —
+    * the shared-words-frame face the streaming health snapshot feeds
+    * (one tokenization pass serves OOV, fertility, AND KL). Returns
+    * one row per source WITH shared support: (source, n_in_vocab, kl);
+    * sources without shared support are simply absent (the caller's
+    * left join reads them as NULL — uncertifiable).
+    */
+  private[graft] def perSourceSharedKlFromWords(ex: DataFrame,
+      frozen: DataFrame): DataFrame = {
+    val bc = Staged(ex.select(col("source"), col("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("__cb")))
+    val shared = Staged(bc.join(
+      broadcast(frozen.select(col("tok"), col("cnt"))), "tok"))
+    // per-source shared-support sums: batch mass and frozen mass over
+    // exactly the words BOTH sides hold for that source
+    val sums = shared.groupBy(col("source"))
+      .agg(sum(col("__cb")).as("__ninv"), sum(col("cnt")).as("__qs"))
+    val kl = shared
+      .join(sums, "source")
+      .select(col("source"),
+        round((col("__cb").cast("double") / col("__ninv")) *
+          log((col("__cb").cast("double") * col("__qs")) /
+            (col("__ninv").cast("double") * col("cnt"))), 9)
+          .cast("decimal(28,9)").as("__t"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("kl"))
+    sums.select(col("source"), col("__ninv").as("n_in_vocab"))
+      .join(kl, Seq("source"), "left")
+  }
+
   /** Per-source Population Stability Index of the [[qualityScore]]
     * distribution vs the corpus-global one, over `nBuckets` fixed
     * equal-width buckets on [0,1]: PSI = Σ_b (p'_b − q'_b) ln(p'_b/q'_b)

@@ -1386,6 +1386,61 @@ object AnalyticsQueries {
         FROM t"""),
       notes = "a15's residual replay + a20's cell counts + a19's integer " +
         "policy arithmetic composed into the loop's one decision row, " +
-        "all off ONE k-row profile aggregation")
+        "all off ONE k-row profile aggregation"),
+
+    // ---- per-source KL vs a FROZEN unigram table under the
+    // renormalized-SHARED-support rule — the health row's
+    // distributional-drift column (r19): x91 prices a source against
+    // the union it sits in; this prices an ARRIVING batch's sources
+    // against the committed day-1 distribution, the streaming KL
+    // monitor's semantics sliced per source. One source drifting its
+    // proportions hides behind nine healthy batchmates in the global
+    // gauge exactly as novelty does; this row names it. Corpus =
+    // doc_id % 3 = 0 (the frozen slice), batch = the rest.
+    GraftQuery(
+      "a22_source_shared_kl",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        graft.ops.TextAnalysis.perSourceSharedKl(
+          docs.where($"doc_id" % 3 =!= 0),
+          "text", "source",
+          graft.ops.Staged(graft.ops.TextAnalysis.unigramCounts(
+            docs.where($"doc_id" % 3 === 0), "text")))
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+          batch AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+          fz AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS tok FROM corpus) GROUP BY tok),
+          ex AS (SELECT source,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM batch),
+          bc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cb
+            FROM ex GROUP BY source, tok),
+          tot AS (SELECT source, CAST(sum(cb) AS BIGINT) AS ntok
+            FROM bc GROUP BY source),
+          sh AS (SELECT bc.source, bc.tok, bc.cb, fz.cnt
+            FROM bc JOIN fz USING (tok)),
+          sums AS (SELECT source, CAST(sum(cb) AS BIGINT) AS ninv,
+              CAST(sum(cnt) AS BIGINT) AS qs FROM sh GROUP BY source),
+          kl AS (SELECT sh.source,
+              round(CAST(sum(CAST(round(
+                  (CAST(cb AS DOUBLE) / sums.ninv) *
+                  ln((CAST(cb AS DOUBLE) * sums.qs) /
+                     (CAST(sums.ninv AS DOUBLE) * cnt)), 9)
+                AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl
+            FROM sh JOIN sums USING (source) GROUP BY sh.source),
+          nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM batch GROUP BY source)
+          SELECT nd.source, nd.n_docs, COALESCE(tot.ntok, 0) AS n_tokens,
+            COALESCE(sums.ninv, 0) AS n_in_vocab, kl.kl
+          FROM nd LEFT JOIN tot USING (source) LEFT JOIN sums USING (source)
+            LEFT JOIN kl USING (source)"""),
+      notes = "the streaming KL monitor's renormalized-shared-support " +
+        "rule sliced per source: terms over words BOTH sides hold, both " +
+        "distributions renormalized to that support, 1e-9 grid + " +
+        "decimal sum — the same arithmetic as the global gauge, so one " +
+        "threshold serves both")
   )
 }

@@ -3585,7 +3585,69 @@ object ExtensionQueries {
       notes = "x95's oracle verbatim: the hashed keying is collision-free " +
         "at test SFs by construction, so the closures coincide — the " +
         "oracle checks the DEDUP result, DedupSpec pins the x98 ≡ x95 " +
-        "identity and PlanSpec the 8-byte shuffle key")
+        "identity and PlanSpec the 8-byte shuffle key"),
+
+    // ---- hash-keyed PERSISTED span index — x97's day-2 probe with
+    // x98's production keying on the artifact that lives forever: the
+    // committed index stores xxhash64 span keys (8 bytes/row instead
+    // of ~50-byte window-token strings — at 100 TB the INDEX, not the
+    // transient probe, is where the bytes bill), and every probe
+    // exchange against it moves longs. Output ≡ x97 absent a 64-bit
+    // collision (none at any test SF), so the oracle is x97's
+    // verbatim; DedupSpec pins the hashed ≡ text-keyed differential
+    // across write/probe/append and PlanSpec pins the L-suffix keying
+    // on the probe's span exchanges.
+    GraftQuery(
+      "x99_incremental_substring_hashed",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val path = s"${sys.props("java.io.tmpdir")}/graft-spanidxh-${OracleDump.sfTag(dir)}"
+        val marker = new java.io.File(
+          s"$path/_INDEX_OK_v1_${OracleDump.tableFingerprint(dir, "documents")}")
+        if (!marker.exists()) {
+          graft.ops.Dedup.writeSpanIndex(docs.filter($"doc_id" < 250),
+            "doc_id", "text", window = 8, path, hashed = true)
+          marker.createNewFile(): Unit
+        }
+        graft.ops.Dedup.incrementalSubstringDedup(
+          docs.filter($"doc_id" >= 250), path, "doc_id", "text", window = 8,
+          hashed = true)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+          w AS (SELECT doc_id, gi - 1 AS pos,
+              array_to_string(t[gi : gi + 7], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 6)) AS u(gi)
+            WHERE len(t) >= 8),
+          f AS (SELECT gram, doc_id AS fdoc, pos AS fpos FROM (
+              SELECT gram, doc_id, pos, row_number() OVER (
+                PARTITION BY gram ORDER BY doc_id, pos) AS rk FROM w)
+            WHERE rk = 1),
+          rep AS (SELECT w.doc_id, w.pos FROM w JOIN f USING (gram)
+            WHERE w.doc_id >= 250
+              AND NOT (w.doc_id = f.fdoc AND w.pos = f.fpos)),
+          cov AS (SELECT DISTINCT doc_id, pos + u AS pos
+            FROM rep, unnest(range(0, 8)) AS v(u)),
+          tp AS (SELECT doc_id, gi - 1 AS pos, t[gi] AS tok
+            FROM toks, unnest(range(1, len(t) + 1)) AS u(gi)
+            WHERE doc_id >= 250),
+          kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+            FROM tp LEFT JOIN cov
+              ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+            WHERE cov.pos IS NULL),
+          reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+            CAST(len(t.t) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_dropped,
+            COALESCE(reb.clean_text, '') AS clean_text
+          FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
+          WHERE t.doc_id >= 250"""),
+      notes = "x97's oracle verbatim: the hashed index keying is " +
+        "collision-free at test SFs, so the probes coincide — the " +
+        "oracle checks the dedup result, DedupSpec the hashed ≡ " +
+        "text-keyed family differential, PlanSpec the 8-byte probe key")
   )
 
   /** DuckDB model CTE for the DSIR queries — unigram+bigram features

@@ -54,6 +54,12 @@ object ScaleRehearsalStream {
     if (args.headOption.contains("--maintain")) return runMaintain(
       args.lift(1).map(_.toInt).getOrElse(5),
       args.lift(2).map(_.toInt).getOrElse(2))
+    if (args.headOption.contains("--maintain-bpe")) return runMaintainBpe(
+      args.lift(1).map(_.toInt).getOrElse(5),
+      args.lift(2).map(_.toInt).getOrElse(2),
+      args.lift(3).map(_.toInt).getOrElse(1024))
+    if (args.headOption.contains("--span-bytes")) return runSpanBytes(
+      args.lift(1).map(_.toInt).getOrElse(8))
     val epochCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8, 16)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -556,6 +562,199 @@ object ScaleRehearsalStream {
       f""""epochs_to_repair":$debounce,"repair_wall_sec":$repairWall%.1f,""" +
       f""""agreement_before":$agreeBefore%.6f,"agreement_after":$agreeAfter%.6f,""" +
       f""""serve_epochs_ok":$nEpochs}""")
+    spark.stop()
+  }
+
+  /** `--span-bytes [window]` (default 8): the r19 hash-keyed span
+    * index's storage differential, measured — build the PERSISTED
+    * span index over the corpus in BOTH keyings and report committed
+    * parquet bytes, bytes/span, and build wall. The transient probe's
+    * shuffle savings are the x98 plan pin's business; this prices the
+    * artifact that LIVES FOREVER, which at 100 TB is where the bytes
+    * bill. A differential probe REQUIREs the two layouts verdict
+    * identically on a fresh batch before the sizes are reported.
+    */
+  private def runSpanBytes(window: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = SparkSession.builder()
+      .appName("graft-scale-span-bytes")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+    val batch = docs.where($"doc_id" % 10 === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-span-bytes").toString
+    def bytesUnder(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length()
+        else 0L
+      walk(new java.io.File(p))
+    }
+    val out = Seq(false, true).map { hashed =>
+      val dir = s"$root/${if (hashed) "hashed" else "text"}"
+      val t0 = System.nanoTime()
+      Dedup.writeSpanIndex(corpus, "doc_id", "text", window, dir,
+        hashed = hashed)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val nSpans = Dedup.readIndexTable(spark, s"$dir/spans").count()
+      val bytes = bytesUnder(s"$dir/spans")
+      (hashed, nSpans, bytes, buildSec)
+    }
+    // the two layouts must VERDICT identically before sizes mean
+    // anything (no 64-bit collision at fixture scale)
+    def m(hashed: Boolean) = Dedup.incrementalSubstringDedup(batch,
+        s"$root/${if (hashed) "hashed" else "text"}", "doc_id", "text",
+        window, hashed = hashed)
+      .select($"doc_id", $"n_dropped", $"clean_text")
+      .as[(Long, Long, String)].collect().toSet
+    require(m(false) == m(true),
+      "the hashed index must verdict identically to the text-keyed one")
+    out.foreach { case (hashed, n, b, sec) =>
+      println(f"""{"keying":"${if (hashed) "hashed" else "text"}",""" +
+        f""""n_spans":$n,"bytes":$b,""" +
+        f""""bytes_per_span":${b.toDouble / n}%.2f,"build_sec":$sec%.1f}""")
+    }
+    val ratio = out(0)._3.toDouble / out(1)._3
+    println(f"""{"mode":"span-bytes","window":$window,""" +
+      f""""text_over_hashed_bytes":$ratio%.2f}""")
+    spark.stop()
+  }
+
+  /** `--maintain-bpe [nEpochs] [debounce] [nMerges]` (default 5, 2,
+    * 1024): price the TOKENIZER maintenance loop end to end at the
+    * fixture scale — the operational rehearsal of
+    * [[Streams.bpeMaintenanceStream]], which the specs verify at
+    * 4-merge toy scale while the real bill is the full-merge fit
+    * (r16's `fitLocal` collapsed it, but nothing had priced the LOOP:
+    * fit + debounced decision + mid-stream `Bpe.refitCommitted` +
+    * consumers reading the committed artifact across the swap).
+    *
+    * Day 1 fits `nMerges` over the corpus widened by one 32-hex
+    * pseudo-word per doc (the r15 recipe — the fixture's ~31-word
+    * vocabulary otherwise exhausts a real merge budget); the drift is
+    * every corpus token letter-rotated (same length statistics,
+    * disjoint from the learned pairs, so the committed merges shred it
+    * to near-characters); the caller-maintained fit corpus is
+    * base ∪ absorbed drift, so the ONE mid-stream re-fit restores
+    * fertility. Every epoch a CONSUMER (`Bpe.readFit` +
+    * `Bpe.tokenize` — the packing path) prices a fixed drifted sample
+    * against whatever artifact is committed: it must never starve, and
+    * its post-swap token bill must drop (the context-window-slots
+    * differential). REQUIREd: the repair fires exactly once at the
+    * debounce boundary, pre-repair fertility alerts, post-repair
+    * fertility clears the alert by a wide gap, and the consumer's
+    * drifted-sample subword count shrinks across the swap.
+    */
+  private def runMaintainBpe(nEpochs: Int, debounce: Int,
+      nMerges: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = SparkSession.builder()
+      .appName("graft-scale-maintain-bpe")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val docsAll = Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+    val nDocs = docsAll.count()
+    require(nDocs > 0, s"no documents under $sfDir — nothing to rehearse")
+    val base = docsAll.select($"doc_id",
+      concat_ws(" ", $"text", md5($"doc_id".cast("string"))).as("text"))
+    val drift = docsAll.select(($"doc_id" + 10000000L).as("doc_id"),
+      translate(lower($"text"),
+        "abcdefghijklmnopqrstuvwxyz0123456789",
+        "nopqrstuvwxyzabcdefghijklm5678901234").as("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maintain-bpe").toString
+    val bpePath = s"$root/bpe"
+    var t0 = System.nanoTime()
+    graft.ops.Bpe.fitCached(base, "text", nMerges, bpePath,
+      corpusTag = "day1"): Unit
+    val day1FitSec = (System.nanoTime() - t0) / 1e9
+    // the caller-maintained fit corpus the repair re-fits over: the
+    // base plus the ABSORBED drifted ingest (re-fitting on one drifted
+    // batch alone would whiplash the vocabulary — the stream scaladoc's
+    // contract)
+    val corpusPath = s"$root/fitcorpus"
+    t0 = System.nanoTime()
+    base.unionByName(drift).write.mode("overwrite").parquet(corpusPath)
+    val corpusWriteSec = (System.nanoTime() - t0) / 1e9
+    val driftBatch = drift.orderBy($"doc_id").limit(512)
+      .as[Doc].collect().toSeq
+    val consumerSample = drift.orderBy($"doc_id").limit(64)
+      .select($"doc_id", $"text")
+    val (mon, ref) = (s"$root/mon", s"$root/ref")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Doc](spark)
+    val alertAbove = 3.0
+    val q = Streams.bpeMaintenanceStream(input.toDF(), bpePath, corpusPath,
+      mon, ref, s"$root/cp", "doc_id", "text",
+      alertAbove = alertAbove, debounce = debounce)
+    var fertBefore = -1.0
+    var repairWall = -1.0
+    var consumedBefore = -1L
+    var consumedAfter = -1L
+    try {
+      (0 until nEpochs).foreach { e =>
+        val t = System.nanoTime()
+        input.addData(driftBatch: _*); q.processAllAvailable()
+        val maintSec = (System.nanoTime() - t) / 1e9
+        val (fert, alert) = spark.read.parquet(s"$mon/epoch=$e")
+          .select($"fertility", $"alert").as[(Double, Boolean)].head()
+        val repaired = new java.io.File(s"$ref/epoch=$e").exists()
+        if (repaired) repairWall = maintSec
+        if (!repaired && fertBefore < 0 && alert) fertBefore = fert
+        // the CONSUMER face: packing's token pricing reads whatever
+        // artifact is committed — it must never starve across the swap
+        val fit = graft.ops.Bpe.readFit(spark, bpePath)
+        val consumed = graft.ops.Bpe.tokenize(consumerSample,
+            "doc_id", "text", fit)
+          .agg(coalesce(sum($"n_bpe_tokens"), lit(0L))).as[Long].head()
+        require(consumed > 0L,
+          s"the consumer starved at epoch $e — the swap must not stall it")
+        if (!repaired && consumedBefore < 0) consumedBefore = consumed
+        consumedAfter = consumed
+        println(f"""{"epoch":$e,"maint_sec":$maintSec%.2f,""" +
+          f""""fertility":$fert%.6f,"alert":$alert,"repaired":$repaired,""" +
+          f""""consumer_subwords":$consumed}""")
+      }
+    } finally q.stop()
+    // single fire, exactly at the debounce boundary
+    val fired = Streams.epochsBefore(spark, ref, Long.MaxValue)
+    require(fired == Seq(debounce - 1L),
+      s"the re-fit must fire once at epoch ${debounce - 1}: $fired")
+    val fertAfter = spark.read.parquet(s"$ref/epoch=${debounce - 1}")
+      .select($"fertility").as[Double].head()
+    require(fertBefore > alertAbove,
+      s"fixture sanity: the drift must alert pre-repair: $fertBefore")
+    // fertility restored: the promoted merges price the SAME drifted
+    // sample under the alert floor, by a wide gap
+    require(fertAfter <= alertAbove && fertAfter < fertBefore - 1.0,
+      s"the repair must restore fertility: $fertAfter vs $fertBefore")
+    // the packing-facing differential: the same 64-doc drifted sample
+    // costs fewer context-window slots under the promoted artifact
+    require(consumedAfter < consumedBefore,
+      s"the consumer's token bill must drop across the swap: " +
+        s"$consumedAfter vs $consumedBefore")
+    val mergesDone = spark.read.parquet(s"$bpePath/merges").count()
+    println(f"""{"mode":"maintain-bpe","n_docs":$nDocs,""" +
+      f""""n_merges":$nMerges,"merges_done":$mergesDone,""" +
+      f""""day1_fit_sec":$day1FitSec%.1f,""" +
+      f""""corpus_write_sec":$corpusWriteSec%.1f,""" +
+      f""""epochs_to_repair":$debounce,"repair_wall_sec":$repairWall%.1f,""" +
+      f""""fertility_before":$fertBefore%.6f,""" +
+      f""""fertility_after":$fertAfter%.6f,""" +
+      f""""consumer_subwords_before":$consumedBefore,""" +
+      f""""consumer_subwords_after":$consumedAfter}""")
     spark.stop()
   }
 

@@ -487,14 +487,15 @@ object Streams {
     */
   def processSubstringBatch(batch: DataFrame, epoch: Long,
       indexPath: String, outPath: String, idCol: String, textCol: String,
-      window: Int, nBuckets: Int, maxChain: Int): Unit =
+      window: Int, nBuckets: Int, maxChain: Int,
+      hashed: Boolean = false): Unit =
     graft.ops.Staged.scoped {
       val idxParts = spanIndexPartsBefore(batch.sparkSession, indexPath, epoch)
       // ONE batch span frame + index probe feeds both the clean output
       // and the index registration (the staged pair)
       val (cleaned, freshSpans) = graft.ops.Dedup
         .incrementalSubstringDedupStaged(batch, idxParts, idCol, textCol,
-          window)
+          window, hashed)
       // the substring contract covers every batch doc (tokenless docs
       // ride through at n_tokens=0), so no side union is needed here
       cleaned.write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
@@ -509,27 +510,6 @@ object Streams {
           upToEpoch = epoch - 1, nBuckets = nBuckets)
     }
 
-  /** Continuous-ingest sliding-span (ExactSubstr) dedup — the streaming
-    * face of [[graft.ops.Dedup.substringDedup]], structured exactly
-    * like [[passageDedupStream]]: spans committed by the corpus or any
-    * earlier epoch cover every later occurrence, fresh spans are
-    * first-occurrence-win within their batch and then registered into
-    * the epoch-partitioned span index, so batch e dedups against
-    * everything that survived before it. Seed `indexPath/epoch=0` from
-    * a day-1 corpus with [[graft.ops.Dedup.writeSpanIndex]]'s frame
-    * (or start empty). When every epoch's ids exceed all earlier ids,
-    * the stream's outputs equal the one-shot [[Dedup.substringDedup]]
-    * over the concatenated prefix restricted to each batch — the x97
-    * identity, which the spec pins per epoch. `maxChain` bounds the
-    * live epoch chain via [[compactSpanIndex]] (0 = manual only).
-    *
-    * 100 TB shape: per epoch the batch's spans shuffle once into the
-    * shared bucket layout and chain anti-joins through the committed
-    * partitions Exchange-free — O(batch · epochs) network with the
-    * chain length capped by compaction; nothing corpus-sized moves.
-    * The registered keying is the oracle-parity span TEXT; a hashed
-    * deployment registers xxhash64 keys with the identical plan (x98).
-    */
   /** Seed a [[substringDedupStream]] index with a day-1 corpus's spans
     * committed as `epoch=-1` — BELOW every engine epoch (a fresh
     * checkpoint's first batch is 0), so batch 0 probes the corpus
@@ -539,20 +519,46 @@ object Streams {
     * [[graft.ops.Dedup.writeSpanIndex]] artifact.
     */
   def seedSpanIndex(corpus: DataFrame, indexPath: String, idCol: String,
-      textCol: String, window: Int = 8, nBuckets: Int = 32): Unit =
+      textCol: String, window: Int = 8, nBuckets: Int = 32,
+      hashed: Boolean = false): Unit =
     graft.ops.Dedup.writeBucketedIndex(
-      graft.ops.Dedup.spanGrams(corpus, idCol, textCol, window),
+      graft.ops.Dedup.spanGrams(corpus, idCol, textCol, window, hashed),
       s"$indexPath/epoch=-1", Seq("gram"), nBuckets)
 
+  /** Continuous-ingest sliding-span (ExactSubstr) dedup — the streaming
+    * face of [[graft.ops.Dedup.substringDedup]], structured exactly
+    * like [[passageDedupStream]]: spans committed by the corpus or any
+    * earlier epoch cover every later occurrence, fresh spans are
+    * first-occurrence-win within their batch and then registered into
+    * the epoch-partitioned span index, so batch e dedups against
+    * everything that survived before it. Seed the index from a day-1
+    * corpus with [[seedSpanIndex]] (or start empty). When every
+    * epoch's ids exceed all earlier ids, the stream's outputs equal
+    * the one-shot [[graft.ops.Dedup.substringDedup]] over the
+    * concatenated prefix restricted to each batch — the x97 identity,
+    * which the spec pins per epoch. `maxChain` bounds the live epoch
+    * chain via [[compactSpanIndex]] (0 = manual only).
+    *
+    * 100 TB shape: per epoch the batch's spans shuffle once into the
+    * shared bucket layout and chain anti-joins through the committed
+    * partitions Exchange-free — O(batch · epochs) network with the
+    * chain length capped by compaction; nothing corpus-sized moves.
+    * `hashed = true` registers and probes xxhash64 span keys — the
+    * production keying (x98): the index and every span exchange carry
+    * 8-byte longs instead of window-token strings, identical output
+    * absent a 64-bit collision. One index, one keying: seed and stream
+    * must agree (the probe refuses a mismatched index schema).
+    */
   def substringDedupStream(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, idCol: String, textCol: String,
-      window: Int = 8, nBuckets: Int = 32, maxChain: Int = 16): StreamingQuery =
+      window: Int = 8, nBuckets: Int = 32, maxChain: Int = 16,
+      hashed: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processSubstringBatch(batch, epoch, indexPath, outPath,
-          idCol, textCol, window, nBuckets, maxChain)
+          idCol, textCol, window, nBuckets, maxChain, hashed)
       }
       .start()
 
@@ -1218,7 +1224,15 @@ object Streams {
     * the same verdict, so a crash between snapshot and repair resumes
     * into the same decision instead of double-firing — and a re-fit is
     * not replay-pure, so the guard is what keeps warm replays from
-    * churning the artifact). On fire: [[graft.ops.Bpe.refitCommitted]]
+    * churning the artifact). A pre-refit INTENT file commits before the
+    * swap: a crash AFTER the swap but before the record would otherwise
+    * replay into a healthy post-swap snapshot (fire=false — the repair
+    * missing from the actuation log forever, the drifted evidence row
+    * overwritten); the replay instead sees the intent, finishes the
+    * repair idempotently (a completed swap is detected by its
+    * deterministic marker tag, never re-fit), and backfills the record,
+    * leaving the committed evidence snapshot untouched. On fire:
+    * [[graft.ops.Bpe.refitCommitted]]
     * over the corpus at `corpusPath` — the caller-maintained fit corpus
     * (base plus absorbed ingest), because re-fitting on one drifted
     * batch would whiplash the vocabulary — under the crash-recoverable
@@ -1236,32 +1250,62 @@ object Streams {
       graft.ops.Staged.scoped {
     require(debounce >= 1, s"debounce must be >= 1, got $debounce")
     val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(refitPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val intent = new org.apache.hadoop.fs.Path(
+      s"$refitPath/__refit_intent_e$epoch")
     // the artifact-path lease the index loop enforces — the BPE
     // artifact has the identical two-writers hazard (interleaved
     // re-fits under one path)
     owner.foreach(o =>
       VectorStreams.requireMaintLease(spark, bpePath, o))
-    fertilitySnapshot(batch, s"$bpePath/merges", idCol, textCol, alertAbove)
-      .write.mode("overwrite").parquet(s"$monitorPath/epoch=$epoch")
-    val window = epochsBefore(spark, monitorPath, epoch + 1)
-      .takeRight(debounce)
-    val fire = window.size == debounce &&
-      window.forall { e =>
-        spark.read.parquet(s"$monitorPath/epoch=$e")
-          .select(col("alert")).head().getBoolean(0)
-      } &&
-      epochsBefore(spark, refitPath, Long.MaxValue).forall(_ < window.head)
-    if (fire) {
-      // the tag is the firing epoch — deterministic, so a crash between
-      // the swap and the record replays into the IDENTICAL marker name
-      graft.ops.Bpe.refitCommitted(spark, bpePath,
-        spark.read.parquet(corpusPath), textCol,
-        corpusTag = s"refit_e$epoch")
+    // pre-refit INTENT record: a crash after the swap but before the
+    // refit record would otherwise replay into a monitor snapshot
+    // measured against the PROMOTED merges — healthy, fire=false, the
+    // actuation log permanently missing the repair and the drifted
+    // evidence row overwritten. With the intent committed before the
+    // swap, the replay detects the in-flight repair, FINISHES it
+    // idempotently, and backfills the record — never re-deciding from
+    // a rewritten snapshot and never re-churning a completed fit.
+    if (fs.exists(intent)) {
+      val swapDone = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$bpePath/_BPE_OK_*"))).toSeq.flatten
+        .exists(_.getPath.getName.endsWith(s"_frefit_e$epoch"))
+      if (swapDone)
+        // roll forward any torn post-commit debris; the fit is live
+        graft.ops.Bpe.recoverRefit(spark, bpePath): Unit
+      else
+        graft.ops.Bpe.refitCommitted(spark, bpePath,
+          spark.read.parquet(corpusPath), textCol,
+          corpusTag = s"refit_e$epoch")
       fertilitySnapshot(batch, s"$bpePath/merges", idCol, textCol,
           alertAbove)
         .write.mode("overwrite").parquet(s"$refitPath/epoch=$epoch")
+      true
+    } else {
+      fertilitySnapshot(batch, s"$bpePath/merges", idCol, textCol, alertAbove)
+        .write.mode("overwrite").parquet(s"$monitorPath/epoch=$epoch")
+      val window = epochsBefore(spark, monitorPath, epoch + 1)
+        .takeRight(debounce)
+      val fire = window.size == debounce &&
+        window.forall { e =>
+          spark.read.parquet(s"$monitorPath/epoch=$e")
+            .select(col("alert")).head().getBoolean(0)
+        } &&
+        epochsBefore(spark, refitPath, Long.MaxValue).forall(_ < window.head)
+      if (fire) {
+        fs.create(intent, true).close()
+        // the tag is the firing epoch — deterministic, so a crash between
+        // the swap and the record replays into the IDENTICAL marker name
+        graft.ops.Bpe.refitCommitted(spark, bpePath,
+          spark.read.parquet(corpusPath), textCol,
+          corpusTag = s"refit_e$epoch")
+        fertilitySnapshot(batch, s"$bpePath/merges", idCol, textCol,
+            alertAbove)
+          .write.mode("overwrite").parquet(s"$refitPath/epoch=$epoch")
+      }
+      fire
     }
-    fire
   }
 
   /** The maintenance loop for the TOKENIZER artifact —
@@ -1356,7 +1400,9 @@ object Streams {
       gramIndexPath: String, vocabPath: String, mergesPath: String,
       textCol: String, srcCol: String, n: Int = 3,
       alertBelowNovelty: Double = 0.02, alertAboveOov: Double = 0.5,
-      alertAboveFertility: Double = 4.0): DataFrame = {
+      alertAboveFertility: Double = 4.0,
+      countsPath: Option[String] = None,
+      alertAboveKl: Double = 0.5): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val src = col(srcCol).as("source")
@@ -1404,14 +1450,32 @@ object Streams {
       .agg(count(lit(1)).as("n_words"), sum($"n_syms").as("n_subwords"))
       .select($"source",
         round($"n_subwords".cast("double") / $"n_words", 6).as("fertility"))
-    quality
+    val base = quality
       .join(nov, Seq("source"), "left")
       .join(oov, Seq("source"), "left")
       .join(fert, Seq("source"), "left")
-      .withColumn("alert",
-        coalesce($"novelty" < alertBelowNovelty, lit(false)) ||
-        coalesce($"oov_rate" > alertAboveOov, lit(false)) ||
-        coalesce($"fertility" > alertAboveFertility, lit(false)))
+    // per-source KL vs the frozen unigram counts (r19): the drift mode
+    // the row's other columns miss — known words in the WRONG
+    // proportions hides behind nine healthy batchmates in the GLOBAL
+    // klMonitorStream exactly as novelty does. Rides the SAME staged
+    // token frame (one tokenization pass per epoch serves OOV,
+    // fertility, and KL); the shared-support renormalization is the
+    // global monitor's rule verbatim, so one threshold serves both.
+    val gauged = countsPath match {
+      case None => base.withColumn("kl", lit(null).cast("double"))
+      case Some(cp) =>
+        base.join(
+          graft.ops.TextAnalysis.perSourceSharedKlFromWords(
+              toks.select($"source", $"word".as("tok")),
+              spark.read.parquet(cp))
+            .select($"source", $"kl"),
+          Seq("source"), "left")
+    }
+    gauged.withColumn("alert",
+      coalesce($"novelty" < alertBelowNovelty, lit(false)) ||
+      coalesce($"oov_rate" > alertAboveOov, lit(false)) ||
+      coalesce($"fertility" > alertAboveFertility, lit(false)) ||
+      coalesce($"kl" > alertAboveKl, lit(false)))
   }
 
   /** Streaming per-source acquisition-health monitor — x85's table as
@@ -1427,7 +1491,9 @@ object Streams {
       vocabPath: String, mergesPath: String, outPath: String,
       checkpoint: String, textCol: String, srcCol: String, n: Int = 3,
       alertBelowNovelty: Double = 0.02, alertAboveOov: Double = 0.5,
-      alertAboveFertility: Double = 4.0): StreamingQuery =
+      alertAboveFertility: Double = 4.0,
+      countsPath: Option[String] = None,
+      alertAboveKl: Double = 0.5): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
@@ -1435,7 +1501,7 @@ object Streams {
         graft.ops.Staged.scoped {
           sourceHealthSnapshot(batch, gramIndexPath, vocabPath, mergesPath,
             textCol, srcCol, n, alertBelowNovelty, alertAboveOov,
-            alertAboveFertility)
+            alertAboveFertility, countsPath, alertAboveKl)
             .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
         }
       }
@@ -1447,7 +1513,7 @@ object Streams {
     * a local listing would silently see nothing and every batch would
     * dedup against an empty index.
     */
-  private def epochsBefore(spark: SparkSession, indexPath: String,
+  private[graft] def epochsBefore(spark: SparkSession, indexPath: String,
       epoch: Long): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1465,7 +1531,7 @@ object Streams {
     * string (not the qualified listing) so the catalog entry names stay
     * stable across sessions.
     */
-  private[streaming] def indexPartsBefore(spark: SparkSession,
+  private[graft] def indexPartsBefore(spark: SparkSession,
       indexPath: String, epoch: Long): Seq[DataFrame] =
     epochsBefore(spark, indexPath, epoch).map(e =>
       graft.ops.Dedup.readIndexTable(spark, s"$indexPath/epoch=$e")

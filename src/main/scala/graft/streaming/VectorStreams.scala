@@ -508,18 +508,43 @@ object VectorStreams {
   }
 
   /** Acquire-or-verify the lease for `owner`: first caller commits it,
-    * the committed owner passes, anyone else fails loudly.
+    * the committed owner passes, anyone else fails loudly. Initial
+    * acquisition is ATOMIC (create-no-overwrite, then re-read): two
+    * loops racing an empty path cannot both observe None, both write,
+    * and each believe it owns the index — exactly one create wins, and
+    * the loser re-reads the winner's lease and refuses.
     */
   def requireMaintLease(spark: SparkSession, basePath: String,
-      owner: String): Unit =
+      owner: String): Unit = {
+    def refuse(f: Long, o: String): Nothing = throw new IllegalStateException(
+      s"index at $basePath is maintenance-owned by '$o' (fence $f) — " +
+        s"refusing a second maintenance loop ('$owner'); if that owner " +
+        "crashed, recover with VectorStreams.takeoverMaintLease")
     maintLease(spark, basePath) match {
-      case None => writeMaintLease(spark, basePath, 1L, owner)
+      case None =>
+        require(!owner.contains('\n') && owner.nonEmpty,
+          s"invalid maintenance owner token: '$owner'")
+        val fs = new org.apache.hadoop.fs.Path(basePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(s"$basePath/$MaintOwnerFile")
+        fs.mkdirs(p.getParent): Unit
+        // overwrite=false: the filesystem arbitrates the race
+        try {
+          val out = fs.create(p, false)
+          try out.write(s"1:$owner".getBytes("UTF-8")) finally out.close()
+        } catch { case _: java.io.IOException => () }
+        // re-read: whoever's bytes landed owns the index — this also
+        // covers filesystems whose create is not strictly exclusive
+        maintLease(spark, basePath) match {
+          case Some((_, o)) if o == owner => ()
+          case Some((f, o)) => refuse(f, o)
+          case None => throw new IllegalStateException(
+            s"maintenance lease at $basePath failed to commit")
+        }
       case Some((_, o)) if o == owner => ()
-      case Some((f, o)) => throw new IllegalStateException(
-        s"index at $basePath is maintenance-owned by '$o' (fence $f) — " +
-          s"refusing a second maintenance loop ('$owner'); if that owner " +
-          "crashed, recover with VectorStreams.takeoverMaintLease")
+      case Some((f, o)) => refuse(f, o)
     }
+  }
 
   /** The index-GEOMETRY gauges of the unified trigger table, each read
     * only when its ceiling is armed: `max_mean_residual` = the worst
@@ -607,9 +632,15 @@ object VectorStreams {
     val window = epochsBefore(spark, monitorPath, epoch + 1)
       .takeRight(debounce)
     val windowRows = window.map { e =>
-      spark.read.parquet(s"$monitorPath/epoch=$e")
-        .select(col("alert"), col("residual_alert"), col("balance_alert"))
-        .head()
+      val df = spark.read.parquet(s"$monitorPath/epoch=$e")
+      // epochs written before the geometry gauges existed lack the
+      // residual/balance columns; default them to false so a loop
+      // resuming over an old monitorPath reads its history instead of
+      // throwing on its first post-upgrade epoch
+      val have = df.columns.toSet
+      def alertCol(n: String) = if (have(n)) col(n) else lit(false)
+      df.select(col("alert"), alertCol("residual_alert"),
+        alertCol("balance_alert")).head()
     }
     // each trigger debounces independently over the same window: one
     // hot sample of any single gauge must not bill a refit, but any

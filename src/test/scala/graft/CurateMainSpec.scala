@@ -41,21 +41,22 @@ class CurateMainSpec extends SparkSpec {
   // quality=input are CORRECT here, not missed detections — the
   // detection behaviors themselves are fixture-tested in
   // ScrubSpec/TextAnalysisSpec; this spec pins the composition.
-  // http_ingested=50 joins the corpus. Round-8 order: exact → passage
-  // (8-token grain; only docs that LOST a passage take the rebuilt
-  // text; 3 docs whose every aligned window is a repeat drop out) →
-  // substring (r18: the sliding-span stage — removes NOTHING here,
-  // substring == passage, because the boilerplate strip + passage
+  // http_ingested=50 joins the corpus. r19 order (both capstone faces
+  // share it): exact → passage (8-token grain; only docs that LOST a
+  // passage take the rebuilt text; 3 docs whose every aligned window
+  // is a repeat drop out) → near-dup clustering on the ORIGINAL text
+  // (removes 0 at this sf: the fixture's jaccard-0.8 near-dups ARE
+  // shared-boilerplate docs the passage stage already absorbed; the
+  // cluster stage is exercised at sf0.01 below and in its own specs)
+  // → substring (the sliding-span stage — removes NOTHING here,
+  // substring == near_dedup, because the boilerplate strip + passage
   // stage already consumed every cross-doc repeat this organic
   // fixture holds; the offset-repeat victim class is exercised in the
   // incremental test's quote slice and DedupSpec) → decontam (last
   // text-modifying stage, so the no-shared-5-gram guarantee holds for
-  // shipped text). The fixture's jaccard-0.8
-  // near-dups ARE shared-boilerplate docs, so the passage stage
-  // absorbs them here (near_dedup removes 0 at this sf — the cluster
-  // stage is exercised at sf0.01 below, and in its own specs).
-  // Round 14: stage 6 is x76's temperature flattening (α=0.5, keeps
-  // MORE than the old forced-uniform target — 334 vs 283) and stage 7
+  // shipped text).
+  // Round 14: stage 7 is x76's temperature flattening (α=0.5, keeps
+  // MORE than the old forced-uniform target — 334 vs 283) and stage 8
   // prices packs in real BPE tokens (x77's composition — fertility
   // ~2-4 words/token triples the pack count at the same 2048 budget).
   test("curation pipeline is pinned end-to-end at sf0.001") {
@@ -67,8 +68,8 @@ class CurateMainSpec extends SparkSpec {
     // accounted to it; every other gate and the score pass everything
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 441,
-      boilerplate = 441, exact = 441, passage = 440, substring = 440,
-      decontaminated = 436, nearDedup = 436,
+      boilerplate = 441, exact = 441, passage = 440, nearDedup = 440,
+      substring = 440, decontaminated = 436,
       mixed = 334, packs = 34, shards = 8, out = s"$out/curated",
       gateFails = Seq("g_words" -> 0L, "g_word_len" -> 0L, "g_hash" -> 0L,
         "g_ellipsis" -> 0L, "g_alpha" -> 0L, "g_stop" -> 109L,
@@ -333,7 +334,21 @@ class CurateMainSpec extends SparkSpec {
     // dup_rate 1.0 (each doc loses keep-reps to its original); the
     // near re-crawls' prepended token adds a sliver of novelty but
     // they still all die to their originals
-    val health = spark.read.parquet(s"$work/source_health")
+    val healthDf = spark.read.parquet(s"$work/source_health/epoch=1")
+    // per-source KL (r19): the x91 axis rides the health row — every
+    // tokenized source prices its PROPORTIONS against the frozen
+    // day-1 unigram table; the exact re-crawl (corpus text verbatim)
+    // must read closer to the corpus distribution than the templated
+    // connector feed
+    val kls = healthDf.select(col("source"), col("kl"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(Seq("api", "recrawl", "recrawl_near", "recrawl_quote")
+      .forall(kls(_).isDefined),
+      s"every tokenized source must carry a KL verdict: $kls")
+    assert(kls("recrawl").get < kls("api").get,
+      s"corpus-verbatim text must read closer to the frozen " +
+        s"distribution than the templated feed: $kls")
+    val health = healthDf
       .select(col("source"), col("novelty"), col("dup_rate"))
       .as[(String, Double, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
@@ -394,7 +409,7 @@ class CurateMainSpec extends SparkSpec {
     assert(s.postRefitStagedAgreement >= 0.0 &&
       s.postRefitStagedAgreement <= 1.0, s"post-refit gate out of range: $s")
     // the re-measurement is persisted next to the day's monitors
-    val qc = spark.read.parquet(s"$work/refit_qc")
+    val qc = spark.read.parquet(s"$work/refit_qc/day=2")
       .select(col("staged_agreement")).head().getDouble(0)
     assert(qc == s.postRefitStagedAgreement, s"refit_qc drifted: $qc vs $s")
     // the swap completed cleanly and kept every vector (corpus +
@@ -444,6 +459,186 @@ class CurateMainSpec extends SparkSpec {
     graft.ops.Staged.releaseAll()
   }
 
+  test("rolling day-3 ingest: day 3 dedups against day-2's registrations; the day-3 identities hold; head replay is pure") {
+    import spark.implicits._
+    MockTransport.reset()
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-curate-day3").toString
+    CurateMain.runIncremental(spark, "/root/testdata/sf0.001", work): Unit
+    MockTransport.reset()
+    val s3 = CurateMain.ingestDay(spark, "/root/testdata/sf0.001", work,
+      day = 3)
+    assert(s3.day == 3 && s3.batch > 0L && s3.gatedSources == 0L, s"$s3")
+    // the persisted span index is the PRODUCTION hash-keyed layout
+    // (x99): every committed partition stores 8-byte keys
+    assert(spark.read.parquet(s"$work/span_index").schema("gram").dataType
+      == org.apache.spark.sql.types.LongType,
+      "the capstone span index must be hash-keyed")
+    // slice fates, each against a DAY-2 registration (none of these
+    // victims touch the day-1 corpus): the exact re-crawl of day-2's
+    // raw batch dies at the passage probe (day-2's epoch-0 chunk
+    // registration), the near re-crawl of day-2's survivors dies at
+    // the LSH probe (day-2's survivors lazily registered at day-3
+    // start), and the quote re-use loses its quoted span to day-2's
+    // epoch-0 span registration while its novel flanks ship
+    val pass3 = spark.read.parquet(s"$work/day3_passaged")
+    assert(pass3.where($"source" === "recrawl_d2").count() == 0,
+      "exact re-crawls of day-2's batch must die at the passage probe")
+    assert(pass3.where($"source" === "recrawl_near_d2").count() > 0,
+      "near re-crawls must SURVIVE the passage probe (one new token)")
+    val kept3 = spark.read.parquet(s"$work/day3_kept")
+    assert(kept3.where($"source" === "recrawl_near_d2").count() == 0,
+      "near re-crawls of day-2 survivors must die at the LSH probe")
+    assert(kept3.where($"source" === "recrawl_quote_d2").count() > 0,
+      "quote docs must survive the doc-level probes")
+    val by3 = spark.read.parquet(s3.out)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by3.contains("api") && by3.contains("recrawl_quote_d2") &&
+      !by3.contains("recrawl_d2") && !by3.contains("recrawl_near_d2"),
+      s"day-3 slice fates drifted: $by3")
+    // the span stage visibly acted on the quote slice: most shipped
+    // quote docs changed text between day3_kept and day3_curated
+    val keptQuote = kept3.where($"source" === "recrawl_quote_d2")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val stripped = spark.read.parquet(s3.out)
+      .where($"source" === "recrawl_quote_d2")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .count { case (id, t) => keptQuote(id) != t }
+    assert(stripped > 0,
+      s"the span probe must strip day-2 quotes: $stripped changed")
+    val corpus = graft.sources.Tables(
+        spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val b2 = spark.read.parquet(s"$work/day2_batch")
+      .select($"doc_id", $"text")
+    val b3 = spark.read.parquet(s"$work/day3_batch")
+      .select($"doc_id", $"text")
+    // identity 1 at day 3: committed chunks = corpus ∪ day-2 batch
+    // (day 2 registered its WHOLE batch's fresh chunks), so the probe
+    // equals one-shot passageDedup(corpus ∪ b2 ∪ b3) restricted to b3
+    val pdFull = graft.ops.Dedup.passageDedup(
+      corpus.unionByName(b2).unionByName(b3), "doc_id", "text", window = 8)
+    val passagedFull = b3.join(pdFull, Seq("doc_id"), "left")
+      .where(col("n_kept").isNotNull ||
+        size(graft.ops.TextAnalysis.tokens(col("text"))) === 0)
+      .withColumn("text",
+        when(col("n_dropped") > 0, col("clean_text")).otherwise(col("text")))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(pass3.select($"doc_id", $"text").as[(Long, String)]
+        .collect().toSet == passagedFull,
+      "day-3 passage identity diverged")
+    // identity 2 at day 3: the LSH prefix = corpus ∪ day-2's
+    // REGISTERED survivors (shipped ids, original kept text)
+    val reg2 = spark.read.parquet(s"$work/day2_kept")
+      .join(spark.read.parquet(s"$work/day2_curated").select($"doc_id"),
+        Seq("doc_id"))
+      .select($"doc_id", $"text")
+    val passaged3 = pass3.select($"doc_id", $"text")
+    val nonRep = graft.ops.Dedup.connectedComponents(
+        graft.ops.Dedup.minHashLsh(
+          corpus.unionByName(reg2).unionByName(passaged3),
+          "doc_id", "text", threshold = 0.8))
+      .where($"doc_id" =!= $"cluster_rep")
+      .select($"doc_id").as[Long].collect().toSet
+    val fullKept = passaged3.select($"doc_id").as[Long].collect().toSet --
+      nonRep
+    assert(kept3.select($"doc_id").as[Long].collect().toSet == fullKept,
+      "day-3 LSH identity diverged")
+    // identity 3 at day 3: committed spans = corpus seed ∪ day-2's
+    // epoch-0 registration (spans of day-2's kept originals) — and the
+    // HASHED probe must equal the TEXT-keyed one-shot (the capstone
+    // leg of the x99 ≡ x97 differential)
+    val kept2 = spark.read.parquet(s"$work/day2_kept")
+      .select($"doc_id", $"text")
+    val sdFull = graft.ops.Dedup.substringDedup(
+      corpus.unionByName(kept2)
+        .unionByName(kept3.select($"doc_id", $"text")),
+      "doc_id", "text", window = 8)
+    val spannedFull = kept3.select($"doc_id", $"text").join(
+        sdFull.select($"doc_id", $"n_tokens", $"n_dropped",
+          $"clean_text".as("__c")), Seq("doc_id"))
+      .where($"n_tokens" === 0 || $"n_dropped" === 0 ||
+        $"n_tokens" - $"n_dropped" >= 8)
+      .withColumn("text",
+        when($"n_dropped" > 0, $"__c").otherwise($"text"))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(spark.read.parquet(s3.out).select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSet == spannedFull,
+      "day-3 span identity diverged (hashed probe vs text one-shot)")
+    // warm replay of the ladder's HEAD day rewrites identical results
+    MockTransport.reset()
+    val s3b = CurateMain.ingestDay(spark, "/root/testdata/sf0.001", work,
+      day = 3)
+    assert(s3b == s3, s"day-3 warm replay drifted: $s3b vs $s3")
+    graft.ops.Staged.releaseAll()
+  }
+
+  test("acquisition gate: a source indicted in 2 consecutive epochs is excluded from the next day's batch, permanently") {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-curate-gate").toString
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source")
+    val off = 1000000L
+    // the planted bad source: a fresh exact re-crawl of a corpus slice
+    // every day under new ids — novelty ~0, dup_rate ~1, so each
+    // day's health row indicts it by its own columns
+    def bad(day: Int) = corpus.where($"doc_id" % 7 === 3)
+      .select(($"doc_id" + off + 50000000L + day.toLong * 100000000L)
+        .as("doc_id"), $"text", $"lang", lit("badsrc").as("source"))
+    def batchFor(day: Int) = Some(
+      CurateMain.dayBatch(spark, work, day, corpus, off)
+        .unionByName(bad(day)))
+    // day 2: no committed health history — badsrc is ADMITTED
+    MockTransport.reset()
+    val s2 = CurateMain.ingestDay(spark, sf, work, day = 2,
+      batchOverride = batchFor(2))
+    assert(s2.gatedSources == 0L, s"day 2 must admit everything: $s2")
+    assert(spark.read.parquet(s"$work/day2_batch")
+      .where($"source" === "badsrc").count() > 0,
+      "badsrc must be in day 2's admitted batch")
+    // its own health row indicts it (alert #1)
+    val (_, ind2) = graft.ops.Acquisition.healthVerdicts(
+      spark.read.parquet(s"$work/source_health/epoch=1"), "source")
+    assert(ind2.contains("badsrc"), s"day-2 health must indict badsrc: $ind2")
+    // day 3: one alert < debounce — still admitted (alert #2 lands)
+    MockTransport.reset()
+    val s3 = CurateMain.ingestDay(spark, sf, work, day = 3,
+      batchOverride = batchFor(3))
+    assert(s3.gatedSources == 0L,
+      s"one alert must not gate (debounce 2): $s3")
+    assert(spark.read.parquet(s"$work/day3_batch")
+      .where($"source" === "badsrc").count() > 0)
+    // day 4: indicted in BOTH committed epochs — gated out BEFORE the
+    // probes, with the exclusion row committed
+    MockTransport.reset()
+    val s4 = CurateMain.ingestDay(spark, sf, work, day = 4,
+      batchOverride = batchFor(4))
+    assert(s4.gatedSources == 1L, s"badsrc must gate on day 4: $s4")
+    assert(spark.read.parquet(s"$work/day4_batch")
+      .where($"source" === "badsrc").count() == 0,
+      "the gated source must not reach the probes")
+    val gateRow = spark.read.parquet(s"$work/source_gate/epoch=3")
+      .where($"source" === "badsrc")
+      .select($"epochs_alerted", $"excluded").as[(Long, Boolean)].collect()
+    assert(gateRow.toSeq == Seq((2L, true)),
+      s"the exclusion row must commit with its evidence count: " +
+        s"${gateRow.toSeq}")
+    // day 5: badsrc has NO day-4 health row to renew its verdict with,
+    // but the committed exclusion persists — the gate must not
+    // oscillate open on a debounce-long period
+    MockTransport.reset()
+    val s5 = CurateMain.ingestDay(spark, sf, work, day = 5,
+      batchOverride = batchFor(5))
+    assert(s5.gatedSources == 1L,
+      s"exclusion must persist while the source stays unmeasured: $s5")
+    assert(spark.read.parquet(s"$work/day5_batch")
+      .where($"source" === "badsrc").count() == 0)
+    graft.ops.Staged.releaseAll()
+  }
+
   test("quality stage per-gate accounting: each planted violation trips exactly its gate") {
     import spark.implicits._
     // one doc per Gopher gate, engineered to violate ONLY that gate at
@@ -478,8 +673,8 @@ class CurateMainSpec extends SparkSpec {
     val s = CurateMain.run(spark, "/root/testdata/sf0.01", out)
     assert(s == CurateMain.CurateSummary(
       httpIngested = 50, input = 550, piiFlagged = 0, quality = 438,
-      boilerplate = 438, exact = 438, passage = 435, substring = 435,
-      decontaminated = 430, nearDedup = 429,
+      boilerplate = 438, exact = 438, passage = 435, nearDedup = 434,
+      substring = 434, decontaminated = 429,
       mixed = 305, packs = 32, shards = 8, out = s"$out/curated",
       gateFails = Seq("g_words" -> 0L, "g_word_len" -> 0L, "g_hash" -> 0L,
         "g_ellipsis" -> 0L, "g_alpha" -> 0L, "g_stop" -> 112L,

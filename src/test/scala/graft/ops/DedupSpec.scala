@@ -768,4 +768,110 @@ class DedupSpec extends SparkSpec {
       "re-appending the same spans must not change any verdict")
     Staged.releaseAll()
   }
+
+  test("hashed span-index family ≡ text-keyed across write/probe/append; mismatched keying refuses") {
+    // the x98 keying on the PERSISTED artifact (x99): the committed
+    // index stores 8-byte xxhash64 keys, and the whole
+    // write → probe → append loop must verdict identically to the
+    // text-keyed family wherever no 64-bit collision exists
+    val span = (1 to 8).map(i => s"c$i").mkString(" ")
+    val fresh = (1 to 8).map(i => s"f$i").mkString(" ")
+    val corpus = Seq((1L, s"$span alpha beta")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, s"pre $fresh post"),
+      (11L, s"q1 $span q2"),       // corpus span at an interior offset
+      (12L, "tiny"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, s"x $fresh y"),        // repeats batch 1's fresh span
+      (21L, s"w $span z"))         // repeats the day-1 corpus span
+      .toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def loop(root: String, hashed: Boolean) = {
+      Dedup.writeSpanIndex(corpus, "doc_id", "text", window = 8, root,
+        hashed = hashed)
+      val b1 = m(Dedup.incrementalSubstringDedup(batch1, root,
+        "doc_id", "text", 8, hashed = hashed))
+      Dedup.appendToSpanIndex(batch1, root, "doc_id", "text", window = 8,
+        hashed = hashed)
+      val b2 = m(Dedup.incrementalSubstringDedup(batch2, root,
+        "doc_id", "text", 8, hashed = hashed))
+      (b1, b2)
+    }
+    val textRoot = java.nio.file.Files
+      .createTempDirectory("graft-spanidx-txt").toString
+    val hashRoot = java.nio.file.Files
+      .createTempDirectory("graft-spanidx-hsh").toString
+    val (t1, t2) = loop(textRoot, hashed = false)
+    val (h1, h2) = loop(hashRoot, hashed = true)
+    assert(h1 == t1, s"batch-1 probe must match across keyings: $h1 vs $t1")
+    assert(h2 == t2, s"batch-2 probe (incl. the appended cross-batch " +
+      s"span) must match across keyings: $h2 vs $t2")
+    // the committed layout really is 8-byte keys
+    val idx = Dedup.readIndexTable(spark, s"$hashRoot/spans")
+    assert(idx.schema("gram").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "hashed index must store long keys")
+    // one index, one keying: a probe against the wrong layout refuses
+    // loudly instead of silently casting the join keys
+    val boom = intercept[IllegalArgumentException] {
+      Dedup.incrementalSubstringDedup(batch2, hashRoot,
+        "doc_id", "text", 8, hashed = false).collect()
+    }
+    assert(boom.getMessage.contains("keying mismatch"), boom.getMessage)
+    val boom2 = intercept[IllegalArgumentException] {
+      Dedup.appendToSpanIndex(batch2, textRoot, "doc_id", "text", 8,
+        hashed = true)
+    }
+    assert(boom2.getMessage.contains("keying mismatch"), boom2.getMessage)
+    Staged.releaseAll()
+  }
+
+  test("batch append faces are single-writer: a held _APPEND_LOCK refuses loudly; clearAppendLock recovers") {
+    // r19, the maintenance-lease discipline on the appendable
+    // artifacts: append = read-distinct-then-write, not atomic — a
+    // second concurrent appender must refuse, never interleave
+    val span = (1 to 8).map(i => s"c$i").mkString(" ")
+    val corpus = Seq((1L, s"$span alpha beta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "n1 n2 n3 n4 n5 n6 n7 n8 end")).toDF("doc_id", "text")
+    val spanRoot = java.nio.file.Files
+      .createTempDirectory("graft-lock-span").toString
+    val pasRoot = java.nio.file.Files
+      .createTempDirectory("graft-lock-pas").toString
+    val lshRoot = java.nio.file.Files
+      .createTempDirectory("graft-lock-lsh").toString
+    Dedup.writeSpanIndex(corpus, "doc_id", "text", 8, spanRoot)
+    Dedup.writePassageIndex(corpus, "doc_id", "text", 8, pasRoot)
+    Dedup.writeLshIndex(corpus, "doc_id", "text", lshRoot, threshold = 0.8)
+    def hold(root: String): Unit =
+      assert(new java.io.File(root, "_APPEND_LOCK").createNewFile())
+    Seq(spanRoot, pasRoot, lshRoot).foreach(hold)
+    val e1 = intercept[IllegalStateException] {
+      Dedup.appendToSpanIndex(batch, spanRoot, "doc_id", "text", 8)
+    }
+    val e2 = intercept[IllegalStateException] {
+      Dedup.appendToPassageIndex(batch, pasRoot, "doc_id", "text", 8)
+    }
+    val e3 = intercept[IllegalStateException] {
+      Dedup.appendToLshIndex(batch, lshRoot, "doc_id", "text")
+    }
+    Seq(e1, e2, e3).foreach { e =>
+      assert(e.getMessage.contains("_APPEND_LOCK") &&
+        e.getMessage.contains("clearAppendLock"),
+        s"the refusal must name the lock and the recovery: ${e.getMessage}")
+    }
+    // operator recovery: clear the crashed holder's lock, append runs,
+    // and the lock is RELEASED after (a second append needs no clear)
+    Seq(spanRoot, pasRoot, lshRoot).foreach(r =>
+      Dedup.clearAppendLock(spark, r))
+    Dedup.appendToSpanIndex(batch, spanRoot, "doc_id", "text", 8)
+    Dedup.appendToPassageIndex(batch, pasRoot, "doc_id", "text", 8)
+    Dedup.appendToLshIndex(batch, lshRoot, "doc_id", "text")
+    assert(!new java.io.File(spanRoot, "_APPEND_LOCK").exists(),
+      "a completed append must release its lock")
+    Dedup.appendToSpanIndex(batch, spanRoot, "doc_id", "text", 8)
+    Staged.releaseAll()
+  }
 }

@@ -49,6 +49,23 @@ class PlanSpec extends SparkSpec {
       "sanity: x95's span exchanges carry the string key")
   }
 
+  test("x99: the PERSISTED index probe exchanges 8-byte span keys") {
+    // the hashed index family: both the batch-side span frame (__gram)
+    // and the registration frame (gram) must shuffle longs — if any
+    // exchange key prints without the L suffix, span text leaked onto
+    // the wire. x97 (text-keyed, oracle parity) is the sanity leg.
+    val re = raw"hashpartitioning\((__)?gram#(\d+)(L?)".r
+    val hashed = re.findAllMatchIn(plan("x99_incremental_substring_hashed"))
+      .toSeq
+    assert(hashed.nonEmpty, "x99 must shuffle on the span key")
+    assert(hashed.forall(_.group(3) == "L"),
+      s"every x99 span exchange must move 8-byte keys: ${hashed.map(_.matched)}")
+    val strings = re.findAllMatchIn(
+      plan("x97_incremental_substring_dedup")).toSeq
+    assert(strings.exists(_.group(3) != "L"),
+      "sanity: x97's span exchanges carry the string key")
+  }
+
   test("x34: kNN graph pushes the per-source rank filter (WindowGroupLimit)") {
     // the per-source top-k must keep only k rows per partition in the
     // rank sort — at 100 TB the candidate set is the big intermediate

@@ -75,6 +75,6 @@ class RegistrySpec extends AnyFunSuite {
   test("the registered surface never shrinks (count floor)") {
     // raise the floor when queries are added; lowering it requires a
     // deliberate edit here, which is the point
-    assert(all.size >= 178, s"registry shrank to ${all.size}")
+    assert(all.size >= 180, s"registry shrank to ${all.size}")
   }
 }

@@ -532,6 +532,53 @@ class StreamsSpec extends SparkSpec {
     graft.ops.Staged.releaseAll()
   }
 
+  test("hashed streaming span index: seed+stream ≡ one-shot across compactions; 8-byte epochs") {
+    // the x99 keying on the STREAMING artifact: seed and every epoch
+    // registration store xxhash64 longs, auto-compaction merges the
+    // long-keyed partitions, and the verdicts stay byte-identical to
+    // the one-shot text closure (no 64-bit collision at test scale)
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("h0", "h1", "h2", "h3")
+    def doc(): String =
+      Seq.fill(2 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (0 until 20).map(i => (i.toLong, doc()))
+    val batches = (0 until 4).map { e =>
+      (0 until 20).map(i => DocEvent((e + 1) * 1000L + i, ts(e), doc()))
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sstream-hash").toString
+    val idxP = s"$root/index"
+    Streams.seedSpanIndex(corpus.toDF("doc_id", "text"), idxP,
+      "doc_id", "text", window = 2, hashed = true)
+    val input = MemoryStream[DocEvent](spark)
+    val q = Streams.substringDedupStream(
+      input.toDF().select($"doc_id", $"text"),
+      idxP, s"$root/out", s"$root/cp", "doc_id", "text", window = 2,
+      maxChain = 2, hashed = true)
+    try batches.foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    // every committed partition — seed, fresh epochs, compacted merges
+    // — stores 8-byte keys
+    val idx = spark.read.parquet(idxP)
+    assert(idx.schema("gram").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"hashed stream index must store long keys: ${idx.schema}")
+    val streamed = spark.read.parquet(s"$root/out")
+      .select($"doc_id", $"n_tokens", $"n_dropped", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val all = (corpus ++ batches.flatten.map(d => (d.doc_id, d.text)))
+      .toDF("doc_id", "text")
+    val oneShot = graft.ops.Dedup
+      .substringDedup(all, "doc_id", "text", window = 2)
+      .where($"doc_id" >= 1000L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == oneShot,
+      s"hashed stream/batch diverged: ${(streamed diff oneShot).take(3)} " +
+        s"vs ${(oneShot diff streamed).take(3)}")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("passage index compaction preserves the view and recovers mid-swap") {
     val root = java.nio.file.Files.createTempDirectory("graft-pcompact").toString
     val idxP = s"$root/index"
@@ -1364,6 +1411,84 @@ class StreamsSpec extends SparkSpec {
     graft.ops.Staged.releaseAll()
   }
 
+  test("per-source KL: the proportion-drifted source fires its row while the global gauge stays green") {
+    // r19 (the VERDICT ask): one source emitting KNOWN words in the
+    // WRONG proportions hides behind healthy batchmates in the global
+    // KL monitor exactly the way novelty does — the health row's
+    // per-source KL (same frozen table, same renormalized-shared-
+    // support rule) names it
+    val root = java.nio.file.Files.createTempDirectory("graft-srckl").toString
+    val base = Seq((1L, "the cat and the dog run to the house by the river"))
+      .toDF("doc_id", "text")
+    graft.ops.TextAnalysis.unigramCounts(base, "text")
+      .write.mode("overwrite").parquet(s"$root/uc")
+    graft.ops.Dedup.writeBucketedIndex(
+      base.select(explode(graft.ops.Shingles($"text", 3)).as("gram")).distinct(),
+      s"$root/grams/epoch=0", Seq("gram"), 8)
+    graft.ops.TextAnalysis.fitVocab(base, "text", vocabSize = 100)
+      .write.mode("overwrite").parquet(s"$root/vocab")
+    graft.ops.Bpe.fit(base, "text", nMerges = 4)
+      .mergeTable(spark).write.mode("overwrite").parquet(s"$root/merges")
+    graft.ops.Staged.releaseAll()
+    // three healthy sources emit PERMUTATIONS of the corpus's word
+    // multiset: unigram proportions exactly the corpus's (per-source
+    // KL identically 0) while the trigrams are novel (the novelty
+    // gauge must not alert — a verbatim re-crawl would); one source
+    // emits only known words — zero OOV, the mode the other columns
+    // miss — in inverted proportions
+    val healthy = Seq(
+      (11L, "the dog run by the cat to the river and the house", "src1"),
+      (12L, "the house and the river run to the dog by the cat", "src2"),
+      (13L, "the river to the house and the cat run by the dog", "src3"))
+    val drifted =
+      (20L, "river river river river river river river the", "templated")
+    val batch = (healthy :+ drifted).toDF("doc_id", "text", "source")
+    // the GLOBAL gauge over the same batch stays under the floor: 33
+    // perfectly-proportioned tokens dilute the 8 drifted ones
+    val globalKl = Streams.klSnapshotFromWords(
+      graft.ops.Staged(batch.select(
+        explode(graft.ops.TextAnalysis.tokens($"text")).as("word"))),
+      4L, s"$root/uc", alertAbove = 0.5)
+      .select($"kl", $"alert").as[(Double, Boolean)].head()
+    assert(!globalKl._2 && globalKl._1 < 0.5,
+      s"fixture sanity: the global gauge must hide the drift: $globalKl")
+    val rows = Streams.sourceHealthSnapshot(batch,
+      s"$root/grams", s"$root/vocab", s"$root/merges", "text", "source",
+      // fertility disarmed: the 4-merge toy tokenizer prices 5-char
+      // words near their char count either way — the fixture isolates
+      // the KL axis (the gauges compose by disjunction, so any armed
+      // co-firing gauge would mask whether KL alone names the source)
+      alertAboveFertility = 100.0,
+      countsPath = Some(s"$root/uc"), alertAboveKl = 0.5)
+      .select($"source", $"kl", $"oov_rate", $"alert")
+      .as[(String, Option[Double], Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows("templated")._1.exists(_ > 0.5) && rows("templated")._3,
+      s"the drifted source's row must fire on KL: ${rows("templated")}")
+    assert(rows("templated")._2 == 0.0,
+      s"the drift mode must be invisible to OOV: ${rows("templated")}")
+    (1 to 3).foreach { i =>
+      assert(rows(s"src$i")._1.contains(0.0) && !rows(s"src$i")._3,
+        s"corpus-proportioned sources read KL exactly 0: ${rows(s"src$i")}")
+    }
+    // the per-source number IS the global formula restricted to one
+    // source: a single-source batch's health KL equals the global
+    // monitor's snapshot over the same docs — one threshold, two faces
+    val alone = Seq(drifted).toDF("doc_id", "text", "source")
+    val perSrc = graft.ops.TextAnalysis.perSourceSharedKl(
+      alone, "text", "source", spark.read.parquet(s"$root/uc"))
+      .select($"kl").as[Option[Double]].head()
+    val globalAlone = Streams.klSnapshotFromWords(
+      graft.ops.Staged(alone.select(
+        explode(graft.ops.TextAnalysis.tokens($"text")).as("word"))),
+      1L, s"$root/uc", alertAbove = 0.5)
+      .select($"kl").as[Option[Double]].head()
+    assert(perSrc == globalAlone && perSrc.isDefined,
+      s"per-source and global KL must be the same arithmetic: " +
+        s"$perSrc vs $globalAlone")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("BPE maintenance loop: vocabulary drift re-fits the tokenizer mid-stream; fertility restored; swap crash-recoverable") {
     // base vocabulary shares no letter with the drift vocabulary, so
     // the committed merges apply NOTHING to drifted words (fertility =
@@ -1422,14 +1547,44 @@ class StreamsSpec extends SparkSpec {
     intercept[IllegalStateException] {
       VectorStreams.requireMaintLease(spark, bpeP, "second-loop")
     }
-    // crash-replay of the firing epoch: the rewritten monitor row reads
-    // the repaired merges (healthy) and the committed record guards the
-    // window — the actuator never double-fires or re-churns the fit
-    assert(!Streams.maintainBpeEpoch(drift, 1L, bpeP, corpusP, mon, ref,
+    // crash-replay of the firing epoch (r19, the intent record): the
+    // pre-refit intent committed before the swap means the replay
+    // DETECTS the in-flight repair instead of re-deciding from a
+    // snapshot that now reads the promoted merges as healthy — it
+    // reports the repair (true), leaves the drifted EVIDENCE row
+    // untouched, backfills the actuation record, and never re-churns
+    // the completed fit (the merge bytes are byte-identical after)
+    val mergeBytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$bpeP/merges").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath).toSeq
+    assert(Streams.maintainBpeEpoch(drift, 1L, bpeP, corpusP, mon, ref,
       "doc_id", "text", alertAbove = 3.0, debounce = 2),
-      "replaying the firing epoch must not re-fire the re-fit")
+      "replaying the firing epoch must report the committed repair")
+    assert(row(s"$mon/epoch=1") == ((4.0, true)),
+      "the drifted evidence row must survive the replay untouched")
+    assert(row(s"$ref/epoch=1") == ((1.0, false)),
+      "the replay must backfill the actuation record")
+    assert(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$bpeP/merges").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath).toSeq
+      == mergeBytes,
+      "the replay must not re-churn the completed fit")
     assert(new java.io.File(bpeP).listFiles()
       .map(_.getName).count(_.startsWith("_BPE_OK_")) == 1)
+    // the exact crash window the intent exists for: swap completed,
+    // record missing. Fabricate it by deleting the record; the replay
+    // must backfill rather than read the healthy post-swap fertility
+    // and conclude no repair ever happened.
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmTree); f.delete(): Unit
+    }
+    rmTree(new java.io.File(s"$ref/epoch=1"))
+    assert(!new java.io.File(s"$ref/epoch=1").exists())
+    assert(Streams.maintainBpeEpoch(drift, 1L, bpeP, corpusP, mon, ref,
+      "doc_id", "text", alertAbove = 3.0, debounce = 2),
+      "the crash-window replay must detect the completed swap")
+    assert(row(s"$ref/epoch=1") == ((1.0, false)),
+      "the crash-window replay must backfill the actuation record")
     // crash INSIDE a later refit: committed tmp (crash after the commit
     // point, before the swap) rolls FORWARD on the next recover...
     graft.ops.Bpe.buildRefitTmp(spark, bpeP,
