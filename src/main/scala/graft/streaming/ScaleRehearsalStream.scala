@@ -714,10 +714,14 @@ object ScaleRehearsalStream {
         if (repaired) repairWall = maintSec
         if (!repaired && fertBefore < 0 && alert) fertBefore = fert
         // the CONSUMER face: packing's token pricing reads whatever
-        // artifact is committed — it must never starve across the swap
+        // artifact is committed — it must never starve across the
+        // swap. tokenizeWith (the applyMerges extension path), not the
+        // fit-word-table join: the drifted sample's words are exactly
+        // the ones a pre-swap word table has never seen, and the join
+        // face would silently drop them all (the x74 pitfall)
         val fit = graft.ops.Bpe.readFit(spark, bpePath)
-        val consumed = graft.ops.Bpe.tokenize(consumerSample,
-            "doc_id", "text", fit)
+        val consumed = graft.ops.Bpe.tokenizeWith(consumerSample,
+            "doc_id", "text", fit.merges.map(m => (m.left, m.right)))
           .agg(coalesce(sum($"n_bpe_tokens"), lit(0L))).as[Long].head()
         require(consumed > 0L,
           s"the consumer starved at epoch $e — the swap must not stall it")
