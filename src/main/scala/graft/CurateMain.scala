@@ -625,7 +625,7 @@ object CurateMain {
       workDir: String, day: Int, refitOnAlert: Boolean = true,
       servingAlertBelow: Double = 0.5,
       batchOverride: Option[org.apache.spark.sql.DataFrame] = None,
-      gateDebounce: Int = 2): IncrementalSummary = {
+      gateDebounce: Int = 2, maxChain: Int = 16): IncrementalSummary = {
     import spark.implicits._
     require(day >= 2, s"the ingest ladder starts at day 2, got $day")
     require(gateDebounce >= 1, s"gateDebounce must be >= 1: $gateDebounce")
@@ -1051,6 +1051,22 @@ object CurateMain {
     // monitor_pq_agreement epoch row
     val alerts = Seq(novRow._2, oov._2, rec._2, fert._2, klD._2, servAlert)
       .count(identity).toLong
+    // auto-compaction, the streaming faces' policy (the ladder is the
+    // stream at daily cadence — without this, day N's probes chain N
+    // epoch partitions forever): fires when TOMORROW's chain (today's
+    // probed epochs + today's fresh one) would exceed the bound. Runs
+    // LAST, after every consumer of the probed frames has materialized
+    // (a lazy plan still referencing a victim partition would read
+    // deleted files), exactly as the streams compact after their
+    // epoch's writes; never absorbs the newest partition, so a replay
+    // of today probes the same committed view either way, and a crash
+    // before this point just leaves the compaction for a later day.
+    if (maxChain > 0 && (pasParts.size - 1) + 1 > maxChain)
+      graft.streaming.Streams.compactPassageIndex(spark, pasPath,
+        upToEpoch = se - 1)
+    if (maxChain > 0 && spanParts.size + 1 > maxChain)
+      graft.streaming.Streams.compactSpanIndex(spark, spanPath,
+        upToEpoch = se - 1)
     Staged.releaseAll()
     IncrementalSummary(nIndexed, nBatch, nPassaged, nSpanned, nCross,
       nInternal, nKept, nVecs, probeHit, s"$workDir/day${day}_curated",

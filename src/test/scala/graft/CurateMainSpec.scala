@@ -639,6 +639,67 @@ class CurateMainSpec extends SparkSpec {
     graft.ops.Staged.releaseAll()
   }
 
+  test("day-N epoch chains auto-compact under maxChain; registrations survive the merges") {
+    import spark.implicits._
+    // the ladder is the stream at daily cadence: without compaction,
+    // day N's passage/span probes chain N partitions forever. At
+    // maxChain=1 the policy fires daily; the on-disk chain must stay
+    // bounded and every earlier day's registration must keep killing
+    // its repeats THROUGH the merges (the compaction view guarantee,
+    // exercised end-to-end in the capstone)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-curate-compact").toString
+    val sf = "/root/testdata/sf0.001"
+    val span = (1 to 8).map(i => s"zq$i").mkString(" ")   // day-2 novel span
+    def mkBatch(rows: Seq[(Long, String, String)]) = Some(
+      rows.map { case (id, t, src) => (id, t, "en", src) }
+        .toDF("doc_id", "text", "lang", "source"))
+    def spanChain: Int = Option(
+      new java.io.File(s"$work/span_index").listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("epoch="))
+    MockTransport.reset()
+    val docA = s"$span alpha1 beta2 gamma3 delta4 eps5 zeta6 eta7 theta8"
+    val s2 = CurateMain.ingestDay(spark, sf, work, day = 2, maxChain = 1,
+      batchOverride = mkBatch(Seq(
+        (2000001L, docA, "d2src"),
+        (2000002L, "wholly novel filler w1 w2 w3 w4 w5 w6 w7", "d2src"))))
+    assert(s2.batch == 2L && spanChain <= 2,
+      s"day-2 chain must stay bounded: $spanChain / $s2")
+    val s3 = CurateMain.ingestDay(spark, sf, work, day = 3, maxChain = 1,
+      batchOverride = mkBatch(Seq(
+        // quotes day-2's span at an interior offset — must strip
+        // against day-2's epoch-0 registration
+        (3000001L, s"pre1x pre2x $span post1x post2x post3x post4x " +
+          "post5x post6x post7x post8x", "d3src"),
+        // exact re-crawl of day-2's doc — must die at the passage probe
+        (3000002L, docA, "d3src"))))
+    assert(s3.batch == 2L && spanChain <= 2,
+      s"day-3 chain must stay bounded: $spanChain / $s3")
+    val c3 = spark.read.parquet(s"$work/day3_curated")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(!c3.contains(3000002L),
+      s"the exact re-crawl must die at the passage probe: ${c3.keySet}")
+    assert(c3.contains(3000001L) && !c3(3000001L).contains("zq1"),
+      s"day-2's span must strip day-3's quote: ${c3.get(3000001L)}")
+    val s4 = CurateMain.ingestDay(spark, sf, work, day = 4, maxChain = 1,
+      batchOverride = mkBatch(Seq(
+        // the same day-2 span again — its registration now lives in a
+        // COMPACTED partition; the verdict must not move
+        (4000001L, s"qa1 qb2 $span qc3 qd4 qe5 qf6 qg7 qh8 qi9 qj10",
+          "d4src"))))
+    assert(s4.batch == 1L && spanChain <= 2,
+      s"day-4 chain must stay bounded: $spanChain / $s4")
+    val c4 = spark.read.parquet(s"$work/day4_curated")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(c4.contains(4000001L) && !c4(4000001L).contains("zq1"),
+      s"the compacted registration must still strip: ${c4.get(4000001L)}")
+    // no torn compaction debris
+    assert(Option(new java.io.File(s"$work/span_index").listFiles()).toSeq
+      .flatten.forall(!_.getName.startsWith("__compact_tmp_")),
+      "every compaction must complete its swap")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("quality stage per-gate accounting: each planted violation trips exactly its gate") {
     import spark.implicits._
     // one doc per Gopher gate, engineered to violate ONLY that gate at
