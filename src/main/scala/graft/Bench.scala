@@ -159,6 +159,19 @@ object Bench {
     // 1-minute load average at measurement time: an entry whose min is 2x
     // its cross-round floor but whose load column reads 30+ is box state,
     // not a regression — the sweep carries its own evidence now
+    // hypervisor steal over each entry's measurement window, from
+    // /proc/stat's cpu line (field 8 = steal jiffies): a whole session
+    // uniformly 1.3-1.45x above its ratchet bests at LOW loadavg is the
+    // signature of a stolen box, and the r18/r19 sweeps could only
+    // infer it — recording steal% per entry makes an inflated session
+    // machine-attributable instead of a judgement call
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case _: Throwable => (0L, 0L) }
+    val steals = scala.collection.mutable.Map[String, Double]()
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").head.toDouble
@@ -214,6 +227,7 @@ object Bench {
       // an inflated measurement past the gate unflagged (the r16 driver
       // sweep's 4 unexplained >2x entries)
       val loadBefore = loadAvg()
+      val (stealBefore, jiffiesBefore) = cpuJiffies()
       var err: Option[String] = None
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -225,6 +239,13 @@ object Bench {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       val load = math.max(loadBefore, loadAvg())
+      val (stealAfter, jiffiesAfter) = cpuJiffies()
+      steals(name) =
+        if (jiffiesAfter > jiffiesBefore)
+          BigDecimal(100.0 * (stealAfter - stealBefore) /
+            (jiffiesAfter - jiffiesBefore))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
       // unpersist this query's staged intermediates before the next query
       // runs, so the 80-query sweep doesn't accumulate block-manager state
       graft.ops.Staged.releaseAll()
@@ -332,14 +353,16 @@ object Bench {
       val hb = ratchet(histOf(k).flatMap(_.best),
         if (ts.isEmpty) None else Some(best(k, ts, load)._1))
       val bestF = hb.map(b => s""","best":$b""").getOrElse("")
+      val stealF = steals.get(k)
+        .map(s => s""","steal":$s""").getOrElse("")
       if (ts.isEmpty)
-        "\"" + keyOf(k) + s"""\":{"name":${jstr(k)},"load":$load$bestF$errF}"""
+        "\"" + keyOf(k) + s"""\":{"name":${jstr(k)},"load":$load$stealF$bestF$errF}"""
       else {
         // conventional median: average the two middle elements when the
         // timed-run count is even (ts is already sorted)
         val med = if (ts.size % 2 == 1) ts(ts.size / 2)
                   else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
-        "\"" + keyOf(k) + s"""\":{"name":${jstr(k)},"min":${ts.head},"med":$med,"max":${ts.last},"load":$load$hotF$bestF$rerun$errF}"""
+        "\"" + keyOf(k) + s"""\":{"name":${jstr(k)},"min":${ts.head},"med":$med,"max":${ts.last},"load":$load$stealF$hotF$bestF$rerun$errF}"""
       }
     }.mkString("{", ",", "}")
     val total = if (okResults.nonEmpty)
