@@ -579,6 +579,16 @@ object Dedup {
     * lease's takeover: re-admission is a human decision. For
     * streaming (crash-replay) ingest use the epoch-partitioned
     * faces instead — drop-and-rewrite epoch partitions need no lock.
+    *
+    * Only [[org.apache.hadoop.fs.FileAlreadyExistsException]] reads as
+    * "lock held" (r20): a transient IO failure (permissions, a dropped
+    * connection) PROPAGATES instead of masquerading as the
+    * single-writer refusal — the refusal message tells the operator to
+    * clearAppendLock, which against a genuinely held lock would tear
+    * the very invariant the lock protects. Caveat: create-no-overwrite
+    * is atomic on HDFS and the local fs but only advisory on stores
+    * without an exclusive create (e.g. S3A before conditional writes)
+    * — there the guard narrows the race window rather than closing it.
     */
   private val AppendLockFile = "_APPEND_LOCK"
 
@@ -590,7 +600,15 @@ object Dedup {
     fs.mkdirs(p.getParent): Unit
     val acquired =
       try { fs.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            // RawLocalFileSystem predates the typed subclass on some
+            // branches; match its message rather than swallowing every
+            // IO failure as "held"
+            if e.getMessage != null &&
+              e.getMessage.contains("already exists") => false
+      }
     if (!acquired) throw new IllegalStateException(
       s"append to $root refused: $p is held — batch appends are " +
         "single-writer (read-distinct-then-write is not atomic; " +
@@ -936,27 +954,59 @@ object Dedup {
 
   /** Extend the index with a batch (after [[incrementalNearDup]] and
     * whatever keep/drop policy was applied to it).
+    *
+    * IDEMPOTENT per id, per face (r20 — the ADVICE gap: the capstone's
+    * lazy day-registration is marker-gated, and a crash between this
+    * append and the caller's marker used to re-append the whole batch
+    * on the next run, silently duplicating shingle/band rows): each
+    * face appends only the ids it does not already hold, so a full
+    * re-run is a no-op and a run that crashed between the shingle and
+    * band appends RESUMES — the re-run skips the committed shingles
+    * and lands the missing bands (the faces commit shingles → bands →
+    * stats, so "in bands" implies "in shingles"). The idempotence
+    * bill: one committed-face membership probe per face per append —
+    * the shingle side an Exchange-free bucketed anti-join on id, the
+    * band side a broadcast-batch-ids semi-join (the batch id set is
+    * small by this face's contract; for corpus-sized continuous ingest
+    * use the epoch-partitioned streaming faces, which need neither
+    * lock nor probe). Residual crash window: between the band append
+    * and the stats merge, that batch's bucket-count delta is lost —
+    * the counts feed the hot-bucket CAP (a skew guard), so the effect
+    * is a marginally looser cap on the affected buckets, never a
+    * duplicated or missed pair verdict.
     */
   def appendToLshIndex(newDocs: DataFrame, indexPath: String, idCol: String,
       textCol: String, bands: Int = 32, rowsPerBand: Int = 4,
       shingleSize: Int = 3): Unit = {
-    GraftFunctions.register(newDocs.sparkSession)
+    val spark = newDocs.sparkSession
+    GraftFunctions.register(spark)
     // ONE lock spans all three face appends (shingles, bands, stats):
     // a per-table lock would still let two appenders interleave ACROSS
     // the faces and tear the shingle/band correspondence
-    withAppendLock(newDocs.sparkSession, indexPath) {
+    withAppendLock(spark, indexPath) {
       // staged: the shingle append, the band derivation, and the stats
       // delta all read this batch-sized frame
       val docs = stage(newDocs
         .select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleSize).as("h"))
         .where(size(col("h")) > 0))
-      appendBucketedIndex(docs, s"$indexPath/shingles")
+      appendBucketedIndex(
+        docs.join(readIndexTable(spark, s"$indexPath/shingles")
+          .select(col("id")), Seq("id"), "left_anti"),
+        s"$indexPath/shingles")
+      // band-face membership: ids of committed bands restricted to the
+      // batch — the bands table streams through a broadcast semi-join
+      // on the batch's id set, nothing index-sized shuffles
+      val batchIds = docs.select(col("id")).distinct()
+      val doneBandIds = readIndexTable(spark, s"$indexPath/bands")
+        .join(broadcast(batchIds), Seq("id"), "left_semi")
+        .select(col("id")).distinct()
       val newBands = stage(docs
+        .join(doneBandIds, Seq("id"), "left_anti")
         .withColumn("sig", minHashSignatureFromHashes(col("h"), bands * rowsPerBand))
         .select(col("id"),
           posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key"))))
       appendBucketedIndex(newBands, s"$indexPath/bands")
-      mergeBucketCounts(newDocs.sparkSession, indexPath, bandCountsOf(newBands))
+      mergeBucketCounts(spark, indexPath, bandCountsOf(newBands))
     }
   }
 
@@ -1276,19 +1326,21 @@ object Dedup {
   /** Persist the corpus's DISTINCT sliding spans as a bucketed index —
     * the [[writePassageIndex]] discipline for the substring face: the
     * index side of every later probe sits pre-bucketed on the span key
-    * and never crosses an Exchange. `hashed = true` stores xxhash64
-    * span keys (8-byte longs) instead of window-token strings — the
-    * PRODUCTION keying for the artifact that lives forever: at 100 TB
-    * the index, not the transient probe, is where the bytes bill
-    * (~50-byte span text → 8 bytes per row, and every probe exchange
-    * against it moves longs). Collision budget is x98's: ~0.03
-    * colliding PAIRS at 10¹² spans, dedup-side error only. One index,
-    * one keying — a probe against a mismatched layout refuses loudly
-    * rather than silently joining across a cast.
+    * and never crosses an Exchange. `hashed = true` — the DEFAULT
+    * (r20): a new caller gets the production layout — stores xxhash64
+    * span keys (8-byte longs) instead of window-token strings: at
+    * 100 TB the index, not the transient probe, is where the bytes
+    * bill (~50-byte span text → 8 bytes per row, and every probe
+    * exchange against it moves longs). Collision budget is x98's:
+    * ~0.03 colliding PAIRS at 10¹² spans, dedup-side error only.
+    * `hashed = false` is the TEST/ORACLE-PARITY keying (x95/x97 pass
+    * it explicitly — a DuckDB oracle can replay string spans, not
+    * xxhash64). One index, one keying — a probe against a mismatched
+    * layout refuses loudly rather than silently joining across a cast.
     */
   def writeSpanIndex(df: DataFrame, idCol: String, textCol: String,
       window: Int, path: String, nBuckets: Int = 32,
-      hashed: Boolean = false): Unit =
+      hashed: Boolean = true): Unit =
     writeBucketedIndex(spanGrams(df, idCol, textCol, window, hashed),
       s"$path/spans", Seq("gram"), nBuckets)
 
@@ -1296,10 +1348,11 @@ object Dedup {
     * registration-side frame shared by [[writeSpanIndex]], the
     * streaming face's epoch-0 seed, and the capstone's day-1 build, so
     * the span convention cannot drift between index writers. `hashed`
-    * keys the frame on xxhash64(span) — longs, the production layout.
+    * (default true, r20) keys the frame on xxhash64(span) — longs, the
+    * production layout; false is the test/oracle-parity string keying.
     */
   def spanGrams(df: DataFrame, idCol: String, textCol: String,
-      window: Int, hashed: Boolean = false): DataFrame = {
+      window: Int, hashed: Boolean = true): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     val toksArr = stage(df.select(col(idCol).as("__id"),
       graft.ops.TextAnalysis.tokens(col(textCol)).as("__t")))
@@ -1341,7 +1394,7 @@ object Dedup {
     */
   def incrementalSubstringDedup(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String, window: Int = 8,
-      hashed: Boolean = false): DataFrame =
+      hashed: Boolean = true): DataFrame =
     incrementalSubstringDedupStaged(newDocs,
       Seq(readIndexTable(newDocs.sparkSession, s"$indexPath/spans")),
       idCol, textCol, window, hashed)._1
@@ -1364,7 +1417,7 @@ object Dedup {
     */
   def incrementalSubstringDedupStaged(newDocs: DataFrame,
       indexes: Seq[DataFrame], idCol: String, textCol: String,
-      window: Int, hashed: Boolean = false): (DataFrame, DataFrame) = {
+      window: Int, hashed: Boolean = true): (DataFrame, DataFrame) = {
     require(window > 0, s"window must be positive, got $window")
     requireSpanKeying(indexes, hashed)
     val toksArr = stage(newDocs.select(col(idCol).as("__id"),
@@ -1410,7 +1463,7 @@ object Dedup {
     * in-place append is not replay-idempotent.
     */
   def appendToSpanIndex(newDocs: DataFrame, path: String, idCol: String,
-      textCol: String, window: Int, hashed: Boolean = false): Unit = {
+      textCol: String, window: Int, hashed: Boolean = true): Unit = {
     require(window > 0, s"window must be positive, got $window")
     val spark = newDocs.sparkSession
     withAppendLock(spark, path) {

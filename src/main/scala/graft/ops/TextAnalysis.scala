@@ -514,9 +514,13 @@ object TextAnalysis {
     * This is the health-row column the global KL monitor structurally
     * lacks: one source drifting its proportions hides behind nine
     * healthy ones in the batch-global number exactly the way novelty
-    * does. Cost: one (source, tok) count over the batch, one broadcast
-    * join against the O(vocab) frozen table, one source-keyed sum —
-    * nothing corpus-sized.
+    * does. Cost: one (source, tok) count over the batch, one tok-keyed
+    * join against the frozen table, one source-keyed sum — nothing
+    * corpus-sized, and nothing O(vocab) BROADCAST (r20): the frozen
+    * side joins on the same tok key the batch count is already
+    * partitioned on, so a [[graft.ops.Dedup.writeBucketedIndex]]-
+    * committed frozen table (the capstone's freeze) scans
+    * Exchange-free; a web-scale vocabulary never rides the driver.
     *
     * `frozen` is the committed [[unigramCounts]] table: (tok, cnt).
     */
@@ -548,8 +552,11 @@ object TextAnalysis {
     val bc = Staged(ex.select(col("source"), col("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("__cb")))
+    // no broadcast hint on the frozen side (r20): O(vocab) must never
+    // be forced onto the driver — Catalyst picks by size at fixture
+    // scale, and a bucketed frozen table co-partitions at 100 TB
     val shared = Staged(bc.join(
-      broadcast(frozen.select(col("tok"), col("cnt"))), "tok"))
+      frozen.select(col("tok"), col("cnt")), "tok"))
     // per-source shared-support sums: batch mass and frozen mass over
     // exactly the words BOTH sides hold for that source
     val sums = shared.groupBy(col("source"))

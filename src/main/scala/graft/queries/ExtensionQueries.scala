@@ -3500,12 +3500,16 @@ object ExtensionQueries {
         val marker = new java.io.File(
           s"$path/_INDEX_OK_v1_${OracleDump.tableFingerprint(dir, "documents")}")
         if (!marker.exists()) {
+          // hashed = false EXPLICITLY (r20, the default is now the
+          // production hashed keying): x97 is the ORACLE-PARITY face —
+          // the committed index stores the string spans DuckDB replays
           graft.ops.Dedup.writeSpanIndex(docs.filter($"doc_id" < 250),
-            "doc_id", "text", window = 8, path)
+            "doc_id", "text", window = 8, path, hashed = false)
           marker.createNewFile(): Unit
         }
         graft.ops.Dedup.incrementalSubstringDedup(
-          docs.filter($"doc_id" >= 250), path, "doc_id", "text", window = 8)
+          docs.filter($"doc_id" >= 250), path, "doc_id", "text", window = 8,
+          hashed = false)
       },
       Some("""WITH toks AS (SELECT doc_id,
             regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

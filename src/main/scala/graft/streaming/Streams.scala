@@ -488,7 +488,7 @@ object Streams {
   def processSubstringBatch(batch: DataFrame, epoch: Long,
       indexPath: String, outPath: String, idCol: String, textCol: String,
       window: Int, nBuckets: Int, maxChain: Int,
-      hashed: Boolean = false): Unit =
+      hashed: Boolean = true): Unit =
     graft.ops.Staged.scoped {
       val idxParts = spanIndexPartsBefore(batch.sparkSession, indexPath, epoch)
       // ONE batch span frame + index probe feeds both the clean output
@@ -520,7 +520,7 @@ object Streams {
     */
   def seedSpanIndex(corpus: DataFrame, indexPath: String, idCol: String,
       textCol: String, window: Int = 8, nBuckets: Int = 32,
-      hashed: Boolean = false): Unit =
+      hashed: Boolean = true): Unit =
     graft.ops.Dedup.writeBucketedIndex(
       graft.ops.Dedup.spanGrams(corpus, idCol, textCol, window, hashed),
       s"$indexPath/epoch=-1", Seq("gram"), nBuckets)
@@ -543,16 +543,18 @@ object Streams {
     * shared bucket layout and chain anti-joins through the committed
     * partitions Exchange-free — O(batch · epochs) network with the
     * chain length capped by compaction; nothing corpus-sized moves.
-    * `hashed = true` registers and probes xxhash64 span keys — the
-    * production keying (x98): the index and every span exchange carry
-    * 8-byte longs instead of window-token strings, identical output
-    * absent a 64-bit collision. One index, one keying: seed and stream
-    * must agree (the probe refuses a mismatched index schema).
+    * `hashed = true` — the DEFAULT (r20) — registers and probes
+    * xxhash64 span keys, the production keying (x98): the index and
+    * every span exchange carry 8-byte longs instead of window-token
+    * strings, identical output absent a 64-bit collision;
+    * `hashed = false` is the test/oracle-parity string keying (the
+    * x95/x97 faces pass it explicitly). One index, one keying: seed
+    * and stream must agree (the probe refuses a mismatched schema).
     */
   def substringDedupStream(docs: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, idCol: String, textCol: String,
       window: Int = 8, nBuckets: Int = 32, maxChain: Int = 16,
-      hashed: Boolean = false): StreamingQuery =
+      hashed: Boolean = true): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
@@ -999,13 +1001,27 @@ object Streams {
   /** [[klSnapshot]] over the shared pre-exploded token frame
     * ([[monitorFrames]]'s `words` — the same frame the OOV and
     * fertility snapshots consume). Identical output values.
+    *
+    * The frozen count table is NOT broadcast (r20 — it was the one
+    * O(vocab) broadcast in the monitor family): at a web-scale
+    * vocabulary (10⁸–10⁹ token types) the frozen table is not
+    * broadcast-sized. The join key is `tok`, which the batch side is
+    * already hash-partitioned on by its own groupBy — so when the
+    * committed table is BUCKETED on tok (the span index's own
+    * discipline; [[graft.ops.Dedup.writeBucketedIndex]], as the
+    * capstone now freezes it), the frozen side scans Exchange-free
+    * and only the batch-sized count frame moves. Plain-parquet legacy
+    * dirs still read (one tok-shuffle of the frozen side — correct,
+    * merely unbucketed); at fixture sizes AQE may still pick a
+    * broadcast join from the observed sizes, which is exactly the
+    * size-based call the unconditional hint used to preempt.
     */
   private[graft] def klSnapshotFromWords(words: DataFrame, nDocs: Long,
       countsPath: String, alertAbove: Double): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
-    val frozen = broadcast(spark.read.parquet(countsPath)
-      .select(col("tok"), col("cnt")))
+    val frozen = graft.ops.Dedup.readIndexTable(spark, countsPath)
+      .select(col("tok"), col("cnt"))
     val bc = graft.ops.Staged(words
       .select(col("word").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("__cb")))
@@ -1259,6 +1275,28 @@ object Streams {
     // re-fits under one path)
     owner.foreach(o =>
       VectorStreams.requireMaintLease(spark, bpePath, o))
+    // stale-intent hygiene (r20, the ADVICE resume-over-old-paths gap):
+    // intents are kept after a completed repair so same-GENERATION
+    // replays of the fire epoch stay idempotent — but a stream whose
+    // checkpoint was reset over retained monitor/refit paths restarts
+    // epoch numbering at 0, and a reused epoch number would hit a
+    // prior generation's leftover intent: its monitor snapshot would
+    // be silently skipped and the old refit record overwritten with
+    // the new batch's fertility, corrupting the actuation log. A fresh
+    // generation announces itself as epoch 0: delete every intent
+    // whose repair fully COMMITTED (its refit record landed — the
+    // intent is vestigial crash-recovery debris); an intent WITHOUT a
+    // record is a genuinely torn repair and stays, so the new epoch 0
+    // finishes it idempotently instead of abandoning it.
+    if (epoch == 0L)
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$refitPath/__refit_intent_e*"))).toSeq.flatten
+        .foreach { st =>
+          val e = st.getPath.getName.stripPrefix("__refit_intent_e").toLong
+          if (fs.exists(new org.apache.hadoop.fs.Path(
+              s"$refitPath/epoch=$e/_SUCCESS")))
+            fs.delete(st.getPath, false): Unit
+        }
     // pre-refit INTENT record: a crash after the swap but before the
     // refit record would otherwise replay into a monitor snapshot
     // measured against the PROMOTED merges — healthy, fire=false, the
@@ -1328,6 +1366,23 @@ object Streams {
     * checkpoint as owner (override via `owner`); an accidental second
     * loop refuses loudly, a crashed owner recovers via
     * [[VectorStreams.takeoverMaintLease]].
+    *
+    * POLICY when the repair wall exceeds the epoch interval (r20 —
+    * pinned, not assumed: the production 32k-merge fit is ~30× the
+    * rehearsal's 1,024-merge default): foreachBatch SERIALIZES epochs,
+    * so a repair-length epoch simply delays the next micro-batch —
+    * arriving data queues at the source, no epoch is skipped, no
+    * snapshot is lost, and the debounced decision replays exactly
+    * (epoch numbering is the engine's, not wall-clock's). Consumers
+    * never wait on the repair at any length: they read the COMMITTED
+    * generation through the versioned `_BPE_OK` marker until the
+    * atomic promote — the `--maintain-bpe` rehearsal proves it with a
+    * concurrent reader polling straight through the swap window
+    * (REQUIREd: zero torn reads, ≥ 1 read overlapping the repair
+    * epoch; measured at 32k merges in SCALE.md). The only cost of a
+    * long repair is monitoring LATENCY on the queued batches — the
+    * alarm already fired (that is why the repair runs), so nothing
+    * actionable is delayed.
     */
   def bpeMaintenanceStream(docs: DataFrame, bpePath: String,
       corpusPath: String, monitorPath: String, refitPath: String,

@@ -829,6 +829,62 @@ class DedupSpec extends SparkSpec {
     Staged.releaseAll()
   }
 
+  test("LSH index append is idempotent per id: a replayed append adds no rows and no counts") {
+    // the r19 ADVICE gap: the capstone's lazy day-registration is
+    // marker-gated but the append itself re-appended the whole batch
+    // when a crash landed between append and marker — duplicated
+    // shingle/band rows and double-merged bucket counts, breaking the
+    // distinctness invariant the _APPEND_LOCK scaladoc declares
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-idem").toString
+    Dedup.writeLshIndex(corpus.where(col("doc_id").isin(0L, 1L)),
+      "doc_id", "text", dir, threshold = 0.5)
+    val batch = corpus.where(col("doc_id").isin(2L, 3L))
+    def faceRows(sub: String): Long =
+      Dedup.readIndexTable(spark, s"$dir/$sub").count()
+    def bucketCounts(): Map[(Int, Long), Long] = {
+      val cur = new java.io.File(dir).listFiles()
+        .filter(_.getName.matches("bucket_counts_v\\d+"))
+        .maxBy(_.getName.stripPrefix("bucket_counts_v").toInt)
+      spark.read.parquet(cur.getAbsolutePath)
+        .select(col("band_idx"), col("band_key"), col("n"))
+        .as[(Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    }
+    Dedup.appendToLshIndex(batch, dir, "doc_id", "text")
+    val (sh1, bd1, bc1) = (faceRows("shingles"), faceRows("bands"),
+      bucketCounts())
+    def probe() = Dedup.incrementalNearDup(
+      corpus.where(col("doc_id") === 5L), dir, "doc_id", "text",
+      threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val pairs1 = probe()
+    // the replay: the marker-gated caller crashed post-append, pre-
+    // marker — the re-run must be a byte-level no-op on every face
+    Dedup.appendToLshIndex(batch, dir, "doc_id", "text")
+    assert((faceRows("shingles"), faceRows("bands")) == ((sh1, bd1)),
+      s"replayed append duplicated rows: ${(faceRows("shingles"),
+        faceRows("bands"))} vs ${(sh1, bd1)}")
+    assert(bucketCounts() == bc1,
+      "replayed append must not double-merge the bucket counts")
+    assert(probe() == pairs1, "replayed append changed a probe verdict")
+    // a MIXED batch (one committed id, one fresh) appends only the
+    // fresh id — the per-id anti-join, which is also what makes a
+    // crash between the shingle and band appends RESUME instead of
+    // duplicating: each face skips exactly the ids it already holds
+    Dedup.appendToLshIndex(corpus.where(col("doc_id").isin(3L, 4L)),
+      dir, "doc_id", "text")
+    val shIds = Dedup.readIndexTable(spark, s"$dir/shingles")
+      .groupBy(col("id")).count().where(col("count") > 1).count()
+    assert(shIds == 0, "no id may hold two shingle rows after a mixed append")
+    assert(Dedup.readIndexTable(spark, s"$dir/bands")
+      .groupBy(col("id"), col("band_idx")).count()
+      .where(col("count") > 1).count() == 0,
+      "no (id, band) may duplicate after a mixed append")
+    graft.ops.Staged.releaseAll()
+  }
+
   test("batch append faces are single-writer: a held _APPEND_LOCK refuses loudly; clearAppendLock recovers") {
     // r19, the maintenance-lease discipline on the appendable
     // artifacts: append = read-distinct-then-write, not atomic — a

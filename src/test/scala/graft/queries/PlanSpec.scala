@@ -66,6 +66,63 @@ class PlanSpec extends SparkSpec {
       "sanity: x97's span exchanges carry the string key")
   }
 
+  test("KL family: the frozen O(vocab) table is never hint-broadcast; the bucketed freeze joins Exchange-free") {
+    // r20 (the r19 verdict's ask #2): the KL monitors used to force
+    // broadcast(frozen) — trivially right at fixture scale, wrong at a
+    // web-scale vocabulary (10⁸–10⁹ token types). The pin: (a) nothing
+    // forces the broadcast (no hint survives analysis — Catalyst may
+    // still CHOOSE one from observed sizes, which is the correct
+    // size-based call); (b) in the no-broadcast regime (threshold -1,
+    // how the 100 TB plan must work) the frozen side scans from its
+    // bucketed layout with no Exchange — only the batch-sized count
+    // frame moves.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, "alpha beta gamma delta " + ("w" + i % 7), "s" + i % 3))
+      .toDF("doc_id", "text", "source")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-klpin").toString
+    graft.ops.Dedup.writeBucketedIndex(
+      graft.ops.TextAnalysis.unigramCounts(docs, "text"),
+      root, Seq("tok"), 32)
+    val frozen = graft.ops.Dedup.readIndexTable(spark, root)
+    val df = graft.ops.TextAnalysis.perSourceSharedKl(
+      docs, "text", "source", frozen)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "no broadcast hint may survive analysis on the KL join")
+    // the operator Stages its count frames: drop them before the
+    // no-broadcast re-plan, or the cached physical fragments (planned
+    // under the default threshold) ride into the second measurement
+    graft.ops.Staged.releaseAll()
+    val sqlConf = spark.conf
+    val thr = sqlConf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeThr = sqlConf.get(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", thr)
+    try {
+      sqlConf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sqlConf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = graft.ops.TextAnalysis.perSourceSharedKl(
+          docs, "text", "source",
+          graft.ops.Dedup.readIndexTable(spark, root))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("BroadcastExchange"),
+        s"the no-broadcast regime must not plan a broadcast:\n$p")
+      // the frozen side's bucketed scan advertises tok-partitioning, so
+      // the tok equi-join exchanges ONLY the batch-side count frame
+      val tokEx = raw"Exchange hashpartitioning\(tok#\d+(?:, *\w+#\d+L?)*, 32\)".r
+        .findAllIn(p).size
+      assert(tokEx <= 1,
+        s"the frozen side must join Exchange-free from its bucket " +
+          s"layout ($tokEx tok-exchanges):\n$p")
+    } finally {
+      sqlConf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      sqlConf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeThr)
+    }
+    graft.ops.Staged.releaseAll()
+  }
+
   test("x34: kNN graph pushes the per-source rank filter (WindowGroupLimit)") {
     // the per-source top-k must keep only k rows per partition in the
     // rank sort — at 100 TB the candidate set is the big intermediate

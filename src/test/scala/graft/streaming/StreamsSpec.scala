@@ -435,14 +435,18 @@ class StreamsSpec extends SparkSpec {
   test("streaming substring dedup: seeded corpus + cross-batch spans suppress; epoch replay is pure") {
     val root = java.nio.file.Files.createTempDirectory("graft-sstream").toString
     val (idxP, outP, cp) = (s"$root/index", s"$root/out", s"$root/cp")
-    // day-1 corpus committed below every engine epoch (epoch=-1)
+    // day-1 corpus committed below every engine epoch (epoch=-1).
+    // hashed = false EXPLICITLY (r20, the default is now the hashed
+    // production keying): this test reads the registered SPAN STRINGS
+    // back — it is the text/oracle-parity face; the hashed face has
+    // its own seed+stream ≡ one-shot leg below
     Streams.seedSpanIndex(
       Seq((0L, "c1 c2 c3 z1")).toDF("doc_id", "text"),
-      idxP, "doc_id", "text", window = 3)
+      idxP, "doc_id", "text", window = 3, hashed = false)
     val input = MemoryStream[DocEvent](spark)
     val q = Streams.substringDedupStream(
       input.toDF().select($"doc_id", $"text"),
-      idxP, outP, cp, "doc_id", "text", window = 3)
+      idxP, outP, cp, "doc_id", "text", window = 3, hashed = false)
     try {
       input.addData(
         // the corpus span at an UNALIGNED offset — the case the passage
@@ -481,7 +485,7 @@ class StreamsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val (cleaned, fresh) = graft.ops.Dedup.incrementalSubstringDedupStaged(
       batch2, Streams.spanIndexPartsBefore(spark, idxP, 1L),
-      "doc_id", "text", window = 3)
+      "doc_id", "text", window = 3, hashed = false)
     assert(cleaned.as[(Long, Long, Long, String)].collect().toSet ==
       spark.read.parquet(s"$outP/epoch=1")
         .as[(Long, Long, Long, String)].collect().toSet,
@@ -1606,6 +1610,62 @@ class StreamsSpec extends SparkSpec {
     assert(!new java.io.File(s"$bpeP/__refit_tmp").exists())
     assert(graft.ops.Bpe.readFit(spark, bpeP).merges.nonEmpty,
       "the live artifact must survive a discarded build")
+    graft.ops.Staged.releaseAll()
+  }
+
+  test("BPE maintenance: a checkpoint reset over retained paths must not replay a stale intent") {
+    // the r19 ADVICE gap: intents are deliberately kept after a
+    // completed repair (same-generation replays of the fire epoch stay
+    // idempotent), but a stream resumed with a RESET checkpoint over
+    // retained monitor/refit paths restarts epoch numbering at 0 — the
+    // reused epoch number used to hit the prior generation's intent,
+    // silently skip its monitor snapshot, and overwrite the old refit
+    // record with the new batch's fertility
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bmaint-stale").toString
+    val (bpeP, corpusP, mon, ref) =
+      (s"$root/bpe", s"$root/corpus", s"$root/mon", s"$root/ref")
+    val base = (0 until 20).map(i =>
+      (i.toLong, "hello world spark stream data")).toDF("doc_id", "text")
+    val drift = (0 until 30).map(i =>
+      (100L + i, "qzvx vxqz qzvx vxqz")).toDF("doc_id", "text")
+    graft.ops.Bpe.fitCached(base, "text", nMerges = 16, bpeP,
+      corpusTag = "day1"): Unit
+    base.unionByName(drift).write.mode("overwrite").parquet(corpusP)
+    def row(path: String) = spark.read.parquet(path)
+      .select($"fertility", $"alert").as[(Double, Boolean)].head()
+    // generation 1 (debounce 1): the drifted epoch 0 fires — intent
+    // and actuation record both commit
+    assert(Streams.maintainBpeEpoch(drift, 0L, bpeP, corpusP, mon, ref,
+      "doc_id", "text", alertAbove = 3.0, debounce = 1),
+      "generation 1's drifted epoch 0 must fire")
+    assert(new java.io.File(s"$ref/__refit_intent_e0").exists(),
+      "the completed repair leaves its intent behind by design")
+    val committed = row(s"$ref/epoch=0")
+    assert(committed == ((1.0, false)),
+      s"generation 1's repair must restore fertility: $committed")
+    // plant a TORN repair's intent too (no record): the hygiene sweep
+    // must preserve it — only vestigial intents of COMPLETED repairs go
+    val fs = new org.apache.hadoop.fs.Path(ref)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$ref/__refit_intent_e5"), true).close()
+    // generation 2: checkpoint reset, same paths, epoch 0 again — the
+    // batch now prices healthy under the promoted merges. The stale
+    // e0 intent must be swept (its repair committed), the monitor
+    // snapshot WRITTEN rather than skipped, and the old actuation
+    // record left untouched.
+    assert(!Streams.maintainBpeEpoch(drift, 0L, bpeP, corpusP, mon, ref,
+      "doc_id", "text", alertAbove = 3.0, debounce = 1),
+      "a healthy new-generation epoch 0 must not report a repair")
+    assert(!new java.io.File(s"$ref/__refit_intent_e0").exists(),
+      "the completed repair's stale intent must be swept at epoch 0")
+    assert(new java.io.File(s"$ref/__refit_intent_e5").exists(),
+      "a torn repair's intent (no record) must survive the sweep")
+    assert(row(s"$mon/epoch=0") == ((1.0, false)),
+      "the new generation's evidence snapshot must land, not be skipped")
+    assert(row(s"$ref/epoch=0") == committed,
+      "the old actuation record must survive the path reuse untouched")
     graft.ops.Staged.releaseAll()
   }
 
