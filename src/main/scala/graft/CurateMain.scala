@@ -122,7 +122,12 @@ object CurateMain {
     // ladder against the same workDir — days must run in order (day N
     // probes the artifacts days 2..N-1 registered)
     val dayIdx = args.indexOf("--day")
-    val day = if (dayIdx >= 0) args(dayIdx + 1).toInt else 2
+    val day =
+      if (dayIdx < 0) 2
+      else args.lift(dayIdx + 1).map(_.trim)
+        .filter(_.matches("-?\\d+")).map(_.toInt)
+        .getOrElse(sys.error("--day requires a numeric argument, e.g. " +
+          "--incremental --day 3 [sfDir] [workDir]"))
     val rest = args.zipWithIndex.filterNot { case (a, i) =>
       a == "--incremental" || i == dayIdx || (dayIdx >= 0 && i == dayIdx + 1)
     }.map(_._1)
@@ -516,8 +521,13 @@ object CurateMain {
     * and a QUOTE re-use of a 16-token excerpt of yesterday's
     * unmodified survivors at an interior offset (only yesterday's
     * registered spans catch it). Ids: every day-N id exceeds every
-    * day-(N−1) id (the band `off + (N−2)·10⁸`), preserving the
-    * first-occurrence ordering the differential identities need.
+    * day-(N−1) id — day N's ids live entirely INSIDE the day's own
+    * band `[off + (N−2)·10⁸, off + (N−1)·10⁸)` (r20: a per-slice
+    * sub-band plus a dense row_number over the source rows, instead
+    * of adding offsets to prior-day ids — the old compounding scheme
+    * smeared day-4 near/quote ids past day-5's band floor, violating
+    * the ordering invariant the differential identities and the
+    * nCross/nInternal split rely on from day 5).
     */
   private[graft] def dayBatch(spark: SparkSession, workDir: String,
       day: Int, corpus: org.apache.spark.sql.DataFrame,
@@ -570,24 +580,73 @@ object CurateMain {
         .join(spark.read.parquet(s"$workDir/day${day - 1}_kept")
           .select($"doc_id", $"text".as("__orig")), Seq("doc_id"))
         .where($"text" === $"__orig").drop("__orig")
-      val recrawlPrev = prevBatch.where($"doc_id" % 2 === 0)
-        .select(($"doc_id" + dayOff + 1000L).as("doc_id"), $"text",
-          $"lang", lit(s"recrawl_d${day - 1}").as("source"))
-      val nearPrev = unmod.where($"doc_id" % 3 === 0)
-        .select(($"doc_id" + dayOff + 1000000L).as("doc_id"),
-          concat(lit("recrawlnear "), $"text").as("text"), $"lang",
+      // reband INTO the day's own sub-band: ids = dayOff + slice
+      // sub-band + dense row_number over the source rows (ordered by
+      // the source id — deterministic across replays). The text is
+      // woven with the SOURCE id before rebanding, so flanks stay
+      // unique per source doc. The single-partition window is fine
+      // here: these slices are fixture-batch-sized by construction
+      // (a production pipeline passes batchOverride).
+      def reband(df: org.apache.spark.sql.DataFrame,
+          subBand: Long): org.apache.spark.sql.DataFrame =
+        df.withColumn("doc_id", lit(dayOff + subBand) +
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy($"doc_id")))
+      val recrawlPrev = reband(prevBatch.where($"doc_id" % 2 === 0),
+        1000000L)
+        .select($"doc_id", $"text", $"lang",
+          lit(s"recrawl_d${day - 1}").as("source"))
+      val nearPrev = reband(unmod.where($"doc_id" % 3 === 0)
+          .withColumn("text", concat(lit("recrawlnear "), $"text")),
+        2000000L)
+        .select($"doc_id", $"text", $"lang",
           lit(s"recrawl_near_d${day - 1}").as("source"))
-      val quotePrev = unmod.where($"doc_id" % 3 === 1)
-        .where(size(TextAnalysis.tokens($"text")) >= 16)
-        .select(($"doc_id" + dayOff + 2000000L).as("doc_id"),
-          concat(format_string("record %d cites ", $"doc_id"),
-            array_join(slice(TextAnalysis.tokens($"text"), 1, 16), " "),
-            format_string(" as noted by reviewer %d here", $"doc_id"))
-            .as("text"),
-          $"lang", lit(s"recrawl_quote_d${day - 1}").as("source"))
+      val quotePrev = reband(unmod.where($"doc_id" % 3 === 1)
+          .where(size(TextAnalysis.tokens($"text")) >= 16)
+          .withColumn("text",
+            concat(format_string("record %d cites ", $"doc_id"),
+              array_join(slice(TextAnalysis.tokens($"text"), 1, 16), " "),
+              format_string(" as noted by reviewer %d here", $"doc_id"))),
+        3000000L)
+        .select($"doc_id", $"text", $"lang",
+          lit(s"recrawl_quote_d${day - 1}").as("source"))
       apiFresh.unionByName(recrawlPrev).unionByName(nearPrev)
         .unionByName(quotePrev)
     }
+  }
+
+  /** Re-admit a gated source — the explicit, auditable inverse of the
+    * acquisition gate's exclusion (r20; previously re-admission meant
+    * hand-deleting `source_gate/` rows, while takeover got a fenced
+    * operation — the asymmetry the r19 verdict named). Writes a
+    * re-admission record (source, operator, as_of_epoch) that the next
+    * [[ingestDay]] reads: evidence from epochs ≤ `as_of_epoch` — both
+    * health indictments and committed exclusion rows — no longer
+    * counts against the source, so it re-enters the batch; the gate
+    * re-indicts from FRESH evidence if the source is still bad
+    * (`gateDebounce` new alerting epochs re-gate it, exactly like a
+    * new source). `as_of_epoch` is stamped from the newest committed
+    * gate epoch at call time, so the record is itself the audit trail:
+    * who re-admitted what, forgiving which evidence. Like
+    * [[graft.streaming.VectorStreams.takeoverMaintLease]], this is an
+    * operator action between days — replaying a day that ran BEFORE
+    * the re-admission reproduces that day only if the record is
+    * restored too (operator interventions are outside the warm-replay
+    * contract, as with takeover).
+    */
+  def readmitSource(spark: SparkSession, workDir: String, source: String,
+      operator: String): Unit = {
+    require(source.nonEmpty, "readmitSource: source must be non-empty")
+    require(operator.nonEmpty,
+      "readmitSource: the operator token must be non-empty — " +
+        "re-admission is an audited human decision")
+    import spark.implicits._
+    val asOf = graft.streaming.Streams
+      .epochsBefore(spark, s"$workDir/source_gate", Long.MaxValue)
+      .lastOption.getOrElse(-1L)
+    Seq((source, operator, asOf))
+      .toDF("source", "operator", "as_of_epoch")
+      .write.mode("append").parquet(s"$workDir/source_gate_readmit")
   }
 
   /** Day `day` of the rolling ingest ladder — [[runIncremental]]
@@ -625,7 +684,9 @@ object CurateMain {
       workDir: String, day: Int, refitOnAlert: Boolean = true,
       servingAlertBelow: Double = 0.5,
       batchOverride: Option[org.apache.spark.sql.DataFrame] = None,
-      gateDebounce: Int = 2, maxChain: Int = 16): IncrementalSummary = {
+      gateDebounce: Int = 2, maxChain: Int = 16,
+      dayVecsOverride: Option[Int => org.apache.spark.sql.DataFrame] = None)
+      : IncrementalSummary = {
     import spark.implicits._
     require(day >= 2, s"the ingest ladder starts at day 2, got $day")
     require(gateDebounce >= 1, s"gateDebounce must be >= 1: $gateDebounce")
@@ -698,6 +759,17 @@ object CurateMain {
     val healthPath = s"$workDir/source_health"
     val gateWindow = graft.streaming.Streams
       .epochsBefore(spark, healthPath, me).takeRight(gateDebounce)
+    // committed re-admissions (r20, [[readmitSource]]): per source, the
+    // newest epoch whose evidence an operator explicitly forgave —
+    // indictments and exclusions at epochs ≤ as_of_epoch don't count,
+    // so the source re-enters the batch and the gate re-indicts only
+    // from fresh evidence
+    val readmitPath = s"$workDir/source_gate_readmit"
+    val readmitted: Map[String, Long] =
+      if (!hasMarker(spark, readmitPath)) Map.empty
+      else spark.read.parquet(readmitPath)
+        .groupBy($"source").agg(max($"as_of_epoch"))
+        .as[(String, Long)].collect().toMap
     val gateVerdicts = gateWindow.map { e =>
       val indicted = Acquisition.healthVerdicts(
         spark.read.parquet(s"$healthPath/epoch=$e"), "source")._2.toSet
@@ -705,14 +777,16 @@ object CurateMain {
       // a gated source has no health row to renew its verdict with, so
       // without this the gate would oscillate on a debounce-long
       // period (gated → unmeasured → re-admitted → re-gated).
-      // Exclusion persists until an operator deletes the source_gate
-      // rows — re-admission is a human decision, like takeover.
+      // Exclusion persists until an operator commits a re-admission
+      // record via [[readmitSource]] — an explicit, audited decision,
+      // like takeover.
       val priorGate = s"$workDir/source_gate/epoch=$e"
       val excluded =
         if (!hasMarker(spark, priorGate)) Set.empty[String]
         else spark.read.parquet(priorGate).where($"excluded")
           .select($"source").as[String].collect().toSet
-      indicted ++ excluded
+      (indicted ++ excluded)
+        .filterNot(s0 => readmitted.get(s0).exists(_ >= e))
     }
     val alertCounts = gateVerdicts.flatten
       .groupBy(identity).map { case (s0, v) => (s0, v.size.toLong) }
@@ -808,9 +882,17 @@ object CurateMain {
     // content keeps its embedding), then prove an appended vector is
     // findable. The append is marker-gated per day so a re-run of the
     // same day doesn't double-register the batch.
-    def vecsOf(d: Int) = embeddings.where($"vec_id" % 7 === 3)
-      .select(($"vec_id" + off + 1000L + (d - 2L) * 100000000L)
-        .as("vec_id"), $"embedding")
+    // dayVecsOverride (r20): the multi-day drift leg's hook — the
+    // default day-d append is a corpus-vector re-crawl slice; a spec
+    // or rehearsal planting cumulative vector drift supplies its own
+    // per-day frame (same (vec_id, embedding) shape, ids in the day's
+    // band). The override feeds BOTH the append and the re-listed
+    // truth corpus below — drifted vectors are part of the population
+    // the monitors must judge against.
+    def vecsOf(d: Int) = dayVecsOverride.map(_(d)).getOrElse(
+      embeddings.where($"vec_id" % 7 === 3)
+        .select(($"vec_id" + off + 1000L + (d - 2L) * 100000000L)
+          .as("vec_id"), $"embedding"))
     val dayVecs = vecsOf(day)
     val nVecs = dayVecs.count()
     val appendMarker = s"$ivfPath/_DAY${day}_APPENDED"
@@ -840,11 +922,15 @@ object CurateMain {
     }
     // the corpus's full unigram COUNT table (r17): the KL monitor's
     // frozen artifact — OOV's top-V cut asks "is the word known", KL
-    // asks "are the PROPORTIONS right"; O(vocab) rows, marker-gated
+    // asks "are the PROPORTIONS right"; O(vocab) rows, marker-gated.
+    // BUCKETED on tok (r20): the KL consumers join on tok, so the
+    // committed layout keeps the O(vocab) side off the shuffle path
+    // AND off the driver — at a web-scale vocabulary this table is
+    // not broadcast-sized, and nothing here assumes it is
     val ucPath = s"$workDir/unigram_counts"
     if (!hasMarker(spark, s"$ucPath/_FROZEN")) {
-      TextAnalysis.unigramCounts(corpus, "text")
-        .write.mode("overwrite").parquet(ucPath)
+      Dedup.writeBucketedIndex(TextAnalysis.unigramCounts(corpus, "text"),
+        ucPath, Seq("tok"), 32)
       touchMarker(spark, s"$ucPath/_FROZEN")
     }
     val novPath = s"$workDir/novelty_index"
@@ -901,7 +987,8 @@ object CurateMain {
     // unigram-KL of the batch vs the frozen corpus distribution (the
     // sixth signal, r17): known words in the WRONG proportions — the
     // 0-OOV drift mode (a crawler stuck on one template); rides the
-    // same shared words frame, one broadcast join per epoch
+    // same shared words frame, one tok-keyed join per epoch against
+    // the bucketed frozen table (r20: never an O(vocab) broadcast)
     graft.streaming.Streams.klSnapshotFromWords(
         mon.words, mon.nDocs, ucPath, alertAbove = 0.5)
       .write.mode("overwrite").parquet(s"$workDir/monitor_kl/epoch=$me")
@@ -946,12 +1033,38 @@ object CurateMain {
     // continuous monitor compute the identical number, so a policy
     // threshold tuned on one applies to the other. The snapshot also
     // lands as monitor epoch 1 — the day-2 loop's fourth signal.
-    val servRow = graft.streaming.VectorStreams.pqAgreementSnapshot(
-      embeddings, ivfPath, "vec_id", "embedding",
-      k = 10, kCand = 50, maxQueries = 16, alertBelow = servingAlertBelow)
-      .localCheckpoint()
-    servRow.write.mode("overwrite")
-      .parquet(s"$workDir/monitor_pq_agreement/epoch=$me")
+    // The query sample is the DAY's appended vectors (r20; was the
+    // static base corpus): the gate's question is whether the
+    // compressed face still serves the population the index JUST
+    // absorbed — frozen codebooks reconstruct a drifted append badly,
+    // and base-corpus queries structurally cannot see that (their
+    // top-k stays in base territory). On the standard fixture the
+    // day-d append is a corpus-vector re-crawl slice, so the gate
+    // reads the same reconstruction regime either way; under planted
+    // drift it now degrades — the detect half of detect→repair.
+    //
+    // Evidence READ-BACK (r20 — maintainBpeEpoch's discipline ported
+    // to the day ladder): once this day's repair committed (or is
+    // mid-flight — the intent marker below), a warm replay must NOT
+    // re-measure the gate against the PROMOTED faces and overwrite
+    // the drifted evidence row — post-swap the same sample reads
+    // healthy, the alert would flip off, and the replay's summary
+    // (refitRan=false, evidence gone) would contradict the committed
+    // repair. The alarm is part of the day's record: replays read it.
+    val refitQc = s"$workDir/refit_qc/day=$day"
+    val servMon = s"$workDir/monitor_pq_agreement/epoch=$me"
+    val dayRepaired = hasMarker(spark, s"$refitQc/_DONE") ||
+      hasMarker(spark, s"$refitQc/_INTENT")
+    val servRow =
+      if (dayRepaired) spark.read.parquet(servMon)
+      else {
+        val r = graft.streaming.VectorStreams.pqAgreementSnapshot(
+          dayVecs, ivfPath, "vec_id", "embedding",
+          k = 10, kCand = 50, maxQueries = 16,
+          alertBelow = servingAlertBelow).localCheckpoint()
+        r.write.mode("overwrite").parquet(servMon)
+        r
+      }
     val (pqAgree, stagedAgree, servAlert) = servRow
       .select($"pq_agreement", $"staged_agreement", $"alert")
       .as[(Double, Double, Boolean)].head()
@@ -965,7 +1078,6 @@ object CurateMain {
     // (refit_qc/ + summary) — the repair is judged by the instrument
     // that demanded it. The pre-refit snapshot stays in the monitor
     // epoch (the alarm is part of the day's record).
-    val refitQc = s"$workDir/refit_qc/day=$day"
     val (refitRan, postStaged, refitK) =
       if (servAlert && refitOnAlert) {
         // single-fire PER DAY (r17, the refitMaintenanceStream guard
@@ -982,6 +1094,16 @@ object CurateMain {
           (true, post.select($"staged_agreement").as[Double].head(),
             Ivf.readIndex(spark, ivfPath).centroids.length)
         } else {
+          // pre-refit INTENT marker (r20 — the maintainBpeEpoch crash
+          // window, here): a crash AFTER the swap but BEFORE the
+          // record would otherwise replay into a re-measured gate that
+          // reads the promoted faces as healthy — no alert, no record,
+          // the repair missing from the actuation log forever. With
+          // the intent committed first, the replay reads back the
+          // drifted evidence (dayRepaired above), re-derives the same
+          // alert, and finishes the repair here (a second refit is
+          // wasteful, never wrong) before recording it.
+          touchMarker(spark, s"$refitQc/_INTENT")
           // a refit re-derives every face, so it is exactly when k can
           // change: consult the a19 resize rule over the index's CURRENT
           // population (corpus + appends) before repairing — a
@@ -996,8 +1118,11 @@ object CurateMain {
             if (Ivf.resizeRecommended(kCur, kPolicy)) Some(kPolicy) else None
           Ivf.refitIndex(spark, ivfPath, "vec_id", "embedding",
             resizeTo = resize)
+          // the SAME instrument over the SAME query sample re-judges
+          // the promoted faces — the repair answers to the gauge (and
+          // the population) that demanded it
           val post = graft.streaming.VectorStreams.pqAgreementSnapshot(
-            embeddings, ivfPath, "vec_id", "embedding",
+            dayVecs, ivfPath, "vec_id", "embedding",
             k = 10, kCand = 50, maxQueries = 16,
             alertBelow = servingAlertBelow).localCheckpoint()
           post.write.mode("overwrite").parquet(refitQc)
@@ -1031,7 +1156,7 @@ object CurateMain {
     // global gauge's healthy batchmates fires its own row
     graft.ops.Acquisition.sourceHealth(unionDocs,
         "doc_id", "text", "source", bpeFit,
-        klFrom = Some(spark.read.parquet(ucPath)))
+        klFrom = Some(Dedup.readIndexTable(spark, ucPath)))
       .write.mode("overwrite").parquet(s"$healthPath/epoch=$me")
     // ---- the verdict ACTING on acquisition (x89's composition): the
     // just-written health table drives the mix — sources it indicts
