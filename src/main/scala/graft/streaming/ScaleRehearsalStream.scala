@@ -60,6 +60,9 @@ object ScaleRehearsalStream {
       args.lift(3).map(_.toInt).getOrElse(1024))
     if (args.headOption.contains("--span-bytes")) return runSpanBytes(
       args.lift(1).map(_.toInt).getOrElse(8))
+    if (args.headOption.contains("--ladder")) return runLadder(
+      args.lift(1).map(_.toInt).getOrElse(8),
+      args.lift(2).map(_.toInt).getOrElse(4))
     val epochCounts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8, 16)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -565,6 +568,91 @@ object ScaleRehearsalStream {
     spark.stop()
   }
 
+  /** `--ladder [nDays] [maxChain]` (default 8, 4): price the rolling
+    * day-N capstone ladder's TIME axis (r20 — the r19 verdict's top
+    * ask: the space axis was closed by epoch-chain compaction, but
+    * nothing MEASURED per-day wall as N grows). Drives days
+    * 2..nDays+1 of [[graft.CurateMain.ingestDay]] on ONE workDir at
+    * the fixture sf with the default mixed fresh/re-crawl batches —
+    * each day COLD, then WARM (the head-day replay, REQUIREd
+    * byte-identical before the ladder advances) — and REQUIREs the
+    * ladder's two boundedness claims:
+    *  - probe-plan chain lengths stay ≤ maxChain+1 on disk for both
+    *    the passage and span indexes at every day (the auto-compaction
+    *    policy at daily cadence, exercised repeatedly at sf scale);
+    *  - per-day COLD wall is FLAT — a function of the day's batch,
+    *    not of the day number: the mean of the ladder's last half must
+    *    not exceed 1.6× the mean of its first half (days ≥ 4; day 2
+    *    pays the one-time day-1 index builds and day 3 the first
+    *    lazy-registration, so both are reported but exempt), and each
+    *    day's suppression ladder must actually act
+    *    (spanKept ≤ survivors ≤ passageKept < batch).
+    * The 1.6 bound is generous for box noise (the bench notes' ~1.3×
+    * session inflation) while failing the actual bug class this exists
+    * for: a probe or registration whose cost reads the CORPUS or the
+    * chain length — at 8 days that reads ≥ 2× and climbing.
+    */
+  private def runLadder(nDays: Int, maxChain: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = SparkSession.builder()
+      .appName("graft-scale-ladder")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    require(nDays >= 4, s"the flatness gate needs >= 4 days, got $nDays")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-ladder").toString
+    def chainOf(idx: String): Int = Option(
+      new java.io.File(s"$work/$idx").listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("epoch="))
+    val coldWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (2 to nDays + 1).foreach { day =>
+      var t0 = System.nanoTime()
+      val s = graft.CurateMain.ingestDay(spark, sfDir, work, day,
+        maxChain = maxChain)
+      val coldSec = (System.nanoTime() - t0) / 1e9
+      // the suppression ladder must ACT every day: exact re-crawls die
+      // at the passage probe, near re-crawls at the LSH probe, quoted
+      // spans strip (some quote docs drop to the short-remainder rule)
+      require(s.batch > 0 && s.passageKept < s.batch &&
+        s.survivors <= s.passageKept && s.spanKept <= s.survivors,
+        s"day $day suppression ladder inverted: $s")
+      val (spanChain, pasChain) =
+        (chainOf("span_index"), chainOf("passage_index"))
+      require(spanChain <= maxChain + 1 && pasChain <= maxChain + 1,
+        s"day $day chain escaped the bound: span=$spanChain " +
+          s"passage=$pasChain > ${maxChain + 1}")
+      // head-day warm replay: byte-identical summary before advancing
+      t0 = System.nanoTime()
+      val s2 = graft.CurateMain.ingestDay(spark, sfDir, work, day,
+        maxChain = maxChain)
+      val warmSec = (System.nanoTime() - t0) / 1e9
+      require(s2 == s, s"day $day warm replay drifted: $s2 vs $s")
+      if (day >= 4) coldWalls += coldSec
+      println(f"""{"day":$day,"batch":${s.batch},"passage_kept":${s.passageKept},""" +
+        f""""survivors":${s.survivors},"span_kept":${s.spanKept},""" +
+        f""""cold_sec":$coldSec%.1f,"warm_sec":$warmSec%.1f,""" +
+        f""""span_chain":$spanChain,"passage_chain":$pasChain,""" +
+        f""""alerts":${s.monitorAlerts}}""")
+      graft.ops.Staged.releaseAll()
+    }
+    // the flatness gate: wall follows the batch, not the day number
+    val half = coldWalls.size / 2
+    val firstHalf = coldWalls.take(half).sum / half
+    val lastHalf = coldWalls.takeRight(half).sum / half
+    require(lastHalf <= 1.6 * firstHalf,
+      f"per-day wall TRENDS with day number: first-half mean " +
+        f"$firstHalf%.1f s -> last-half mean $lastHalf%.1f s")
+    println(f"""{"mode":"ladder","days":${nDays},"max_chain":$maxChain,""" +
+      f""""first_half_mean_sec":$firstHalf%.1f,""" +
+      f""""last_half_mean_sec":$lastHalf%.1f,""" +
+      f""""trend_ratio":${lastHalf / firstHalf}%.2f}""")
+    spark.stop()
+  }
+
   /** `--span-bytes [window]` (default 8): the r19 hash-keyed span
     * index's storage differential, measured — build the PERSISTED
     * span index over the corpus in BOTH keyings and report committed
@@ -699,15 +787,47 @@ object ScaleRehearsalStream {
     val q = Streams.bpeMaintenanceStream(input.toDF(), bpePath, corpusPath,
       mon, ref, s"$root/cp", "doc_id", "text",
       alertAbove = alertAbove, debounce = debounce)
+    // CONCURRENT consumer (r20 — pricing the production-merge repair,
+    // where the re-fit wall dwarfs an epoch): a reader thread polls the
+    // committed artifact continuously, INCLUDING all through the long
+    // swap — every read must see a complete fit (the versioned _BPE_OK
+    // marker swap is what makes that true: readers hold the retired
+    // generation until the promote lands atomically). The sequential
+    // per-epoch consumer below still prices the token-bill
+    // differential; this thread proves no reader ever starves or tears.
+    val stopConsumer = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val repairing = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val readsDuringRepair = new java.util.concurrent.atomic.AtomicLong(0L)
+    val consumerErrors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val consumer = new Thread(() => {
+      while (!stopConsumer.get()) {
+        try {
+          val inRepair = repairing.get()
+          val fit = graft.ops.Bpe.readFit(spark, bpePath)
+          require(fit.merges.nonEmpty, "torn read: empty merge list")
+          reads.incrementAndGet(): Unit
+          if (inRepair) readsDuringRepair.incrementAndGet(): Unit
+        } catch { case t: Throwable => consumerErrors.add(t): Unit }
+        Thread.sleep(100)
+      }
+    }, "graft-bpe-concurrent-consumer")
+    consumer.setDaemon(true)
+    consumer.start()
     var fertBefore = -1.0
     var repairWall = -1.0
     var consumedBefore = -1L
     var consumedAfter = -1L
     try {
       (0 until nEpochs).foreach { e =>
+        // the repair fires inside the debounce-boundary epoch: flag the
+        // window so overlapping reads are attributable to the swap
+        if (e == debounce - 1) repairing.set(true)
         val t = System.nanoTime()
         input.addData(driftBatch: _*); q.processAllAvailable()
         val maintSec = (System.nanoTime() - t) / 1e9
+        if (e == debounce - 1) repairing.set(false)
         val (fert, alert) = spark.read.parquet(s"$mon/epoch=$e")
           .select($"fertility", $"alert").as[(Double, Boolean)].head()
         val repaired = new java.io.File(s"$ref/epoch=$e").exists()
@@ -731,7 +851,20 @@ object ScaleRehearsalStream {
           f""""fertility":$fert%.6f,"alert":$alert,"repaired":$repaired,""" +
           f""""consumer_subwords":$consumed}""")
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      stopConsumer.set(true)
+      consumer.join(30000)
+    }
+    // the concurrent reader never starved or tore — including across
+    // the swap epoch (at production merge scale the repair wall is
+    // many epochs long, and THIS is the claim that matters there)
+    require(consumerErrors.isEmpty,
+      s"concurrent consumer failed ${consumerErrors.size} reads: " +
+        s"${Option(consumerErrors.peek()).map(_.toString).getOrElse("")}")
+    require(readsDuringRepair.get() > 0,
+      "no concurrent read overlapped the repair epoch — the rehearsal " +
+        "did not exercise the swap window (poll faster or fit bigger)")
     // single fire, exactly at the debounce boundary
     val fired = Streams.epochsBefore(spark, ref, Long.MaxValue)
     require(fired == Seq(debounce - 1L),
@@ -758,7 +891,10 @@ object ScaleRehearsalStream {
       f""""fertility_before":$fertBefore%.6f,""" +
       f""""fertility_after":$fertAfter%.6f,""" +
       f""""consumer_subwords_before":$consumedBefore,""" +
-      f""""consumer_subwords_after":$consumedAfter}""")
+      f""""consumer_subwords_after":$consumedAfter,""" +
+      f""""concurrent_reads":${reads.get()},""" +
+      f""""reads_during_repair":${readsDuringRepair.get()},""" +
+      f""""consumer_read_errors":${consumerErrors.size}}""")
     spark.stop()
   }
 
