@@ -600,6 +600,15 @@ object ScaleRehearsalStream {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // one JVM hosts 2·nDays day-jobs back to back (production runs
+      // one driver per day): without a bound the SQL status store
+      // retains 1000 executions' plan metrics/descriptions (~1M
+      // SQLPlanMetric instances, GBs, measured by heap histogram at
+      // day 6) — an artifact of the REHEARSAL shape, capped here so
+      // the per-day heap_mb column reads the engine, not the UI store
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     require(nDays >= 4, s"the flatness gate needs >= 4 days, got $nDays")
@@ -631,13 +640,25 @@ object ScaleRehearsalStream {
         maxChain = maxChain)
       val warmSec = (System.nanoTime() - t0) / 1e9
       require(s2 == s, s"day $day warm replay drifted: $s2 vs $s")
+      // post-GC driver heap per day: the boundedness evidence for the
+      // one axis the wall clock can't see (a slow driver-side leak
+      // would OOM a long ladder before it slowed one)
+      System.gc()
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       if (day >= 4) coldWalls += coldSec
       println(f"""{"day":$day,"batch":${s.batch},"passage_kept":${s.passageKept},""" +
         f""""survivors":${s.survivors},"span_kept":${s.spanKept},""" +
         f""""cold_sec":$coldSec%.1f,"warm_sec":$warmSec%.1f,""" +
         f""""span_chain":$spanChain,"passage_chain":$pasChain,""" +
-        f""""alerts":${s.monitorAlerts}}""")
+        f""""alerts":${s.monitorAlerts},"heap_mb":$heapMb}""")
+      // day boundary = job boundary in production (one driver per day);
+      // the rehearsal holds 2·nDays day-jobs in ONE JVM, so it must
+      // also drop anything that escaped Staged tracking (CacheManager
+      // entries, lingering listing caches) or the LADDER's own heap —
+      // not the engine's — trends with day number
       graft.ops.Staged.releaseAll()
+      spark.catalog.clearCache()
     }
     // the flatness gate: wall follows the batch, not the day number
     val half = coldWalls.size / 2
